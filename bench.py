@@ -1,0 +1,57 @@
+"""Benchmark harness: runs every registry query at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line: {"metric": ..., "value": N, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Timing = full query execution to collect (the driver's unit of work).
+A warmup pass on sf0.001 first touches every code path so JVM/codegen
+startup doesn't pollute per-query numbers.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+from piholelongtermstats_spark.plans.registry import QUERIES  # noqa: E402
+from piholelongtermstats_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    spark = get_spark("phlts-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warmup: run the flagship query once at the bench SF to pay JVM /
+    # codegen / parquet-footer costs outside the timed region.
+    QUERIES["status_counts"](spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    t_total0 = time.perf_counter()
+    for name, fn in QUERIES.items():
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).collect()
+        timings[name] = round(time.perf_counter() - t0, 4)
+    total = round(time.perf_counter() - t_total0, 4)
+
+    print(
+        json.dumps(
+            {
+                "metric": "suite_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,77 @@
+"""Count / percentage aggregates — the query-stats card (M1).
+
+Reference: stats.py:35-52 computes total/blocked/allowed counts and
+percentages in 4 separate passes over the frame; here it is ONE
+single-pass aggregate of conditional sums (SURVEY.md §4 point 1).
+Partial aggregation makes this a map-side-combine + tiny shuffle at any
+scale — the canonical Spark shape for whole-table scalar stats.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def status_counts(fact: DataFrame) -> DataFrame:
+    """total/blocked/allowed counts + percentages, one row.
+
+    Percentages use the div-by-zero→0.0 guard (stats.py:43-48) and are
+    rounded to 4 digits; the expression shape (cnt * 100.0 / total) is
+    mirrored in the oracle so float results are bit-identical.
+    """
+    agg = fact.agg(
+        F.count(F.lit(1)).alias("total_queries"),
+        F.sum(F.when(F.col("status_type") == "Blocked", 1).otherwise(0)).alias(
+            "blocked_count"
+        ),
+        F.sum(F.when(F.col("status_type") == "Allowed", 1).otherwise(0)).alias(
+            "allowed_count"
+        ),
+    )
+    total = F.col("total_queries")
+    return agg.select(
+        "total_queries",
+        "blocked_count",
+        "allowed_count",
+        F.when(total > 0, F.round(F.col("blocked_count") * 100.0 / total, 4))
+        .otherwise(F.lit(0.0))
+        .alias("blocked_pct"),
+        F.when(total > 0, F.round(F.col("allowed_count") * 100.0 / total, 4))
+        .otherwise(F.lit(0.0))
+        .alias("allowed_pct"),
+    )
+
+
+def day_night_counts(fact: DataFrame) -> DataFrame:
+    """Per-day_period totals (stats.py:215-219).
+
+    The reference materializes two filtered copies of the whole frame
+    (stats.py:215-216); one groupBy pass replaces both (SURVEY.md §7 M3).
+    """
+    return (
+        fact.groupBy("day_period")
+        .agg(
+            F.count(F.lit(1)).alias("total_queries"),
+            F.sum(F.when(F.col("status_type") == "Blocked", 1).otherwise(0)).alias(
+                "blocked_count"
+            ),
+            F.sum(F.when(F.col("status_type") == "Allowed", 1).otherwise(0)).alias(
+                "allowed_count"
+            ),
+        )
+    )
+
+
+def uniques(fact: DataFrame) -> DataFrame:
+    """Exact distinct counts (stats.py:422-423, A8).
+
+    Exact (not approx_count_distinct) — the reference's tests assert
+    exact values (tests/test_stats.py:464-467). At 100 TB this is the
+    one aggregate worth an approximate variant; see
+    operators/stats.py:approx_uniques for the opt-in HLL path.
+    """
+    return fact.agg(
+        F.countDistinct("domain").alias("unique_domains"),
+        F.countDistinct("client").alias("unique_clients"),
+    )

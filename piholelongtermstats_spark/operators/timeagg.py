@@ -1,0 +1,174 @@
+"""Time-dimension aggregates (M3): daily/hourly rollups, weekday
+two-level average, pivot heatmaps, hour-spine zero-fill, reply-time
+metrics.
+
+Reference: stats.py:153-206 (daily/hourly/weekday), process.py:86-113
+(hourly rollup — the reference's materialized view), plot.py:76-139
+(reply-time series, heatmaps), plot.py:213-225 (hour-spine reindex).
+
+Float determinism: averages are computed as exact decimal sums divided
+once (sum(decimal)::double / count), so Spark and the DuckDB oracle
+produce bit-identical doubles regardless of aggregation order — a
+double += reduction is order-dependent and would hash-mismatch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def daily_counts(fact: DataFrame) -> DataFrame:
+    """Per-date total/blocked/allowed counts (stats.py:153-186, A5)."""
+    return fact.groupBy("date").agg(
+        F.count(F.lit(1)).alias("total_cnt"),
+        F.sum(F.when(F.col("status_type") == "Blocked", 1).otherwise(0)).alias(
+            "blocked_cnt"
+        ),
+        F.sum(F.when(F.col("status_type") == "Allowed", 1).otherwise(0)).alias(
+            "allowed_cnt"
+        ),
+    )
+
+
+def hourly_histogram(fact: DataFrame) -> DataFrame:
+    """Per hour-of-day counts (stats.py:188-194, A6)."""
+    return fact.groupBy("hour").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def weekday_avg(fact: DataFrame) -> DataFrame:
+    """Average daily query count per weekday (stats.py:196-206, A7).
+
+    Two-level aggregate: per (date, day_name) counts, then the mean of
+    those counts per day_name. The mean is sum(long)/count — exact sum,
+    single division ⇒ deterministic double.
+    """
+    daily = fact.groupBy("date", "day_name").agg(F.count(F.lit(1)).alias("cnt"))
+    return daily.groupBy("day_name").agg(
+        F.round(F.sum("cnt").cast("double") / F.count(F.lit(1)), 6).alias("avg_queries")
+    )
+
+
+def hourly_rollup(fact: DataFrame) -> DataFrame:
+    """The (hour-bucket, status_type, client) pre-aggregate —
+    the reference's resident materialized view (process.py:100-104,
+    A12) that serves every interactive callback.
+
+    At scale this is the table you PERSIST (date-partitioned parquet);
+    every dashboard query then reads the rollup, never the fact table
+    (SURVEY.md §4 O5).
+    """
+    return fact.groupBy(
+        F.date_trunc("HOUR", F.col("ts")).alias("hour_bucket"),
+        "status_type",
+        "client",
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def rollup_by_status(rollup: DataFrame) -> DataFrame:
+    """Collapse the client dimension (plot.py:182-187, A13) — partial
+    re-aggregation of the rollup, never the fact table."""
+    return rollup.groupBy("hour_bucket", "status_type").agg(
+        F.sum("cnt").alias("cnt")
+    )
+
+
+def hour_spine_zerofill(fact: DataFrame) -> DataFrame:
+    """LEFT join the hourly series against a generated hour spine ×
+    status dimension, zero-filling missing buckets (plot.py:213-225, J3).
+
+    Spark shape: one-row min/max agg → sequence() → explode → crossJoin
+    the (tiny, distinct) status dimension → broadcast left join of the
+    aggregated series. The spine is bounded (hours in range), so the
+    crossJoin is safe at any fact-table scale.
+    """
+    series = rollup_by_status(hourly_rollup(fact))
+    bounds = fact.agg(
+        F.date_trunc("HOUR", F.min("ts")).alias("lo"),
+        F.date_trunc("HOUR", F.max("ts")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence(F.col("lo"), F.col("hi"), F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour_bucket")
+    )
+    dims = fact.select("status_type").distinct()
+    return (
+        spine.crossJoin(F.broadcast(dims))
+        .join(F.broadcast(series), ["hour_bucket", "status_type"], "left")
+        .select(
+            "hour_bucket",
+            "status_type",
+            F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt"),
+        )
+    )
+
+
+def day_hour_heatmap(fact: DataFrame, where=None) -> DataFrame:
+    """day_name × hour pivot count matrix, 0-filled (plot.py:104-139, A16).
+
+    Native pivot with an explicit value list (so the plan is static and
+    the output schema deterministic). Weekday ordering is presentation
+    (plot.py:104-112) — applied at the serving edge, not here.
+    """
+    df = fact.filter(where) if where is not None else fact
+    return (
+        df.groupBy("day_name")
+        .pivot("hour", list(range(24)))
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+    )
+
+
+def reply_time_stats(fact: DataFrame) -> DataFrame:
+    """avg/max/min of |reply_time| in ms (stats.py:446-451, A10/F11/F12).
+
+    The reference drops NaNs then takes abs (stats.py:446-449); Spark
+    aggregates are null-skipping so the semantics match. Average uses
+    the exact-decimal-sum shape; all-NULL input → NULLs here, mapped to
+    the reference's 0.0 at the stats-assembly edge (stats.py:452-455).
+    """
+    a = F.abs(F.col("reply_time"))
+    return fact.agg(
+        F.round(
+            F.sum(a.cast("decimal(18,2)")).cast("double")
+            / F.count("reply_time")
+            * 1000,
+            3,
+        ).alias("avg_reply_ms"),
+        F.round(F.max(a) * 1000, 3).alias("max_reply_ms"),
+        F.round(F.min(a) * 1000, 3).alias("min_reply_ms"),
+    )
+
+
+def slowest_domains(fact: DataFrame, k: int = 5) -> DataFrame:
+    """Domains by mean reply_time, slowest first (stats.py:457-467, A11).
+
+    No abs here — faithful to the reference. All-NULL groups produce
+    NULL means and sort last (desc_nulls_last; SURVEY.md pins this
+    semantic, the oracle uses DESC NULLS LAST).
+    """
+    return (
+        fact.groupBy("domain")
+        .agg(
+            F.round(
+                F.sum(F.col("reply_time").cast("decimal(18,2)")).cast("double")
+                / F.count("reply_time"),
+                6,
+            ).alias("avg_reply_time")
+        )
+        .orderBy(F.col("avg_reply_time").desc_nulls_last(), F.col("domain").asc())
+        .limit(k)
+    )
+
+
+def daily_avg_reply(fact: DataFrame) -> DataFrame:
+    """Per-date mean reply_time in ms (plot.py:76-82, A15)."""
+    return fact.groupBy("date").agg(
+        F.round(
+            F.sum(F.col("reply_time").cast("decimal(18,2)")).cast("double")
+            / F.count("reply_time")
+            * 1000,
+            3,
+        ).alias("avg_reply_ms")
+    )

@@ -1,0 +1,657 @@
+"""Driver-facing query registry: Spark plan + DuckDB oracle per operator.
+
+Every implemented operator from SURVEY.md §2 appears here twice:
+``QUERIES[name]`` is the Spark implementation (spark, sf_dir) →
+DataFrame, and ``ORACLE[name]`` is the equivalent ANSI SQL DuckDB runs
+on the same parquet tables. The driver hash-compares the two at
+sf0.01; tests/test_oracle_parity.py runs the identical comparison
+locally at sf0.001 and sf0.01.
+
+Determinism rules applied throughout (the hash is exact):
+- every top-K pins a total tie-break order (cnt DESC, key ASC);
+- float aggregates are exact integer/decimal sums with ONE final
+  division, identical expression shape on both sides;
+- DuckDB sums are CAST to BIGINT (DuckDB sum(BIGINT) → HUGEINT,
+  which pandas would mangle);
+- column names and types are aliased identically on both sides.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from piholelongtermstats_spark.functions.exclude import exclude_domains
+from piholelongtermstats_spark.operators import counts, sequential, timeagg, topk
+from piholelongtermstats_spark.session import ensure_session_defaults
+from piholelongtermstats_spark.sources.events import FACT_CTE, dns_fact
+from piholelongtermstats_spark.sources.parquet import load_table, union_all
+
+QuerySpec = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QuerySpec] = {}
+ORACLE: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn: QuerySpec) -> QuerySpec:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE[name] = oracle
+        return fn
+
+    return deco
+
+
+def _fact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session_defaults(spark)
+    return dns_fact(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# M1 — count/percentage family (stats.py:35-52)
+# ---------------------------------------------------------------------------
+
+@register(
+    "status_counts",
+    FACT_CTE
+    + """
+SELECT
+  count(*) AS total_queries,
+  count(*) FILTER (WHERE status_type = 'Blocked') AS blocked_count,
+  count(*) FILTER (WHERE status_type = 'Allowed') AS allowed_count,
+  CASE WHEN count(*) > 0
+       THEN round((count(*) FILTER (WHERE status_type = 'Blocked')) * 100.0 / count(*), 4)
+       ELSE 0.0 END AS blocked_pct,
+  CASE WHEN count(*) > 0
+       THEN round((count(*) FILTER (WHERE status_type = 'Allowed')) * 100.0 / count(*), 4)
+       ELSE 0.0 END AS allowed_pct
+FROM fact
+""",
+)
+def q_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return counts.status_counts(_fact(spark, sf_dir))
+
+
+@register(
+    "day_night_counts",
+    FACT_CTE
+    + """
+SELECT day_period,
+  count(*) AS total_queries,
+  count(*) FILTER (WHERE status_type = 'Blocked') AS blocked_count,
+  count(*) FILTER (WHERE status_type = 'Allowed') AS allowed_count
+FROM fact GROUP BY day_period
+""",
+)
+def q_day_night_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return counts.day_night_counts(_fact(spark, sf_dir))
+
+
+@register(
+    "uniques",
+    FACT_CTE
+    + """
+SELECT count(DISTINCT domain) AS unique_domains,
+       count(DISTINCT client) AS unique_clients
+FROM fact
+""",
+)
+def q_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return counts.uniques(_fact(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# M2 — top-K / argmax family (stats.py:55-146, 418-439; plot.py:29-101)
+# ---------------------------------------------------------------------------
+
+@register(
+    "top_clients",
+    FACT_CTE
+    + """
+SELECT client, count(*) AS cnt FROM fact
+GROUP BY client ORDER BY cnt DESC, client LIMIT 10
+""",
+)
+def q_top_clients(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return topk.top_k_counts(_fact(spark, sf_dir), "client", 10)
+
+
+@register(
+    "top_domains",
+    FACT_CTE
+    + """
+SELECT domain, count(*) AS cnt FROM fact
+GROUP BY domain ORDER BY cnt DESC, domain LIMIT 10
+""",
+)
+def q_top_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return topk.top_k_counts(_fact(spark, sf_dir), "domain", 10)
+
+
+@register(
+    "top_clients_per_status",
+    FACT_CTE
+    + """
+SELECT status_type, client, cnt FROM (
+  SELECT status_type, client, count(*) AS cnt,
+         row_number() OVER (PARTITION BY status_type ORDER BY count(*) DESC, client) AS rn
+  FROM fact GROUP BY status_type, client
+) WHERE rn = 1
+""",
+)
+def q_top_clients_per_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return topk.top_clients_per_status(_fact(spark, sf_dir))
+
+
+@register(
+    "top_domain_top_client",
+    FACT_CTE
+    + """
+, cdc AS (
+  SELECT status_type, domain, client, count(*) AS pair_cnt
+  FROM fact GROUP BY 1, 2, 3
+), dom AS (
+  SELECT status_type, domain, CAST(sum(pair_cnt) AS BIGINT) AS domain_cnt
+  FROM cdc GROUP BY 1, 2
+), top_dom AS (
+  SELECT status_type, domain, domain_cnt FROM (
+    SELECT *, row_number() OVER (PARTITION BY status_type
+                                 ORDER BY domain_cnt DESC, domain) AS rn
+    FROM dom
+  ) WHERE rn = 1
+), top_cli AS (
+  SELECT status_type, domain, client AS top_client FROM (
+    SELECT *, row_number() OVER (PARTITION BY status_type, domain
+                                 ORDER BY pair_cnt DESC, client) AS rn
+    FROM cdc
+  ) WHERE rn = 1
+)
+SELECT t.status_type, t.domain, t.domain_cnt, c.top_client
+FROM top_dom t JOIN top_cli c USING (status_type, domain)
+""",
+)
+def q_top_domain_top_client(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return topk.top_domain_top_client(_fact(spark, sf_dir))
+
+
+@register(
+    "most_persistent_client",
+    FACT_CTE
+    + """
+SELECT client, domain, count(*) AS repeat_attempts
+FROM fact WHERE status_type = 'Blocked'
+GROUP BY client, domain
+ORDER BY repeat_attempts DESC, client, domain LIMIT 1
+""",
+)
+def q_most_persistent_client(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return topk.most_persistent_client(_fact(spark, sf_dir))
+
+
+@register(
+    "most_diverse_client",
+    FACT_CTE
+    + """
+SELECT client, count(DISTINCT domain) AS unique_domains_count
+FROM fact GROUP BY client
+ORDER BY unique_domains_count DESC, client LIMIT 1
+""",
+)
+def q_most_diverse_client(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return topk.most_diverse_client(_fact(spark, sf_dir))
+
+
+@register(
+    "top_clients_stacked",
+    FACT_CTE
+    + """
+, topk AS (
+  SELECT client FROM fact GROUP BY client
+  ORDER BY count(*) DESC, client LIMIT 5
+)
+SELECT client, status_type, count(*) AS cnt
+FROM fact WHERE client IN (SELECT client FROM topk)
+GROUP BY client, status_type
+""",
+)
+def q_top_clients_stacked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return topk.semi_join_top_clients(_fact(spark, sf_dir), 5)
+
+
+@register(
+    "client_domain_scatter",
+    FACT_CTE
+    + """
+, topc AS (
+  SELECT client FROM fact GROUP BY client ORDER BY count(*) DESC, client LIMIT 5
+), topd AS (
+  SELECT domain FROM fact GROUP BY domain ORDER BY count(*) DESC, domain LIMIT 10
+)
+SELECT client, domain, status_type, count(*) AS cnt
+FROM fact
+WHERE client IN (SELECT client FROM topc) AND domain IN (SELECT domain FROM topd)
+GROUP BY client, domain, status_type
+""",
+)
+def q_client_domain_scatter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return topk.client_domain_scatter(_fact(spark, sf_dir), 5, 10)
+
+
+# ---------------------------------------------------------------------------
+# M3 — time-dimension aggregates (stats.py:153-206; process.py:86-113;
+#      plot.py:76-139, 213-225)
+# ---------------------------------------------------------------------------
+
+@register(
+    "daily_counts",
+    FACT_CTE
+    + """
+SELECT date,
+  count(*) AS total_cnt,
+  count(*) FILTER (WHERE status_type = 'Blocked') AS blocked_cnt,
+  count(*) FILTER (WHERE status_type = 'Allowed') AS allowed_cnt
+FROM fact GROUP BY date
+""",
+)
+def q_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return timeagg.daily_counts(_fact(spark, sf_dir))
+
+
+@register(
+    "hourly_histogram",
+    FACT_CTE + "SELECT hour, count(*) AS cnt FROM fact GROUP BY hour",
+)
+def q_hourly_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return timeagg.hourly_histogram(_fact(spark, sf_dir))
+
+
+@register(
+    "weekday_avg",
+    FACT_CTE
+    + """
+, daily AS (
+  SELECT date, day_name, count(*) AS cnt FROM fact GROUP BY date, day_name
+)
+SELECT day_name, round(CAST(CAST(sum(cnt) AS BIGINT) AS DOUBLE) / count(*), 6) AS avg_queries
+FROM daily GROUP BY day_name
+""",
+)
+def q_weekday_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return timeagg.weekday_avg(_fact(spark, sf_dir))
+
+
+@register(
+    "hourly_rollup",
+    FACT_CTE
+    + """
+SELECT date_trunc('hour', ts) AS hour_bucket, status_type, client, count(*) AS cnt
+FROM fact GROUP BY 1, 2, 3
+""",
+)
+def q_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return timeagg.hourly_rollup(_fact(spark, sf_dir))
+
+
+@register(
+    "hour_spine_zerofill",
+    FACT_CTE
+    + """
+, series AS (
+  SELECT date_trunc('hour', ts) AS hour_bucket, status_type, count(*) AS cnt
+  FROM fact GROUP BY 1, 2
+), bounds AS (
+  SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi FROM fact
+), spine AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour_bucket FROM bounds
+), dims AS (
+  SELECT DISTINCT status_type FROM fact
+)
+SELECT s.hour_bucket, d.status_type, coalesce(x.cnt, 0) AS cnt
+FROM spine s
+CROSS JOIN dims d
+LEFT JOIN series x ON x.hour_bucket = s.hour_bucket AND x.status_type = d.status_type
+""",
+)
+def q_hour_spine_zerofill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return timeagg.hour_spine_zerofill(_fact(spark, sf_dir))
+
+
+def _heatmap_oracle(where: str) -> str:
+    cols = ",\n  ".join(
+        f"count(*) FILTER (WHERE hour = {h}) AS \"{h}\"" for h in range(24)
+    )
+    return FACT_CTE + f"SELECT day_name,\n  {cols}\nFROM fact {where} GROUP BY day_name"
+
+
+@register("day_hour_heatmap", _heatmap_oracle(""))
+def q_day_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return timeagg.day_hour_heatmap(_fact(spark, sf_dir))
+
+
+@register("day_hour_heatmap_blocked", _heatmap_oracle("WHERE status_type = 'Blocked'"))
+def q_day_hour_heatmap_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return timeagg.day_hour_heatmap(
+        _fact(spark, sf_dir), F.col("status_type") == "Blocked"
+    )
+
+
+@register(
+    "reply_time_stats",
+    FACT_CTE
+    + """
+SELECT
+  round(CAST(sum(CAST(abs(reply_time) AS DECIMAL(18,2))) AS DOUBLE)
+        / count(reply_time) * 1000, 3) AS avg_reply_ms,
+  round(max(abs(reply_time)) * 1000, 3) AS max_reply_ms,
+  round(min(abs(reply_time)) * 1000, 3) AS min_reply_ms
+FROM fact
+""",
+)
+def q_reply_time_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return timeagg.reply_time_stats(_fact(spark, sf_dir))
+
+
+@register(
+    "slowest_domains",
+    FACT_CTE
+    + """
+SELECT domain,
+  round(CAST(sum(CAST(reply_time AS DECIMAL(18,2))) AS DOUBLE) / count(reply_time), 6)
+    AS avg_reply_time
+FROM fact GROUP BY domain
+ORDER BY avg_reply_time DESC NULLS LAST, domain LIMIT 5
+""",
+)
+def q_slowest_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return timeagg.slowest_domains(_fact(spark, sf_dir), 5)
+
+
+@register(
+    "daily_avg_reply",
+    FACT_CTE
+    + """
+SELECT date,
+  round(CAST(sum(CAST(reply_time AS DECIMAL(18,2))) AS DOUBLE)
+        / count(reply_time) * 1000, 3) AS avg_reply_ms
+FROM fact GROUP BY date
+""",
+)
+def q_daily_avg_reply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return timeagg.daily_avg_reply(_fact(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# M4 — sequential / window operators (stats.py:324-408, 506-515)
+# ---------------------------------------------------------------------------
+
+@register(
+    "idle_gaps_top",
+    FACT_CTE
+    + """
+, g AS (
+  SELECT lag(ts) OVER (ORDER BY ts, event_id) AS prev_ts, ts AS next_ts FROM fact
+)
+SELECT prev_ts, next_ts, epoch_us(next_ts) - epoch_us(prev_ts) AS gap_us
+FROM g WHERE prev_ts IS NOT NULL
+ORDER BY gap_us DESC, next_ts LIMIT 10
+""",
+)
+def q_idle_gaps_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sequential.idle_gaps_top(_fact(spark, sf_dir), 10)
+
+
+@register(
+    "longest_streaks",
+    FACT_CTE
+    + """
+, flg AS (
+  SELECT ts, event_id, status_type,
+         CASE WHEN lag(status_type) OVER w IS NULL
+                OR lag(status_type) OVER w <> status_type THEN 1 ELSE 0 END AS chg
+  FROM fact
+  WINDOW w AS (ORDER BY ts, event_id)
+), grp AS (
+  SELECT *, CAST(sum(chg) OVER (ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run_id
+  FROM flg
+), runs AS (
+  SELECT run_id, status_type, count(*) AS streak_len, min(ts) AS start_ts
+  FROM grp GROUP BY 1, 2
+)
+SELECT status_type, streak_len, start_ts FROM (
+  SELECT *, row_number() OVER (PARTITION BY status_type
+                               ORDER BY streak_len DESC, start_ts) AS rn
+  FROM runs
+) WHERE rn = 1
+""",
+)
+def q_longest_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sequential.longest_streaks(_fact(spark, sf_dir))
+
+
+@register(
+    "avg_gap_per_status",
+    FACT_CTE
+    + """
+, bg AS (
+  SELECT epoch_us(ts) - epoch_us(lag(ts) OVER (ORDER BY ts, event_id)) AS gap_us
+  FROM fact WHERE status_type = 'Blocked'
+), ag AS (
+  SELECT epoch_us(ts) - epoch_us(lag(ts) OVER (ORDER BY ts, event_id)) AS gap_us
+  FROM fact WHERE status_type = 'Allowed'
+)
+SELECT 'Blocked' AS status_type,
+       round(CAST(CAST(sum(gap_us) AS BIGINT) AS DOUBLE) / count(*) / 1000000.0, 6) AS avg_gap_sec
+FROM bg WHERE gap_us IS NOT NULL
+UNION ALL
+SELECT 'Allowed' AS status_type,
+       round(CAST(CAST(sum(gap_us) AS BIGINT) AS DOUBLE) / count(*) / 1000000.0, 6) AS avg_gap_sec
+FROM ag WHERE gap_us IS NOT NULL
+""",
+)
+def q_avg_gap_per_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sequential.avg_gap_per_status(_fact(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Scans / filters / set ops (db.py:111-152; process.py:27-44; app.py:144-154)
+# ---------------------------------------------------------------------------
+
+@register(
+    "range_scan",
+    FACT_CTE
+    + """
+SELECT status_type, count(*) AS cnt FROM fact
+WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' AND ts < TIMESTAMP '2024-01-20 00:00:00'
+GROUP BY status_type
+""",
+)
+def q_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-range scan with pushed-down predicate + exclusive end
+    (db.py:130-135, S4/S7). `.explain` shows the bounds in
+    PushedFilters on the parquet scan."""
+    fact = _fact(spark, sf_dir)
+    lo = F.lit("2024-01-10 00:00:00").cast("timestamp")
+    hi = F.lit("2024-01-20 00:00:00").cast("timestamp")
+    return (
+        fact.filter((F.col("ts") >= lo) & (F.col("ts") < hi))
+        .groupBy("status_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+@register(
+    "union_all_sources",
+    FACT_CTE
+    + """
+SELECT status_type, count(*) AS cnt FROM (
+  SELECT * FROM fact UNION ALL SELECT * FROM fact
+) GROUP BY status_type
+""",
+)
+def q_union_all_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-DB UNION ALL semantics — duplicates kept (app.py:144-154,
+    README.md:56, S6). Reading the same source twice stands in for two
+    FTL databases."""
+    fact = _fact(spark, sf_dir)
+    return (
+        union_all(fact, fact)
+        .groupBy("status_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+@register(
+    "regex_exclusion",
+    FACT_CTE
+    + r"""
+SELECT status_type, count(*) AS cnt, count(DISTINCT domain) AS n_domains
+FROM fact
+WHERE (domain IS NULL OR NOT regexp_matches(domain, '"k": [12]'))
+GROUP BY status_type
+""",
+)
+def q_regex_exclusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex domain exclusion with NULL-keep semantics
+    (process.py:27-44, P3)."""
+    fact = _fact(spark, sf_dir)
+    return (
+        exclude_domains(fact, ['"k": [12]'])
+        .groupBy("status_type")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.countDistinct("domain").alias("n_domains"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-shaped queries — exercise join/agg operators on the star schema
+# (the reference has no explicit joins, SURVEY.md §2.4; these prove the
+# engine's join surface at scale: broadcast dims, shuffled fact joins)
+# ---------------------------------------------------------------------------
+
+_DEC = "decimal(18,2)"
+
+
+@register(
+    "pricing_summary",
+    """
+SELECT l_returnflag, l_linestatus,
+  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS DOUBLE) AS sum_qty,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_qty,
+  count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary: multi-aggregate groupBy with
+    map-side partial aggregation (the canonical A1/A2 shape at scale)."""
+    ensure_session_defaults(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast(_DEC)
+    price = F.col("l_extendedprice").cast(_DEC)
+    disc_price = price * (F.lit(1) - F.col("l_discount").cast(_DEC))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).cast("double").alias("sum_qty"),
+            F.sum(price).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.round(F.sum(qty).cast("double") / F.count(F.lit(1)), 6).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "top_unshipped_orders",
+    """
+SELECT l_orderkey, o_orderdate,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1997-06-01 00:00:00'
+  AND l_shipdate  > TIMESTAMP '1997-06-01 00:00:00'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey LIMIT 10
+""",
+)
+def q_top_unshipped_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped: selective dim filter → broadcast customer into
+    orders, shuffle join to lineitem, grouped revenue, top-10."""
+    ensure_session_defaults(spark)
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    cutoff = F.lit("1997-06-01 00:00:00").cast("timestamp")
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    revenue = F.col("l_extendedprice").cast(_DEC) * (
+        F.lit(1) - F.col("l_discount").cast(_DEC)
+    )
+    return (
+        li.join(
+            F.broadcast(orders.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+@register(
+    "region_nation_revenue",
+    """
+SELECT n_name,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+  count(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name IN ('ASIA', 'EUROPE')
+GROUP BY n_name
+""",
+)
+def q_region_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped star join: every dimension broadcasts; the only
+    shuffle is the final groupBy on n_name."""
+    ensure_session_defaults(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name").isin("ASIA", "EUROPE")
+    )
+    revenue = F.col("l_extendedprice").cast(_DEC) * (
+        F.lit(1) - F.col("l_discount").cast(_DEC)
+    )
+    dims = (
+        cust.join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("c_custkey", "n_name")
+    )
+    return (
+        li.join(F.broadcast(orders.join(F.broadcast(dims), F.col("o_custkey") == F.col("c_custkey"))),
+                F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("n_name")
+        .agg(
+            F.sum(revenue).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )

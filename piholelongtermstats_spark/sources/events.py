@@ -1,0 +1,79 @@
+"""Canonical DNS fact table over the driver's `events` parquet.
+
+FIXTURES.md §2 maps the driver's synthetic ``events`` table onto the
+Pi-hole `queries` fact table: ts→timestamp, user_id→client (as string),
+props→domain, value→reply_time, and event_type bucketed into the 3-way
+status_type the reference derives from the status enum
+(process.py:71-77). The bucket mapping below is the fixed declaration
+FIXTURES.md asks for; it is mirrored verbatim in FACT_CTE so the Spark
+plan and the DuckDB oracle can never drift.
+
+All derived time columns match functions/derive.py (process.py:60-79)
+with session timezone pinned to UTC.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from piholelongtermstats_spark.functions.derive import day_period, enrich_time
+from piholelongtermstats_spark.sources.parquet import load_table
+
+# Fixed event_type → status_type mapping (FIXTURES.md §2).
+EVENT_ALLOWED = ("view", "click", "purchase")
+EVENT_BLOCKED = ("error",)
+# everything else (signup) → 'Other'
+
+
+def dns_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Load `events` and produce the enriched DNS fact table.
+
+    Columns: event_id, ts, client, domain, status_type, reply_time,
+    date, hour, day_name, day_period. Pure projection — fuses into the
+    parquet scan; no shuffle.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    # events.ts is parquet TIMESTAMP(NANOS) — read as nanos-long (see
+    # session.ensure_session_defaults) and truncate to µs exactly like
+    # DuckDB's TIMESTAMP_NS → TIMESTAMP cast. Integer DIV keeps full
+    # int64 precision (a double division would corrupt the low digits).
+    ts = F.col("ts")
+    if dict(ev.dtypes).get("ts") == "bigint":
+        ts = F.timestamp_micros(F.expr("ts DIV 1000"))
+    df = ev.select(
+        F.col("event_id"),
+        ts.alias("ts"),
+        F.col("user_id").cast("string").alias("client"),
+        F.col("props").alias("domain"),
+        (
+            F.when(F.col("event_type").isin(*EVENT_ALLOWED), F.lit("Allowed"))
+            .when(F.col("event_type").isin(*EVENT_BLOCKED), F.lit("Blocked"))
+            .otherwise(F.lit("Other"))
+        ).alias("status_type"),
+        F.col("value").alias("reply_time"),
+    )
+    return enrich_time(df, "ts")
+
+
+# DuckDB oracle prelude: the exact same fact derivation in ANSI-ish SQL.
+# Every oracle query in plans/registry.py is written as
+#   FACT_CTE + "SELECT ... FROM fact ..."
+FACT_CTE = """
+WITH fact AS (
+  SELECT
+    event_id,
+    ts,
+    CAST(user_id AS VARCHAR)               AS client,
+    props                                  AS domain,
+    CASE WHEN event_type IN ('view','click','purchase') THEN 'Allowed'
+         WHEN event_type IN ('error')                   THEN 'Blocked'
+         ELSE 'Other' END                  AS status_type,
+    value                                  AS reply_time,
+    date_trunc('day', ts)                  AS date,
+    CAST(hour(ts) AS BIGINT)               AS hour,
+    dayname(ts)                            AS day_name,
+    CASE WHEN hour(ts) BETWEEN 6 AND 23 THEN 'Day' ELSE 'Night' END AS day_period
+  FROM events
+)
+"""

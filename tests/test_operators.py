@@ -1,0 +1,174 @@
+"""Operator edge cases — the reference's exact-value tests rebuilt
+(test_stats.py:293-467; FIXTURES.md §3)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from piholelongtermstats_spark.operators import counts, sequential, timeagg, topk
+from tests.conftest import make_fact
+
+
+def _hourly(n, status, start="2024-01-01T00:00:00", client="c1", domain="d1", rt=1.0):
+    import datetime as dt
+
+    t0 = dt.datetime.fromisoformat(start)
+    return [
+        (i, (t0 + dt.timedelta(hours=i)).isoformat(), client, domain, status, rt)
+        for i in range(n)
+    ]
+
+
+def test_all_blocked_pct_100(spark):
+    """FIXTURES.md §3.1 (test_stats.py:345-368)."""
+    fact = make_fact(spark, _hourly(100, "Blocked"))
+    row = counts.status_counts(fact).collect()[0]
+    assert row["total_queries"] == 100
+    assert row["blocked_count"] == 100
+    assert row["blocked_pct"] == 100.0
+    assert row["allowed_count"] == 0
+    assert row["allowed_pct"] == 0.0
+
+
+def test_all_other_zero_counts(spark):
+    """FIXTURES.md §3.3 (test_stats.py:395-418)."""
+    fact = make_fact(spark, _hourly(10, "Other"))
+    row = counts.status_counts(fact).collect()[0]
+    assert row["blocked_count"] == 0 and row["allowed_count"] == 0
+    assert row["blocked_pct"] == 0.0 and row["allowed_pct"] == 0.0
+
+
+def test_empty_input(spark):
+    """FIXTURES.md §3.7: zero rows must not crash; pcts → 0.0."""
+    fact = make_fact(spark, []).limit(0)
+    row = counts.status_counts(fact).collect()[0]
+    assert row["total_queries"] == 0
+    assert row["blocked_pct"] == 0.0
+
+
+def test_single_row(spark):
+    """FIXTURES.md §3.4: degenerate streaks/gaps (test_stats.py:320-343)."""
+    fact = make_fact(spark, _hourly(1, "Allowed"))
+    assert counts.status_counts(fact).collect()[0]["total_queries"] == 1
+    streaks = sequential.longest_streaks(fact).collect()
+    assert len(streaks) == 1
+    assert streaks[0]["streak_len"] == 1
+    assert sequential.idle_gaps_top(fact).count() == 0
+    gaps = {r["status_type"]: r["avg_gap_sec"]
+            for r in sequential.avg_gap_per_status(fact).collect()}
+    assert gaps["Allowed"] is None and gaps["Blocked"] is None
+
+
+def test_null_reply_times(spark):
+    """FIXTURES.md §3.5: all-NULL reply times → NULL aggregates
+    (mapped to 0.0 at the stats edge; test_stats.py:420-442)."""
+    rows = [(i, f"2024-01-01T{i:02d}:00:00", "c", "d", "Allowed", None)
+            for i in range(5)]
+    fact = make_fact(spark, rows)
+    row = timeagg.reply_time_stats(fact).collect()[0]
+    assert row["avg_reply_ms"] is None
+    assert row["max_reply_ms"] is None
+
+
+def test_uniques_single(spark):
+    """FIXTURES.md §3.6 (test_stats.py:444-467)."""
+    rows = _hourly(25, "Allowed") + [
+        (100 + i, f"2024-01-03T{i:02d}:00:00", "c1", "d1", "Blocked", 1.0)
+        for i in range(24)
+    ]
+    fact = make_fact(spark, rows)
+    row = counts.uniques(fact).collect()[0]
+    assert row["unique_domains"] == 1
+    assert row["unique_clients"] == 1
+
+
+def test_topk_tie_break_pinned(spark):
+    """FIXTURES.md §3.11: equal counts → key ASC wins."""
+    rows = [
+        (1, "2024-01-01T00:00:00", "cB", "d1", "Allowed", 1.0),
+        (2, "2024-01-01T01:00:00", "cA", "d1", "Allowed", 1.0),
+    ]
+    fact = make_fact(spark, rows)
+    top = topk.top_k_counts(fact, "client", 1).collect()
+    assert top[0]["client"] == "cA"
+
+
+def test_streak_pattern(spark):
+    """FIXTURES.md §3.9: known run layout, incl. midnight-spanning run."""
+    seq = (["Allowed"] * 3 + ["Blocked"] * 5 + ["Allowed"] * 2
+           + ["Blocked"] * 2 + ["Other"] * 1)
+    import datetime as dt
+
+    # start late on Jan 1 so the 5-run crosses midnight
+    t0 = dt.datetime.fromisoformat("2024-01-01T21:00:00")
+    rows = [(i, (t0 + dt.timedelta(hours=i)).isoformat(), "c", "d", st, 1.0)
+            for i, st in enumerate(seq)]
+    fact = make_fact(spark, rows)
+    got = {r["status_type"]: (r["streak_len"], r["start_ts"])
+           for r in sequential.longest_streaks(fact).collect()}
+    assert got["Blocked"][0] == 5
+    assert got["Blocked"][1] == t0 + dt.timedelta(hours=3)
+    assert got["Allowed"][0] == 3
+    assert got["Other"][0] == 1
+
+
+def test_idle_gap_known(spark):
+    """FIXTURES.md §3.10: one large known gap, endpoints carried."""
+    rows = [
+        (1, "2024-01-01T00:00:00", "c", "d", "Allowed", 1.0),
+        (2, "2024-01-01T00:10:00", "c", "d", "Allowed", 1.0),
+        (3, "2024-01-02T05:10:00", "c", "d", "Allowed", 1.0),  # 29h gap, crosses midnight
+        (4, "2024-01-02T05:15:00", "c", "d", "Allowed", 1.0),
+    ]
+    fact = make_fact(spark, rows)
+    top = sequential.idle_gaps_top(fact, 1).collect()[0]
+    assert top["gap_us"] == 29 * 3600 * 1_000_000
+    import datetime as dt
+
+    assert top["prev_ts"] == dt.datetime.fromisoformat("2024-01-01T00:10:00")
+    assert top["next_ts"] == dt.datetime.fromisoformat("2024-01-02T05:10:00")
+
+
+def test_gaps_cross_midnight_equal_global(spark):
+    """The date-partitioned gap decomposition must equal a global-order
+    lag exactly (operators/sequential.py design)."""
+    import random
+
+    import datetime as dt
+
+    rng = random.Random(7)
+    t = dt.datetime.fromisoformat("2024-01-01T00:00:00")
+    rows = []
+    for i in range(300):
+        t += dt.timedelta(minutes=rng.randint(1, 600))
+        rows.append((i, t.isoformat(), "c", "d", "Allowed", 1.0))
+    fact = make_fact(spark, rows)
+    got = sequential.consecutive_gaps(fact).orderBy("next_ts").collect()
+    ts_sorted = sorted(dt.datetime.fromisoformat(r[1]) for r in rows)
+    want = [
+        (a, b, int((b - a).total_seconds() * 1_000_000))
+        for a, b in zip(ts_sorted, ts_sorted[1:])
+    ]
+    assert [(r["prev_ts"], r["next_ts"], r["gap_us"]) for r in got] == want
+
+
+def test_day_night_single_pass(spark):
+    rows = _hourly(24, "Allowed")  # hours 0..23 on one day
+    fact = make_fact(spark, rows)
+    got = {r["day_period"]: r["total_queries"]
+           for r in counts.day_night_counts(fact).collect()}
+    assert got == {"Day": 18, "Night": 6}
+
+
+def test_hour_spine_zerofill_covers_gaps(spark):
+    rows = [
+        (1, "2024-01-01T00:30:00", "c", "d", "Allowed", 1.0),
+        (2, "2024-01-01T03:30:00", "c", "d", "Blocked", 1.0),
+    ]
+    fact = make_fact(spark, rows)
+    out = timeagg.hour_spine_zerofill(fact).collect()
+    # 4 hourly buckets × 2 statuses
+    assert len(out) == 8
+    nonzero = {(r["hour_bucket"].hour, r["status_type"]): r["cnt"]
+               for r in out if r["cnt"] > 0}
+    assert nonzero == {(0, "Allowed"): 1, (3, "Blocked"): 1}
