@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from piholelongtermstats_spark.plans.registry import ORACLE, QUERIES  # noqa: E402
+from piholelongtermstats_spark.plans import ORACLE, QUERIES  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -18,7 +18,7 @@ import time
 REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
-from piholelongtermstats_spark.plans.registry import QUERIES  # noqa: E402
+from piholelongtermstats_spark.plans import QUERIES  # noqa: E402
 from piholelongtermstats_spark.session import get_spark  # noqa: E402
 
 

@@ -1,0 +1,162 @@
+"""Similarity search over the `embeddings` table (M7).
+
+- cosine_topk: brute-force exact cosine top-K — the correctness
+  baseline. A pure broadcast of the (tiny) query vector + map-side
+  projection + TakeOrderedAndProject: no shuffle of the corpus, scales
+  linearly and parallelizes perfectly; at 100 TB it is bandwidth-bound
+  but correct.
+- lsh_ann_topk: random-hyperplane LSH bucketing — the scale path.
+  Deterministic pseudo-random hyperplanes are derived from md5 (no RNG
+  at plan time), the corpus is bucketed once (persistable), and only
+  the query's bucket (+ optional hamming-1 probes) is scanned.
+
+Dot products use SQL higher-order functions (zip_with + aggregate) —
+JVM-side, no Python. Scores are rounded to 6 digits and ranked on the
+ROUNDED value with vec_id tie-break so ordering is reproducible
+across engines (float sums agree to ~1e-16 but not always bit-exact).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from piholelongtermstats_spark.operators.text import md5_hash60
+
+# Few planes: buckets ≈ 2^N_PLANES; size for candidate sets of ~N/2^p
+# per bucket. The driver's synthetic embeddings are ~500-5k vectors, so
+# 4 planes (16 buckets) keeps candidate sets non-trivial; a 1B-vector
+# deployment would use 16-24 planes + multi-probe.
+N_PLANES = 4
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0).cast("double"),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0).cast("double"), lambda acc, v: acc + v * v)
+    )
+
+
+def cosine_scores(emb: DataFrame, query_vec_id: int) -> DataFrame:
+    """Cosine of every vector against the query vector (excluded)."""
+    v = F.col("embedding").cast("array<double>")
+    base = emb.select("vec_id", "label", v.alias("v"))
+    q = base.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("v").alias("qv")
+    )
+    return (
+        base.filter(F.col("vec_id") != query_vec_id)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "label",
+            F.round(
+                _dot(F.col("v"), F.col("qv"))
+                / (_norm(F.col("v")) * _norm(F.col("qv"))),
+                6,
+            ).alias("cosine"),
+        )
+    )
+
+
+def cosine_topk(emb: DataFrame, query_vec_id: int = 0, k: int = 10) -> DataFrame:
+    """Exact top-K nearest by cosine (rank on rounded score, vec_id
+    tie-break)."""
+    return (
+        cosine_scores(emb, query_vec_id)
+        .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+        .limit(k)
+    )
+
+
+def _plane(dim_count: int, plane: int) -> Column:
+    """Deterministic pseudo-random hyperplane: component j of plane p
+    is +1/−1 by a bit of md5(p || ':' || j). md5-derived ⇒ identical
+    in any engine, no RNG state in the plan."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(dim_count - 1)),
+        lambda j: F.when(
+            md5_hash60(
+                F.concat(F.lit(str(plane) + ":"), j.cast("string"))
+            ).bitwiseAND(1)
+            == 1,
+            F.lit(1.0),
+        ).otherwise(F.lit(-1.0)),
+    )
+
+
+def lsh_bucket(v: Column, dim_count: int, n_planes: int = N_PLANES) -> Column:
+    """Sign-bucket id: bit p = (v · plane_p) > 0."""
+    acc = F.lit(0).cast("long")
+    for p in range(n_planes):
+        acc = acc + F.when(_dot(v, _plane(dim_count, p)) > 0, 1 << p).otherwise(0)
+    return acc
+
+
+def lsh_ann_topk(
+    emb: DataFrame, query_vec_id: int = 0, k: int = 10, n_planes: int = N_PLANES
+) -> DataFrame:
+    """Approximate top-K: scan only the query's LSH bucket.
+
+    The bucketed corpus is a one-time projection (persist it at
+    scale); per query, the candidate set is |bucket| ≪ N. Recall is
+    tunable by n_planes / multi-probe; tests measure it against
+    cosine_topk.
+    """
+    dim_count = len(emb.select("embedding").first()[0])
+    v = F.col("embedding").cast("array<double>")
+    bucketed = emb.select(
+        "vec_id", "label", v.alias("v"), lsh_bucket(v, dim_count, n_planes).alias("bucket")
+    )
+    q = bucketed.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("v").alias("qv"), F.col("bucket").alias("qbucket")
+    )
+    return (
+        bucketed.filter(F.col("vec_id") != query_vec_id)
+        .crossJoin(F.broadcast(q))
+        .filter(F.col("bucket") == F.col("qbucket"))
+        .select(
+            "vec_id",
+            "label",
+            F.round(
+                _dot(F.col("v"), F.col("qv"))
+                / (_norm(F.col("v")) * _norm(F.col("qv"))),
+                6,
+            ).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+        .limit(k)
+    )
+
+
+def embedding_near_dup_pairs(emb: DataFrame, threshold: float = 0.4) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via LSH bucketing:
+    all-pairs cosine WITHIN each sign-bucket only (near-identical
+    vectors share buckets with high probability)."""
+    dim_count = len(emb.select("embedding").first()[0])
+    v = F.col("embedding").cast("array<double>")
+    b = emb.select(
+        "vec_id", v.alias("v"), lsh_bucket(v, dim_count).alias("bucket")
+    )
+    pairs = (
+        b.alias("a")
+        .join(b.alias("b"), "bucket")
+        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(
+                _dot(F.col("a.v"), F.col("b.v"))
+                / (_norm(F.col("a.v")) * _norm(F.col("b.v"))),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    return pairs.filter(F.col("cosine") >= threshold)

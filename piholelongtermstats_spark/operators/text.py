@@ -1,0 +1,155 @@
+"""Text-analysis operators over the `documents` table (M7).
+
+Beyond-reference capability set for a training-data pipeline:
+quality stats, BPE-ish token counting, n-gram language ID, and
+document fingerprinting. All are native Column expressions (split /
+regexp / higher-order array functions) — JVM-side, codegen-able, no
+Python UDFs — so they scale as pure map-side projections with zero
+shuffle.
+
+Cross-engine determinism: token hashes are md5-based (md5 is identical
+everywhere); rolling-hash arithmetic stays below 2^62 via mod-prime so
+DuckDB (which raises on BIGINT overflow) and Spark (which wraps) never
+diverge.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Deliberately tiny fixed stopword lists (deterministic, mirrored in
+# oracle SQL). Real deployments would swap in full lists.
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "de": ("der", "die", "das", "und", "ist", "nicht", "mit", "ein"),
+    "en": ("the", "and", "of", "to", "is", "in", "that", "it"),
+    "es": ("el", "la", "de", "que", "y", "en", "los", "se"),
+    "fr": ("le", "la", "de", "et", "les", "des", "un", "est"),
+}
+
+MOD_PRIME = 1_000_000_007
+
+# BPE-ish token pattern: letter runs, digit runs, single punctuation.
+BPE_PATTERN = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+
+def tokens(text: Column) -> Column:
+    r"""Whitespace tokenization: split(trim(text), '\s+')."""
+    return F.split(F.trim(text), r"\s+")
+
+
+def md5_hash60(col: Column) -> Column:
+    """Deterministic 60-bit hash: first 15 hex chars of md5 → BIGINT.
+
+    Identical in DuckDB: ('0x' || substr(md5(x),1,15))::BIGINT.
+    """
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def text_stats(docs: DataFrame) -> DataFrame:
+    """Per-document quality stats: token/char counts, average token
+    length, stopword ratio, and a composite quality score.
+
+    Quality score = 0.4·min(1, n_tokens/100) + 0.3·(1 − stopword_ratio)
+    + 0.3·min(1, avg_token_len/8). All inputs are exact integer counts;
+    each double is produced by a single division, so the rounded output
+    is engine-independent.
+    """
+    toks = tokens(F.col("text"))
+    n_tokens = F.size(toks).cast("long")
+    sw = F.size(
+        F.filter(toks, lambda t: t.isin(*STOPWORDS))
+    ).cast("long")
+    tok_chars = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+    )
+    avg_tok = tok_chars.cast("double") / n_tokens
+    sw_ratio = sw.cast("double") / n_tokens
+    # Exact-integer numerator over common denominator 80000·n, ONE
+    # float division at the end: algebraically identical to
+    # 0.4·min(1,n/100) + 0.3·(1−sw/n) + 0.3·min(1,(chars/n)/8) but
+    # engine-independent (a sum of float terms can land a half-ulp
+    # across a rounding boundary — observed in practice).
+    quality_num = (
+        4 * F.least(n_tokens, F.lit(100).cast("long")) * 80 * n_tokens
+        + 3 * (n_tokens - sw) * 8000
+        + 3 * F.least(tok_chars, 8 * n_tokens) * 1000
+    )
+    quality = quality_num.cast("double") / (80000 * n_tokens)
+    # NB: deliberately NOT rounded — each value is one division of
+    # exact integers, already bit-identical across engines; round()
+    # itself disagrees between engines when the true rational sits
+    # exactly on a decimal boundary (HALF_UP on exact expansion vs
+    # scaled-double rounding).
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars"),
+        avg_tok.alias("avg_token_len"),
+        sw_ratio.alias("stopword_ratio"),
+        quality.alias("quality_score"),
+    )
+
+
+def token_count_bpe(docs: DataFrame) -> DataFrame:
+    """BPE-ish token counting via regexp segmentation (letters / digits
+    / punctuation), compared to whitespace token count."""
+    return docs.select(
+        "doc_id",
+        F.size(tokens(F.col("text"))).cast("long").alias("ws_tokens"),
+        F.size(F.regexp_extract_all(F.lower(F.col("text")), F.lit(BPE_PATTERN), 0))
+        .cast("long")
+        .alias("bpe_tokens"),
+    )
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """Marker-word language ID: score = count of tokens in each
+    language's marker list; prediction = argmax with tie-break by
+    language code ASC; all-zero scores → 'und'.
+
+    At scale this is a pure projection (the marker lists are
+    literals); a production version would swap in char-n-gram profiles
+    — same plan shape.
+    """
+    toks = tokens(F.lower(F.col("text")))
+
+    def _in_markers(markers: tuple[str, ...]):
+        # NB: a plain lambda with a default arg would be inspected as a
+        # 2-param (element, index) lambda by PySpark's HOF binding.
+        return lambda t: t.isin(*markers)
+
+    scores = [
+        F.size(F.filter(toks, _in_markers(markers))).alias(f"score_{lang}")
+        for lang, markers in sorted(LANG_MARKERS.items())
+    ]
+    scored = docs.select("doc_id", F.col("lang").alias("actual_lang"), *scores)
+    langs = sorted(LANG_MARKERS)
+    best = F.greatest(*[F.col(f"score_{lang}") for lang in langs])
+    pred = F.when(best == 0, F.lit("und"))
+    for lang in langs:  # first max in ASC lang order wins ties
+        pred = pred.when(F.col(f"score_{lang}") == best, F.lit(lang))
+    return scored.select(
+        "doc_id",
+        "actual_lang",
+        pred.alias("pred_lang"),
+        best.cast("long").alias("best_score"),
+    )
+
+
+def fingerprint(docs: DataFrame) -> DataFrame:
+    """Rolling polynomial fingerprint over token hashes:
+    fp = fold(tokens, acc = (acc·31 + h(tok) mod P) mod P), P = 1e9+7.
+
+    Order-sensitive (unlike a bag-of-words hash) so reordered
+    near-copies get different fingerprints; exact copies collide.
+    """
+    toks = tokens(F.col("text"))
+    fp = F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, t: (acc * 31 + md5_hash60(t) % MOD_PRIME) % MOD_PRIME,
+    )
+    return docs.select("doc_id", fp.alias("fingerprint"))

@@ -1,0 +1,315 @@
+r"""M7 registry: dedup / text-analysis / similarity / multimodal
+queries over the `documents` and `embeddings` tables, each paired with
+DuckDB oracle SQL where SQL-expressible (LSH-internal ops are
+rows-only by design — the driver records the weaker check).
+
+Shared hash primitive (bit-identical across engines):
+Spark  conv(substr(md5(x),1,15), 16, 10)::long
+DuckDB ('0x' || substr(md5(x),1,15))::BIGINT
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from piholelongtermstats_spark.operators import dedup, multimodal, similarity, text
+from piholelongtermstats_spark.plans.registry import register
+from piholelongtermstats_spark.session import ensure_session_defaults
+from piholelongtermstats_spark.sources.parquet import load_table
+
+# DuckDB equivalents of the shared building blocks.
+_TOKS = r"string_split_regex(trim(text), '\s+')"
+
+_SHINGLE_CTE = rf"""
+WITH tk AS (
+  SELECT doc_id,
+         unnest({_TOKS}) AS tok,
+         unnest(generate_series(1, len({_TOKS}))) AS pos
+  FROM documents
+), sh_raw AS (
+  SELECT doc_id,
+         tok || ' ' || lead(tok) OVER w || ' ' || lead(tok, 2) OVER w AS shingle
+  FROM tk WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+), sh AS (
+  SELECT DISTINCT doc_id, shingle FROM sh_raw WHERE shingle IS NOT NULL
+)
+"""
+
+_SW = "'" + "','".join(text.STOPWORDS) + "'"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session_defaults(spark)
+    return load_table(spark, sf_dir, "documents")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session_defaults(spark)
+    return load_table(spark, sf_dir, "embeddings")
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+@register(
+    "exact_dedup",
+    """
+WITH d2 AS (SELECT * FROM documents UNION ALL SELECT * FROM documents)
+SELECT count(*) AS n_rows,
+       count(DISTINCT text) AS n_distinct_texts,
+       count(*) - count(DISTINCT text) AS n_duplicate_rows
+FROM d2
+""",
+)
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup accounting over a deliberately doubled input —
+    demonstrates hash-groupBy dedup with a verifiable answer."""
+    docs = _docs(spark, sf_dir)
+    return dedup.exact_dedup_counts(docs.unionByName(docs))
+
+
+@register(
+    "ngram_jaccard_pairs",
+    _SHINGLE_CTE
+    + """
+, sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(CAST(i AS DOUBLE) / (sa.n_sh + sb.n_sh - i), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE round(CAST(i AS DOUBLE) / (sa.n_sh + sb.n_sh - i), 6) >= 0.8
+""",
+)
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), 0.8)
+
+
+@register(
+    "minhash_signatures",
+    _SHINGLE_CTE
+    + """
+, hashed AS (
+  SELECT doc_id, perm,
+         ('0x' || substr(md5(perm::VARCHAR || '|' || shingle), 1, 15))::BIGINT AS h
+  FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS perm)
+)
+SELECT doc_id, CAST(perm AS BIGINT) AS perm, min(h) AS minhash
+FROM hashed GROUP BY 1, 2
+""",
+)
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_signatures(_docs(spark, sf_dir))
+
+
+@register(
+    "lsh_candidate_pairs",
+    _SHINGLE_CTE
+    + """
+, hashed AS (
+  SELECT doc_id, perm,
+         ('0x' || substr(md5(perm::VARCHAR || '|' || shingle), 1, 15))::BIGINT AS h
+  FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS perm)
+), sig AS (
+  SELECT doc_id, perm, min(h) AS minhash FROM hashed GROUP BY 1, 2
+), keys AS (
+  SELECT doc_id, perm // 4 AS band,
+         string_agg(minhash::VARCHAR, ',' ORDER BY perm) AS band_key
+  FROM sig GROUP BY doc_id, band
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM keys a
+JOIN keys b ON a.band = b.band AND a.band_key = b.band_key
+           AND a.doc_id < b.doc_id
+""",
+)
+def q_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.lsh_candidate_pairs(_docs(spark, sf_dir))
+
+
+@register(
+    "simhash",
+    rf"""
+WITH tok AS (
+  SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+), h AS (
+  SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM tok
+), v AS (
+  SELECT doc_id, bit,
+         CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END AS vote
+  FROM h CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS bit)
+), s AS (
+  SELECT doc_id, bit, CAST(sum(vote) AS BIGINT) AS s FROM v GROUP BY 1, 2
+)
+SELECT doc_id,
+       CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << bit) ELSE 0::BIGINT END) AS BIGINT)
+         AS simhash
+FROM s GROUP BY doc_id
+""",
+)
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash(_docs(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+@register(
+    "text_stats",
+    rf"""
+WITH t AS (
+  SELECT doc_id, text, {_TOKS} AS toks FROM documents
+), m AS (
+  SELECT doc_id,
+    CAST(len(toks) AS BIGINT) AS n_tokens,
+    CAST(length(text) AS BIGINT) AS n_chars,
+    CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT) AS tok_chars,
+    CAST(len(list_filter(toks, x -> x IN ({_SW}))) AS BIGINT) AS sw
+  FROM t
+)
+SELECT doc_id, n_tokens, n_chars,
+  CAST(tok_chars AS DOUBLE) / n_tokens AS avg_token_len,
+  CAST(sw AS DOUBLE) / n_tokens AS stopword_ratio,
+  -- exact-integer numerator over 80000*n, one float division, NOT
+  -- rounded (matches operators/text.text_stats bit-for-bit; round()
+  -- itself is engine-dependent at exact decimal boundaries)
+  CAST(4 * least(n_tokens, 100) * 80 * n_tokens
+     + 3 * (n_tokens - sw) * 8000
+     + 3 * least(tok_chars, 8 * n_tokens) * 1000 AS DOUBLE)
+  / (80000 * n_tokens) AS quality_score
+FROM m
+""",
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.text_stats(_docs(spark, sf_dir))
+
+
+@register(
+    "token_count_bpe",
+    rf"""
+SELECT doc_id,
+  CAST(len({_TOKS}) AS BIGINT) AS ws_tokens,
+  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT)
+    AS bpe_tokens
+FROM documents
+""",
+)
+def q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.token_count_bpe(_docs(spark, sf_dir))
+
+
+def _lang_oracle() -> str:
+    score_cols = ",\n    ".join(
+        "len(list_filter(toks, x -> x IN ({lst}))) AS score_{lang}".format(
+            lst="'" + "','".join(markers) + "'", lang=lang
+        )
+        for lang, markers in sorted(text.LANG_MARKERS.items())
+    )
+    langs = sorted(text.LANG_MARKERS)
+    great = "greatest(" + ", ".join(f"score_{lang}" for lang in langs) + ")"
+    whens = "\n       ".join(
+        f"WHEN score_{lang} = {great} THEN '{lang}'" for lang in langs[:-1]
+    )
+    return rf"""
+WITH t AS (
+  SELECT doc_id, lang AS actual_lang,
+         string_split_regex(trim(lower(text)), '\s+') AS toks
+  FROM documents
+), s AS (
+  SELECT doc_id, actual_lang,
+    {score_cols}
+  FROM t
+)
+SELECT doc_id, actual_lang,
+  CASE WHEN {great} = 0 THEN 'und'
+       {whens}
+       ELSE '{langs[-1]}' END AS pred_lang,
+  CAST({great} AS BIGINT) AS best_score
+FROM s
+"""
+
+
+@register("lang_id", _lang_oracle())
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.lang_id(_docs(spark, sf_dir))
+
+
+@register(
+    "doc_fingerprint",
+    rf"""
+SELECT doc_id,
+  list_reduce(
+    list_prepend(0::BIGINT,
+      list_transform({_TOKS},
+        x -> ('0x' || substr(md5(x), 1, 15))::BIGINT % 1000000007)),
+    (a, b) -> (a * 31 + b) % 1000000007) AS fingerprint
+FROM documents
+""",
+)
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.fingerprint(_docs(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+@register(
+    "cosine_topk",
+    """
+WITH q AS (
+  SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0
+)
+SELECT vec_id, label,
+       round(list_cosine_similarity(embedding::DOUBLE[], qv), 6) AS cosine
+FROM embeddings, q
+WHERE vec_id <> 0
+ORDER BY cosine DESC, vec_id LIMIT 10
+""",
+)
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.cosine_topk(_emb(spark, sf_dir), 0, 10)
+
+
+@register("lsh_ann_topk")  # rows-only: LSH bucket internals aren't ANSI SQL
+def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.lsh_ann_topk(_emb(spark, sf_dir), 0, 10)
+
+
+@register("embedding_near_dup")  # rows-only
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # 0.4: the synthetic embeddings have no planted near-dups (max
+    # pairwise cosine ≈ 0.5), so a production-style 0.95 threshold
+    # would trivially return zero rows.
+    return similarity.embedding_near_dup_pairs(_emb(spark, sf_dir), 0.4)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing
+# ---------------------------------------------------------------------------
+
+@register(
+    "media_byte_stats",
+    """
+SELECT mime, count(*) AS n_items,
+       CAST(sum(nb) AS BIGINT) AS total_bytes,
+       round(CAST(CAST(sum(nb) AS BIGINT) AS DOUBLE) / count(*), 6) AS avg_bytes
+FROM (SELECT 'text/plain' AS mime, octet_length(encode(text)) AS nb FROM documents)
+GROUP BY mime
+""",
+)
+def q_media_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return multimodal.byte_stats(multimodal.docs_as_media(_docs(spark, sf_dir)))
+
+
+@register("media_features")  # rows-only: decode is a stubbed Pandas UDF
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = multimodal.docs_as_media(_docs(spark, sf_dir))
+    return multimodal.extract_features(media, fake=True)

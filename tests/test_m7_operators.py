@@ -1,0 +1,159 @@
+"""M7 operator tests: dedup, text analysis, similarity, multimodal."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from piholelongtermstats_spark.operators import dedup, multimodal, similarity, text
+
+
+def _docs(spark, texts, langs=None):
+    rows = [
+        (i, t, (langs or ["en"] * len(texts))[i], f"src{i}", len(t))
+        for i, t in enumerate(texts)
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+
+
+BASE = "the quick brown fox jumps over the lazy dog near the old river bank today"
+NEAR = "the quick brown fox jumps over the lazy dog near the old river bank now"
+FAR = "completely different words appear here with nothing shared at all whatsoever"
+
+
+def test_exact_dedup_counts(spark):
+    docs = _docs(spark, [BASE, BASE, FAR])
+    row = dedup.exact_dedup_counts(docs).collect()[0]
+    assert row["n_rows"] == 3
+    assert row["n_distinct_texts"] == 2
+    assert row["n_duplicate_rows"] == 1
+
+
+def test_ngram_jaccard_finds_near_dup(spark):
+    docs = _docs(spark, [BASE, NEAR, FAR])
+    pairs = dedup.ngram_jaccard_pairs(docs, 0.5).collect()
+    assert [(p["doc_a"], p["doc_b"]) for p in pairs] == [(0, 1)]
+    # 15-token docs: 13 shingles each, differing only in the last token
+    # → 12 shared, union 14 → jaccard 12/14
+    assert pairs[0]["jaccard"] == pytest.approx(12 / 14, abs=1e-6)
+
+
+def test_lsh_recovers_jaccard_pairs(spark):
+    docs = _docs(spark, [BASE, NEAR, FAR, "x y z w v u t s r q p o n m"])
+    cand = {(r["doc_a"], r["doc_b"]) for r in dedup.lsh_candidate_pairs(docs).collect()}
+    assert (0, 1) in cand
+    assert (0, 2) not in cand and (1, 2) not in cand
+
+
+def test_simhash_properties(spark):
+    docs = _docs(spark, [BASE, BASE, FAR])
+    sh = {r["doc_id"]: r["simhash"] for r in dedup.simhash(docs).collect()}
+    assert sh[0] == sh[1]  # identical text → identical sketch
+    assert sh[0] != sh[2]
+    assert 0 <= sh[0] < 2**60
+
+
+def test_text_stats_known_values(spark):
+    docs = _docs(spark, ["the cat sat"])
+    row = text.text_stats(docs).collect()[0]
+    assert row["n_tokens"] == 3
+    assert row["n_chars"] == 11
+    assert row["avg_token_len"] == pytest.approx(9 / 3)
+    assert row["stopword_ratio"] == pytest.approx(1 / 3)
+    # 0.4*min(1,3/100) + 0.3*(2/3) + 0.3*min(1,3/8)
+    want = 0.4 * 0.03 + 0.3 * (2 / 3) + 0.3 * (3 / 8)
+    assert row["quality_score"] == pytest.approx(want, abs=1e-9)
+
+
+def test_lang_id_markers(spark):
+    docs = _docs(
+        spark,
+        [
+            "the cat and the dog is happy in that house",
+            "der hund und die katze ist nicht hier",
+            "el perro y la casa de los gatos",
+            "qwzx vbnm zzzz",
+        ],
+        langs=["en", "de", "es", "zh"],
+    )
+    got = {r["doc_id"]: r["pred_lang"] for r in text.lang_id(docs).collect()}
+    assert got[0] == "en"
+    assert got[1] == "de"
+    assert got[2] == "es"
+    assert got[3] == "und"
+
+
+def test_fingerprint_order_sensitive(spark):
+    docs = _docs(spark, ["a b c", "a b c", "c b a"])
+    fp = {r["doc_id"]: r["fingerprint"] for r in text.fingerprint(docs).collect()}
+    assert fp[0] == fp[1]
+    assert fp[0] != fp[2]
+    assert 0 <= fp[0] < 1_000_000_007
+
+
+def _emb(spark, vecs):
+    rows = [(i, [float(x) for x in v], i % 3) for i, v in enumerate(vecs)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+
+
+def test_cosine_topk_exact(spark):
+    vecs = [
+        [1.0, 0.0, 0.0, 0.0],
+        [0.9, 0.1, 0.0, 0.0],   # closest to query
+        [0.0, 1.0, 0.0, 0.0],   # orthogonal
+        [-1.0, 0.0, 0.0, 0.0],  # opposite
+    ]
+    top = similarity.cosine_topk(_emb(spark, vecs), 0, 3).collect()
+    assert [r["vec_id"] for r in top] == [1, 2, 3]
+    assert top[0]["cosine"] == pytest.approx(0.9 / math.sqrt(0.82), abs=1e-6)
+    assert top[1]["cosine"] == pytest.approx(0.0)
+    assert top[2]["cosine"] == pytest.approx(-1.0)
+
+
+def test_lsh_ann_recall_on_testdata(spark):
+    """ANN vs exact top-10 on the driver's sf0.001 embeddings: the
+    query's bucket must contain candidates, all scores must agree with
+    the exact path, and recall is reported (bucketing trades it off)."""
+    import os
+
+    path = "/root/testdata/sf0.001/embeddings.parquet"
+    if not os.path.exists(path):
+        pytest.skip("driver testdata not present")
+    emb = spark.read.parquet(path)
+    exact = {r["vec_id"] for r in similarity.cosine_topk(emb, 0, 10).collect()}
+    ann_rows = similarity.lsh_ann_topk(emb, 0, 10).collect()
+    assert len(ann_rows) > 0
+    exact_scores = {
+        r["vec_id"]: r["cosine"]
+        for r in similarity.cosine_scores(emb, 0).collect()
+    }
+    for r in ann_rows:
+        assert r["cosine"] == exact_scores[r["vec_id"]]
+    recall = len({r["vec_id"] for r in ann_rows} & exact) / 10
+    assert recall >= 0.1  # single-bucket, no multi-probe: weak but non-zero
+
+
+def test_media_pipeline_fake_decode(spark):
+    docs = _docs(spark, [BASE, FAR])
+    media = multimodal.docs_as_media(docs)
+    feats = multimodal.extract_features(media, fake=True).collect()
+    assert len(feats) == 2
+    by_id = {r["media_id"]: r for r in feats}
+    assert by_id[0]["n_bytes"] == len(BASE.encode())
+    assert len(by_id[0]["feature"]) == 8
+    # deterministic: same payload → same features
+    feats2 = multimodal.extract_features(media, fake=True).collect()
+    assert {r["media_id"]: r["feature"] for r in feats2} == {
+        r["media_id"]: r["feature"] for r in feats
+    }
+
+
+def test_media_real_decode_raises(spark):
+    docs = _docs(spark, [BASE])
+    media = multimodal.docs_as_media(docs)
+    with pytest.raises(Exception, match="NotImplementedError|media decode"):
+        multimodal.extract_features(media, fake=False).collect()

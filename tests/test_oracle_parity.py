@@ -9,7 +9,7 @@ import os
 import duckdb
 import pytest
 
-from piholelongtermstats_spark.plans.registry import ORACLE, QUERIES
+from piholelongtermstats_spark.plans import ORACLE, QUERIES
 from scripts.check_oracle import TABLES, compare
 
 SF_DIR = os.environ.get("SPARK_GRAFT_PARITY_DIR", "/root/testdata/sf0.001")
