@@ -21,6 +21,8 @@ bit-for-bit (operators/text.md5_hash60).
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -29,6 +31,23 @@ from piholelongtermstats_spark.operators.text import md5_hash60, tokens
 NUM_PERMS = 16
 BAND_SIZE = 4
 SIMHASH_BITS = 60
+
+# Universal-hash permutation family for MinHash: perm p maps a base
+# 31-bit shingle hash h to (a_p*h + b_p) mod P.  One md5 per shingle
+# (not per shingle×perm); a_p*h < 2^62 so the arithmetic is exact in
+# 64-bit signed on every engine.  Coefficients are md5-derived at
+# import time — deterministic, reproduced verbatim in the oracle SQL.
+MERSENNE_P = 2_147_483_647  # 2^31 - 1
+
+
+def perm_coeffs(p: int) -> tuple[int, int]:
+    d = hashlib.md5(f"perm:{p}".encode()).hexdigest()
+    a = int(d[:15], 16) % (MERSENNE_P - 1) + 1  # 1..P-1, never 0
+    b = int(d[15:30], 16) % MERSENNE_P
+    return a, b
+
+
+PERM_COEFFS = [perm_coeffs(p) for p in range(NUM_PERMS)]
 
 
 def exact_dedup_counts(docs: DataFrame) -> DataFrame:
@@ -98,23 +117,34 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.8) -> DataFrame:
 def minhash_signatures(docs: DataFrame, num_perms: int = NUM_PERMS) -> DataFrame:
     """MinHash signature rows (doc_id, perm, minhash).
 
-    Permutation p's hash of shingle s is md5(p || '|' || s) truncated
-    to 60 bits — k independent-enough hash families, reproducible in
-    any engine with md5. One shuffle: groupBy (doc_id, perm) min.
+    ONE md5 per distinct shingle (h = md5_60 mod P), then num_perms
+    universal-hash permutations (a_p*h + b_p) mod P as plain integer
+    arithmetic.  Aggregated as num_perms min() columns in a single
+    groupBy(doc_id) — map-side partial agg collapses each partition to
+    one row per doc, so the shuffle carries |docs| rows of num_perms
+    longs instead of |shingles|×num_perms exploded rows.  The
+    (doc_id, perm, minhash) long format is unpivoted AFTER the agg.
     """
     sh = shingles(docs)
-    perms = F.explode(F.sequence(F.lit(0), F.lit(num_perms - 1))).alias("perm")
-    hashed = sh.select("doc_id", "shingle", perms).select(
-        "doc_id",
-        "perm",
-        md5_hash60(
-            F.concat(F.col("perm").cast("string"), F.lit("|"), F.col("shingle"))
-        ).alias("h"),
-    )
-    return (
-        hashed.groupBy("doc_id", "perm")
-        .agg(F.min("h").alias("minhash"))
-        .select("doc_id", F.col("perm").cast("long").alias("perm"), "minhash")
+    h = (md5_hash60(F.col("shingle")) % MERSENNE_P).alias("h")
+    mins = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % MERSENNE_P).alias(f"m{p}")
+        for p, (a, b) in enumerate(PERM_COEFFS[:num_perms])
+    ]
+    wide = sh.select("doc_id", h).groupBy("doc_id").agg(*mins)
+    kv = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(p).cast("long").alias("perm"),
+                    F.col(f"m{p}").alias("minhash"),
+                )
+                for p in range(num_perms)
+            ]
+        )
+    ).alias("kv")
+    return wide.select("doc_id", kv).select(
+        "doc_id", F.col("kv.perm").alias("perm"), F.col("kv.minhash").alias("minhash")
     )
 
 
@@ -159,20 +189,19 @@ def simhash(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
     tok = docs.select(
         "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
     ).withColumn("h", md5_hash60(F.col("tok")))
-    bit = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit")
-    # bit ops take expression args only in SQL form (the classic
-    # python API wants a literal int count)
-    votes = tok.select("doc_id", "h", bit).select(
-        "doc_id",
-        "bit",
-        F.expr("CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END").alias("vote"),
-    )
-    bitsum = votes.groupBy("doc_id", "bit").agg(F.sum("vote").alias("s"))
-    return bitsum.groupBy("doc_id").agg(
-        F.sum(
-            F.expr(
-                "CASE WHEN s > 0 THEN shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT)) "
-                "ELSE CAST(0 AS BIGINT) END"
-            )
-        ).alias("simhash")
-    )
+    # Per bit b: sum_votes_b = Σ(2·bit_b − 1) = 2·Σbit_b − n, so ONE
+    # groupBy(doc_id) with `bits` sum columns + a count replaces the
+    # bits× row explode + two shuffles of the naive formulation.  The
+    # resulting sketch values are identical (same vote arithmetic).
+    bitsums = [
+        F.sum(F.shiftright("h", b).bitwiseAND(1)).alias(f"b{b}")
+        for b in range(bits)
+    ]
+    agg = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"), *bitsums)
+    sketch = None
+    for b in range(bits):
+        term = F.when(
+            2 * F.col(f"b{b}") > F.col("n"), F.lit(1 << b).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+        sketch = term if sketch is None else sketch + term
+    return agg.select("doc_id", sketch.alias("simhash"))

@@ -18,10 +18,10 @@ across engines (float sums agree to ~1e-16 but not always bit-exact).
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-
-from piholelongtermstats_spark.operators.text import md5_hash60
 
 # Few planes: buckets ≈ 2^N_PLANES; size for candidate sets of ~N/2^p
 # per bucket. The driver's synthetic embeddings are ~500-5k vectors, so
@@ -78,18 +78,19 @@ def cosine_topk(emb: DataFrame, query_vec_id: int = 0, k: int = 10) -> DataFrame
 
 def _plane(dim_count: int, plane: int) -> Column:
     """Deterministic pseudo-random hyperplane: component j of plane p
-    is +1/−1 by a bit of md5(p || ':' || j). md5-derived ⇒ identical
-    in any engine, no RNG state in the plan."""
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(dim_count - 1)),
-        lambda j: F.when(
-            md5_hash60(
-                F.concat(F.lit(str(plane) + ":"), j.cast("string"))
-            ).bitwiseAND(1)
-            == 1,
-            F.lit(1.0),
-        ).otherwise(F.lit(-1.0)),
-    )
+    is +1/−1 by bit 0 of md5(p || ':' || j) — the same bits the
+    in-plan md5 expression would produce, but computed ONCE on the
+    driver with hashlib and shipped as a literal array.  The naive
+    formulation re-evaluated dim_count×n_planes md5s per ROW (not
+    foldable: the lambda variable blocks constant folding); this is a
+    pure literal, so the per-row work is just the dot product."""
+    signs = [
+        1.0
+        if int(hashlib.md5(f"{plane}:{j}".encode()).hexdigest()[:15], 16) & 1
+        else -1.0
+        for j in range(dim_count)
+    ]
+    return F.array(*[F.lit(s) for s in signs])
 
 
 def lsh_bucket(v: Column, dim_count: int, n_planes: int = N_PLANES) -> Column:

@@ -37,6 +37,25 @@ WITH tk AS (
 
 _SW = "'" + "','".join(text.STOPWORDS) + "'"
 
+# MinHash universal-hash permutations, mirrored from dedup.PERM_COEFFS
+# (md5-derived at import time on the Python side; the oracle gets the
+# resolved integer literals — same arithmetic, same values).
+_PERM_VALUES = ",".join(
+    f"({p},{a},{b})" for p, (a, b) in enumerate(dedup.PERM_COEFFS)
+)
+_SIG_CTE = f"""
+, hbase AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(shingle), 1, 15))::BIGINT % {dedup.MERSENNE_P} AS h
+  FROM sh
+), sig AS (
+  SELECT doc_id, CAST(p.perm AS BIGINT) AS perm,
+         min((p.a * h + p.b) % {dedup.MERSENNE_P}) AS minhash
+  FROM hbase CROSS JOIN (VALUES {_PERM_VALUES}) AS p(perm, a, b)
+  GROUP BY 1, 2
+)
+"""
+
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_session_defaults(spark)
@@ -93,16 +112,7 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "minhash_signatures",
-    _SHINGLE_CTE
-    + """
-, hashed AS (
-  SELECT doc_id, perm,
-         ('0x' || substr(md5(perm::VARCHAR || '|' || shingle), 1, 15))::BIGINT AS h
-  FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS perm)
-)
-SELECT doc_id, CAST(perm AS BIGINT) AS perm, min(h) AS minhash
-FROM hashed GROUP BY 1, 2
-""",
+    _SHINGLE_CTE + _SIG_CTE + "SELECT doc_id, perm, minhash FROM sig",
 )
 def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_signatures(_docs(spark, sf_dir))
@@ -111,14 +121,9 @@ def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "lsh_candidate_pairs",
     _SHINGLE_CTE
+    + _SIG_CTE
     + """
-, hashed AS (
-  SELECT doc_id, perm,
-         ('0x' || substr(md5(perm::VARCHAR || '|' || shingle), 1, 15))::BIGINT AS h
-  FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS perm)
-), sig AS (
-  SELECT doc_id, perm, min(h) AS minhash FROM hashed GROUP BY 1, 2
-), keys AS (
+, keys AS (
   SELECT doc_id, perm // 4 AS band,
          string_agg(minhash::VARCHAR, ',' ORDER BY perm) AS band_key
   FROM sig GROUP BY doc_id, band
