@@ -115,13 +115,11 @@ def longest_streaks(fact: DataFrame) -> DataFrame:
     unbounded-preceding frame → run-id groupBy → top-1 per status with
     pinned tie-break (len DESC, start_ts ASC).
 
-    Scale note: the run-id assignment needs a total order. This
-    operator first REDUCES the stream to a 3-column projection and the
-    window sees only (ts, id, status) — at 100 TB the right variant is
-    per-date runs + boundary-chain stitching on the tiny per-date
-    summary (same decomposition as consecutive_gaps); the global-order
-    window here is the correct-first fallback the stitched variant is
-    verified against (SURVEY.md §7 M4).
+    Scale note: the run-id assignment needs a total order, so this
+    formulation funnels a 3-column projection through one task. It is
+    kept as the verification reference for ``longest_streaks_stitched``
+    (the distributed variant used by the registry) — tests assert the
+    two agree row-for-row (SURVEY.md §7 M4).
     """
     ev = fact.select("ts", "event_id", "status_type")
     w = Window.orderBy("ts", "event_id")
@@ -144,6 +142,90 @@ def longest_streaks(fact: DataFrame) -> DataFrame:
     )
     return (
         runs.withColumn("rn", F.row_number().over(w_top))
+        .filter(F.col("rn") == 1)
+        .select("status_type", "streak_len", "start_ts")
+    )
+
+def _runs_per_date(fact: DataFrame) -> DataFrame:
+    """Within-date gaps-and-islands: one row per (date, run) with
+    run_idx (ordinal within the date), status_type, streak_len,
+    start_ts, plus n_runs for the date. Fully parallel — every window
+    is PARTITIONED BY date."""
+    ev = fact.select(
+        F.col("date").alias("_d"), "ts", "event_id", "status_type"
+    )
+    w = Window.partitionBy("_d").orderBy("ts", "event_id")
+    chg = F.when(
+        F.lag("status_type").over(w).isNull()
+        | (F.lag("status_type").over(w) != F.col("status_type")),
+        1,
+    ).otherwise(0)
+    run_idx = F.sum("chg").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    runs = (
+        ev.withColumn("chg", chg)
+        .withColumn("run_idx", run_idx)
+        .groupBy("_d", "run_idx", "status_type")
+        .agg(F.count(F.lit(1)).alias("streak_len"), F.min("ts").alias("start_ts"))
+    )
+    n_runs = Window.partitionBy("_d")
+    return runs.withColumn("n_runs", F.max("run_idx").over(n_runs))
+
+
+def longest_streaks_stitched(fact: DataFrame) -> DataFrame:
+    """Distributed longest_streaks: identical result, no global-order
+    window over the fact table.
+
+    Decomposition (the §7 M4 scale plan):
+
+      1. runs within each date partition (parallel);
+      2. only each date's FIRST and LAST run can merge across
+         midnight; interior runs are already maximal. The reduced
+         boundary sequence is ≤2 rows per date — the single global
+         window left runs over ~2 rows/day, not the fact table;
+      3. chain-merge adjacent boundary runs iff same status AND the
+         dates differ (adjacent runs WITHIN a date always alternate
+         status by maximality; first/last of the same date are only
+         pseudo-adjacent in the reduced sequence, and when n_runs ≥ 3
+         they may coincidentally share a status — the date-differs
+         guard keeps them apart). A single-run date passes a chain
+         straight through, so multi-day streaks stitch correctly;
+      4. interior runs ∪ stitched chains → top-1 per status, tie-break
+         pinned (len DESC, start_ts ASC) like the reference oracle.
+    """
+    runs = _runs_per_date(fact)
+    interior = runs.filter(
+        (F.col("run_idx") > 1) & (F.col("run_idx") < F.col("n_runs"))
+    ).select("status_type", "streak_len", "start_ts")
+
+    edge = runs.filter(
+        (F.col("run_idx") == 1) | (F.col("run_idx") == F.col("n_runs"))
+    )
+    w_seq = Window.orderBy("_d", "run_idx")  # ≤2 rows/date — tiny
+    new_chain = F.when(
+        F.lag("status_type").over(w_seq).isNull()
+        | (F.lag("status_type").over(w_seq) != F.col("status_type"))
+        | (F.lag("_d").over(w_seq) == F.col("_d")),
+        1,
+    ).otherwise(0)
+    chain_id = F.sum("new_chain").over(
+        w_seq.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    chains = (
+        edge.withColumn("new_chain", new_chain)
+        .withColumn("chain_id", chain_id)
+        .groupBy("chain_id", "status_type")
+        .agg(F.sum("streak_len").alias("streak_len"), F.min("start_ts").alias("start_ts"))
+        .select("status_type", "streak_len", "start_ts")
+    )
+
+    candidates = interior.unionByName(chains)
+    w_top = Window.partitionBy("status_type").orderBy(
+        F.col("streak_len").desc(), F.col("start_ts").asc()
+    )
+    return (
+        candidates.withColumn("rn", F.row_number().over(w_top))
         .filter(F.col("rn") == 1)
         .select("status_type", "streak_len", "start_ts")
     )

@@ -429,7 +429,9 @@ SELECT status_type, streak_len, start_ts FROM (
 """,
 )
 def q_longest_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return sequential.longest_streaks(_fact(spark, sf_dir))
+    # stitched = distributed decomposition (no global-order window over
+    # the fact table); tests assert it matches longest_streaks exactly.
+    return sequential.longest_streaks_stitched(_fact(spark, sf_dir))
 
 
 @register(

@@ -172,3 +172,59 @@ def test_hour_spine_zerofill_covers_gaps(spark):
     nonzero = {(r["hour_bucket"].hour, r["status_type"]): r["cnt"]
                for r in out if r["cnt"] > 0}
     assert nonzero == {(0, "Allowed"): 1, (3, "Blocked"): 1}
+
+
+def _streak_rows(statuses, start="2024-01-01T21:00:00", step_hours=1):
+    import datetime as dt
+
+    t0 = dt.datetime.fromisoformat(start)
+    return [
+        (i, (t0 + dt.timedelta(hours=i * step_hours)).isoformat(), "c", "d", st, 1.0)
+        for i, st in enumerate(statuses)
+    ]
+
+
+def _assert_stitched_matches(spark, rows):
+    fact = make_fact(spark, rows)
+    ref = sorted(map(tuple, sequential.longest_streaks(fact).collect()))
+    got = sorted(map(tuple, sequential.longest_streaks_stitched(fact).collect()))
+    assert got == ref
+
+
+def test_stitched_equals_global_midnight_chain(spark):
+    """A Blocked run crossing one midnight must stitch to its full length."""
+    _assert_stitched_matches(
+        spark,
+        _streak_rows(["Allowed"] * 2 + ["Blocked"] * 6 + ["Allowed"] * 3),
+    )
+
+
+def test_stitched_equals_global_multiday_passthrough(spark):
+    """Whole-day single-status dates chain through: a 50h Blocked run
+    spans three calendar dates via two midnight merges."""
+    _assert_stitched_matches(
+        spark,
+        _streak_rows(["Allowed"] * 2 + ["Blocked"] * 50 + ["Allowed"] * 2),
+    )
+
+
+def test_stitched_no_false_merge_same_date_same_status(spark):
+    """n_runs ≥ 3 with first/last runs sharing a status (B A B within
+    one date) must NOT merge the pseudo-adjacent boundary runs."""
+    _assert_stitched_matches(
+        spark,
+        _streak_rows(
+            ["Blocked"] * 2 + ["Allowed"] * 1 + ["Blocked"] * 2,
+            start="2024-01-01T02:00:00",
+        ),
+    )
+
+
+def test_stitched_equals_global_on_testdata(spark):
+    """Differential check on the driver's sf0.001 events table."""
+    from piholelongtermstats_spark.sources.events import dns_fact
+
+    fact = dns_fact(spark, "/root/testdata/sf0.001")
+    ref = sorted(map(tuple, sequential.longest_streaks(fact).collect()))
+    got = sorted(map(tuple, sequential.longest_streaks_stitched(fact).collect()))
+    assert got == ref
