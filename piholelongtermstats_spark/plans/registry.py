@@ -473,16 +473,20 @@ GROUP BY status_type
 )
 def q_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-range scan with pushed-down predicate + exclusive end
-    (db.py:130-135, S4/S7). `.explain` shows the bounds in
-    PushedFilters on the parquet scan."""
-    fact = _fact(spark, sf_dir)
-    lo = F.lit("2024-01-10 00:00:00").cast("timestamp")
-    hi = F.lit("2024-01-20 00:00:00").cast("timestamp")
-    return (
-        fact.filter((F.col("ts") >= lo) & (F.col("ts") < hi))
-        .groupBy("status_type")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+    (db.py:130-135, S4/S7). The bounds are applied to the RAW nanos
+    column inside dns_fact so `.explain` shows them in PushedFilters
+    on the parquet scan (row-group skipping) — a filter on the derived
+    µs timestamp would evaluate post-scan and read everything."""
+    import datetime as dt
+
+    ensure_session_defaults(spark)
+    fact = dns_fact(
+        spark,
+        sf_dir,
+        lo=dt.datetime(2024, 1, 10),
+        hi=dt.datetime(2024, 1, 20),
     )
+    return fact.groupBy("status_type").agg(F.count(F.lit(1)).alias("cnt"))
 
 
 @register(

@@ -14,11 +14,20 @@ with session timezone pinned to UTC.
 
 from __future__ import annotations
 
+import datetime as dt
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from piholelongtermstats_spark.functions.derive import day_period, enrich_time
 from piholelongtermstats_spark.sources.parquet import load_table
+
+
+def _epoch_us(t: dt.datetime) -> int:
+    """UTC epoch microseconds of a (naive ⇒ UTC) datetime."""
+    if t.tzinfo is None:
+        t = t.replace(tzinfo=dt.timezone.utc)
+    return int(t.timestamp() * 1_000_000)
 
 # Fixed event_type → status_type mapping (FIXTURES.md §2).
 EVENT_ALLOWED = ("view", "click", "purchase")
@@ -26,12 +35,26 @@ EVENT_BLOCKED = ("error",)
 # everything else (signup) → 'Other'
 
 
-def dns_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dns_fact(
+    spark: SparkSession,
+    sf_dir: str,
+    lo: "dt.datetime | None" = None,
+    hi: "dt.datetime | None" = None,
+) -> DataFrame:
     """Load `events` and produce the enriched DNS fact table.
 
     Columns: event_id, ts, client, domain, status_type, reply_time,
     date, hour, day_name, day_period. Pure projection — fuses into the
     parquet scan; no shuffle.
+
+    ``lo``/``hi`` (UTC, end-exclusive — db.py:133/S4 contract) are
+    applied to the RAW stored column, not the derived timestamp: the
+    nanos→µs truncation is monotone, so ``derived >= lo ⟺ raw >=
+    lo_µs·1000`` exactly (positive epochs; DIV truncation == floor).
+    Filtering the raw column is what lets the predicate reach
+    ``PushedFilters`` on the parquet scan and skip row groups — a
+    filter on the derived column would evaluate post-scan and read
+    everything at 100 TB.
     """
     ev = load_table(spark, sf_dir, "events")
     # events.ts is parquet TIMESTAMP(NANOS) — read as nanos-long (see
@@ -40,7 +63,16 @@ def dns_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
     # int64 precision (a double division would corrupt the low digits).
     ts = F.col("ts")
     if dict(ev.dtypes).get("ts") == "bigint":
+        if lo is not None:
+            ev = ev.filter(F.col("ts") >= _epoch_us(lo) * 1000)
+        if hi is not None:
+            ev = ev.filter(F.col("ts") < _epoch_us(hi) * 1000)
         ts = F.timestamp_micros(F.expr("ts DIV 1000"))
+    else:
+        if lo is not None:
+            ev = ev.filter(F.col("ts") >= F.lit(lo.replace(tzinfo=None)))
+        if hi is not None:
+            ev = ev.filter(F.col("ts") < F.lit(hi.replace(tzinfo=None)))
     df = ev.select(
         F.col("event_id"),
         ts.alias("ts"),
