@@ -661,3 +661,68 @@ def q_region_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_items"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming-capable session windows (beyond-reference; streaming/sessions.py)
+# ---------------------------------------------------------------------------
+
+_SESSION_CTE = (
+    FACT_CTE
+    + """
+, flagged AS (
+  SELECT client, ts, event_id,
+         -- Spark session_window merges an event at EXACTLY the prior
+         -- session end (ts == last+gap): strictly-greater starts new
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM fact WINDOW w AS (PARTITION BY client ORDER BY ts, event_id)
+), sess AS (
+  SELECT client, ts,
+         sum(new_s) OVER (PARTITION BY client ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+), sessions AS (
+  SELECT client,
+         min(ts) AS session_start,
+         max(ts) + INTERVAL 30 MINUTE AS session_end,
+         count(*) AS n_events
+  FROM sess GROUP BY client, sid
+)
+"""
+)
+
+
+@register(
+    "client_sessions",
+    _SESSION_CTE
+    + "SELECT client, session_start, session_end, n_events FROM sessions",
+)
+def q_client_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based session windows (30 min) per client via native
+    F.session_window — the same plan sessionizes a stream after
+    .withWatermark (streaming/sessions.py)."""
+    from piholelongtermstats_spark.streaming.sessions import client_sessions
+
+    return client_sessions(_fact(spark, sf_dir))
+
+
+@register(
+    "session_summary",
+    _SESSION_CTE
+    + """
+SELECT client,
+       count(*) AS n_sessions,
+       round(CAST(CAST(sum(n_events) AS BIGINT) AS DOUBLE) / count(*), 6)
+         AS avg_events_per_session,
+       round(CAST(max(epoch_us(session_end) - epoch_us(session_start)) AS DOUBLE)
+             / 1000000.0, 6) AS longest_session_sec
+FROM sessions GROUP BY client
+""",
+)
+def q_session_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-client session stats over the session windows."""
+    from piholelongtermstats_spark.streaming.sessions import session_summary
+
+    return session_summary(_fact(spark, sf_dir))

@@ -58,3 +58,70 @@ def test_streaming_rollup_incremental(spark, tmp_path):
         for r in spark.sql("SELECT * FROM rollup_t2").collect()
     }
     assert got2[(h10, "Allowed", "c1")] == 2
+
+
+def test_stateful_running_totals(spark, tmp_path):
+    """applyInPandasWithState carries per-client state across
+    micro-batches: totals accumulate, not reset."""
+    from piholelongtermstats_spark.streaming.sessions import (
+        running_client_totals_stream,
+    )
+
+    src = str(tmp_path / "state_src")
+    t0 = dt.datetime.fromisoformat("2024-01-01T10:00:00")
+    _write_batch(
+        spark,
+        src,
+        [
+            (1, t0, "c1", "d1", "Allowed", 0.1),
+            (2, t0 + dt.timedelta(minutes=1), "c1", "d2", "Blocked", 0.2),
+            (3, t0 + dt.timedelta(minutes=2), "c2", "d1", "Allowed", 0.3),
+        ],
+    )
+    out = running_client_totals_stream(spark, src, STREAM_SCHEMA)
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("totals_t1")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["client"]: (r["total_events"], r["last_ts"])
+        for r in spark.sql("SELECT * FROM totals_t1").collect()
+    }
+    assert got["c1"] == (2, t0 + dt.timedelta(minutes=1))
+    assert got["c2"] == (1, t0 + dt.timedelta(minutes=2))
+
+
+def test_batch_sessions_respect_gap(spark):
+    """Native session_window: a 30-min gap splits sessions; an event at
+    EXACTLY the session end (last ts + gap) still merges — only a
+    strictly larger gap starts a new session. The oracle SQL mirrors
+    this with a strict `>` on the lag diff."""
+    from piholelongtermstats_spark.streaming.sessions import client_sessions
+    from tests.conftest import make_fact
+
+    t0 = dt.datetime.fromisoformat("2024-01-01T10:00:00")
+    rows = [
+        (1, t0.isoformat(), "c1", "d", "Allowed", 0.1),
+        (2, (t0 + dt.timedelta(minutes=10)).isoformat(), "c1", "d", "Allowed", 0.1),
+        # exactly 30 min after event 2 -> merges (inclusive boundary)
+        (3, (t0 + dt.timedelta(minutes=40)).isoformat(), "c1", "d", "Allowed", 0.1),
+        # 30 min + 1 s after event 3 -> new session
+        (4, (t0 + dt.timedelta(minutes=70, seconds=1)).isoformat(), "c1", "d", "Allowed", 0.1),
+    ]
+    fact = make_fact(spark, rows)
+    sessions = sorted(
+        (r["session_start"], r["session_end"], r["n_events"])
+        for r in client_sessions(fact).collect()
+    )
+    assert sessions == [
+        (t0, t0 + dt.timedelta(minutes=70), 3),
+        (
+            t0 + dt.timedelta(minutes=70, seconds=1),
+            t0 + dt.timedelta(minutes=100, seconds=1),
+            1,
+        ),
+    ]
