@@ -34,38 +34,53 @@ def consecutive_gaps(
     ts_col: str = "ts",
     id_col: str = "event_id",
     date_col: str = "date",
+    stream_keys: list[str] | None = None,
 ) -> DataFrame:
     """(prev_ts, next_ts, gap_us) for every consecutive pair in global
     (ts, id) order — distributed via date-partition + boundary stitch.
 
+    ``stream_keys`` splits the input into independent ordered streams
+    (e.g. per status_type) computed in ONE pass: all windows partition
+    by (stream_keys…, date), the boundary summary by stream key — no
+    per-stream filtered re-scans. Output carries the stream keys.
+
     gap_us is exact integer microseconds (both engines compute
     epoch-microsecond BIGINT subtraction — no float drift).
     """
-    cols = [F.col(date_col).alias("_d"), F.col(ts_col).alias("_ts"), F.col(id_col).alias("_id")]
+    keys = list(stream_keys or [])
+    cols = [F.col(k) for k in keys] + [
+        F.col(date_col).alias("_d"),
+        F.col(ts_col).alias("_ts"),
+        F.col(id_col).alias("_id"),
+    ]
     ev = df.select(*cols)
 
-    w_day = Window.partitionBy("_d").orderBy("_ts", "_id")
+    w_day = Window.partitionBy(*keys, "_d").orderBy("_ts", "_id")
     within = (
         ev.withColumn("prev_ts", F.lag("_ts").over(w_day))
         .filter(F.col("prev_ts").isNotNull())
-        .select("prev_ts", F.col("_ts").alias("next_ts"))
+        .select(*keys, "prev_ts", F.col("_ts").alias("next_ts"))
     )
 
-    per_day = ev.groupBy("_d").agg(
+    per_day = ev.groupBy(*keys, "_d").agg(
         F.min(F.struct("_ts", "_id")).alias("first_ev"),
         F.max(F.struct("_ts", "_id")).alias("last_ev"),
     )
-    w_days = Window.orderBy("_d")  # one row per date — single-task is fine
+    # one row per (stream, date) — the single-task window is over a
+    # tiny summary, and partitions by stream key when keys are given
+    w_days = Window.partitionBy(*keys).orderBy("_d") if keys else Window.orderBy("_d")
     boundary = (
         per_day.withColumn("prev_last", F.lag("last_ev").over(w_days))
         .filter(F.col("prev_last").isNotNull())
         .select(
+            *keys,
             F.col("prev_last._ts").alias("prev_ts"),
             F.col("first_ev._ts").alias("next_ts"),
         )
     )
     both = within.unionByName(boundary)
     return both.select(
+        *keys,
         "prev_ts",
         "next_ts",
         (F.unix_micros(F.col("next_ts")) - F.unix_micros(F.col("prev_ts"))).alias(
@@ -90,20 +105,28 @@ def avg_gap_per_status(fact: DataFrame) -> DataFrame:
     """Average seconds between consecutive same-status queries
     (stats.py:382-388, A17), for Blocked and Allowed.
 
-    Consecutive-within-status ⇒ gaps computed on each filtered stream.
+    Consecutive-within-status ⇒ independent per-status streams, all
+    computed in ONE pass via stream-keyed windows (no per-status
+    re-scan of the fact table). A status with <2 events still yields
+    a row (NULL avg) via the left join against the status spine.
     Exact integer sum of gap_us, one division ⇒ deterministic double.
     """
-    out = None
-    for st in ("Blocked", "Allowed"):
-        gaps = consecutive_gaps(fact.filter(F.col("status_type") == st))
-        agg = gaps.agg(
-            F.lit(st).alias("status_type"),
-            F.round(
-                F.sum("gap_us").cast("double") / F.count(F.lit(1)) / 1000000.0, 6
-            ).alias("avg_gap_sec"),
-        )
-        out = agg if out is None else out.unionByName(agg)
-    return out
+    statuses = ("Blocked", "Allowed")
+    gaps = consecutive_gaps(
+        fact.filter(F.col("status_type").isin(*statuses)),
+        stream_keys=["status_type"],
+    )
+    agg = gaps.groupBy("status_type").agg(
+        F.round(
+            F.sum("gap_us").cast("double") / F.count(F.lit(1)) / 1000000.0, 6
+        ).alias("avg_gap_sec")
+    )
+    spine = fact.sparkSession.createDataFrame(
+        [(s,) for s in statuses], "status_type string"
+    )
+    return spine.join(agg, "status_type", "left").select(
+        "status_type", "avg_gap_sec"
+    )
 
 
 def longest_streaks(fact: DataFrame) -> DataFrame:

@@ -228,3 +228,58 @@ def test_stitched_equals_global_on_testdata(spark):
     ref = sorted(map(tuple, sequential.longest_streaks(fact).collect()))
     got = sorted(map(tuple, sequential.longest_streaks_stitched(fact).collect()))
     assert got == ref
+
+
+def test_stitched_equals_global_randomized(spark):
+    """Seeded-random differential: irregular timestamps (bursts, ties,
+    multi-day dead air) across status patterns must agree with the
+    global-order reference. Catches boundary cases hand-written
+    fixtures miss."""
+    import datetime as dt
+    import random
+
+    rng = random.Random(20240813)
+    statuses = ["Allowed", "Blocked", "Other"]
+    for trial in range(5):
+        t = dt.datetime(2024, 1, 1, rng.randrange(24), 0, 0)
+        rows = []
+        for i in range(rng.randrange(30, 120)):
+            # mix of sub-minute bursts, hour steps, and >1-day gaps;
+            # occasional zero step ⇒ timestamp ties broken by event_id
+            step = rng.choice([0, 7, 60, 3600, 3600, 90000])
+            t = t + dt.timedelta(seconds=step)
+            st = rng.choice(statuses)
+            rows.append((i, t.isoformat(), "c", "d", st, 1.0))
+        fact = make_fact(spark, rows)
+        ref = sorted(map(tuple, sequential.longest_streaks(fact).collect()))
+        got = sorted(
+            map(tuple, sequential.longest_streaks_stitched(fact).collect())
+        )
+        assert got == ref, f"trial {trial} diverged"
+
+
+def test_avg_gap_single_pass_matches_filtered(spark):
+    """One-pass stream-keyed gaps == per-status filtered computation."""
+    import datetime as dt
+    import random
+
+    rng = random.Random(7)
+    t = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = []
+    for i in range(200):
+        t = t + dt.timedelta(seconds=rng.choice([30, 3600, 90000]))
+        rows.append(
+            (i, t.isoformat(), "c", "d", rng.choice(["Allowed", "Blocked"]), 1.0)
+        )
+    fact = make_fact(spark, rows)
+    got = {r["status_type"]: r["avg_gap_sec"]
+           for r in sequential.avg_gap_per_status(fact).collect()}
+    for st in ("Blocked", "Allowed"):
+        gaps = sequential.consecutive_gaps(
+            fact.filter(F.col("status_type") == st)
+        ).agg(
+            F.round(
+                F.sum("gap_us").cast("double") / F.count(F.lit(1)) / 1e6, 6
+            ).alias("a")
+        ).collect()[0]["a"]
+        assert got[st] == gaps
