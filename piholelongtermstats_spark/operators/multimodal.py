@@ -110,3 +110,73 @@ def byte_stats(media: DataFrame) -> DataFrame:
             F.sum(F.length("payload")).cast("double") / F.count(F.lit(1)), 6
         ).alias("avg_bytes"),
     )
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+    ]
+)
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.LongType()),
+        T.StructField("frame_ts_ms", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+    ]
+)
+
+
+def resize_images(media: DataFrame, max_side: int = 256) -> DataFrame:
+    """Arrow-batched image resize (STUB decode: payload passes through,
+    target dims computed from metadata with aspect preserved; a real
+    deployment swaps the body for PIL thumbnail — batch shape, schema,
+    and the metadata arithmetic are the real contract)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            w = pdf["width"].fillna(max_side).astype("int64")
+            h = pdf["height"].fillna(max_side).astype("int64")
+            scale = (max_side / w.where(w >= h, h)).clip(upper=1.0)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": pdf["payload"],  # stub: no real decode
+                    "width": (w * scale).astype("int32"),
+                    "height": (h * scale).astype("int32"),
+                }
+            )
+
+    return media.mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
+def sample_frames(
+    media: DataFrame, every_ms: int = 1000, duration_ms: int = 5000
+) -> DataFrame:
+    """Video frame sampling as a flatMap: each media row fans out to
+    one row per sampled frame (frame_idx, frame_ts_ms). Decode is
+    STUBBED — each frame's payload is a deterministic slice of the
+    source payload — but the row-expansion shape (the part that
+    matters for partition sizing: output rows = input × frames) is
+    real. A production version bounds fan-out with maxRecordsPerBatch
+    and repartitions by media_id first."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"media_id": [], "frame_idx": [], "frame_ts_ms": [], "payload": []}
+            for _, r in pdf.iterrows():
+                payload = r["payload"] or b""
+                n = max(len(payload), 1)
+                for i, ts in enumerate(range(0, duration_ms, every_ms)):
+                    lo = (i * 16) % n
+                    rows["media_id"].append(r["media_id"])
+                    rows["frame_idx"].append(i)
+                    rows["frame_ts_ms"].append(ts)
+                    rows["payload"].append(bytes(payload[lo : lo + 16]))
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(run, schema=FRAME_SCHEMA)

@@ -288,6 +288,17 @@ def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_ann_topk(_emb(spark, sf_dir), 0, 10)
 
 
+@register("ivf_ann_topk")  # rows-only: iterative index build isn't ANSI SQL
+def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse-quantizer ANN (train 16 cells on a 1/4 subsample,
+    2 Lloyd iterations, probe 4) — the data-adaptive counterpart to
+    the hyperplane-LSH path. Production trains once offline and
+    passes `centroids`; this query times the full train+search."""
+    from piholelongtermstats_spark.operators import ivf
+
+    return ivf.ivf_ann_topk(_emb(spark, sf_dir), 0, 10, n_iters=2, sample_mod=4)
+
+
 @register("embedding_near_dup")  # rows-only
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 0.4: the synthetic embeddings have no planted near-dups (max
@@ -318,3 +329,15 @@ def q_media_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = multimodal.docs_as_media(_docs(spark, sf_dir))
     return multimodal.extract_features(media, fake=True)
+
+
+@register("media_resize")  # rows-only: stubbed decode, real metadata math
+def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = multimodal.docs_as_media(_docs(spark, sf_dir))
+    return multimodal.resize_images(media, max_side=256)
+
+
+@register("media_frames")  # rows-only: stubbed decode, real fan-out shape
+def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = multimodal.docs_as_media(_docs(spark, sf_dir)).limit(100)
+    return multimodal.sample_frames(media, every_ms=1000, duration_ms=5000)

@@ -137,3 +137,23 @@ def running_client_totals_stream(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_dedup(
+    spark: SparkSession,
+    source_dir: str,
+    schema: T.StructType,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup on event_id within the watermark horizon.
+
+    `dropDuplicatesWithinWatermark` keeps state only for the watermark
+    window — the unbounded-state trap of plain dropDuplicates on a
+    stream is the reason this variant exists. Re-deliveries inside the
+    horizon (at-least-once sources) are suppressed; older re-sends age
+    out of state and must be handled idempotently at the sink.
+    """
+    events = spark.readStream.schema(schema).parquet(source_dir)
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )

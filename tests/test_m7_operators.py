@@ -157,3 +157,78 @@ def test_media_real_decode_raises(spark):
     media = multimodal.docs_as_media(docs)
     with pytest.raises(Exception, match="NotImplementedError|media decode"):
         multimodal.extract_features(media, fake=False).collect()
+
+
+def test_resize_metadata_arithmetic(spark):
+    """Resize stub: aspect-preserving downscale computed per batch;
+    payloads pass through untouched."""
+    from piholelongtermstats_spark.operators import multimodal as mm
+
+    media = spark.createDataFrame(
+        [
+            (1, b"x" * 10, "image/png", 1024, 512),
+            (2, b"y" * 10, "image/png", 100, 200),   # under max: no upscale
+            (3, b"z" * 10, "image/png", None, None),  # missing dims
+        ],
+        mm.MEDIA_SCHEMA,
+    )
+    got = {r["media_id"]: (r["width"], r["height"])
+           for r in mm.resize_images(media, max_side=256).collect()}
+    assert got[1] == (256, 128)
+    assert got[2] == (100, 200)
+    assert got[3] == (256, 256)
+
+
+def test_frame_sampling_fanout(spark):
+    """Frame sampler fans each media row out to duration/every rows
+    with monotone frame timestamps."""
+    from piholelongtermstats_spark.operators import multimodal as mm
+
+    media = spark.createDataFrame(
+        [(1, b"0123456789abcdef" * 8, "video/mp4", None, None)], mm.MEDIA_SCHEMA
+    )
+    frames = mm.sample_frames(media, every_ms=1000, duration_ms=5000).collect()
+    assert len(frames) == 5
+    assert [f["frame_ts_ms"] for f in sorted(frames, key=lambda f: f["frame_idx"])] \
+        == [0, 1000, 2000, 3000, 4000]
+
+
+def test_ivf_ann_recall(spark):
+    """IVF with nprobe=4/16 cells recovers most of the exact top-10;
+    full probe (nprobe=n_cells) is EXACTLY the brute-force answer."""
+    from piholelongtermstats_spark.operators import ivf, similarity
+    from piholelongtermstats_spark.session import ensure_session_defaults
+    from piholelongtermstats_spark.sources.parquet import load_table
+
+    ensure_session_defaults(spark)
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    exact = [r["vec_id"] for r in similarity.cosine_topk(emb, 0, 10).collect()]
+
+    cents = ivf.train_centroids(emb)
+    approx = [
+        r["vec_id"]
+        for r in ivf.ivf_ann_topk(emb, 0, 10, centroids=cents).collect()
+    ]
+    recall = len(set(exact) & set(approx)) / 10
+    assert recall >= 0.5, (recall, exact, approx)
+
+    full = [
+        r["vec_id"]
+        for r in ivf.ivf_ann_topk(
+            emb, 0, 10, nprobe=ivf.N_CELLS, centroids=cents
+        ).collect()
+    ]
+    assert full == exact
+
+
+def test_ivf_deterministic(spark):
+    """Two independent trainings produce identical centroids (no RNG)."""
+    from piholelongtermstats_spark.operators import ivf
+    from piholelongtermstats_spark.session import ensure_session_defaults
+    from piholelongtermstats_spark.sources.parquet import load_table
+
+    ensure_session_defaults(spark)
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    c1 = ivf.train_centroids(emb, n_iters=2)
+    c2 = ivf.train_centroids(emb, n_iters=2)
+    assert c1 == c2

@@ -125,3 +125,31 @@ def test_batch_sessions_respect_gap(spark):
             1,
         ),
     ]
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """Duplicate event_ids inside the watermark horizon are suppressed."""
+    from piholelongtermstats_spark.streaming.sessions import streaming_dedup
+
+    src = str(tmp_path / "dedup_src")
+    t0 = dt.datetime.fromisoformat("2024-01-01T10:00:00")
+    _write_batch(
+        spark,
+        src,
+        [
+            (1, t0, "c1", "d1", "Allowed", 0.1),
+            (1, t0, "c1", "d1", "Allowed", 0.1),  # exact redelivery
+            (2, t0 + dt.timedelta(minutes=1), "c2", "d2", "Blocked", 0.2),
+        ],
+    )
+    out = streaming_dedup(spark, src, STREAM_SCHEMA)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_t1")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT event_id FROM dedup_t1").collect()
+    assert sorted(r["event_id"] for r in rows) == [1, 2]
