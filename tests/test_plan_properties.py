@@ -1,0 +1,74 @@
+"""Physical-plan regression guards: the optimizer properties SCALING.md
+claims are asserted here so a refactor can't silently lose them.
+
+These parse `.explain("formatted")` output — brittle-looking but
+deliberate: the *plan*, not the result, is the contract at 100 TB."""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as se
+
+SF = "/root/testdata/sf0.01"
+
+
+def _plan(spark, name: str) -> str:
+    df = se.queries()[name](spark, SF)
+    return df._jdf.queryExecution().explainString(
+        df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+def test_range_scan_bounds_reach_parquet(spark):
+    plan = _plan(spark, "range_scan")
+    assert "GreaterThanOrEqual(ts," in plan and "LessThan(ts," in plan, plan
+
+
+def test_fact_scans_prune_columns(spark):
+    """status_counts needs only event_type — the scan must not read
+    the other 5 event columns."""
+    plan = _plan(spark, "status_counts")
+    scan = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert scan and "event_type" in scan[0]
+    for unused in ("props", "user_id", "value", "event_id"):
+        assert unused not in scan[0], scan[0]
+
+
+def test_dim_joins_broadcast(spark):
+    """region_nation_revenue: every dimension side broadcasts — no
+    shuffle (SortMergeJoin/Exchange-on-fact) join of lineitem."""
+    plan = _plan(spark, "region_nation_revenue")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_aggregates_are_partial_final(spark):
+    """top_clients: map-side partial agg before the exchange (the
+    shuffle carries groups, not rows)."""
+    plan = _plan(spark, "top_clients")
+    assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_topk_is_take_ordered(spark):
+    """orderBy+limit compiles to TakeOrderedAndProject, not a global
+    sort."""
+    plan = _plan(spark, "top_clients")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Sort " not in plan, plan
+
+
+def test_streaks_have_no_global_fact_window(spark):
+    """longest_streaks (stitched): every window over fact rows is
+    partitioned; the only unpartitioned window runs on the per-date
+    summary. Detect by asserting the fact-table window partitions by
+    date (_d) before ordering."""
+    plan = _plan(spark, "longest_streaks")
+    import re
+
+    # every windowspecdefinition over ts/event_id must carry a
+    # partition column (stitched forms: [_d, ts, id] or [keys, _d...])
+    bad = re.findall(r"Window \[[^\]]*windowspecdefinition\(ts#", plan)
+    assert not bad, f"unpartitioned fact-table window found: {bad}"
