@@ -81,13 +81,19 @@ def shingles(docs: DataFrame, n: int = 3) -> DataFrame:
     return sh.select("doc_id", "shingle").distinct()
 
 
-def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.8) -> DataFrame:
+def ngram_jaccard_pairs(
+    docs: DataFrame, threshold: float = 0.8, sh: DataFrame | None = None
+) -> DataFrame:
     """Exact near-duplicate pairs with 3-gram Jaccard ≥ threshold.
 
     jaccard = |A∩B| / (|A|+|B|−|A∩B|); single division on exact
     integer counts ⇒ deterministic double.
+
+    ``sh``: precomputed (doc_id, shingle) pairs — pass the shared
+    persisted shingle set when several dedup tiers run over the same
+    corpus (plans/registry_m7.py) so it is built once, not per query.
     """
-    sh = shingles(docs).cache()
+    sh = sh if sh is not None else shingles(docs).cache()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     inter = (
         sh.alias("a")
@@ -114,7 +120,9 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.8) -> DataFrame:
     return jac.filter(F.col("jaccard") >= threshold)
 
 
-def minhash_signatures(docs: DataFrame, num_perms: int = NUM_PERMS) -> DataFrame:
+def minhash_signatures(
+    docs: DataFrame, num_perms: int = NUM_PERMS, sh: DataFrame | None = None
+) -> DataFrame:
     """MinHash signature rows (doc_id, perm, minhash).
 
     ONE md5 per distinct shingle (h = md5_60 mod P), then num_perms
@@ -125,7 +133,7 @@ def minhash_signatures(docs: DataFrame, num_perms: int = NUM_PERMS) -> DataFrame
     longs instead of |shingles|×num_perms exploded rows.  The
     (doc_id, perm, minhash) long format is unpivoted AFTER the agg.
     """
-    sh = shingles(docs)
+    sh = sh if sh is not None else shingles(docs)
     h = (md5_hash60(F.col("shingle")) % MERSENNE_P).alias("h")
     mins = [
         F.min((F.lit(a) * F.col("h") + F.lit(b)) % MERSENNE_P).alias(f"m{p}")
@@ -149,7 +157,10 @@ def minhash_signatures(docs: DataFrame, num_perms: int = NUM_PERMS) -> DataFrame
 
 
 def lsh_candidate_pairs(
-    docs: DataFrame, num_perms: int = NUM_PERMS, band_size: int = BAND_SIZE
+    docs: DataFrame,
+    num_perms: int = NUM_PERMS,
+    band_size: int = BAND_SIZE,
+    sh: DataFrame | None = None,
 ) -> DataFrame:
     """LSH banding: signatures → (band, band_key) buckets → candidate
     pairs from a bucket self-join (doc_a < doc_b, distinct).
@@ -157,7 +168,7 @@ def lsh_candidate_pairs(
     With 16 perms in 4 bands of 4, a pair with Jaccard j collides in
     ≥1 band with prob 1−(1−j⁴)⁴ — ≈99.8% at j=0.9, ≈0.6% at j=0.3.
     """
-    sig = minhash_signatures(docs, num_perms)
+    sig = minhash_signatures(docs, num_perms, sh=sh)
     banded = sig.withColumn("band", (F.col("perm") / band_size).cast("long"))
     keys = banded.groupBy("doc_id", "band").agg(
         F.array_join(

@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 
 from piholelongtermstats_spark.functions.exclude import exclude_domains
 from piholelongtermstats_spark.operators import counts, sequential, timeagg, topk
+from piholelongtermstats_spark.plans.cache import shared_input
 from piholelongtermstats_spark.session import ensure_session_defaults
 from piholelongtermstats_spark.sources.events import FACT_CTE, dns_fact
 from piholelongtermstats_spark.sources.parquet import load_table, union_all
@@ -46,8 +47,12 @@ def register(name: str, oracle: str | None = None):
 
 
 def _fact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared persisted enriched fact table (SURVEY §4 O5: the
+    resident working set every query starts from)."""
     ensure_session_defaults(spark)
-    return dns_fact(spark, sf_dir)
+    return shared_input(
+        spark, "dns_fact", sf_dir, lambda: dns_fact(spark, sf_dir)
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from piholelongtermstats_spark.operators import dedup, multimodal, similarity, text
+from piholelongtermstats_spark.plans.cache import shared_input
 from piholelongtermstats_spark.plans.registry import register
 from piholelongtermstats_spark.session import ensure_session_defaults
 from piholelongtermstats_spark.sources.parquet import load_table
@@ -59,12 +60,24 @@ _SIG_CTE = f"""
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_session_defaults(spark)
-    return load_table(spark, sf_dir, "documents")
+    return shared_input(
+        spark, "documents", sf_dir, lambda: load_table(spark, sf_dir, "documents")
+    )
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_session_defaults(spark)
-    return load_table(spark, sf_dir, "embeddings")
+    return shared_input(
+        spark, "embeddings", sf_dir, lambda: load_table(spark, sf_dir, "embeddings")
+    )
+
+
+def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared persisted 3-gram shingle set — built once, reused by the
+    Jaccard / MinHash / LSH tiers (each would otherwise recompute it)."""
+    return shared_input(
+        spark, "shingles3", sf_dir, lambda: dedup.shingles(_docs(spark, sf_dir))
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -107,7 +120,9 @@ WHERE round(CAST(i AS DOUBLE) / (sa.n_sh + sb.n_sh - i), 6) >= 0.8
 """,
 )
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), 0.8)
+    return dedup.ngram_jaccard_pairs(
+        _docs(spark, sf_dir), 0.8, sh=_shingles(spark, sf_dir)
+    )
 
 
 @register(
@@ -115,7 +130,7 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     _SHINGLE_CTE + _SIG_CTE + "SELECT doc_id, perm, minhash FROM sig",
 )
 def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.minhash_signatures(_docs(spark, sf_dir))
+    return dedup.minhash_signatures(_docs(spark, sf_dir), sh=_shingles(spark, sf_dir))
 
 
 @register(
@@ -135,7 +150,7 @@ JOIN keys b ON a.band = b.band AND a.band_key = b.band_key
 """,
 )
 def q_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.lsh_candidate_pairs(_docs(spark, sf_dir))
+    return dedup.lsh_candidate_pairs(_docs(spark, sf_dir), sh=_shingles(spark, sf_dir))
 
 
 @register(

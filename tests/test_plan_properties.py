@@ -28,13 +28,37 @@ def test_range_scan_bounds_reach_parquet(spark):
 
 
 def test_fact_scans_prune_columns(spark):
-    """status_counts needs only event_type — the scan must not read
-    the other 5 event columns."""
-    plan = _plan(spark, "status_counts")
+    """A direct (uncached) fact query reading only event_type must
+    prune the other 5 event columns at the parquet scan. (Registry
+    queries wrap dns_fact in the shared working-set cache —
+    plans/cache.py — so pruning is asserted on the source path.)"""
+    from pyspark.sql import functions as F
+
+    from piholelongtermstats_spark.operators import counts
+    from piholelongtermstats_spark.session import ensure_session_defaults
+    from piholelongtermstats_spark.sources.events import dns_fact
+
+    ensure_session_defaults(spark)
+    df = counts.status_counts(dns_fact(spark, SF))
+    plan = df._jdf.queryExecution().explainString(
+        df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
     scan = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
     assert scan and "event_type" in scan[0]
     for unused in ("props", "user_id", "value", "event_id"):
         assert unused not in scan[0], scan[0]
+
+
+def test_registry_queries_share_cached_fact(spark):
+    """Two fact-table registry queries resolve to the same
+    InMemoryRelation (the O5 working set is built once, not per
+    query)."""
+    p1 = _plan(spark, "status_counts")
+    p2 = _plan(spark, "top_clients")
+    assert "InMemoryTableScan" in p1, p1
+    assert "InMemoryTableScan" in p2, p2
 
 
 def test_dim_joins_broadcast(spark):
