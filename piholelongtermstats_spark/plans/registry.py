@@ -731,3 +731,26 @@ def q_session_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     from piholelongtermstats_spark.streaming.sessions import session_summary
 
     return session_summary(_fact(spark, sf_dir))
+
+
+@register(
+    "salted_top_domains",
+    FACT_CTE
+    + """
+SELECT domain, count(*) AS cnt FROM fact
+GROUP BY domain ORDER BY cnt DESC, domain LIMIT 10
+""",
+)
+def q_salted_top_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top domains via the SALTED two-stage aggregation
+    (operators/skew.py) — identical result to the direct groupBy
+    (the oracle is the plain SQL), but the hot key fans over 32
+    stage-1 reducers; this is the plan you run when one tracker
+    domain is 30% of 100 TB."""
+    from piholelongtermstats_spark.operators import skew
+
+    return (
+        skew.salted_count(_fact(spark, sf_dir), "domain", "event_id")
+        .orderBy(F.col("cnt").desc(), F.col("domain").asc())
+        .limit(10)
+    )
