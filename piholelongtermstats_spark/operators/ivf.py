@@ -84,13 +84,15 @@ def train_centroids(
     if sample_mod and sample_mod > 1:
         emb = emb.filter(F.col("vec_id") % sample_mod == 0)
     v = F.col("embedding").cast("array<double>")
-    dim = len(emb.select("embedding").first()[0])
     seeds = (
         emb.select("vec_id", v.alias("v"))
         .orderBy(md5_hash60(F.col("vec_id").cast("string")).asc(), F.col("vec_id").asc())
         .limit(n_cells)
         .collect()
     )
+    if not seeds:
+        return []  # empty corpus → empty index (search yields 0 rows)
+    dim = len(seeds[0]["v"])
     centroids = [list(r["v"]) for r in seeds]
     base = emb.select(v.alias("v"))
     for _ in range(n_iters):
@@ -131,8 +133,16 @@ def ivf_ann_topk(
     production path: train once, search many)."""
     if centroids is None:
         centroids = train_centroids(emb, n_cells, n_iters, sample_mod)
+    if not centroids:
+        return emb.sparkSession.createDataFrame(
+            [], "vec_id bigint, label int, cosine double"
+        )
     assigned = assign_cells(emb, centroids)
     qrow = assigned.filter(F.col("vec_id") == query_vec_id).select("v").first()
+    if qrow is None:  # query vector absent → no neighbors
+        return emb.sparkSession.createDataFrame(
+            [], "vec_id bigint, label int, cosine double"
+        )
     qv = list(qrow["v"])
     # driver-side probe selection: distances of the (tiny) centroid
     # list to the query vector

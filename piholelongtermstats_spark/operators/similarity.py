@@ -30,6 +30,15 @@ from pyspark.sql import functions as F
 N_PLANES = 4
 
 
+def _dim(emb: DataFrame) -> int:
+    """Embedding dimensionality probe; 1 on an EMPTY corpus — the
+    placeholder keeps downstream plans well-formed (they produce zero
+    rows regardless), so empty inputs flow through instead of
+    crashing the driver-side probe."""
+    row = emb.select("embedding").first()
+    return len(row[0]) if row and row[0] is not None else 1
+
+
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
@@ -111,7 +120,7 @@ def lsh_ann_topk(
     tunable by n_planes / multi-probe; tests measure it against
     cosine_topk.
     """
-    dim_count = len(emb.select("embedding").first()[0])
+    dim_count = _dim(emb)
     v = F.col("embedding").cast("array<double>")
     bucketed = emb.select(
         "vec_id", "label", v.alias("v"), lsh_bucket(v, dim_count, n_planes).alias("bucket")
@@ -141,7 +150,7 @@ def embedding_near_dup_pairs(emb: DataFrame, threshold: float = 0.4) -> DataFram
     """Embedding-cosine near-duplicate pairs via LSH bucketing:
     all-pairs cosine WITHIN each sign-bucket only (near-identical
     vectors share buckets with high probability)."""
-    dim_count = len(emb.select("embedding").first()[0])
+    dim_count = _dim(emb)
     v = F.col("embedding").cast("array<double>")
     b = emb.select(
         "vec_id", v.alias("v"), lsh_bucket(v, dim_count).alias("bucket")
