@@ -153,3 +153,39 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     q.awaitTermination(120)
     rows = spark.sql("SELECT event_id FROM dedup_t1").collect()
     assert sorted(r["event_id"] for r in rows) == [1, 2]
+
+
+def test_session_window_on_stream(spark, tmp_path):
+    """The SAME client_sessions plan runs on a stream: watermarked
+    session windows finalize (append mode) once the watermark passes
+    their end — the late client's open session stays in state."""
+    from piholelongtermstats_spark.streaming.sessions import client_sessions
+
+    src = str(tmp_path / "sess_src")
+    t0 = dt.datetime.fromisoformat("2024-01-01T10:00:00")
+    _write_batch(
+        spark,
+        src,
+        [
+            (1, t0, "c1", "d", "Allowed", 0.1),
+            (2, t0 + dt.timedelta(minutes=5), "c1", "d", "Allowed", 0.1),
+            # watermark driver: 2h later; c1's session (end 10:35) is
+            # then final, c2's own session stays open in state
+            (3, t0 + dt.timedelta(hours=2), "c2", "d", "Allowed", 0.1),
+        ],
+    )
+    stream = spark.readStream.schema(STREAM_SCHEMA).parquet(src)
+    sessions = client_sessions(stream.withWatermark("ts", "10 minutes"))
+    q = (
+        sessions.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sess_t1")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["client"], r["session_start"], r["session_end"], r["n_events"])
+        for r in spark.sql("SELECT * FROM sess_t1").collect()
+    }
+    assert got == {("c1", t0, t0 + dt.timedelta(minutes=35), 2)}
