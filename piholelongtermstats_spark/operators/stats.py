@@ -117,13 +117,25 @@ def compute_stats(fact: DataFrame, timezone: str = "UTC") -> dict[str, Any]:
 
     # J1 — global scalars (stats.py:14-52, 441-455)
     a = F.abs(F.col("reply_time"))
+    # conditional counts coalesce to 0: sum() over ZERO rows is NULL
+    # (an all-excluded or empty-window run must degrade to zeros, not
+    # crash — the reference refuses empty input upstream app.py:158-164,
+    # this engine serves the zeros)
     g = fact.agg(
         F.count(F.lit(1)).alias("n"),
         F.min("ts").alias("min_ts"),
         F.max("ts").alias("max_ts"),
-        F.sum(F.when(F.col("status_type") == "Blocked", 1).otherwise(0)).alias("bc"),
-        F.sum(F.when(F.col("status_type") == "Allowed", 1).otherwise(0)).alias("ac"),
-        F.sum(F.when(F.col("day_period") == "Day", 1).otherwise(0)).alias("day_n"),
+        F.coalesce(
+            F.sum(F.when(F.col("status_type") == "Blocked", 1).otherwise(0)),
+            F.lit(0),
+        ).alias("bc"),
+        F.coalesce(
+            F.sum(F.when(F.col("status_type") == "Allowed", 1).otherwise(0)),
+            F.lit(0),
+        ).alias("ac"),
+        F.coalesce(
+            F.sum(F.when(F.col("day_period") == "Day", 1).otherwise(0)), F.lit(0)
+        ).alias("day_n"),
         F.avg(a).alias("avg_rt"),
         F.max(a).alias("max_rt"),
         F.min(a).alias("min_rt"),

