@@ -754,3 +754,21 @@ def q_salted_top_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cnt").desc(), F.col("domain").asc())
         .limit(10)
     )
+
+
+@register("uniques_approx")  # rows-only: HLL sketch values aren't portable SQL
+def q_uniques_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct counts — the constant-space scale
+    variant of `uniques` (tests bound the error vs exact)."""
+    from piholelongtermstats_spark.operators import approx
+
+    return approx.uniques_approx(_fact(spark, sf_dir))
+
+
+@register("reply_time_quantiles")  # rows-only: GK-sketch percentiles
+def q_reply_time_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass mergeable reply-time percentiles (no distributed
+    full sort)."""
+    from piholelongtermstats_spark.operators import approx
+
+    return approx.reply_time_quantiles(_fact(spark, sf_dir))

@@ -3,6 +3,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from piholelongtermstats_spark.operators import counts, sequential, timeagg, topk
@@ -283,3 +284,36 @@ def test_avg_gap_single_pass_matches_filtered(spark):
             ).alias("a")
         ).collect()[0]["a"]
         assert got[st] == gaps
+
+
+def test_approx_uniques_error_bound(spark):
+    """HLL at rsd=0.01 lands within 5% of exact on testdata."""
+    from piholelongtermstats_spark.operators import approx, counts
+    from piholelongtermstats_spark.sources.events import dns_fact
+
+    fact = dns_fact(spark, "/root/testdata/sf0.01")
+    exact = counts.uniques(fact).collect()[0]
+    est = approx.uniques_approx(fact).collect()[0]
+    for e, a in (
+        (exact["unique_domains"], est["unique_domains_approx"]),
+        (exact["unique_clients"], est["unique_clients_approx"]),
+    ):
+        assert abs(a - e) <= max(1, 0.05 * e), (e, a)
+
+
+def test_approx_quantiles_vs_exact(spark):
+    """GK sketch at accuracy=10000 matches the exact sorted quantile
+    closely on |reply_time|."""
+    from piholelongtermstats_spark.operators import approx
+    from piholelongtermstats_spark.sources.events import dns_fact
+
+    fact = dns_fact(spark, "/root/testdata/sf0.01")
+    got = approx.reply_time_quantiles(fact).collect()[0]
+    vals = sorted(
+        abs(r["reply_time"]) * 1000
+        for r in fact.select("reply_time").collect()
+        if r["reply_time"] is not None
+    )
+    for col, q in (("p50_ms", 0.5), ("p90_ms", 0.9), ("p99_ms", 0.99)):
+        exact = vals[int(q * (len(vals) - 1))]
+        assert got[col] == pytest.approx(exact, rel=0.05), (col, got[col], exact)
