@@ -39,6 +39,13 @@ N_CELLS = 16
 N_ITERS = 3
 N_PROBE = 4
 
+# Trained-index cache: (applicationId, corpus key, params) → centroids.
+# "Train once, search many" is the IVF contract — a production
+# deployment persists the quantizer next to the bucketed corpus; here
+# repeat searches in one session reuse the driver-side centroid list
+# (kilobytes, deterministic, so caching cannot change results).
+_CENTROID_CACHE: dict[tuple, list[list[float]]] = {}
+
 
 def _assign_udf(centroids: list[list[float]]):
     """Vectorized (Arrow-batched) nearest-centroid assignment.

@@ -772,3 +772,47 @@ def q_reply_time_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from piholelongtermstats_spark.operators import approx
 
     return approx.reply_time_quantiles(_fact(spark, sf_dir))
+
+
+@register(
+    "asof_rollup_enrich",
+    FACT_CTE
+    + """
+, rollup AS (
+  SELECT date_trunc('hour', ts) AS hour_bucket, status_type,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM fact GROUP BY 1, 2
+), joined AS (
+  SELECT f.status_type AS status_type, r.cnt AS cnt
+  FROM fact f ASOF LEFT JOIN rollup r
+    ON f.status_type = r.status_type AND f.ts >= r.hour_bucket
+)
+SELECT status_type,
+       CAST(count(cnt) AS BIGINT) AS matched,
+       CAST(sum(cnt) AS BIGINT) AS sum_cnt
+FROM joined GROUP BY status_type
+""",
+)
+def q_asof_rollup_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators/asof.py): every event enriched with the
+    most recent hourly-rollup row at or before its timestamp, per
+    status — then re-aggregated so the oracle result is small. DuckDB
+    checks it with its native ASOF JOIN."""
+    from piholelongtermstats_spark.operators import asof, timeagg
+
+    fact = _fact(spark, sf_dir)
+    rollup = timeagg.hourly_rollup(fact).groupBy("hour_bucket", "status_type").agg(
+        F.sum("cnt").alias("cnt")
+    )
+    joined = asof.asof_join(
+        fact.select("event_id", "ts", "status_type"),
+        rollup,
+        key="status_type",
+        left_ts="ts",
+        right_ts="hour_bucket",
+        value_cols=["cnt"],
+    )
+    return joined.groupBy("status_type").agg(
+        F.count("cnt").alias("matched"),
+        F.sum("cnt").cast("bigint").alias("sum_cnt"),
+    )

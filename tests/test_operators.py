@@ -317,3 +317,36 @@ def test_approx_quantiles_vs_exact(spark):
     for col, q in (("p50_ms", 0.5), ("p90_ms", 0.9), ("p99_ms", 0.99)):
         exact = vals[int(q * (len(vals) - 1))]
         assert got[col] == pytest.approx(exact, rel=0.05), (col, got[col], exact)
+
+
+def test_asof_join_semantics(spark):
+    """As-of join: boundary equality matches, gaps carry across
+    multiple days, no-prior-right rows get NULL."""
+    import datetime as dt
+
+    from piholelongtermstats_spark.operators.asof import asof_join
+
+    T = lambda s: dt.datetime.fromisoformat(s)
+    left = spark.createDataFrame(
+        [
+            (1, "k1", T("2024-01-01T05:00:00")),   # before any right -> NULL
+            (2, "k1", T("2024-01-01T10:00:00")),   # == right ts -> matches (at-or-before)
+            (3, "k1", T("2024-01-04T09:00:00")),   # 3-day gap -> carries v=10
+            (4, "k1", T("2024-01-04T23:00:00")),   # after second right -> v=20
+            (5, "k2", T("2024-01-02T00:00:00")),   # other key -> own stream
+        ],
+        "event_id long, k string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            ("k1", T("2024-01-01T10:00:00"), 10),
+            ("k1", T("2024-01-04T12:00:00"), 20),
+            ("k2", T("2024-01-01T00:00:00"), 99),
+        ],
+        "k string, rts timestamp, v int",
+    )
+    got = {
+        r["event_id"]: r["v"]
+        for r in asof_join(left, right, "k", "ts", "rts", ["v"]).collect()
+    }
+    assert got == {1: None, 2: 10, 3: 10, 4: 20, 5: 99}
