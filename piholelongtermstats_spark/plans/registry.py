@@ -816,3 +816,35 @@ def q_asof_rollup_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("cnt").alias("matched"),
         F.sum("cnt").cast("bigint").alias("sum_cnt"),
     )
+
+
+@register(
+    "range_join_blocked_windows",
+    FACT_CTE
+    + """
+, iv AS (
+  SELECT min(ts) AS start_ts, max(ts) AS end_ts
+  FROM fact WHERE status_type = 'Blocked' GROUP BY date
+)
+SELECT f.status_type AS status_type, CAST(count(*) AS BIGINT) AS in_window
+FROM fact f JOIN iv ON f.ts >= iv.start_ts AND f.ts <= iv.end_ts
+GROUP BY 1
+""",
+)
+def q_range_join_blocked_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join (operators/rangejoin.py): count events inside each
+    day's blocked-activity window [first, last blocked ts]. Binned
+    equi-join plan — a bare BETWEEN theta-join would nested-loop."""
+    from piholelongtermstats_spark.operators.rangejoin import range_join_binned
+
+    fact = _fact(spark, sf_dir)
+    iv = (
+        fact.filter(F.col("status_type") == "Blocked")
+        .groupBy("date")
+        .agg(F.min("ts").alias("start_ts"), F.max("ts").alias("end_ts"))
+        .select("start_ts", "end_ts")
+    )
+    joined = range_join_binned(fact.select("ts", "status_type"), iv)
+    return joined.groupBy("status_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("in_window")
+    )

@@ -350,3 +350,82 @@ def test_asof_join_semantics(spark):
         for r in asof_join(left, right, "k", "ts", "rts", ["v"]).collect()
     }
     assert got == {1: None, 2: 10, 3: 10, 4: 20, 5: 99}
+
+
+def test_asof_join_randomized_vs_bruteforce(spark):
+    """Seeded-random differential: asof_join == argmax-per-row brute
+    force (crossJoin + filter + max_by) across keys, multi-day gaps,
+    ties, and empty-prefix rows."""
+    import datetime as dt
+    import random
+
+    from piholelongtermstats_spark.operators.asof import asof_join
+
+    rng = random.Random(424242)
+    t0 = dt.datetime(2024, 1, 1)
+    lrows, rrows = [], []
+    for i in range(120):
+        lrows.append(
+            (i, f"k{rng.randrange(3)}",
+             t0 + dt.timedelta(minutes=rng.randrange(0, 6 * 24 * 60)))
+        )
+    seen = set()
+    for j in range(40):
+        k = f"k{rng.randrange(3)}"
+        ts = t0 + dt.timedelta(minutes=rng.randrange(0, 6 * 24 * 60))
+        if (k, ts) in seen:  # right (key, ts) must be unique
+            continue
+        seen.add((k, ts))
+        rrows.append((k, ts, j))
+    left = spark.createDataFrame(lrows, "event_id long, k string, ts timestamp")
+    right = spark.createDataFrame(rrows, "k string, rts timestamp, v int")
+
+    got = {
+        r["event_id"]: r["v"]
+        for r in asof_join(left, right, "k", "ts", "rts", ["v"]).collect()
+    }
+    brute = (
+        left.join(right, "k", "left")
+        .filter(F.col("rts") <= F.col("ts"))
+        .groupBy("event_id")
+        .agg(F.max_by("v", "rts").alias("v"))
+    )
+    want = {r["event_id"]: r["v"] for r in brute.collect()}
+    for (eid, _, _) in lrows:
+        want.setdefault(eid, None)
+    assert got == want
+
+
+def test_range_join_binned_vs_theta(spark):
+    """Binned equi-join plan == the naive theta join, including
+    intervals spanning many bins and events on exact bounds."""
+    import datetime as dt
+
+    from piholelongtermstats_spark.operators.rangejoin import range_join_binned
+
+    T = lambda s: dt.datetime.fromisoformat(s)
+    events = spark.createDataFrame(
+        [(i, T("2024-01-01T00:00:00") + dt.timedelta(minutes=37 * i))
+         for i in range(200)],
+        "event_id long, ts timestamp",
+    )
+    intervals = spark.createDataFrame(
+        [
+            (1, T("2024-01-01T01:00:00"), T("2024-01-01T05:00:00")),
+            (2, T("2024-01-02T00:00:00"), T("2024-01-04T12:30:00")),
+            (3, T("2024-01-01T04:59:00"), T("2024-01-01T06:00:00")),  # overlap
+        ],
+        "iv_id long, start_ts timestamp, end_ts timestamp",
+    )
+    got = sorted(
+        (r["event_id"], r["iv_id"])
+        for r in range_join_binned(events, intervals).collect()
+    )
+    want = sorted(
+        (r["event_id"], r["iv_id"])
+        for r in events.join(
+            intervals,
+            (F.col("ts") >= F.col("start_ts")) & (F.col("ts") <= F.col("end_ts")),
+        ).collect()
+    )
+    assert got == want and len(got) > 0
