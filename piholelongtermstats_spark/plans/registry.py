@@ -848,3 +848,30 @@ def q_range_join_blocked_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("status_type").agg(
         F.count(F.lit(1)).cast("bigint").alias("in_window")
     )
+
+
+@register(
+    "activity_rollup_hierarchy",
+    FACT_CTE
+    + """
+SELECT date, status_type, CAST(count(*) AS BIGINT) AS cnt,
+       CAST(grouping(date) * 2 + grouping(status_type) AS BIGINT) AS gid
+FROM fact
+GROUP BY ROLLUP (date, status_type)
+""",
+)
+def q_activity_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy (date, status_type) → per-pair, per-date, and
+    grand totals in ONE pass with partial aggregation — the
+    multi-granularity summary a dashboard would otherwise compute as
+    three separate scans. gid disambiguates NULL-as-total from a
+    genuine NULL key (grouping_id semantics match DuckDB)."""
+    fact = _fact(spark, sf_dir)
+    return (
+        fact.rollup("date", "status_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("cnt"),
+            F.grouping_id().cast("bigint").alias("gid"),
+        )
+        .select("date", "status_type", "cnt", "gid")
+    )

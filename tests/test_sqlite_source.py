@@ -101,3 +101,29 @@ def test_empty_db(spark, tmp_path):
     df = read_sqlite(spark, p)
     assert df.count() == 0
     assert "domain" in df.columns
+
+
+def test_ingest_to_parquet_roundtrip_and_pruning(spark, dbs, tmp_path):
+    """SQLite → date-partitioned parquet roundtrip: all rows survive,
+    and a date-equality read prunes partitions at the SCAN (the
+    at-scale payoff of partitioning by event date — S4/O1)."""
+    from pyspark.sql import functions as F
+
+    from piholelongtermstats_spark.sources.sqlite import ingest_to_parquet
+
+    out = str(tmp_path / "ingested")
+    ingest_to_parquet(spark, dbs, out)
+    back = spark.read.parquet(out)
+    assert back.count() == 80  # 50 + 30, duplicates kept (S6)
+
+    one_day = back.filter(F.col("event_date") == "2023-11-14")
+    plan = one_day._jdf.queryExecution().explainString(
+        one_day._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "PartitionFilters" in plan
+    assert "event_date" in plan.split("PartitionFilters", 1)[1][:200]
+    # pruned read returns exactly that day's rows
+    got_days = {r["event_date"] for r in one_day.select("event_date").distinct().collect()}
+    assert got_days <= {__import__("datetime").date(2023, 11, 14)}
