@@ -204,6 +204,11 @@ def simhash(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
     # groupBy(doc_id) with `bits` sum columns + a count replaces the
     # bits× row explode + two shuffles of the naive formulation.  The
     # resulting sketch values are identical (same vote arithmetic).
+    # NB: a zero-shuffle pure-projection variant (60 F.aggregate HOFs
+    # over the token array, no explode) measured 6× SLOWER (17s vs
+    # 2.8s at sf0.1): HOF lambdas are interpreted per element and the
+    # md5 transform is re-evaluated per aggregate (no CSE across
+    # aggregate expressions). The explode+codegen-agg shape wins.
     bitsums = [
         F.sum(F.shiftright("h", b).bitwiseAND(1)).alias(f"b{b}")
         for b in range(bits)
