@@ -221,3 +221,50 @@ def simhash(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
         ).otherwise(F.lit(0).cast("long"))
         sketch = term if sketch is None else sketch + term
     return agg.select("doc_id", sketch.alias("simhash"))
+
+
+def duplicate_clusters(pairs: DataFrame) -> DataFrame:
+    """Connected components over candidate pairs → (doc_id, cluster_id)
+    with cluster_id = min doc_id in the component. The dedup pipeline's
+    real deliverable: "keep one doc per CLUSTER", where near-dup
+    relations chain transitively (a~b, b~c ⇒ {a,b,c} even if a,c never
+    collided).
+
+    Iterative min-label propagation on DataFrames: each round every
+    node takes min(own label, neighbors' labels); fixpoint when no
+    label changes (checked with a 1-row count per round — the standard
+    driver-side loop of an iterative graph algorithm; rounds ≈ graph
+    diameter, and near-dup components are shallow). Each round is one
+    broadcast-or-hash join + groupBy — no single-task stage. For
+    billion-edge graphs swap in large-star/small-star contraction;
+    the interface stays (pairs in, labels out).
+    """
+    edges = (
+        pairs.selectExpr("doc_a AS src", "doc_b AS dst")
+        .unionByName(pairs.selectExpr("doc_b AS src", "doc_a AS dst"))
+        .distinct()
+    )
+    labels = edges.select("src").distinct().withColumn("comp", F.col("src"))
+    for _ in range(50):  # safety bound far above any real diameter
+        neighbor_min = (
+            edges.join(labels.withColumnRenamed("src", "dst_"), F.col("dst") == F.col("dst_"))
+            .groupBy("src")
+            .agg(F.min("comp").alias("nmin"))
+        )
+        updated = (
+            labels.join(neighbor_min, "src", "left")
+            .select(
+                "src",
+                F.least(F.col("comp"), F.coalesce(F.col("nmin"), F.col("comp"))).alias("comp"),
+                (F.col("nmin") < F.col("comp")).alias("_chg"),
+            )
+        ).cache()
+        changed = updated.filter(F.col("_chg")).limit(1).count()
+        new_labels = updated.select("src", "comp")
+        labels.unpersist() if hasattr(labels, "unpersist") else None
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("src").alias("doc_id"), F.col("comp").alias("cluster_id")
+    )

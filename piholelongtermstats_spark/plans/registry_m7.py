@@ -153,6 +153,47 @@ def q_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.lsh_candidate_pairs(_docs(spark, sf_dir), sh=_shingles(spark, sf_dir))
 
 
+# Duplicate clusters: transitive closure over the LSH candidate pairs.
+# DuckDB checks the iterative Spark label propagation with a recursive
+# CTE (closure is fine at oracle scale: components are small near-dup
+# groups). WITH RECURSIVE must head the whole chain.
+_CLUSTERS_ORACLE = (
+    (_SHINGLE_CTE + _SIG_CTE).replace("WITH tk AS", "WITH RECURSIVE tk AS", 1)
+    + """
+, keys AS (
+  SELECT doc_id, perm // 4 AS band,
+         string_agg(minhash::VARCHAR, ',' ORDER BY perm) AS band_key
+  FROM sig GROUP BY doc_id, band
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM keys a
+  JOIN keys b ON a.band = b.band AND a.band_key = b.band_key
+             AND a.doc_id < b.doc_id
+), edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+), reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+)
+SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+FROM reach GROUP BY src
+"""
+)
+
+
+@register("dedup_clusters", _CLUSTERS_ORACLE)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over LSH candidate pairs → duplicate
+    clusters (transitive near-dup groups); iterative min-label
+    propagation checked against a DuckDB recursive-CTE closure."""
+    pairs = dedup.lsh_candidate_pairs(
+        _docs(spark, sf_dir), sh=_shingles(spark, sf_dir)
+    )
+    return dedup.duplicate_clusters(pairs)
+
+
 @register(
     "simhash",
     rf"""

@@ -232,3 +232,18 @@ def test_ivf_deterministic(spark):
     c1 = ivf.train_centroids(emb, n_iters=2)
     c2 = ivf.train_centroids(emb, n_iters=2)
     assert c1 == c2
+
+
+def test_duplicate_clusters_transitive(spark):
+    """a~b, b~c chain into one cluster; d~e separate; labels = min id."""
+    from piholelongtermstats_spark.operators import dedup
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 9), (3, 5), (10, 11), (11, 10)],
+        "doc_a long, doc_b long",
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup.duplicate_clusters(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 5: 1, 7: 7, 9: 7, 10: 10, 11: 10}
