@@ -111,14 +111,21 @@ def lsh_bucket(v: Column, dim_count: int, n_planes: int = N_PLANES) -> Column:
 
 
 def lsh_ann_topk(
-    emb: DataFrame, query_vec_id: int = 0, k: int = 10, n_planes: int = N_PLANES
+    emb: DataFrame,
+    query_vec_id: int = 0,
+    k: int = 10,
+    n_planes: int = N_PLANES,
+    multiprobe: int = 0,
 ) -> DataFrame:
-    """Approximate top-K: scan only the query's LSH bucket.
+    """Approximate top-K: scan the query's LSH bucket, plus (with
+    ``multiprobe`` = m > 0) every bucket within hamming distance 1 on
+    the first m planes — the standard multi-probe trick: near misses
+    land one flipped sign-bit away, so probing XOR-neighbors buys
+    recall without adding planes (more buckets probed ⇒ candidate set
+    grows ~(1+m)/2^p of the corpus, still ≪ N).
 
     The bucketed corpus is a one-time projection (persist it at
-    scale); per query, the candidate set is |bucket| ≪ N. Recall is
-    tunable by n_planes / multi-probe; tests measure it against
-    cosine_topk.
+    scale); tests measure recall against cosine_topk.
     """
     dim_count = _dim(emb)
     v = F.col("embedding").cast("array<double>")
@@ -128,10 +135,15 @@ def lsh_ann_topk(
     q = bucketed.filter(F.col("vec_id") == query_vec_id).select(
         F.col("v").alias("qv"), F.col("bucket").alias("qbucket")
     )
+    probe_ok = F.col("bucket") == F.col("qbucket")
+    for i in range(min(multiprobe, n_planes)):
+        probe_ok = probe_ok | (
+            F.col("bucket") == F.col("qbucket").bitwiseXOR(F.lit(1 << i))
+        )
     return (
         bucketed.filter(F.col("vec_id") != query_vec_id)
         .crossJoin(F.broadcast(q))
-        .filter(F.col("bucket") == F.col("qbucket"))
+        .filter(probe_ok)
         .select(
             "vec_id",
             "label",

@@ -341,7 +341,10 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("lsh_ann_topk")  # rows-only: LSH bucket internals aren't ANSI SQL
 def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return similarity.lsh_ann_topk(_emb(spark, sf_dir), 0, 10)
+    # multiprobe=2: probe the query bucket + its two nearest
+    # hamming-1 neighbors — ~3/16 of the corpus scanned, recall
+    # measured ≥ single-bucket in tests.
+    return similarity.lsh_ann_topk(_emb(spark, sf_dir), 0, 10, multiprobe=2)
 
 
 @register("ivf_ann_topk")  # rows-only: iterative index build isn't ANSI SQL

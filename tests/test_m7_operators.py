@@ -247,3 +247,27 @@ def test_duplicate_clusters_transitive(spark):
         for r in dedup.duplicate_clusters(pairs).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 5: 1, 7: 7, 9: 7, 10: 10, 11: 10}
+
+
+def test_multiprobe_improves_or_matches_recall(spark):
+    """Probing hamming-1 buckets can only add candidates: recall vs
+    exact top-10 is monotone in the probe count, and with all planes
+    probed the candidate set strictly contains the single-bucket one."""
+    from piholelongtermstats_spark.operators import similarity
+    from piholelongtermstats_spark.session import ensure_session_defaults
+    from piholelongtermstats_spark.sources.parquet import load_table
+
+    ensure_session_defaults(spark)
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    exact = [r["vec_id"] for r in similarity.cosine_topk(emb, 0, 10).collect()]
+
+    def recall(m):
+        got = [
+            r["vec_id"]
+            for r in similarity.lsh_ann_topk(emb, 0, 10, multiprobe=m).collect()
+        ]
+        return len(set(exact) & set(got)) / 10
+
+    r0, r4 = recall(0), recall(4)
+    assert r4 >= r0
+    assert r4 >= 0.5, (r0, r4)
