@@ -189,3 +189,54 @@ def test_session_window_on_stream(spark, tmp_path):
         for r in spark.sql("SELECT * FROM sess_t1").collect()
     }
     assert got == {("c1", t0, t0 + dt.timedelta(minutes=35), 2)}
+
+
+def test_rollup_upsert_sink_incremental(spark, tmp_path):
+    """foreachBatch MERGE: two incremental runs produce exactly the
+    batch-recomputed rollup — updated keys overwritten (no dupes),
+    untouched keys preserved, checkpoint makes the second run
+    process only new files."""
+    from piholelongtermstats_spark.streaming.sink import start_rollup_upsert
+
+    src = str(tmp_path / "up_src")
+    tgt = str(tmp_path / "up_tgt")
+    ckpt = str(tmp_path / "up_ckpt")
+    t0 = dt.datetime.fromisoformat("2024-01-01T10:00:00")
+
+    _write_batch(
+        spark,
+        src,
+        [
+            (1, t0, "c1", "d1", "Allowed", 0.1),
+            (2, t0 + dt.timedelta(minutes=10), "c1", "d1", "Blocked", 0.2),
+            (3, t0 + dt.timedelta(minutes=70), "c2", "d2", "Allowed", 0.3),
+        ],
+    )
+    q = start_rollup_upsert(spark, src, tgt, ckpt)
+    q.awaitTermination(120)
+
+    # second drop: one more c1-Allowed in hour 10 (updates that key),
+    # plus a new key on a later date
+    _write_batch(
+        spark,
+        src,
+        [
+            (4, t0 + dt.timedelta(minutes=20), "c1", "d1", "Allowed", 0.4),
+            (5, t0 + dt.timedelta(days=2), "c3", "d3", "Blocked", 0.5),
+        ],
+    )
+    q2 = start_rollup_upsert(spark, src, tgt, ckpt)
+    q2.awaitTermination(120)
+
+    got = {
+        (r["hour_bucket"], r["status_type"], r["client"]): r["cnt"]
+        for r in spark.read.parquet(tgt).collect()
+    }
+    h10 = t0.replace(minute=0)
+    h11 = h10 + dt.timedelta(hours=1)
+    assert got == {
+        (h10, "Allowed", "c1"): 2,   # updated in place, not duplicated
+        (h10, "Blocked", "c1"): 1,   # untouched key survived the merge
+        (h11, "Allowed", "c2"): 1,
+        (h10 + dt.timedelta(days=2), "Blocked", "c3"): 1,
+    }
