@@ -83,13 +83,23 @@ def top_domain_top_client(fact: DataFrame) -> DataFrame:
     top_dom = dom.withColumn("rn", F.row_number().over(w_dom)).filter(
         F.col("rn") == 1
     ).drop("rn")
+    # Broadcast the ≤|statuses|-row top_dom side and restrict cdc to it
+    # BEFORE ranking clients: the client window then sorts only the top
+    # domains' rows instead of every (status, domain) group, and the
+    # broadcast never carries a per-domain relation (the round-1 plan
+    # broadcast top_cli — one row per distinct domain — which OOMs at
+    # production domain cardinality).
     w_cli = Window.partitionBy("status_type", "domain").orderBy(
         F.col("pair_cnt").desc(), F.col("client").asc()
     )
-    top_cli = cdc.withColumn("rn", F.row_number().over(w_cli)).filter(
-        F.col("rn") == 1
-    ).select("status_type", "domain", F.col("client").alias("top_client"))
-    return top_dom.join(F.broadcast(top_cli), ["status_type", "domain"])
+    return (
+        cdc.join(F.broadcast(top_dom), ["status_type", "domain"])
+        .withColumn("rn", F.row_number().over(w_cli))
+        .filter(F.col("rn") == 1)
+        .select(
+            "status_type", "domain", "domain_cnt", F.col("client").alias("top_client")
+        )
+    )
 
 
 def most_persistent_client(fact: DataFrame) -> DataFrame:
