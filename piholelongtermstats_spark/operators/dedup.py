@@ -82,7 +82,10 @@ def shingles(docs: DataFrame, n: int = 3) -> DataFrame:
 
 
 def ngram_jaccard_pairs(
-    docs: DataFrame, threshold: float = 0.8, sh: DataFrame | None = None
+    docs: DataFrame,
+    threshold: float = 0.8,
+    sh: DataFrame | None = None,
+    df_cap: int | None = None,
 ) -> DataFrame:
     """Exact near-duplicate pairs with 3-gram Jaccard ≥ threshold.
 
@@ -92,21 +95,63 @@ def ngram_jaccard_pairs(
     ``sh``: precomputed (doc_id, shingle) pairs — pass the shared
     persisted shingle set when several dedup tiers run over the same
     corpus (plans/registry_m7.py) so it is built once, not per query.
+
+    ``df_cap``: stop-shingle mitigation for the self-join skew. A
+    shingle appearing in d documents contributes d² join rows; stop
+    shingles ("of the and") make that quadratic in corpus size. With
+    df_cap set, CANDIDATE pairs come only from shingles with document
+    frequency ≤ df_cap, then the Jaccard is re-scored EXACTLY against
+    the full shingle sets of the candidates — so every returned pair
+    carries its true Jaccard, and a qualifying pair is missed only if
+    ALL of its shared shingles are stop shingles (at threshold 0.8
+    that needs a pathological corpus). The join sizes are bounded by
+    df_cap² per shingle instead of corpus². Both joins are plain
+    shuffle joins — no per-document relation is ever broadcast.
     """
     sh = sh if sh is not None else shingles(docs).cache()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    inter = (
-        sh.alias("a")
-        .join(sh.alias("b"), "shingle")
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+    if df_cap is None:
+        inter = (
+            sh.alias("a")
+            .join(sh.alias("b"), "shingle")
+            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+            .groupBy(
+                F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+            )
+            .agg(F.count(F.lit(1)).alias("inter"))
         )
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
+    else:
+        rare = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= df_cap)
+            .select("shingle")
+        )
+        sh_rare = sh.join(rare, "shingle", "left_semi")
+        cand = (
+            sh_rare.alias("a")
+            .join(sh_rare.alias("b"), "shingle")
+            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(
+                F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+            )
+            .distinct()
+        )
+        # exact re-score: full |A∩B| over ALL shingles (stop shingles
+        # included) but only for candidate pairs
+        inter = (
+            cand.join(sh.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+            .join(
+                sh.alias("sb"),
+                (F.col("doc_b") == F.col("sb.doc_id"))
+                & (F.col("sa.shingle") == F.col("sb.shingle")),
+            )
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
     jac = (
-        inter.join(F.broadcast(sizes).alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
-        .join(F.broadcast(sizes).alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
+        inter.join(sizes.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sizes.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
         .select(
             "doc_a",
             "doc_b",
@@ -223,48 +268,87 @@ def simhash(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
     return agg.select("doc_id", sketch.alias("simhash"))
 
 
-def duplicate_clusters(pairs: DataFrame) -> DataFrame:
+def duplicate_clusters(pairs: DataFrame, max_rounds: int = 50) -> DataFrame:
     """Connected components over candidate pairs → (doc_id, cluster_id)
     with cluster_id = min doc_id in the component. The dedup pipeline's
     real deliverable: "keep one doc per CLUSTER", where near-dup
     relations chain transitively (a~b, b~c ⇒ {a,b,c} even if a,c never
     collided).
 
-    Iterative min-label propagation on DataFrames: each round every
-    node takes min(own label, neighbors' labels); fixpoint when no
-    label changes (checked with a 1-row count per round — the standard
-    driver-side loop of an iterative graph algorithm; rounds ≈ graph
-    diameter, and near-dup components are shallow). Each round is one
-    broadcast-or-hash join + groupBy — no single-task stage. For
-    billion-edge graphs swap in large-star/small-star contraction;
-    the interface stays (pairs in, labels out).
+    Iterative min-label propagation WITH POINTER JUMPING: each round
+    (1) every node takes min(own label, neighbors' labels), then
+    (2) every node shortcuts to its label's label (comp ← comp[comp]).
+    Step 2 doubles the propagation horizon, so rounds are
+    O(log diameter), not O(diameter) — a 100-link near-dup chain
+    converges in ~8 rounds instead of 99. Each round is two shuffle
+    joins + a groupBy — no single-task stage.
+
+    Lineage control: the per-round result is localCheckpoint-ed every
+    CHECKPOINT_EVERY rounds (cached otherwise), so the logical plan
+    stays O(CHECKPOINT_EVERY) deep instead of growing with rounds and
+    blowing up Catalyst planning time on deep components. If the
+    round cap is hit without a fixpoint the function raises — wrong
+    (unconverged) labels must never be returned silently.
     """
+    CHECKPOINT_EVERY = 5
     edges = (
         pairs.selectExpr("doc_a AS src", "doc_b AS dst")
         .unionByName(pairs.selectExpr("doc_b AS src", "doc_a AS dst"))
         .distinct()
     )
     labels = edges.select("src").distinct().withColumn("comp", F.col("src"))
-    for _ in range(50):  # safety bound far above any real diameter
+    converged = False
+    prev = None
+    for rnd in range(max_rounds):
         neighbor_min = (
             edges.join(labels.withColumnRenamed("src", "dst_"), F.col("dst") == F.col("dst_"))
             .groupBy("src")
             .agg(F.min("comp").alias("nmin"))
         )
+        stepped = labels.join(neighbor_min, "src", "left").select(
+            "src",
+            F.col("comp").alias("comp0"),
+            F.least(F.col("comp"), F.coalesce(F.col("nmin"), F.col("comp"))).alias("comp"),
+        )
+        # pointer jump: comp values are themselves node ids, so chase
+        # one level (comp ← comp[comp]); every label is a node's
+        # current minimum, so the jump never overshoots the true min
         updated = (
-            labels.join(neighbor_min, "src", "left")
+            stepped.join(
+                stepped.select(
+                    F.col("src").alias("j_src"), F.col("comp").alias("j_comp")
+                ),
+                F.col("comp") == F.col("j_src"),
+                "left",
+            )
             .select(
                 "src",
-                F.least(F.col("comp"), F.coalesce(F.col("nmin"), F.col("comp"))).alias("comp"),
-                (F.col("nmin") < F.col("comp")).alias("_chg"),
+                F.least(
+                    F.col("comp"), F.coalesce(F.col("j_comp"), F.col("comp"))
+                ).alias("comp"),
+                "comp0",
             )
-        ).cache()
+            .select(
+                "src", "comp", (F.col("comp") < F.col("comp0")).alias("_chg")
+            )
+        )
+        if (rnd + 1) % CHECKPOINT_EVERY == 0:
+            updated = updated.localCheckpoint(eager=True)
+        else:
+            updated = updated.cache()
         changed = updated.filter(F.col("_chg")).limit(1).count()
-        new_labels = updated.select("src", "comp")
-        labels.unpersist() if hasattr(labels, "unpersist") else None
-        labels = new_labels
+        if prev is not None:
+            prev.unpersist()
+        prev = updated
+        labels = updated.select("src", "comp")
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"duplicate_clusters did not converge in {max_rounds} rounds; "
+            "component diameter exceeds 2^rounds — raise max_rounds"
+        )
     return labels.select(
         F.col("src").alias("doc_id"), F.col("comp").alias("cluster_id")
     )
