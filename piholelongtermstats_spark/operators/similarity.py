@@ -19,8 +19,9 @@ across engines (float sums agree to ~1e-16 but not always bit-exact).
 from __future__ import annotations
 
 import hashlib
+import math
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Few planes: buckets ≈ 2^N_PLANES; size for candidate sets of ~N/2^p
@@ -28,6 +29,10 @@ from pyspark.sql import functions as F
 # 4 planes (16 buckets) keeps candidate sets non-trivial; a 1B-vector
 # deployment would use 16-24 planes + multi-probe.
 N_PLANES = 4
+# Adaptive-plane target: expected vectors per bucket before the
+# within-bucket pair join (embedding_near_dup_pairs sizes planes so
+# n/2^planes ≈ this).
+TARGET_BUCKET = 256
 
 
 def _dim(emb: DataFrame) -> int:
@@ -158,15 +163,47 @@ def lsh_ann_topk(
     )
 
 
-def embedding_near_dup_pairs(emb: DataFrame, threshold: float = 0.4) -> DataFrame:
+def embedding_near_dup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.4,
+    n_planes: int | None = None,
+    bucket_cap: int | None = None,
+) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via LSH bucketing:
     all-pairs cosine WITHIN each sign-bucket only (near-identical
-    vectors share buckets with high probability)."""
+    vectors share buckets with high probability).
+
+    Scale controls (the within-bucket join is quadratic per bucket):
+
+    - ``n_planes=None`` → adaptive: enough planes that the EXPECTED
+      bucket holds ~TARGET_BUCKET vectors (ceil(log2(n/target)),
+      floored at N_PLANES). 500 test vectors keep 4 planes; 10⁹
+      vectors get 22 — bucket joins stay ~target² rows each.
+    - ``bucket_cap`` bounds the worst case: at most bucket_cap rows
+      per bucket enter pair generation (deterministic vec_id order).
+      A capped bucket trades recall for a hard cost ceiling; buckets
+      only exceed ~target when the data is a mass of near-identical
+      vectors — in which case the surviving representatives still
+      pair with each other and transitive clustering recovers the
+      rest (operators/dedup.duplicate_clusters).
+    """
+    n = emb.count()
+    if n_planes is None:
+        n_planes = max(
+            N_PLANES, math.ceil(math.log2(max(n, 1) / TARGET_BUCKET)) if n > TARGET_BUCKET else N_PLANES
+        )
     dim_count = _dim(emb)
     v = F.col("embedding").cast("array<double>")
     b = emb.select(
-        "vec_id", v.alias("v"), lsh_bucket(v, dim_count).alias("bucket")
+        "vec_id", v.alias("v"), lsh_bucket(v, dim_count, n_planes).alias("bucket")
     )
+    if bucket_cap is not None:
+        w = Window.partitionBy("bucket").orderBy("vec_id")
+        b = (
+            b.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= bucket_cap)
+            .drop("_rn")
+        )
     pairs = (
         b.alias("a")
         .join(b.alias("b"), "bucket")
