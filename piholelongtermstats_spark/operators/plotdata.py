@@ -101,12 +101,26 @@ def filtered_timeseries(rollup: DataFrame, client: str | None = None) -> DataFra
 
 
 def client_activity(rollup: DataFrame, client: str) -> DataFrame:
-    """Interactive callback #2: one client's total hourly activity
-    (plot.py:268-364)."""
-    return (
+    """Interactive callback #2: one client's total hourly activity,
+    zero-filled over the FULL hour spine of the rollup — the reference
+    reindexes the single-client series over the whole hour range with
+    fill_value=0 (plot.py:321-331), so a sparse client renders zeros,
+    not gaps."""
+    series = (
         rollup.filter(F.col("client") == client)
         .groupBy("hour_bucket")
         .agg(F.sum("cnt").alias("cnt"))
+    )
+    bounds = rollup.agg(
+        F.min("hour_bucket").alias("lo"), F.max("hour_bucket").alias("hi")
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence(F.col("lo"), F.col("hi"), F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour_bucket")
+    )
+    return spine.join(F.broadcast(series), "hour_bucket", "left").select(
+        "hour_bucket", F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt")
     )
 
 

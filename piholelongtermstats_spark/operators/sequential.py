@@ -198,24 +198,30 @@ def _runs_per_date(fact: DataFrame) -> DataFrame:
 
 def longest_streaks_stitched(fact: DataFrame) -> DataFrame:
     """Distributed longest_streaks: identical result, no global-order
-    window over the fact table.
+    window over the fact table — nor over the per-date summary.
 
-    Decomposition (the §7 M4 scale plan):
+    Decomposition (the §7 M4 scale plan), two stitch levels:
 
       1. runs within each date partition (parallel);
       2. only each date's FIRST and LAST run can merge across
          midnight; interior runs are already maximal. The reduced
-         boundary sequence is ≤2 rows per date — the single global
-         window left runs over ~2 rows/day, not the fact table;
-      3. chain-merge adjacent boundary runs iff same status AND the
-         dates differ (adjacent runs WITHIN a date always alternate
-         status by maximality; first/last of the same date are only
-         pseudo-adjacent in the reduced sequence, and when n_runs ≥ 3
-         they may coincidentally share a status — the date-differs
-         guard keeps them apart). A single-run date passes a chain
-         straight through, so multi-day streaks stitch correctly;
-      4. interior runs ∪ stitched chains → top-1 per status, tie-break
-         pinned (len DESC, start_ts ASC) like the reference oracle.
+         boundary sequence is ≤2 rows per date;
+      3. level-1 stitch: chain-merge adjacent boundary runs iff same
+         status AND the dates differ (adjacent runs WITHIN a date
+         always alternate status by maximality; first/last of the
+         same date are only pseudo-adjacent in the reduced sequence —
+         the date-differs guard keeps them apart). This window is
+         PARTITIONED BY calendar month — parallel even over decades;
+      4. level-2 stitch: the same reduction one level up. Only each
+         month's first and last chain can merge across a month
+         boundary; interior chains are final. The guard is now
+         month-differs (two same-month chains adjacent in the reduced
+         sequence were already split deliberately at level 1). The
+         one remaining global window orders ≤2 rows per MONTH — ~24
+         rows/year, trivially single-task safe at any horizon;
+      5. interior runs ∪ interior chains ∪ stitched month-chains →
+         top-1 per status, tie-break pinned (len DESC, start_ts ASC)
+         like the reference oracle.
     """
     runs = _runs_per_date(fact)
     interior = runs.filter(
@@ -224,26 +230,50 @@ def longest_streaks_stitched(fact: DataFrame) -> DataFrame:
 
     edge = runs.filter(
         (F.col("run_idx") == 1) | (F.col("run_idx") == F.col("n_runs"))
-    )
-    w_seq = Window.orderBy("_d", "run_idx")  # ≤2 rows/date — tiny
+    ).withColumn("_m", F.trunc("_d", "month"))
+    w_seq = Window.partitionBy("_m").orderBy("_d", "run_idx")
     new_chain = F.when(
         F.lag("status_type").over(w_seq).isNull()
         | (F.lag("status_type").over(w_seq) != F.col("status_type"))
         | (F.lag("_d").over(w_seq) == F.col("_d")),
         1,
     ).otherwise(0)
-    chain_id = F.sum("new_chain").over(
+    chain_idx = F.sum("new_chain").over(
         w_seq.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     chains = (
         edge.withColumn("new_chain", new_chain)
-        .withColumn("chain_id", chain_id)
-        .groupBy("chain_id", "status_type")
+        .withColumn("chain_idx", chain_idx)
+        .groupBy("_m", "chain_idx", "status_type")
+        .agg(F.sum("streak_len").alias("streak_len"), F.min("start_ts").alias("start_ts"))
+        .withColumn("n_chains", F.max("chain_idx").over(Window.partitionBy("_m")))
+    )
+    interior_chains = chains.filter(
+        (F.col("chain_idx") > 1) & (F.col("chain_idx") < F.col("n_chains"))
+    ).select("status_type", "streak_len", "start_ts")
+
+    medge = chains.filter(
+        (F.col("chain_idx") == 1) | (F.col("chain_idx") == F.col("n_chains"))
+    )
+    w_m = Window.orderBy("_m", "chain_idx")  # ≤2 rows/month — tiny
+    new_chain2 = F.when(
+        F.lag("status_type").over(w_m).isNull()
+        | (F.lag("status_type").over(w_m) != F.col("status_type"))
+        | (F.lag("_m").over(w_m) == F.col("_m")),
+        1,
+    ).otherwise(0)
+    chain2_id = F.sum("new_chain2").over(
+        w_m.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    month_chains = (
+        medge.withColumn("new_chain2", new_chain2)
+        .withColumn("chain2_id", chain2_id)
+        .groupBy("chain2_id", "status_type")
         .agg(F.sum("streak_len").alias("streak_len"), F.min("start_ts").alias("start_ts"))
         .select("status_type", "streak_len", "start_ts")
     )
 
-    candidates = interior.unionByName(chains)
+    candidates = interior.unionByName(interior_chains).unionByName(month_chains)
     w_top = Window.partitionBy("status_type").orderBy(
         F.col("streak_len").desc(), F.col("start_ts").asc()
     )
