@@ -69,7 +69,7 @@ def uniques(fact: DataFrame) -> DataFrame:
     Exact (not approx_count_distinct) — the reference's tests assert
     exact values (tests/test_stats.py:464-467). At 100 TB this is the
     one aggregate worth an approximate variant; see
-    operators/stats.py:approx_uniques for the opt-in HLL path.
+    operators/approx.py:uniques_approx for the opt-in HLL path.
     """
     return fact.agg(
         F.countDistinct("domain").alias("unique_domains"),

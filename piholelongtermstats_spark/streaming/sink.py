@@ -34,10 +34,12 @@ def merge_batch(spark: SparkSession, batch: DataFrame, target_dir: str) -> None:
     """Upsert one (possibly replayed) batch of rollup rows into the
     date-partitioned parquet table at target_dir."""
     batch = batch.withColumn(PART_COL, F.to_date("hour_bucket")).cache()
+    conf_key = "spark.sql.sources.partitionOverwriteMode"
+    prev_mode = spark.conf.get(conf_key, None)
     try:
         if batch.isEmpty():
             return
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        spark.conf.set(conf_key, "dynamic")
         try:
             existing = spark.read.parquet(target_dir)
         except Exception:  # first batch: nothing to merge
@@ -49,14 +51,25 @@ def merge_batch(spark: SparkSession, batch: DataFrame, target_dir: str) -> None:
                 batch.select(*KEY_COLS), KEY_COLS, "left_anti"
             )
             out = survivors.unionByName(batch)
+        # Materialize BEFORE the overwrite: `out` lazily reads the very
+        # files the write below replaces — localCheckpoint pins the
+        # merged rows to executor storage so the overwrite never races
+        # its own input. (Atomicity across a mid-write crash is the
+        # lakehouse formats' job — a Delta/Iceberg MERGE INTO replaces
+        # this whole block; plain parquet gets idempotent-replay
+        # safety, which the checkpointed source already provides.)
+        out = out.repartition(PART_COL).localCheckpoint(eager=True)
         (
-            out.repartition(PART_COL)
-            .write.mode("overwrite")
+            out.write.mode("overwrite")
             .partitionBy(PART_COL)
             .parquet(target_dir)
         )
     finally:
         batch.unpersist()
+        if prev_mode is None:
+            spark.conf.unset(conf_key)
+        else:
+            spark.conf.set(conf_key, prev_mode)
 
 
 def start_rollup_upsert(
