@@ -277,11 +277,14 @@ def duplicate_clusters(pairs: DataFrame, max_rounds: int = 50) -> DataFrame:
 
     Iterative min-label propagation WITH POINTER JUMPING: each round
     (1) every node takes min(own label, neighbors' labels), then
-    (2) every node shortcuts to its label's label (comp ← comp[comp]).
-    Step 2 doubles the propagation horizon, so rounds are
-    O(log diameter), not O(diameter) — a 100-link near-dup chain
-    converges in ~8 rounds instead of 99. Each round is two shuffle
-    joins + a groupBy — no single-task stage.
+    (2) from round JUMP_AFTER on, every node also shortcuts to its
+    label's label (comp ← comp[comp]). Step 2 doubles the propagation
+    horizon, so rounds are O(log diameter), not O(diameter) — a
+    100-link near-dup chain converges in ~10 rounds instead of 99 —
+    while the first rounds stay single-join cheap (shallow near-dup
+    components, the common case, converge before the jump engages).
+    Each round is at most two shuffle joins + a groupBy — no
+    single-task stage.
 
     Lineage control: the per-round result is localCheckpoint-ed every
     CHECKPOINT_EVERY rounds (cached otherwise), so the logical plan
@@ -291,10 +294,15 @@ def duplicate_clusters(pairs: DataFrame, max_rounds: int = 50) -> DataFrame:
     (unconverged) labels must never be returned silently.
     """
     CHECKPOINT_EVERY = 5
+    JUMP_AFTER = 2
+    # Pin the edge list: every round re-reads it, and without this the
+    # LSH shingle→minhash→band candidate pipeline upstream would be
+    # re-executed once per round per reference.
     edges = (
         pairs.selectExpr("doc_a AS src", "doc_b AS dst")
         .unionByName(pairs.selectExpr("doc_b AS src", "doc_a AS dst"))
         .distinct()
+        .cache()
     )
     labels = edges.select("src").distinct().withColumn("comp", F.col("src"))
     converged = False
@@ -310,33 +318,47 @@ def duplicate_clusters(pairs: DataFrame, max_rounds: int = 50) -> DataFrame:
             F.col("comp").alias("comp0"),
             F.least(F.col("comp"), F.coalesce(F.col("nmin"), F.col("comp"))).alias("comp"),
         )
-        # pointer jump: comp values are themselves node ids, so chase
-        # one level (comp ← comp[comp]); every label is a node's
-        # current minimum, so the jump never overshoots the true min
-        updated = (
-            stepped.join(
-                stepped.select(
-                    F.col("src").alias("j_src"), F.col("comp").alias("j_comp")
-                ),
-                F.col("comp") == F.col("j_src"),
-                "left",
-            )
-            .select(
-                "src",
-                F.least(
-                    F.col("comp"), F.coalesce(F.col("j_comp"), F.col("comp"))
-                ).alias("comp"),
-                "comp0",
-            )
-            .select(
+        if rnd < JUMP_AFTER:
+            # shallow components (the near-dup common case) converge in
+            # 2-3 plain min-label rounds — don't pay the jump join yet
+            stepped_cached = None
+            updated = stepped.select(
                 "src", "comp", (F.col("comp") < F.col("comp0")).alias("_chg")
             )
-        )
+        else:
+            # pointer jump: comp values are themselves node ids, so
+            # chase one level (comp ← comp[comp]) — doubles the
+            # propagation horizon per round for deep chains; every
+            # label is a node's current minimum, so the jump never
+            # overshoots the true min. Cached: the self-join reads
+            # stepped twice.
+            stepped_cached = stepped.cache()
+            updated = (
+                stepped_cached.join(
+                    stepped_cached.select(
+                        F.col("src").alias("j_src"), F.col("comp").alias("j_comp")
+                    ),
+                    F.col("comp") == F.col("j_src"),
+                    "left",
+                )
+                .select(
+                    "src",
+                    F.least(
+                        F.col("comp"), F.coalesce(F.col("j_comp"), F.col("comp"))
+                    ).alias("comp"),
+                    "comp0",
+                )
+                .select(
+                    "src", "comp", (F.col("comp") < F.col("comp0")).alias("_chg")
+                )
+            )
         if (rnd + 1) % CHECKPOINT_EVERY == 0:
             updated = updated.localCheckpoint(eager=True)
         else:
             updated = updated.cache()
         changed = updated.filter(F.col("_chg")).limit(1).count()
+        if stepped_cached is not None:
+            stepped_cached.unpersist()
         if prev is not None:
             prev.unpersist()
         prev = updated
