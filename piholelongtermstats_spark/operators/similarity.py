@@ -90,21 +90,25 @@ def cosine_topk(emb: DataFrame, query_vec_id: int = 0, k: int = 10) -> DataFrame
     )
 
 
-def _plane(dim_count: int, plane: int) -> Column:
-    """Deterministic pseudo-random hyperplane: component j of plane p
-    is +1/−1 by bit 0 of md5(p || ':' || j) — the same bits the
-    in-plan md5 expression would produce, but computed ONCE on the
-    driver with hashlib and shipped as a literal array.  The naive
-    formulation re-evaluated dim_count×n_planes md5s per ROW (not
-    foldable: the lambda variable blocks constant folding); this is a
-    pure literal, so the per-row work is just the dot product."""
-    signs = [
+def plane_signs(dim_count: int, plane: int) -> list[float]:
+    """±1 components of deterministic hyperplane ``plane``: bit 0 of
+    md5(p || ':' || j). Exposed so the DuckDB oracle can embed the
+    identical planes as SQL array literals (plans/registry_m7.py)."""
+    return [
         1.0
         if int(hashlib.md5(f"{plane}:{j}".encode()).hexdigest()[:15], 16) & 1
         else -1.0
         for j in range(dim_count)
     ]
-    return F.array(*[F.lit(s) for s in signs])
+
+
+def _plane(dim_count: int, plane: int) -> Column:
+    """Deterministic pseudo-random hyperplane as a literal array —
+    computed ONCE on the driver with hashlib.  The naive formulation
+    re-evaluated dim_count×n_planes md5s per ROW (not foldable: the
+    lambda variable blocks constant folding); this is a pure literal,
+    so the per-row work is just the dot product."""
+    return F.array(*[F.lit(s) for s in plane_signs(dim_count, plane)])
 
 
 def lsh_bucket(v: Column, dim_count: int, n_planes: int = N_PLANES) -> Column:

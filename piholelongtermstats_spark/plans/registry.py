@@ -756,6 +756,71 @@ def q_salted_top_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ROLLUP_CTE = (
+    FACT_CTE
+    + """
+, roll AS (
+  SELECT date_trunc('hour', ts) AS hour_bucket, status_type, client,
+         count(*) AS cnt
+  FROM fact GROUP BY 1, 2, 3
+), bounds AS (SELECT min(hour_bucket) AS lo, max(hour_bucket) AS hi FROM roll),
+spine AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour_bucket
+  FROM bounds
+)
+"""
+)
+
+
+@register(
+    "client_activity",
+    _ROLLUP_CTE
+    + """
+, series AS (
+  SELECT hour_bucket, CAST(sum(cnt) AS BIGINT) AS cnt FROM roll
+  WHERE client = (SELECT min(client) FROM fact) GROUP BY 1
+)
+SELECT s.hour_bucket, coalesce(x.cnt, 0) AS cnt
+FROM spine s LEFT JOIN series x ON x.hour_bucket = s.hour_bucket
+""",
+)
+def q_client_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interactive single-client hourly activity off the ROLLUP (never
+    the fact table), zero-filled over the full hour spine (reference
+    plot.py:268-364 + the 321-331 reindex). The probed client (min) is
+    deterministic on both engines."""
+    from piholelongtermstats_spark.operators import plotdata
+
+    fact = _fact(spark, sf_dir)
+    client = fact.agg(F.min("client")).first()[0]
+    return plotdata.client_activity(timeagg.hourly_rollup(fact), client)
+
+
+@register(
+    "filtered_timeseries_client",
+    _ROLLUP_CTE
+    + """
+, series AS (
+  SELECT hour_bucket, status_type, CAST(sum(cnt) AS BIGINT) AS cnt FROM roll
+  WHERE client = (SELECT min(client) FROM fact) GROUP BY 1, 2
+), dims AS (SELECT DISTINCT status_type FROM roll)
+SELECT s.hour_bucket, d.status_type, coalesce(x.cnt, 0) AS cnt
+FROM spine s CROSS JOIN dims d
+LEFT JOIN series x ON x.hour_bucket = s.hour_bucket
+                  AND x.status_type = d.status_type
+""",
+)
+def q_filtered_timeseries_client(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interactive per-status series for ONE client off the rollup,
+    zero-filled against the full (hour × status) spine
+    (plot.py:165-265)."""
+    from piholelongtermstats_spark.operators import plotdata
+
+    fact = _fact(spark, sf_dir)
+    client = fact.agg(F.min("client")).first()[0]
+    return plotdata.filtered_timeseries(timeagg.hourly_rollup(fact), client)
+
+
 @register("uniques_approx")  # rows-only: HLL sketch values aren't portable SQL
 def q_uniques_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ distinct counts — the constant-space scale

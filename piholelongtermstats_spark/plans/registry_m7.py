@@ -101,8 +101,7 @@ def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.exact_dedup_counts(docs.unionByName(docs))
 
 
-@register(
-    "ngram_jaccard_pairs",
+_JACCARD_ORACLE = (
     _SHINGLE_CTE
     + """
 , sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
@@ -117,11 +116,26 @@ FROM inter
 JOIN sizes sa ON sa.doc_id = doc_a
 JOIN sizes sb ON sb.doc_id = doc_b
 WHERE round(CAST(i AS DOUBLE) / (sa.n_sh + sb.n_sh - i), 6) >= 0.8
-""",
+"""
 )
+
+
+@register("ngram_jaccard_pairs", _JACCARD_ORACLE)
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_jaccard_pairs(
         _docs(spark, sf_dir), 0.8, sh=_shingles(spark, sf_dir)
+    )
+
+
+@register("ngram_jaccard_capped", _JACCARD_ORACLE)
+def q_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stop-shingle-mitigated candidate path (df_cap) checked
+    against the SAME exact-Jaccard oracle: candidates come from
+    shingles with document frequency ≤ 100 only, then candidates are
+    re-scored exactly — the driver proves the skew-bounded plan
+    returns the identical pair set."""
+    return dedup.ngram_jaccard_pairs(
+        _docs(spark, sf_dir), 0.8, sh=_shingles(spark, sf_dir), df_cap=100
     )
 
 
@@ -339,7 +353,48 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_topk(_emb(spark, sf_dir), 0, 10)
 
 
-@register("lsh_ann_topk")  # rows-only: LSH bucket internals aren't ANSI SQL
+# The md5-derived hyperplanes are deterministic Python-side constants
+# (similarity.plane_signs), so the oracle embeds the IDENTICAL planes
+# as SQL array literals and reproduces buckets bit-for-bit. Plane
+# count is pinned to N_PLANES (=4) in these oracle-checked entries —
+# the adaptive sizing (embedding_near_dup_pairs n_planes=None) stays
+# the production default and is covered by pytest recall tests.
+_EMB_DIM = 64  # driver testdata embedding dimensionality (all SFs)
+
+
+def _bucket_sql(col: str, n_planes: int = similarity.N_PLANES) -> str:
+    terms = []
+    for p in range(n_planes):
+        lit = "[" + ",".join(repr(s) for s in similarity.plane_signs(_EMB_DIM, p)) + "]"
+        terms.append(
+            f"(CASE WHEN list_dot_product({col}, {lit}::DOUBLE[]) > 0"
+            f" THEN {1 << p} ELSE 0 END)"
+        )
+    return " + ".join(terms)
+
+
+_BUCKETED_CTE = f"""
+WITH b AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS v,
+         {_bucket_sql('embedding::DOUBLE[]')} AS bucket
+  FROM embeddings
+)
+"""
+
+
+@register(
+    "lsh_ann_topk",
+    _BUCKETED_CTE
+    + """
+, q AS (SELECT v AS qv, bucket AS qb FROM b WHERE vec_id = 0)
+SELECT vec_id, label,
+       round(list_cosine_similarity(v, qv), 6) AS cosine
+FROM b, q
+WHERE vec_id <> 0
+  AND (bucket = qb OR bucket = xor(qb, 1) OR bucket = xor(qb, 2))
+ORDER BY cosine DESC, vec_id LIMIT 10
+""",
+)
 def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # multiprobe=2: probe the query bucket + its two nearest
     # hamming-1 neighbors — ~3/16 of the corpus scanned, recall
@@ -365,12 +420,24 @@ def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf.ivf_ann_topk(emb, 0, 10, centroids=cents)
 
 
-@register("embedding_near_dup")  # rows-only
+@register(
+    "embedding_near_dup",
+    _BUCKETED_CTE
+    + """
+SELECT a.vec_id AS vec_a, b2.vec_id AS vec_b,
+       round(list_cosine_similarity(a.v, b2.v), 6) AS cosine
+FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+WHERE round(list_cosine_similarity(a.v, b2.v), 6) >= 0.4
+""",
+)
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 0.4: the synthetic embeddings have no planted near-dups (max
     # pairwise cosine ≈ 0.5), so a production-style 0.95 threshold
-    # would trivially return zero rows.
-    return similarity.embedding_near_dup_pairs(_emb(spark, sf_dir), 0.4)
+    # would trivially return zero rows. n_planes pinned to 4 so the
+    # static oracle holds at any SF (adaptive sizing tested in pytest).
+    return similarity.embedding_near_dup_pairs(
+        _emb(spark, sf_dir), 0.4, n_planes=similarity.N_PLANES
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -407,3 +474,66 @@ def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = multimodal.docs_as_media(_docs(spark, sf_dir)).limit(100)
     return multimodal.sample_frames(media, every_ms=1000, duration_ms=5000)
+
+
+# Oracle-checked projections of the stubbed media pipelines: DuckDB
+# v1.0 has no BLOB substring/md5, so raw payload bytes can't cross the
+# oracle boundary — these check everything EXCEPT the bytes: the
+# resize metadata arithmetic, and the frame fan-out shape + slice
+# arithmetic (payload lengths), over a deterministic doc subset.
+
+@register(
+    "media_resize_check",
+    """
+SELECT doc_id AS media_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       CAST(256 AS INTEGER) AS width, CAST(256 AS INTEGER) AS height
+FROM documents
+""",
+)
+def q_media_resize_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """resize_images with NULL source dims fills max_side=256 and
+    scale clips to 1.0 → 256×256 passthrough; payload verified by
+    length (bytes can't cross the DuckDB boundary)."""
+    from pyspark.sql import functions as F
+
+    media = multimodal.docs_as_media(_docs(spark, sf_dir))
+    return multimodal.resize_images(media, max_side=256).select(
+        "media_id",
+        F.octet_length("payload").cast("long").alias("n_bytes"),
+        "width",
+        "height",
+    )
+
+
+@register(
+    "media_frames_check",
+    """
+WITH m AS (
+  SELECT doc_id AS media_id, octet_length(encode(text)) AS n0
+  FROM documents WHERE doc_id < 100
+), i AS (SELECT unnest(generate_series(0, 4)) AS frame_idx)
+SELECT media_id,
+       CAST(frame_idx AS BIGINT) AS frame_idx,
+       CAST(frame_idx * 1000 AS BIGINT) AS frame_ts_ms,
+       CAST(greatest(least(16, n0 - ((frame_idx * 16) % greatest(n0, 1))), 0)
+            AS BIGINT) AS n_bytes
+FROM m CROSS JOIN i
+""",
+)
+def q_media_frames_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sample_frames fan-out over a DETERMINISTIC subset (doc_id<100 —
+    the rows-only variant's limit(100) is not a stable set): 5 frames
+    per item, ts = idx·1000 ms, payload = 16-byte slice at
+    (idx·16) mod n — the slice-length arithmetic is reproduced in SQL."""
+    from pyspark.sql import functions as F
+
+    media = multimodal.docs_as_media(_docs(spark, sf_dir)).filter(
+        F.col("media_id") < 100
+    )
+    return multimodal.sample_frames(media, every_ms=1000, duration_ms=5000).select(
+        "media_id",
+        "frame_idx",
+        "frame_ts_ms",
+        F.octet_length("payload").cast("long").alias("n_bytes"),
+    )
