@@ -5,6 +5,8 @@ from __future__ import annotations
 
 import datetime as dt
 
+import pytest
+
 from piholelongtermstats_spark.streaming.rollup import (
     STREAM_SCHEMA,
     start_rollup_to_memory,
@@ -240,3 +242,121 @@ def test_rollup_upsert_sink_incremental(spark, tmp_path):
         (h11, "Allowed", "c2"): 1,
         (h10 + dt.timedelta(days=2), "Blocked", "c3"): 1,
     }
+
+
+def _has_protobuf() -> bool:
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    not _has_protobuf(),
+    reason="transformWithState's Python state-server protocol needs "
+    "google.protobuf, absent in this container (pip install disallowed); "
+    "StreakProcessor semantics are covered by test_streak_processor_logic",
+)
+def test_transform_with_state_streaks(spark, tmp_path):
+    """transformWithStateInPandas (Spark 4 typed state): per-client
+    streaks carry across micro-batches through the checkpointed
+    ValueState — a Blocked run split across two batches stitches to
+    length 3, which no per-batch computation could produce."""
+    from piholelongtermstats_spark.streaming.stateful import (
+        client_streaks_stream,
+    )
+
+    src = str(tmp_path / "streak_src")
+    ckpt = str(tmp_path / "streak_ckpt")
+    t0 = dt.datetime.fromisoformat("2024-01-01T10:00:00")
+    _write_batch(
+        spark,
+        src,
+        [
+            (1, t0, "c1", "d", "Allowed", 0.1),
+            (2, t0 + dt.timedelta(minutes=1), "c1", "d", "Allowed", 0.1),
+            (3, t0 + dt.timedelta(minutes=2), "c1", "d", "Blocked", 0.1),
+        ],
+    )
+    def run(name):
+        out = client_streaks_stream(spark, src, STREAM_SCHEMA)
+        q = (
+            out.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {
+            r["client"]: (r["cur_status"], r["cur_len"], r["best_status"], r["best_len"])
+            for r in spark.sql(f"SELECT * FROM {name}").collect()
+        }
+
+    got1 = run("streaks_t1")
+    assert got1["c1"] == ("Blocked", 1, "Allowed", 2)
+
+    # batch 2 continues the Blocked run; same checkpoint => state carries
+    _write_batch(
+        spark,
+        src,
+        [
+            (4, t0 + dt.timedelta(minutes=3), "c1", "d", "Blocked", 0.1),
+            (5, t0 + dt.timedelta(minutes=4), "c1", "d", "Blocked", 0.1),
+        ],
+    )
+    got2 = run("streaks_t2")
+    assert got2["c1"] == ("Blocked", 3, "Blocked", 3)
+
+
+def test_streak_processor_logic():
+    """StreakProcessor semantics without the streaming runtime (the
+    runtime path is gated on protobuf): state folds across calls,
+    intra-batch rows are sorted by (ts, event_id)."""
+    import pandas as pd
+
+    from piholelongtermstats_spark.streaming.stateful import StreakProcessor
+
+    class FakeState:
+        def __init__(self):
+            self.v = None
+
+        def exists(self):
+            return self.v is not None
+
+        def get(self):
+            return self.v
+
+        def update(self, v):
+            self.v = v
+
+    proc = StreakProcessor()
+    proc._streak = FakeState()
+    t0 = dt.datetime.fromisoformat("2024-01-01T10:00:00")
+
+    def batch(rows):
+        pdf = pd.DataFrame(
+            rows, columns=["event_id", "ts", "status_type"]
+        )
+        out = list(proc.handleInputRows(("c1",), iter([pdf]), None))
+        return out[0].iloc[0]
+
+    # out-of-order within the batch: must fold as A,A,B
+    r1 = batch([
+        (3, t0 + dt.timedelta(minutes=2), "Blocked"),
+        (1, t0, "Allowed"),
+        (2, t0 + dt.timedelta(minutes=1), "Allowed"),
+    ])
+    assert (r1["cur_status"], r1["cur_len"]) == ("Blocked", 1)
+    assert (r1["best_status"], r1["best_len"]) == ("Allowed", 2)
+
+    # next batch continues the Blocked run via carried state
+    r2 = batch([
+        (4, t0 + dt.timedelta(minutes=3), "Blocked"),
+        (5, t0 + dt.timedelta(minutes=4), "Blocked"),
+    ])
+    assert (r2["cur_status"], r2["cur_len"]) == ("Blocked", 3)
+    assert (r2["best_status"], r2["best_len"]) == ("Blocked", 3)
