@@ -374,3 +374,94 @@ def duplicate_clusters(pairs: DataFrame, max_rounds: int = 50) -> DataFrame:
     return labels.select(
         F.col("src").alias("doc_id"), F.col("comp").alias("cluster_id")
     )
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Large-star: for each node u, re-attach every strictly LARGER
+    neighbor v to m = min(N(u) ∪ {u}). Emitted pairs are canonical
+    (m < v, since m ≤ u < v). One groupBy + one join per application."""
+    nbr = edges.selectExpr("a AS u", "b AS v").unionByName(
+        edges.selectExpr("b AS u", "a AS v")
+    )
+    mins = nbr.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+    return (
+        nbr.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("m").alias("a"), F.col("v").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Small-star: orient each edge from the larger endpoint u to the
+    smaller v; re-attach u and all its smaller neighbors to
+    m = min(smaller neighbors). Pairs stay canonical (m ≤ v < u)."""
+    down = edges.selectExpr("b AS u", "a AS v")  # canonical a<b ⇒ v<u
+    mins = down.groupBy("u").agg(F.min("v").alias("m"))
+    moved = (
+        down.join(mins, "u")
+        .select(F.col("m").alias("a"), F.col("v").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+    )
+    center = mins.select(F.col("m").alias("a"), F.col("u").alias("b"))
+    return moved.unionByName(center).distinct()
+
+
+def duplicate_clusters_star(pairs: DataFrame, max_rounds: int = 30) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    contraction (Kiveris et al., "Connected Components in MapReduce and
+    Beyond") — the billion-edge scale path promised in
+    duplicate_clusters' docstring, now implemented.
+
+    Where label propagation carries a (node → label) relation PLUS the
+    full edge list through every round, star contraction rewrites the
+    edge list itself: each round strictly flattens components toward a
+    star centered at the component minimum, converging in O(log n)
+    rounds with per-round cost proportional to the CURRENT edge count —
+    which shrinks as stars form. No per-round full-graph join against a
+    growing label table, and the edge relation is the only state.
+
+    Same output contract as duplicate_clusters: (doc_id, cluster_id =
+    min doc_id in component), one row per non-isolated node. Fixpoint =
+    one full large+small round leaves the canonical edge set unchanged;
+    raises if max_rounds is hit first (wrong labels are never returned
+    silently). localCheckpoint every round caps lineage — each round's
+    plan would otherwise stack two joins + three shuffles deep.
+    """
+    edges = (
+        pairs.select(
+            F.least("doc_a", "doc_b").alias("a"),
+            F.greatest("doc_a", "doc_b").alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_rounds):
+        stepped = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        # Set equality: same cardinality and no row in stepped∖edges.
+        # (Both sides are distinct, so the two checks imply equality.)
+        if (
+            stepped.count() == edges.count()
+            and stepped.exceptAll(edges).limit(1).count() == 0
+        ):
+            edges = stepped
+            break
+        edges = stepped
+    else:
+        raise RuntimeError(
+            f"duplicate_clusters_star did not converge in {max_rounds} "
+            "rounds — pathological input or max_rounds too low"
+        )
+    # Fixpoint edge set is a union of stars centered at component
+    # minima: every (a, b) pins b's label to a, and centers label
+    # themselves. groupBy-min is belt-and-braces for the (impossible at
+    # fixpoint) multi-edge case.
+    members = edges.groupBy(F.col("b").alias("doc_id")).agg(
+        F.min("a").alias("cluster_id")
+    )
+    centers = edges.select(F.col("a").alias("doc_id")).subtract(
+        edges.select(F.col("b").alias("doc_id"))
+    ).withColumn("cluster_id", F.col("doc_id"))
+    return members.unionByName(centers)

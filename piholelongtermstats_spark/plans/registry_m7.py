@@ -208,6 +208,18 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.duplicate_clusters(pairs)
 
 
+@register("dedup_clusters_star", _CLUSTERS_ORACLE)
+def q_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components via large-star/small-star contraction —
+    the billion-edge scale path (edge-rewriting, O(log n) rounds) —
+    checked against the same recursive-CTE closure oracle as the
+    label-propagation variant."""
+    pairs = dedup.lsh_candidate_pairs(
+        _docs(spark, sf_dir), sh=_shingles(spark, sf_dir)
+    )
+    return dedup.duplicate_clusters_star(pairs)
+
+
 @register(
     "simhash",
     rf"""
