@@ -432,6 +432,23 @@ def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf.ivf_ann_topk(emb, 0, 10, centroids=cents)
 
 
+@register("pq_ann_topk")  # rows-only: per-subspace k-means isn't ANSI SQL
+def q_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (8 subspaces × 16 codes, ADC scan +
+    exact re-rank) — the memory scale path: 4-byte codes instead of
+    256-byte float vectors, LUT lookups instead of dot products.
+    Codebooks cached per (session, corpus) like the IVF centroids."""
+    from piholelongtermstats_spark.operators import pq
+
+    emb = _emb(spark, sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir, 8, 16, 2)
+    cbs = pq._CODEBOOK_CACHE.get(key)
+    if cbs is None:
+        cbs = pq.train_pq_codebooks(emb, n_iters=2, sample_mod=2)
+        pq._CODEBOOK_CACHE[key] = cbs
+    return pq.pq_ann_topk(emb, 0, 10, codebooks=cbs)
+
+
 @register(
     "embedding_near_dup",
     _BUCKETED_CTE
