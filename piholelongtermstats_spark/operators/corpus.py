@@ -1,0 +1,217 @@
+"""Corpus-level pipeline operators: the end-stages of a training-data
+build that turn per-document signals into a deliverable corpus.
+
+Beyond-reference capability set (the reference has no document corpus;
+these extend the M7 dedup/text tier to the operations a 100 TB
+pretraining pipeline actually runs):
+
+- `dedup_survivors`   — materialize the deduplicated corpus: one
+                        canonical representative per near-dup cluster.
+- `hash_sample`       — deterministic Bernoulli sampling by content
+                        hash (reproducible across runs AND engines —
+                        no RNG, so the sample is a pure filter).
+- `stratified_sample` — exactly-k-per-group sampling with a two-level
+                        tournament that never funnels a whole group
+                        through one task.
+- `tfidf_top_terms`   — per-document top-k TF-IDF terms.
+- `contamination_overlap` — benchmark decontamination: per benchmark
+                        doc, the max n-gram containment against the
+                        rest of the corpus.
+
+All operators are native Column expressions over DataFrames — no
+Python UDFs — and every shuffle is keyed on high-cardinality columns
+(doc_id, term, shingle) unless explicitly documented otherwise.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from piholelongtermstats_spark.operators.text import md5_hash60
+
+
+def dedup_survivors(docs: DataFrame, clusters: DataFrame) -> DataFrame:
+    """Materialize the deduplicated corpus from cluster labels.
+
+    `clusters` is (doc_id, cluster_id) for every document that belongs
+    to a near-dup component (from `dedup.duplicate_clusters` /
+    `duplicate_clusters_star`, where cluster_id = min doc_id of the
+    component). A document is KEPT iff it is not in any cluster, or it
+    is its cluster's canonical representative (doc_id == cluster_id —
+    the min-label invariant makes the representative explicit, no
+    extra argmin pass needed).
+
+    Scale: one shuffle join of the corpus against the (much smaller,
+    but unbounded) cluster-label relation on doc_id. Neither side is
+    broadcast — at 100 TB the label table is itself large.
+    """
+    lab = clusters.select("doc_id", "cluster_id")
+    cid = F.coalesce(F.col("cluster_id"), F.col("doc_id"))
+    return (
+        docs.select("doc_id")
+        .join(lab, "doc_id", "left")
+        .select(
+            "doc_id",
+            cid.alias("cluster_id"),
+            (cid == F.col("doc_id")).cast("long").alias("kept"),
+        )
+    )
+
+
+def hash_sample(docs: DataFrame, pct: int = 10, key: str = "doc_id") -> DataFrame:
+    """Deterministic Bernoulli sample: keep a row iff
+    md5_hash60(key) % 100 < pct.
+
+    Sampling by content hash instead of RNG makes the sample (a) a
+    pure, rerunnable filter — the same rows survive on every run, on
+    any cluster layout, in any engine with md5 — and (b) consistent
+    across tables: sampling two tables by the same join key yields
+    join-closed samples. This is the standard reproducible-subset
+    primitive for pipeline debugging and held-out splits.
+
+    Scale: a map-side filter; no shuffle, prunes at the scan when the
+    predicate is on a partition column.
+    """
+    h = md5_hash60(F.col(key).cast("string"))
+    return docs.where(h % 100 < pct)
+
+
+def stratified_sample(
+    docs: DataFrame,
+    k: int = 20,
+    group: str = "lang",
+    n_buckets: int = 32,
+) -> DataFrame:
+    """Exactly min(k, |group|) rows per group, chosen by deterministic
+    hash order (md5_hash60(doc_id), doc_id) — a reproducible stratified
+    sample for building evaluation sets / balanced training mixes.
+
+    Scale: the naive `row_number() OVER (PARTITION BY group)` funnels
+    every row of a group through ONE task — with a handful of
+    languages over 100 TB that is a straggler by construction.
+    Instead, a two-level tournament: (1) rank within (group, bucket)
+    where bucket = h % n_buckets and keep ≤k per bucket — shuffle keyed
+    on n_buckets× the group cardinality, each partition bounded by the
+    largest bucket; (2) re-rank the ≤ n_buckets·k survivors per group.
+    The group-wide top-k by hash order is a subset of the union of
+    per-bucket top-ks, so the result is EXACTLY the naive window's.
+    """
+    h = md5_hash60(F.col("doc_id").cast("string"))
+    bucketed = docs.select(group, "doc_id").withColumn("_h", h).withColumn(
+        "_b", F.col("_h") % n_buckets
+    )
+    w1 = Window.partitionBy(group, "_b").orderBy("_h", "doc_id")
+    survivors = (
+        bucketed.withColumn("_rn", F.row_number().over(w1))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+    w2 = Window.partitionBy(group).orderBy("_h", "doc_id")
+    return (
+        survivors.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= k)
+        .select("doc_id", group, "rn")
+    )
+
+
+def tfidf_top_terms(docs: DataFrame, k: int = 3) -> DataFrame:
+    """Per-document top-k terms by TF-IDF (tf · ln(N/df)), whitespace
+    tokens; ties broken by (tf desc, term asc) so ranking never
+    depends on float comparison of mathematically-equal scores.
+
+    Scale: explode → two keyed shuffles (tf by (doc,term), df by term)
+    → per-doc window. The document-frequency relation joins back on
+    `term` (high cardinality, no broadcast needed); N arrives via a
+    broadcast cross join of a 1-row aggregate, never a driver-side
+    collect inside the plan.
+    """
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("term")
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .join(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.col("tf").cast("double")
+            * F.log(F.col("n_docs").cast("double") / F.col("df")),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("tf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "doc_id",
+            "rank",
+            "term",
+            "tf",
+            "df",
+            F.round("score", 6).alias("score"),
+        )
+    )
+
+
+def contamination_overlap(
+    sh: DataFrame,
+    bench_mod: int = 29,
+    broadcast_bench: bool = True,
+) -> DataFrame:
+    """Benchmark decontamination: for each benchmark document (doc_id %
+    bench_mod == 0 — a stand-in for a real eval-suite membership list),
+    the maximum shingle CONTAINMENT against any non-benchmark corpus
+    document: |shingles(b) ∩ shingles(c)| / |shingles(b)|.
+
+    Containment (not Jaccard) is the decontamination metric: a short
+    eval prompt fully embedded in a long training doc has low Jaccard
+    but containment 1.0.
+
+    Output: (bench_id, best_match, overlap) — best_match = the
+    highest-overlap corpus doc (ties: smaller doc_id), or -1 with
+    overlap 0.0 for benchmark docs nothing collides with. overlap is
+    one exact integer division, engine-stable.
+
+    Scale: the benchmark side is small BY CONSTRUCTION (an eval suite
+    is thousands of docs against a 100 TB corpus), so its shingle set
+    is broadcast and the corpus side streams map-side through the
+    join — no corpus shuffle at all before the (bench_id, doc_id)
+    partial-aggregated count. Set broadcast_bench=False if the
+    benchmark outgrows executor memory (falls back to a shuffle join
+    keyed on shingle).
+    """
+    is_bench = F.col("doc_id") % bench_mod == 0
+    bsh = sh.filter(is_bench).select(
+        F.col("doc_id").alias("bench_id"), "shingle"
+    )
+    bsize = bsh.groupBy("bench_id").agg(F.count(F.lit(1)).alias("n_b"))
+    csh = sh.filter(~is_bench)
+    joined = csh.join(F.broadcast(bsh) if broadcast_bench else bsh, "shingle")
+    inter = joined.groupBy("bench_id", "doc_id").agg(
+        F.count(F.lit(1)).alias("inter")
+    )
+    w = Window.partitionBy("bench_id").orderBy(
+        F.col("inter").desc(), F.col("doc_id").asc()
+    )
+    best = (
+        inter.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("bench_id", "doc_id", "inter")
+    )
+    return (
+        bsize.join(best, "bench_id", "left")
+        .select(
+            "bench_id",
+            F.coalesce(F.col("doc_id"), F.lit(-1)).alias("best_match"),
+            F.round(
+                F.coalesce(F.col("inter"), F.lit(0)).cast("double")
+                / F.col("n_b"),
+                6,
+            ).alias("overlap"),
+        )
+    )

@@ -1,0 +1,168 @@
+r"""M8 registry: corpus-pipeline end-stage queries — dedup-survivor
+materialization, deterministic sampling, TF-IDF, and benchmark
+decontamination — over the `documents` table, each with DuckDB oracle
+SQL (same md5-based cross-engine hash primitive as M7).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from piholelongtermstats_spark.operators import corpus, dedup
+from piholelongtermstats_spark.plans.registry import register
+from piholelongtermstats_spark.plans.registry_m7 import (
+    _SHINGLE_CTE,
+    _SIG_CTE,
+    _docs,
+    _shingles,
+)
+
+# Shared 60-bit md5 hash, DuckDB side (mirrors text.md5_hash60).
+_H60 = "('0x' || substr(md5({x}), 1, 15))::BIGINT"
+
+# LSH bucket keys → candidate pairs → symmetric edge closure, the same
+# block _CLUSTERS_ORACLE inlines (banding layout pinned to
+# dedup.NUM_PERMS/BAND_SIZE via _SIG_CTE's perm count).
+_EDGE_CTES = """
+, keys AS (
+  SELECT doc_id, perm // 4 AS band,
+         string_agg(minhash::VARCHAR, ',' ORDER BY perm) AS band_key
+  FROM sig GROUP BY doc_id, band
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM keys a
+  JOIN keys b ON a.band = b.band AND a.band_key = b.band_key
+             AND a.doc_id < b.doc_id
+), edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+), reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+), lab AS (
+  SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+  FROM reach GROUP BY src
+)
+"""
+
+
+@register(
+    "dedup_survivors",
+    (_SHINGLE_CTE + _SIG_CTE).replace("WITH tk AS", "WITH RECURSIVE tk AS", 1)
+    + _EDGE_CTES
+    + """
+SELECT d.doc_id,
+       coalesce(l.cluster_id, d.doc_id) AS cluster_id,
+       CAST(coalesce(l.cluster_id, d.doc_id) = d.doc_id AS BIGINT) AS kept
+FROM documents d LEFT JOIN lab l ON d.doc_id = l.doc_id
+""",
+)
+def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end fuzzy-dedup materialization: LSH pairs → connected
+    components → one canonical survivor per cluster, full corpus
+    labeled (doc_id, cluster_id, kept)."""
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.lsh_candidate_pairs(docs, sh=_shingles(spark, sf_dir))
+    return corpus.dedup_survivors(docs, dedup.duplicate_clusters_star(pairs))
+
+
+@register(
+    "hash_sample",
+    f"""
+SELECT doc_id, lang, source
+FROM documents
+WHERE {_H60.format(x="doc_id::VARCHAR")} % 100 < 10
+""",
+)
+def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~10% Bernoulli sample by md5(doc_id) — rerunnable
+    and engine-independent (the oracle literally selects the same
+    rows)."""
+    return corpus.hash_sample(_docs(spark, sf_dir), pct=10).select(
+        "doc_id", "lang", "source"
+    )
+
+
+@register(
+    "stratified_sample",
+    f"""
+SELECT doc_id, lang,
+       CAST(row_number() OVER (
+         PARTITION BY lang
+         ORDER BY {_H60.format(x="doc_id::VARCHAR")}, doc_id
+       ) AS INTEGER) AS rn
+FROM documents
+QUALIFY rn <= 20
+""",
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly 20 docs per language in deterministic hash order. The
+    oracle is the naive single window; the Spark plan is the two-level
+    (group, hash-bucket) tournament that avoids funneling a whole
+    group through one task — identical output by the subset property
+    (corpus.stratified_sample)."""
+    return corpus.stratified_sample(_docs(spark, sf_dir), k=20, group="lang")
+
+
+@register(
+    "tfidf_top_terms",
+    r"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2
+), dfreq AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY 1
+), n AS (SELECT count(*) AS n_docs FROM documents)
+SELECT doc_id,
+       CAST(row_number() OVER (
+         PARTITION BY doc_id
+         ORDER BY tf * ln(n_docs::DOUBLE / df) DESC, tf DESC, term ASC
+       ) AS INTEGER) AS rank,
+       term, tf, df,
+       round(tf * ln(n_docs::DOUBLE / df), 6) AS score
+FROM tf JOIN dfreq USING (term) CROSS JOIN n
+QUALIFY rank <= 3
+""",
+)
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document; ties broken (tf desc, term
+    asc) so ranking never compares mathematically-equal floats."""
+    return corpus.tfidf_top_terms(_docs(spark, sf_dir), k=3)
+
+
+@register(
+    "contamination_overlap",
+    _SHINGLE_CTE
+    + """
+, bsh AS (
+  SELECT doc_id AS bench_id, shingle FROM sh WHERE doc_id % 29 = 0
+), bsize AS (
+  SELECT bench_id, count(*) AS n_b FROM bsh GROUP BY 1
+), inter AS (
+  SELECT b.bench_id, c.doc_id, count(*) AS inter
+  FROM bsh b JOIN sh c USING (shingle)
+  WHERE c.doc_id % 29 <> 0
+  GROUP BY 1, 2
+), best AS (
+  SELECT bench_id, doc_id, inter
+  FROM inter
+  QUALIFY row_number() OVER (
+    PARTITION BY bench_id ORDER BY inter DESC, doc_id ASC
+  ) = 1
+)
+SELECT s.bench_id,
+       coalesce(b.doc_id, -1) AS best_match,
+       round(coalesce(b.inter, 0)::DOUBLE / s.n_b, 6) AS overlap
+FROM bsize s LEFT JOIN best b USING (bench_id)
+""",
+)
+def q_contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: per benchmark doc (doc_id % 29 == 0),
+    max 3-gram containment vs the non-benchmark corpus. The tiny
+    benchmark shingle set is broadcast; the corpus streams map-side
+    (corpus.contamination_overlap)."""
+    return corpus.contamination_overlap(_shingles(spark, sf_dir), bench_mod=29)

@@ -1,0 +1,191 @@
+"""Corpus-pipeline operators (operators/corpus.py): survivor
+materialization, deterministic sampling, TF-IDF, decontamination.
+Constructed edge cases + a differential test of the two-level
+stratified tournament against the naive single window."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from piholelongtermstats_spark.operators import corpus, dedup
+from piholelongtermstats_spark.operators.text import md5_hash60
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup_survivors
+# ---------------------------------------------------------------------------
+
+def test_survivors_keep_representative_and_singletons(spark):
+    docs = _docs(
+        spark,
+        [(i, f"doc {i}", "en", "s") for i in range(6)],
+    )
+    # clusters: {0,3,5} labeled 0 and {2,4} labeled 2; doc 1 unclustered
+    clusters = spark.createDataFrame(
+        [(0, 0), (3, 0), (5, 0), (2, 2), (4, 2)],
+        "doc_id long, cluster_id long",
+    )
+    out = {
+        r["doc_id"]: (r["cluster_id"], r["kept"])
+        for r in corpus.dedup_survivors(docs, clusters).collect()
+    }
+    assert out == {
+        0: (0, 1),
+        1: (1, 1),
+        2: (2, 1),
+        3: (0, 0),
+        4: (2, 0),
+        5: (0, 0),
+    }
+
+
+def test_survivors_end_to_end_with_star_clusters(spark):
+    # Three exact near-dup docs + two unique ones; the LSH pipeline
+    # must cluster the triplet and keep exactly its min doc_id.
+    dup = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = _docs(
+        spark,
+        [
+            (10, dup, "en", "s"),
+            (11, dup, "en", "s"),
+            (12, dup, "en", "s"),
+            (20, "one two three four five six seven eight", "en", "s"),
+            (21, "red green blue cyan magenta yellow black white", "en", "s"),
+        ],
+    )
+    pairs = dedup.lsh_candidate_pairs(docs)
+    out = corpus.dedup_survivors(docs, dedup.duplicate_clusters_star(pairs))
+    kept = sorted(r["doc_id"] for r in out.filter("kept = 1").collect())
+    assert kept == [10, 20, 21]
+
+
+# ---------------------------------------------------------------------------
+# hash_sample
+# ---------------------------------------------------------------------------
+
+def test_hash_sample_deterministic_and_pure_filter(spark):
+    docs = _docs(spark, [(i, f"t {i}", "en", "s") for i in range(500)])
+    a = sorted(r["doc_id"] for r in corpus.hash_sample(docs, pct=10).collect())
+    b = sorted(r["doc_id"] for r in corpus.hash_sample(docs, pct=10).collect())
+    assert a == b
+    assert 20 <= len(a) <= 90  # ~50 expected; md5 is uniform
+    # monotone in pct: the 10% sample is a subset of the 20% sample
+    c = set(r["doc_id"] for r in corpus.hash_sample(docs, pct=20).collect())
+    assert set(a) <= c
+
+
+# ---------------------------------------------------------------------------
+# stratified_sample
+# ---------------------------------------------------------------------------
+
+def test_stratified_tournament_matches_naive_window(spark):
+    rows = [
+        (i, f"t {i}", ["en", "de", "fr"][i % 3], "s") for i in range(200)
+    ]
+    docs = _docs(spark, rows)
+    got = corpus.stratified_sample(docs, k=7, group="lang", n_buckets=8)
+    h = md5_hash60(F.col("doc_id").cast("string"))
+    w = Window.partitionBy("lang").orderBy(h, "doc_id")
+    want = (
+        docs.select("doc_id", "lang")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 7)
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+
+
+def test_stratified_small_group_returns_whole_group(spark):
+    docs = _docs(
+        spark,
+        [(1, "a", "xx", "s"), (2, "b", "xx", "s"), (3, "c", "en", "s")],
+    )
+    out = corpus.stratified_sample(docs, k=5, group="lang")
+    assert out.count() == 3  # both groups smaller than k → all rows
+
+
+# ---------------------------------------------------------------------------
+# tfidf_top_terms
+# ---------------------------------------------------------------------------
+
+def test_tfidf_ranks_distinctive_terms_first(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, "shared shared rare1", "en", "s"),
+            (2, "shared shared rare2", "en", "s"),
+            (3, "shared other other", "en", "s"),
+        ],
+    )
+    out = corpus.tfidf_top_terms(docs, k=1).collect()
+    top = {r["doc_id"]: r["term"] for r in out}
+    # "shared" has df=3 → idf=ln(1)=0; the doc-unique terms win.
+    assert top == {1: "rare1", 2: "rare2", 3: "other"}
+    for r in out:
+        assert r["rank"] == 1 and r["df"] in (1, 2)
+
+
+def test_tfidf_tie_break_by_tf_then_term(spark):
+    # Two terms with identical (tf, df) → identical score: term asc.
+    docs = _docs(
+        spark,
+        [(1, "bb aa", "en", "s"), (2, "cc dd", "en", "s")],
+    )
+    out = (
+        corpus.tfidf_top_terms(docs, k=2)
+        .filter("doc_id = 1")
+        .orderBy("rank")
+        .collect()
+    )
+    assert [r["term"] for r in out] == ["aa", "bb"]
+
+
+# ---------------------------------------------------------------------------
+# contamination_overlap
+# ---------------------------------------------------------------------------
+
+def test_contamination_planted_full_containment(spark):
+    # Benchmark doc 29 is fully embedded in corpus doc 1 → overlap 1.0.
+    bench_text = "alpha beta gamma delta"
+    docs = _docs(
+        spark,
+        [
+            (29, bench_text, "en", "s"),
+            (1, "intro words " + bench_text + " trailing words", "en", "s"),
+            (2, "unrelated content entirely different tokens", "en", "s"),
+            (58, "no shingle collides with this benchmark row", "en", "s"),
+        ],
+    )
+    sh = dedup.shingles(docs)
+    out = {
+        r["bench_id"]: (r["best_match"], r["overlap"])
+        for r in corpus.contamination_overlap(sh, bench_mod=29).collect()
+    }
+    assert out[29] == (1, 1.0)
+    assert out[58] == (-1, 0.0)
+    # benchmark docs never match other benchmark docs
+    assert all(m % 29 != 0 for m, _ in out.values() if m != -1)
+
+
+def test_contamination_shuffle_fallback_matches_broadcast(spark):
+    docs = _docs(
+        spark,
+        [
+            (0, "aa bb cc dd ee", "en", "s"),
+            (1, "aa bb cc xx yy", "en", "s"),
+            (2, "zz ww vv uu tt", "en", "s"),
+        ],
+    )
+    sh = dedup.shingles(docs)
+    a = corpus.contamination_overlap(sh, bench_mod=29, broadcast_bench=True)
+    b = corpus.contamination_overlap(sh, bench_mod=29, broadcast_bench=False)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
