@@ -203,8 +203,10 @@ def contamination_overlap(
         .filter(F.col("_rn") == 1)
         .select("bench_id", "doc_id", "inter")
     )
+    # both sides of the final join are benchmark-sized; broadcast one
+    # so the tiny stitch never sorts
     return (
-        bsize.join(best, "bench_id", "left")
+        bsize.join(F.broadcast(best), "bench_id", "left")
         .select(
             "bench_id",
             F.coalesce(F.col("doc_id"), F.lit(-1)).alias("best_match"),

@@ -127,3 +127,42 @@ def test_streaks_have_no_global_fact_window(spark):
     # partition column (stitched forms: [_d, ts, id] or [keys, _d...])
     bad = re.findall(r"Window \[[^\]]*windowspecdefinition\(ts#", plan)
     assert not bad, f"unpartitioned fact-table window found: {bad}"
+
+
+def test_contamination_broadcasts_bench_side_only(spark):
+    """contamination_overlap: the benchmark shingle set is broadcast
+    (small by construction) and the corpus side is never broadcast —
+    every join in the plan is a BroadcastHashJoin over bench-sized
+    relations, no sort-merge of corpus shingles."""
+    plan = _plan(spark, "contamination_overlap")
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_stratified_sample_has_no_unbucketed_group_window(spark):
+    """stratified_sample: the window over raw corpus rows must be keyed
+    by (group, bucket) — the group-only window may run ONLY above the
+    bucketed survivor filter (bounded at n_buckets*k rows per group).
+    Top-down print: first Window is the final (group-only) re-rank,
+    the LAST Window is the innermost (group, bucket) tournament."""
+    plan = _plan(spark, "stratified_sample")
+    import re
+
+    specs = re.findall(r"windowspecdefinition\([^)]*\)", plan)
+    assert any("_b#" in s for s in specs), plan
+    # the raw-corpus shuffle is keyed (group, bucket), not group-only
+    assert re.search(r"hashpartitioning\(lang#\d+, _b#", plan), plan
+    # Spark 4 pushes the rank<=k filter into WindowGroupLimit, so each
+    # map task pre-prunes to k rows BEFORE the shuffle — assert the
+    # pushdown survives (both windows, partial+final = 4 nodes)
+    assert plan.count("WindowGroupLimit") >= 4, plan
+
+
+def test_tfidf_doc_count_is_broadcast(spark):
+    """tfidf_top_terms: the 1-row corpus-count relation joins via
+    broadcast nested loop (no shuffled cross join), and document
+    frequency joins back on the high-cardinality term key."""
+    plan = _plan(spark, "tfidf_top_terms")
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
