@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from piholelongtermstats_spark.operators.text import md5_hash60
+from piholelongtermstats_spark.operators.text import STOPWORDS, md5_hash60, tokens
 
 
 def dedup_survivors(docs: DataFrame, clusters: DataFrame) -> DataFrame:
@@ -155,6 +155,57 @@ def tfidf_top_terms(docs: DataFrame, k: int = 3) -> DataFrame:
             "df",
             F.round("score", 6).alias("score"),
         )
+    )
+
+
+def corpus_build(
+    docs: DataFrame,
+    min_tokens: int = 10,
+    stop_num: int = 6,
+    stop_den: int = 10,
+    k_per_lang: int = 50,
+) -> DataFrame:
+    """End-to-end training-corpus build as ONE declarative plan:
+
+    quality gate (n_tokens ≥ min_tokens AND stopword ratio ≤
+    stop_num/stop_den) → exact-fingerprint dedup (min doc_id per
+    md5-of-text survives) → per-language stratified cap of k docs in
+    deterministic hash order → manifest (doc_id, lang, n_tokens, rn).
+
+    Everything is integer arithmetic (the stopword-ratio gate is the
+    cross-multiplication sw·den ≤ num·n, never a float division), so
+    the manifest is bit-identical across engines and runs.
+
+    Scale: the gate is a map-side projection+filter; fingerprint dedup
+    windows over the HIGH-cardinality digest key (dup groups are tiny);
+    the cap is the two-level tournament (`stratified_sample`); the
+    final n_tokens stitch broadcasts the ≤ k·|langs|-row manifest —
+    bounded by construction — against the survivor relation.
+    """
+    toks = tokens(F.col("text"))
+    n_tok = F.size(toks).cast("long")
+    sw = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))).cast("long")
+    gated = docs.select(
+        "doc_id",
+        "lang",
+        "text",
+        n_tok.alias("n_tokens"),
+        sw.alias("_sw"),
+    ).filter(
+        (F.col("n_tokens") >= min_tokens)
+        & (F.col("_sw") * stop_den <= stop_num * F.col("n_tokens"))
+    )
+    w = Window.partitionBy(md5_hash60(F.col("text"))).orderBy("doc_id")
+    surv = (
+        gated.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("doc_id", "lang", "n_tokens")
+    )
+    sampled = stratified_sample(surv, k=k_per_lang, group="lang")
+    return (
+        surv.select("doc_id", "n_tokens")
+        .join(F.broadcast(sampled), "doc_id")
+        .select("doc_id", "lang", "n_tokens", "rn")
     )
 
 

@@ -80,6 +80,21 @@ def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared persisted LSH candidate pairs — the pair/cluster/survivor
+    tier (lsh_candidate_pairs, dedup_clusters[_star], dedup_survivors)
+    all consume the same banded self-join; materialize it once per
+    session instead of re-running minhash + banding per query."""
+    return shared_input(
+        spark,
+        "lsh_pairs",
+        sf_dir,
+        lambda: dedup.lsh_candidate_pairs(
+            _docs(spark, sf_dir), sh=_shingles(spark, sf_dir)
+        ),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Deduplication
 # ---------------------------------------------------------------------------
@@ -164,7 +179,7 @@ JOIN keys b ON a.band = b.band AND a.band_key = b.band_key
 """,
 )
 def q_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.lsh_candidate_pairs(_docs(spark, sf_dir), sh=_shingles(spark, sf_dir))
+    return _pairs(spark, sf_dir)
 
 
 # Duplicate clusters: transitive closure over the LSH candidate pairs.
@@ -202,10 +217,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over LSH candidate pairs → duplicate
     clusters (transitive near-dup groups); iterative min-label
     propagation checked against a DuckDB recursive-CTE closure."""
-    pairs = dedup.lsh_candidate_pairs(
-        _docs(spark, sf_dir), sh=_shingles(spark, sf_dir)
-    )
-    return dedup.duplicate_clusters(pairs)
+    return dedup.duplicate_clusters(_pairs(spark, sf_dir))
 
 
 @register("dedup_clusters_star", _CLUSTERS_ORACLE)
@@ -214,10 +226,7 @@ def q_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     the billion-edge scale path (edge-rewriting, O(log n) rounds) —
     checked against the same recursive-CTE closure oracle as the
     label-propagation variant."""
-    pairs = dedup.lsh_candidate_pairs(
-        _docs(spark, sf_dir), sh=_shingles(spark, sf_dir)
-    )
-    return dedup.duplicate_clusters_star(pairs)
+    return dedup.duplicate_clusters_star(_pairs(spark, sf_dir))
 
 
 @register(

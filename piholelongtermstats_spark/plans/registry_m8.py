@@ -7,14 +7,15 @@ SQL (same md5-based cross-engine hash primitive as M7).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 from piholelongtermstats_spark.operators import corpus, dedup
+from piholelongtermstats_spark.operators.text import STOPWORDS
 from piholelongtermstats_spark.plans.registry import register
 from piholelongtermstats_spark.plans.registry_m7 import (
     _SHINGLE_CTE,
     _SIG_CTE,
     _docs,
+    _pairs,
     _shingles,
 )
 
@@ -64,8 +65,8 @@ def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     components → one canonical survivor per cluster, full corpus
     labeled (doc_id, cluster_id, kept)."""
     docs = _docs(spark, sf_dir)
-    pairs = dedup.lsh_candidate_pairs(docs, sh=_shingles(spark, sf_dir))
-    return corpus.dedup_survivors(docs, dedup.duplicate_clusters_star(pairs))
+    clusters = dedup.duplicate_clusters_star(_pairs(spark, sf_dir))
+    return corpus.dedup_survivors(docs, clusters)
 
 
 @register(
@@ -132,6 +133,44 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 TF-IDF terms per document; ties broken (tf desc, term
     asc) so ranking never compares mathematically-equal floats."""
     return corpus.tfidf_top_terms(_docs(spark, sf_dir), k=3)
+
+
+_SW_LIST = "'" + "','".join(STOPWORDS) + "'"
+
+
+@register(
+    "corpus_build",
+    rf"""
+WITH t AS (
+  SELECT doc_id, lang, text,
+         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+         CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+                              x -> x IN ({_SW_LIST}))) AS BIGINT) AS sw
+  FROM documents
+), gated AS (
+  SELECT doc_id, lang, text, n_tokens FROM t
+  WHERE n_tokens >= 10 AND sw * 10 <= 6 * n_tokens
+), surv AS (
+  SELECT doc_id, lang, n_tokens FROM gated
+  QUALIFY row_number() OVER (
+    PARTITION BY ('0x' || substr(md5(text), 1, 15))::BIGINT
+    ORDER BY doc_id
+  ) = 1
+)
+SELECT doc_id, lang, n_tokens,
+       CAST(row_number() OVER (
+         PARTITION BY lang
+         ORDER BY ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT, doc_id
+       ) AS INTEGER) AS rn
+FROM surv
+QUALIFY rn <= 50
+""",
+)
+def q_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole training-corpus build — quality gate, exact-
+    fingerprint dedup, per-language stratified cap — as one Catalyst
+    plan (corpus.corpus_build). Integer-only arithmetic end to end."""
+    return corpus.corpus_build(_docs(spark, sf_dir), k_per_lang=50)
 
 
 @register(

@@ -189,3 +189,40 @@ def test_contamination_shuffle_fallback_matches_broadcast(spark):
     a = corpus.contamination_overlap(sh, bench_mod=29, broadcast_bench=True)
     b = corpus.contamination_overlap(sh, bench_mod=29, broadcast_bench=False)
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+# ---------------------------------------------------------------------------
+# corpus_build (end-to-end manifest)
+# ---------------------------------------------------------------------------
+
+def test_corpus_build_gates_dedups_and_caps(spark):
+    long_ok = " ".join(f"w{i}" for i in range(12))  # 12 tokens, 0 stopwords
+    stopy = "the a of and to in is on for with xx"  # 10/11 stopwords
+    docs = _docs(
+        spark,
+        [
+            (1, long_ok, "en", "s"),
+            (2, long_ok, "en", "s"),          # exact dup of 1 → dropped
+            (3, "short text", "en", "s"),     # < 10 tokens → gated
+            (4, stopy, "en", "s"),            # stop ratio 10/11 > 0.6 → gated
+            (5, long_ok + " tail", "de", "s"),
+        ],
+    )
+    out = corpus.corpus_build(docs, k_per_lang=50).collect()
+    got = {r["doc_id"]: (r["lang"], r["n_tokens"], r["rn"]) for r in out}
+    assert got == {1: ("en", 12, 1), 5: ("de", 13, 1)}
+
+
+def test_corpus_build_cap_applies_per_lang(spark):
+    base = " ".join(f"tok{i}" for i in range(15))
+    docs = _docs(
+        spark,
+        [(i, f"{base} unique{i}", ["en", "de"][i % 2], "s") for i in range(40)],
+    )
+    out = corpus.corpus_build(docs, k_per_lang=5)
+    counts = {
+        r["lang"]: r["n"]
+        for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    assert counts == {"en": 5, "de": 5}
+    assert out.filter("rn > 5").count() == 0
