@@ -158,6 +158,45 @@ def tfidf_top_terms(docs: DataFrame, k: int = 3) -> DataFrame:
     )
 
 
+def doc_repetition(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Intra-document repetition: the fraction of n-gram occurrences
+    that are repeats of an earlier n-gram in the SAME document —
+    the Gopher-style "repetitious text" quality signal (high values
+    flag boilerplate, keyboard mashing, and template spam).
+
+    rep_ratio = (total_ngrams − distinct_ngrams) / total_ngrams,
+    0.0 for docs shorter than n tokens. Exact integer counts, one
+    division — engine-stable without rounding.
+
+    Scale: a pure zero-shuffle projection — the n-gram array is built
+    with higher-order functions on the token array (no explode, no
+    window), so this runs map-side at scan speed. Unlike
+    `dedup.shingles` (a corpus-wide relation feeding joins), the
+    arrays here never leave the row, so HOFs beat explode+groupBy:
+    there is no agg for codegen to win back.
+    """
+    toks = tokens(F.col("text"))
+    # NB: Spark's sequence(1, stop) DESCENDS when stop < 1 (DuckDB's
+    # generate_series returns empty) — guard short docs explicitly.
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    total = F.size(grams).cast("long")
+    distinct = F.size(F.array_distinct(grams)).cast("long")
+    return docs.select(
+        "doc_id",
+        total.alias("total_ngrams"),
+        distinct.alias("distinct_ngrams"),
+        F.when(total > 0, (total - distinct).cast("double") / total)
+        .otherwise(F.lit(0.0))
+        .alias("rep_ratio"),
+    )
+
+
 def corpus_build(
     docs: DataFrame,
     min_tokens: int = 10,

@@ -139,6 +139,34 @@ _SW_LIST = "'" + "','".join(STOPWORDS) + "'"
 
 
 @register(
+    "doc_repetition",
+    r"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+  FROM documents
+), g AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, len(toks) - 2),
+                        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+           AS grams
+  FROM t
+)
+SELECT doc_id,
+       CAST(len(grams) AS BIGINT) AS total_ngrams,
+       CAST(len(list_distinct(grams)) AS BIGINT) AS distinct_ngrams,
+       CASE WHEN len(grams) > 0
+            THEN (len(grams) - len(list_distinct(grams)))::DOUBLE / len(grams)
+            ELSE 0.0 END AS rep_ratio
+FROM g
+""",
+)
+def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style intra-doc repetition signal — zero-shuffle HOF
+    projection (corpus.doc_repetition)."""
+    return corpus.doc_repetition(_docs(spark, sf_dir), n=3)
+
+
+@register(
     "corpus_build",
     rf"""
 WITH t AS (

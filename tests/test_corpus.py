@@ -226,3 +226,25 @@ def test_corpus_build_cap_applies_per_lang(spark):
     }
     assert counts == {"en": 5, "de": 5}
     assert out.filter("rn > 5").count() == 0
+
+
+# ---------------------------------------------------------------------------
+# doc_repetition
+# ---------------------------------------------------------------------------
+
+def test_doc_repetition_counts_repeats_and_short_docs(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, "a b c a b c a b c", "en", "s"),   # 7 grams, 3 distinct
+            (2, "x y z w", "en", "s"),             # 2 grams, both unique
+            (3, "too short", "en", "s"),           # < 3 tokens → 0 grams
+        ],
+    )
+    out = {
+        r["doc_id"]: (r["total_ngrams"], r["distinct_ngrams"], r["rep_ratio"])
+        for r in corpus.doc_repetition(docs, n=3).collect()
+    }
+    assert out[1] == (7, 3, 4 / 7)
+    assert out[2] == (2, 2, 0.0)
+    assert out[3] == (0, 0, 0.0)
