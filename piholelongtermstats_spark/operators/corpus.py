@@ -158,6 +158,36 @@ def tfidf_top_terms(docs: DataFrame, k: int = 3) -> DataFrame:
     )
 
 
+def mix_sample(
+    docs: DataFrame,
+    rates: dict[str, float],
+    group: str = "lang",
+    key: str = "doc_id",
+    default_rate: float = 1.0,
+) -> DataFrame:
+    """Deterministic training-mix downsampling: keep a row of group g
+    with probability rates[g], decided by hash acceptance
+    md5_hash60(key) < rate·2⁶⁰ — the way a data pipeline reweights
+    sources/languages (e.g. cap web crawl at 30%, keep curated text
+    at 100%) while staying reproducible across runs and engines.
+
+    Rates must be in [0, 1] (acceptance sampling only downsamples;
+    up-weighting is replication, a different operator). Thresholds are
+    resolved to integer literals driver-side, so the filter is exact —
+    no float arithmetic per row.
+
+    Scale: zero-shuffle map-side filter (a literal CASE over the
+    group column against the 60-bit hash).
+    """
+    bad = {g: r for g, r in rates.items() if not 0.0 <= r <= 1.0}
+    if bad:
+        raise ValueError(f"rates must be in [0, 1]: {bad}")
+    thr = F.lit(int(default_rate * (1 << 60)))
+    for g, r in sorted(rates.items()):
+        thr = F.when(F.col(group) == g, F.lit(int(r * (1 << 60)))).otherwise(thr)
+    return docs.where(md5_hash60(F.col(key).cast("string")) < thr)
+
+
 def doc_repetition(docs: DataFrame, n: int = 3) -> DataFrame:
     """Intra-document repetition: the fraction of n-gram occurrences
     that are repeats of an earlier n-gram in the SAME document —

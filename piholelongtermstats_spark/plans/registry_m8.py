@@ -138,6 +138,37 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SW_LIST = "'" + "','".join(STOPWORDS) + "'"
 
 
+# Mix rates for the demo query; thresholds resolve to the SAME integer
+# literals on both sides (int(r * 2^60) in Python, exact products of
+# powers of two in SQL below).
+_MIX_RATES = {"en": 0.25, "zh": 0.5, "de": 1.0, "fr": 0.75, "es": 0.0}
+
+
+@register(
+    "mix_sample",
+    f"""
+SELECT doc_id, lang, source
+FROM documents
+WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT <
+      CASE lang
+        WHEN 'de' THEN {int(1.0 * (1 << 60))}
+        WHEN 'en' THEN {int(0.25 * (1 << 60))}
+        WHEN 'es' THEN {int(0.0 * (1 << 60))}
+        WHEN 'fr' THEN {int(0.75 * (1 << 60))}
+        WHEN 'zh' THEN {int(0.5 * (1 << 60))}
+        ELSE {1 << 60}
+      END
+""",
+)
+def q_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic language-mix reweighting: downsample en to 25%,
+    zh to 50%, fr to 75%, drop es, keep de — hash acceptance, zero
+    shuffle (corpus.mix_sample)."""
+    return corpus.mix_sample(_docs(spark, sf_dir), _MIX_RATES).select(
+        "doc_id", "lang", "source"
+    )
+
+
 @register(
     "doc_repetition",
     r"""

@@ -248,3 +248,33 @@ def test_doc_repetition_counts_repeats_and_short_docs(spark):
     assert out[1] == (7, 3, 4 / 7)
     assert out[2] == (2, 2, 0.0)
     assert out[3] == (0, 0, 0.0)
+
+
+# ---------------------------------------------------------------------------
+# mix_sample
+# ---------------------------------------------------------------------------
+
+def test_mix_sample_rates_zero_one_and_partial(spark):
+    docs = _docs(
+        spark,
+        [(i, f"t {i}", ["en", "de", "es"][i % 3], "s") for i in range(300)],
+    )
+    out = corpus.mix_sample(docs, {"en": 0.5, "de": 1.0, "es": 0.0})
+    counts = {
+        r["lang"]: r["n"]
+        for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    assert counts.get("de") == 100      # rate 1.0 → everything kept
+    assert "es" not in counts           # rate 0.0 → nothing kept
+    assert 25 <= counts.get("en", 0) <= 75  # ~50 of 100 expected
+    # deterministic: identical second run
+    again = corpus.mix_sample(docs, {"en": 0.5, "de": 1.0, "es": 0.0})
+    assert sorted(r["doc_id"] for r in out.collect()) == sorted(
+        r["doc_id"] for r in again.collect()
+    )
+
+
+def test_mix_sample_rejects_bad_rates(spark):
+    docs = _docs(spark, [(1, "t", "en", "s")])
+    with pytest.raises(ValueError):
+        corpus.mix_sample(docs, {"en": 1.5})
