@@ -116,6 +116,19 @@ def ngram_jaccard_pairs(
     output, but the expensive pairs×shingles join runs over hundreds
     of rows, not the full candidate set (measured 15.5s → 5.6s at
     sf0.1, df_cap=100).
+
+    Scale bound: with df_cap set, candidate volume is LINEAR in the
+    corpus — Σ df² ≤ df_cap · Σ df = df_cap · |shingle rows| — so the
+    self-join cannot go quadratic no matter the corpus size.
+    Prefix filtering (AllPairs/PPJoin: join only each doc's
+    n−⌈t·n⌉+1 rarest shingles; lossless for Jaccard ≥ t) was
+    prototyped and measured SLOWER here (6.8s vs 4.5s warm at sf0.1):
+    it cuts candidates 10× (1.13M → 119k) but pays a per-doc
+    rank-by-global-df window up front and loses the free in-join
+    rare_inter aggregation, forcing a pairs×shingles re-score of ALL
+    survivors instead of the bound-pruned hundreds. With the linear
+    df_cap bound above, prefix filtering only shaves constants — the
+    two-phase bound-prune shape is kept.
     """
     sh = sh if sh is not None else shingles(docs).cache()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
