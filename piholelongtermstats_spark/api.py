@@ -77,3 +77,58 @@ def reload(spark: SparkSession, previous: dict[str, Any], **params) -> dict[str,
     if old is not None:
         old.unpersist()
     return run_dashboard(spark, **params)
+
+
+def build_corpus(
+    spark: SparkSession,
+    documents: DataFrame,
+    min_tokens: int = 10,
+    max_stop_ratio: tuple[int, int] = (6, 10),
+    mix_rates: dict[str, float] | None = None,
+    fuzzy_dedup: bool = False,
+    k_per_lang: int | None = None,
+    decontaminate_mod: int | None = None,
+) -> dict[str, Any]:
+    """Beyond-reference convenience surface for the corpus tier
+    (SURVEY §2.12): one call composing quality gate → (optional) mix
+    reweighting → dedup → (optional) per-language cap, returning lazy
+    DataFrames — nothing is collected, the caller picks the sinks.
+
+    - ``fuzzy_dedup=False``: exact-fingerprint dedup inside
+      `corpus.corpus_build` (one declarative plan).
+    - ``fuzzy_dedup=True``: LSH near-dup clusters → `dedup_survivors`
+      labels are returned alongside, for corpora where byte-identical
+      dedup is not enough.
+    - ``decontaminate_mod``: also return the per-benchmark-doc max
+      containment frame (`contamination_overlap`).
+
+    Returns {"manifest", "survivors"?, "contamination"?} — each a
+    DataFrame ready for `.write` (the 100 TB path) or `.collect()`
+    (tests).
+    """
+    from piholelongtermstats_spark.operators import corpus as corpus_ops
+    from piholelongtermstats_spark.operators import dedup as dedup_ops
+
+    ensure_session_defaults(spark)
+    docs = documents
+    if mix_rates:
+        docs = corpus_ops.mix_sample(docs, mix_rates)
+    num, den = max_stop_ratio
+    manifest = corpus_ops.corpus_build(
+        docs,
+        min_tokens=min_tokens,
+        stop_num=num,
+        stop_den=den,
+        k_per_lang=k_per_lang,
+    )
+    out: dict[str, Any] = {"manifest": manifest}
+    if fuzzy_dedup:
+        pairs = dedup_ops.lsh_candidate_pairs(docs)
+        clusters = dedup_ops.duplicate_clusters_star(pairs)
+        out["survivors"] = corpus_ops.dedup_survivors(docs, clusters)
+    if decontaminate_mod is not None:
+        sh = dedup_ops.shingles(docs)
+        out["contamination"] = corpus_ops.contamination_overlap(
+            sh, bench_mod=decontaminate_mod
+        )
+    return out

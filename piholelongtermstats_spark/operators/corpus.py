@@ -232,7 +232,7 @@ def corpus_build(
     min_tokens: int = 10,
     stop_num: int = 6,
     stop_den: int = 10,
-    k_per_lang: int = 50,
+    k_per_lang: int | None = 50,
 ) -> DataFrame:
     """End-to-end training-corpus build as ONE declarative plan:
 
@@ -240,6 +240,8 @@ def corpus_build(
     stop_num/stop_den) → exact-fingerprint dedup (min doc_id per
     md5-of-text survives) → per-language stratified cap of k docs in
     deterministic hash order → manifest (doc_id, lang, n_tokens, rn).
+    ``k_per_lang=None`` skips the cap stage entirely (no degenerate
+    full-group window) and the manifest carries no rn column.
 
     Everything is integer arithmetic (the stopword-ratio gate is the
     cross-multiplication sw·den ≤ num·n, never a float division), so
@@ -270,6 +272,8 @@ def corpus_build(
         .filter(F.col("_rn") == 1)
         .select("doc_id", "lang", "n_tokens")
     )
+    if k_per_lang is None:
+        return surv
     sampled = stratified_sample(surv, k=k_per_lang, group="lang")
     return (
         surv.select("doc_id", "n_tokens")

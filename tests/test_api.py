@@ -39,3 +39,27 @@ def test_range_and_exclusion_parameters(spark):
     )
     assert excluded["stats"]["total_queries"] <= full["stats"]["total_queries"]
     excluded["fact"].unpersist()
+
+
+def test_build_corpus_surface(spark):
+    from piholelongtermstats_spark.api import build_corpus
+    from piholelongtermstats_spark.sources.parquet import load_table
+
+    docs = load_table(spark, SF, "documents")
+    res = build_corpus(
+        spark,
+        docs,
+        mix_rates={"en": 0.5},
+        fuzzy_dedup=True,
+        k_per_lang=25,
+        decontaminate_mod=29,
+    )
+    manifest = res["manifest"]
+    assert manifest.columns == ["doc_id", "lang", "n_tokens", "rn"]
+    assert manifest.filter("rn > 25").count() == 0
+    assert set(res) == {"manifest", "survivors", "contamination"}
+    assert res["survivors"].filter("kept = 1").count() > 0
+    assert res["contamination"].columns == ["bench_id", "best_match", "overlap"]
+    # uncapped manifest: no rn column, superset of every capped group
+    uncapped = build_corpus(spark, docs)["manifest"]
+    assert uncapped.columns == ["doc_id", "lang", "n_tokens"]
