@@ -166,3 +166,19 @@ def test_tfidf_doc_count_is_broadcast(spark):
     plan = _plan(spark, "tfidf_top_terms")
     assert "BroadcastNestedLoopJoin" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_map_side_corpus_ops_have_no_exchange(spark):
+    """mix_sample and doc_repetition are pure projections/filters —
+    their plans must contain NO shuffle at all (the InMemoryTableScan
+    of the shared documents cache is their only input)."""
+    for name in ("mix_sample", "doc_repetition"):
+        plan = _plan(spark, name)
+        assert "Exchange" not in plan, (name, plan)
+        assert "Join" not in plan, (name, plan)
+
+
+def test_hash_sample_is_pure_filter(spark):
+    plan = _plan(spark, "hash_sample")
+    assert "Exchange" not in plan, plan
+    assert "Aggregate" not in plan, plan
