@@ -158,6 +158,37 @@ def tfidf_top_terms(docs: DataFrame, k: int = 3) -> DataFrame:
     )
 
 
+def quality_gate(
+    docs: DataFrame,
+    min_tokens: int = 10,
+    stop_num: int = 6,
+    stop_den: int = 10,
+) -> DataFrame:
+    """Stateless quality gate shared by `corpus_build` and the
+    streaming ingest (streaming/corpus_ingest.py) — the SAME
+    expression tree in both, so batch ≡ stream by construction.
+
+    Keeps rows with n_tokens ≥ min_tokens and stopword ratio ≤
+    stop_num/stop_den (integer cross-multiplication, no float
+    division); appends `n_tokens` and the 60-bit content
+    `fingerprint` (md5 of text). Pure map-side projection+filter —
+    legal in a streaming plan (no aggregation, no state).
+    """
+    toks = tokens(F.col("text"))
+    n_tok = F.size(toks).cast("long")
+    sw = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))).cast("long")
+    return (
+        docs.withColumn("n_tokens", n_tok)
+        .withColumn("_sw", sw)
+        .filter(
+            (F.col("n_tokens") >= min_tokens)
+            & (F.col("_sw") * stop_den <= stop_num * F.col("n_tokens"))
+        )
+        .drop("_sw")
+        .withColumn("fingerprint", md5_hash60(F.col("text")))
+    )
+
+
 def mix_sample(
     docs: DataFrame,
     rates: dict[str, float],
@@ -253,20 +284,8 @@ def corpus_build(
     final n_tokens stitch broadcasts the ≤ k·|langs|-row manifest —
     bounded by construction — against the survivor relation.
     """
-    toks = tokens(F.col("text"))
-    n_tok = F.size(toks).cast("long")
-    sw = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))).cast("long")
-    gated = docs.select(
-        "doc_id",
-        "lang",
-        "text",
-        n_tok.alias("n_tokens"),
-        sw.alias("_sw"),
-    ).filter(
-        (F.col("n_tokens") >= min_tokens)
-        & (F.col("_sw") * stop_den <= stop_num * F.col("n_tokens"))
-    )
-    w = Window.partitionBy(md5_hash60(F.col("text"))).orderBy("doc_id")
+    gated = quality_gate(docs, min_tokens, stop_num, stop_den)
+    w = Window.partitionBy("fingerprint").orderBy("doc_id")
     surv = (
         gated.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)

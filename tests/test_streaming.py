@@ -360,3 +360,54 @@ def test_streak_processor_logic():
     ])
     assert (r2["cur_status"], r2["cur_len"]) == ("Blocked", 3)
     assert (r2["best_status"], r2["best_len"]) == ("Blocked", 3)
+
+
+def test_streaming_corpus_ingest_gates_and_dedups(spark, tmp_path):
+    """Quality gate + fingerprint dedup on the way in; the gate is the
+    same expression tree as batch corpus_build (batch ≡ stream)."""
+    from piholelongtermstats_spark.operators.corpus import quality_gate
+    from piholelongtermstats_spark.streaming.corpus_ingest import (
+        DOC_STREAM_SCHEMA,
+        streaming_corpus_ingest,
+    )
+
+    src = str(tmp_path / "corpus_src")
+    t0 = dt.datetime.fromisoformat("2024-01-01T10:00:00")
+    good = " ".join(f"w{i}" for i in range(12))
+    stopy = "the a of and to in is on for with xx"
+    rows1 = [
+        (1, good, "en", "s", t0),
+        (2, "short text", "en", "s", t0),                 # gated: < 10 tokens
+        (3, stopy, "en", "s", t0),                        # gated: stop ratio
+    ]
+    rows2 = [
+        (4, good, "en", "s", t0 + dt.timedelta(minutes=5)),  # re-crawl dup of 1
+        (5, good + " tail", "en", "s", t0 + dt.timedelta(minutes=6)),
+    ]
+    for rows in (rows1, rows2):
+        spark.createDataFrame(rows, DOC_STREAM_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    out = streaming_corpus_ingest(spark, src)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("corpus_ingest_t1")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql(
+        "SELECT text, fingerprint FROM corpus_ingest_t1"
+    ).collect()
+    texts = sorted(r["text"] for r in got)
+    assert texts == sorted([good, good + " tail"])  # gated out 2,3; dup 1/4 once
+    # batch ≡ stream: same gate expression on the batch union keeps the
+    # same fingerprint set
+    batch = spark.createDataFrame(rows1 + rows2, DOC_STREAM_SCHEMA)
+    want_fp = {
+        r["fingerprint"]
+        for r in quality_gate(batch).select("fingerprint").distinct().collect()
+    }
+    assert {r["fingerprint"] for r in got} == want_fp
