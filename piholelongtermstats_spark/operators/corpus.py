@@ -219,6 +219,32 @@ def mix_sample(
     return docs.where(md5_hash60(F.col(key).cast("string")) < thr)
 
 
+def corpus_delta(
+    new_docs: DataFrame,
+    prev_docs: DataFrame,
+) -> DataFrame:
+    """Incremental corpus refresh: documents in `new_docs` whose
+    CONTENT (60-bit md5 fingerprint) is not present in `prev_docs` —
+    the "what is new since the last build" primitive that lets a
+    pipeline re-process only the delta instead of the full corpus.
+
+    Content identity, not doc_id: a re-crawled page with a new id but
+    identical text is NOT new; an updated page with the same id but
+    changed text IS.
+
+    Scale: a left-anti shuffle join keyed on the high-cardinality
+    fingerprint; neither side broadcast (the previous snapshot is
+    corpus-sized). Both inputs reduce to their fingerprint projection
+    before the shuffle — the join carries 8-byte keys, not documents.
+    """
+    prev_fp = prev_docs.select(
+        md5_hash60(F.col("text")).alias("fingerprint")
+    ).distinct()
+    return new_docs.withColumn(
+        "fingerprint", md5_hash60(F.col("text"))
+    ).join(prev_fp, "fingerprint", "left_anti")
+
+
 def doc_repetition(docs: DataFrame, n: int = 3) -> DataFrame:
     """Intra-document repetition: the fraction of n-gram occurrences
     that are repeats of an earlier n-gram in the SAME document —

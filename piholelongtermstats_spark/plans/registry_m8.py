@@ -170,6 +170,31 @@ def q_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_delta",
+    """
+WITH prev AS (
+  SELECT DISTINCT ('0x' || substr(md5(text), 1, 15))::BIGINT AS fingerprint
+  FROM documents WHERE doc_id % 3 = 0
+)
+SELECT d.doc_id, d.lang, d.source
+FROM documents d
+WHERE NOT EXISTS (
+  SELECT 1 FROM prev
+  WHERE prev.fingerprint = ('0x' || substr(md5(d.text), 1, 15))::BIGINT
+)
+""",
+)
+def q_corpus_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental refresh demo: docs with doc_id % 3 == 0 stand in
+    for the previous snapshot; the delta is every document whose
+    CONTENT is not already in it (corpus.corpus_delta — left-anti on
+    the fingerprint projection)."""
+    docs = _docs(spark, sf_dir)
+    prev = docs.filter("doc_id % 3 = 0")
+    return corpus.corpus_delta(docs, prev).select("doc_id", "lang", "source")
+
+
+@register(
     "doc_repetition",
     r"""
 WITH t AS (

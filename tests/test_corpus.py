@@ -278,3 +278,20 @@ def test_mix_sample_rejects_bad_rates(spark):
     docs = _docs(spark, [(1, "t", "en", "s")])
     with pytest.raises(ValueError):
         corpus.mix_sample(docs, {"en": 1.5})
+
+
+# ---------------------------------------------------------------------------
+# corpus_delta
+# ---------------------------------------------------------------------------
+
+def test_corpus_delta_is_content_keyed(spark):
+    prev = _docs(spark, [(1, "old content here", "en", "s")])
+    new = _docs(
+        spark,
+        [
+            (10, "old content here", "en", "s"),   # re-crawl, new id → NOT new
+            (11, "brand new content", "en", "s"),  # new text → new
+        ],
+    )
+    got = [r["doc_id"] for r in corpus.corpus_delta(new, prev).collect()]
+    assert got == [11]
