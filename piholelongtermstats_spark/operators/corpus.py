@@ -115,16 +115,27 @@ def stratified_sample(
     )
 
 
-def tfidf_top_terms(docs: DataFrame, k: int = 3) -> DataFrame:
+def tfidf_top_terms(
+    docs: DataFrame, k: int = 3, hot_df_threshold: int | None = None
+) -> DataFrame:
     """Per-document top-k terms by TF-IDF (tf · ln(N/df)), whitespace
     tokens; ties broken by (tf desc, term asc) so ranking never
     depends on float comparison of mathematically-equal scores.
 
     Scale: explode → two keyed shuffles (tf by (doc,term), df by term)
     → per-doc window. The document-frequency relation joins back on
-    `term` (high cardinality, no broadcast needed); N arrives via a
-    broadcast cross join of a 1-row aggregate, never a driver-side
-    collect inside the plan.
+    `term`; N arrives via a broadcast cross join of a 1-row aggregate,
+    never a driver-side collect inside the plan.
+
+    The tf⋈df join key is Zipf-skewed: every (doc, "the") row hashes
+    to one reducer. Default posture is AQE skew-join (the join is a
+    plain shuffle join, AQE splits oversized partitions at runtime).
+    ``hot_df_threshold`` switches to an explicit skew-split: terms
+    with df ≥ threshold join via broadcast (their dfreq slice has
+    ≤ Σdf/threshold rows — at threshold 10⁶ over 10¹² tf rows that is
+    ≤ 10⁶ rows, broadcastable), the cold tail joins with per-key fan
+    bounded by the threshold. hot ∪ cold partitions dfreq, so the
+    union is exactly the unsplit join.
     """
     tok = docs.select(
         "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("term")
@@ -132,14 +143,18 @@ def tfidf_top_terms(docs: DataFrame, k: int = 3) -> DataFrame:
     tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
-    scored = (
-        tf.join(dfreq, "term")
-        .join(F.broadcast(n_docs))
-        .withColumn(
-            "score",
-            F.col("tf").cast("double")
-            * F.log(F.col("n_docs").cast("double") / F.col("df")),
+    if hot_df_threshold is None:
+        joined = tf.join(dfreq, "term")
+    else:
+        hot = dfreq.filter(F.col("df") >= hot_df_threshold)
+        cold = dfreq.filter(F.col("df") < hot_df_threshold)
+        joined = tf.join(F.broadcast(hot), "term").unionByName(
+            tf.join(cold, "term")
         )
+    scored = joined.join(F.broadcast(n_docs)).withColumn(
+        "score",
+        F.col("tf").cast("double")
+        * F.log(F.col("n_docs").cast("double") / F.col("df")),
     )
     w = Window.partitionBy("doc_id").orderBy(
         F.col("score").desc(), F.col("tf").desc(), F.col("term").asc()
@@ -245,7 +260,9 @@ def corpus_delta(
     ).join(prev_fp, "fingerprint", "left_anti")
 
 
-def doc_repetition(docs: DataFrame, n: int = 3) -> DataFrame:
+def doc_repetition(
+    docs: DataFrame, n: int = 3, sh: DataFrame | None = None
+) -> DataFrame:
     """Intra-document repetition: the fraction of n-gram occurrences
     that are repeats of an earlier n-gram in the SAME document —
     the Gopher-style "repetitious text" quality signal (high values
@@ -255,32 +272,45 @@ def doc_repetition(docs: DataFrame, n: int = 3) -> DataFrame:
     0.0 for docs shorter than n tokens. Exact integer counts, one
     division — engine-stable without rounding.
 
-    Scale: a pure zero-shuffle projection — the n-gram array is built
-    with higher-order functions on the token array (no explode, no
-    window), so this runs map-side at scan speed. Unlike
-    `dedup.shingles` (a corpus-wide relation feeding joins), the
-    arrays here never leave the row, so HOFs beat explode+groupBy:
-    there is no agg for codegen to win back.
+    Scale/shape: total_ngrams is pure arithmetic on the token count —
+    no n-gram materialization at all. Only the DISTINCT count needs
+    an n-gram relation, built with the explode+lead shape of
+    `dedup.shingles` (whole-stage codegen) and partially aggregated
+    map-side. An in-row HOF variant (transform+slice building the
+    gram array per row, zero shuffle) was measured 9× SLOWER at
+    sf0.1 (8.5s vs 0.9s): HOF lambdas evaluate interpreted per
+    element — the SimHash lesson again. Pass ``sh`` to reuse the
+    shared persisted shingle relation (registry does; the distinct
+    count then costs one groupBy over the cache).
     """
-    toks = tokens(F.col("text"))
-    # NB: Spark's sequence(1, stop) DESCENDS when stop < 1 (DuckDB's
-    # generate_series returns empty) — guard short docs explicitly.
-    grams = F.when(
-        F.size(toks) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    total = F.size(grams).cast("long")
-    distinct = F.size(F.array_distinct(grams)).cast("long")
-    return docs.select(
-        "doc_id",
-        total.alias("total_ngrams"),
-        distinct.alias("distinct_ngrams"),
-        F.when(total > 0, (total - distinct).cast("double") / total)
-        .otherwise(F.lit(0.0))
-        .alias("rep_ratio"),
+    from piholelongtermstats_spark.operators.dedup import shingles
+
+    if sh is None:
+        sh = shingles(docs, n)
+    distinct = sh.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("distinct_ngrams")
+    )
+    total = F.greatest(
+        F.size(tokens(F.col("text"))) - (n - 1), F.lit(0)
+    ).cast("long")
+    return (
+        docs.select("doc_id", total.alias("total_ngrams"))
+        .join(distinct, "doc_id", "left")
+        .select(
+            "doc_id",
+            "total_ngrams",
+            F.coalesce(F.col("distinct_ngrams"), F.lit(0)).alias(
+                "distinct_ngrams"
+            ),
+            F.when(
+                F.col("total_ngrams") > 0,
+                (F.col("total_ngrams") - F.coalesce("distinct_ngrams", F.lit(0)))
+                .cast("double")
+                / F.col("total_ngrams"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("rep_ratio"),
+        )
     )
 
 

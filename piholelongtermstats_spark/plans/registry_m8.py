@@ -217,9 +217,12 @@ FROM g
 """,
 )
 def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gopher-style intra-doc repetition signal — zero-shuffle HOF
-    projection (corpus.doc_repetition)."""
-    return corpus.doc_repetition(_docs(spark, sf_dir), n=3)
+    """Gopher-style intra-doc repetition signal; distinct counts come
+    from one groupBy over the shared shingle cache, totals are pure
+    token arithmetic (corpus.doc_repetition)."""
+    return corpus.doc_repetition(
+        _docs(spark, sf_dir), n=3, sh=_shingles(spark, sf_dir)
+    )
 
 
 @register(

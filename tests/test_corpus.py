@@ -295,3 +295,16 @@ def test_corpus_delta_is_content_keyed(spark):
     )
     got = [r["doc_id"] for r in corpus.corpus_delta(new, prev).collect()]
     assert got == [11]
+
+
+def test_tfidf_skew_split_matches_default(spark):
+    docs = _docs(
+        spark,
+        [
+            (i, "the common words here plus unique" + str(i), "en", "s")
+            for i in range(30)
+        ],
+    )
+    a = corpus.tfidf_top_terms(docs, k=3)
+    b = corpus.tfidf_top_terms(docs, k=3, hot_df_threshold=10)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))

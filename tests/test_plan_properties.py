@@ -169,13 +169,22 @@ def test_tfidf_doc_count_is_broadcast(spark):
 
 
 def test_map_side_corpus_ops_have_no_exchange(spark):
-    """mix_sample and doc_repetition are pure projections/filters —
-    their plans must contain NO shuffle at all (the InMemoryTableScan
-    of the shared documents cache is their only input)."""
-    for name in ("mix_sample", "doc_repetition"):
-        plan = _plan(spark, name)
-        assert "Exchange" not in plan, (name, plan)
-        assert "Join" not in plan, (name, plan)
+    """mix_sample is a pure projection/filter — its plan must contain
+    NO shuffle at all (the InMemoryTableScan of the shared documents
+    cache is its only input)."""
+    plan = _plan(spark, "mix_sample")
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
+
+
+def test_doc_repetition_aggregates_cached_shingles(spark):
+    """doc_repetition: the distinct count is ONE partial+final agg
+    over the shared shingle cache (no per-row HOF gram arrays — the
+    measured-9×-slower shape), joined back to pure token arithmetic."""
+    plan = _plan(spark, "doc_repetition")
+    assert "InMemoryTableScan" in plan, plan
+    assert plan.count("HashAggregate") >= 2, plan
+    assert "transform(" not in plan, plan
 
 
 def test_hash_sample_is_pure_filter(spark):
