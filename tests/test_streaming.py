@@ -411,3 +411,56 @@ def test_streaming_corpus_ingest_gates_and_dedups(spark, tmp_path):
         for r in quality_gate(batch).select("fingerprint").distinct().collect()
     }
     assert {r["fingerprint"] for r in got} == want_fp
+
+
+def test_streaming_corpus_ingest_state_ages_out(spark, tmp_path):
+    """Pins the bounded-state contract across restarts: a re-delivery
+    INSIDE the watermark horizon stays suppressed (state recovered
+    from checkpoint), and once the watermark passes, the key is
+    evicted and a later re-delivery IS re-emitted — the sink's
+    idempotency problem, by design."""
+    from piholelongtermstats_spark.streaming.corpus_ingest import (
+        DOC_STREAM_SCHEMA,
+        streaming_corpus_ingest,
+    )
+
+    src = str(tmp_path / "age_src")
+    ckpt = str(tmp_path / "age_ckpt")
+    out_dir = str(tmp_path / "age_out")
+    t0 = dt.datetime.fromisoformat("2024-01-01T10:00:00")
+    good = " ".join(f"w{i}" for i in range(12))
+    fresh = " ".join(f"v{i}" for i in range(12))
+
+    def _run(rows):
+        # file sink (memory sink cannot recover from a checkpoint);
+        # returns the CUMULATIVE emitted doc_ids across runs
+        spark.createDataFrame(rows, DOC_STREAM_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        q = (
+            streaming_corpus_ingest(spark, src, watermark="1 hour")
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return sorted(
+            r["doc_id"] for r in spark.read.parquet(out_dir).collect()
+        )
+
+    assert _run([(1, good, "en", "s", t0)]) == [1]
+    # dup within horizon (state from checkpoint) suppressed; fresh doc
+    # at t0+3h emitted and advances the watermark to t0+2h
+    assert _run(
+        [
+            (2, good, "en", "s", t0 + dt.timedelta(minutes=30)),
+            (3, fresh, "en", "s", t0 + dt.timedelta(hours=3)),
+        ]
+    ) == [1, 3]
+    # key aged out (t0 + 1h < watermark) → re-delivery re-emitted
+    assert _run(
+        [(4, good, "en", "s", t0 + dt.timedelta(hours=2, minutes=30))]
+    ) == [1, 3, 4]
