@@ -109,6 +109,14 @@ def test_tpch_trio_join_strategies(spark):
         assert plan.count("BroadcastHashJoin") >= min_bhj, (name, plan)
         assert "CartesianProduct" not in plan, (name, plan)
         assert "SortMergeJoin" not in plan, (name, plan)
+    # Q10 shape: orders and nation broadcast, but the final
+    # rev⋈customer join is LEGITIMATELY a shuffle join — both sides
+    # are O(|customers|) after the aggregate-then-join reduction, so
+    # forbidding SMJ there would force an unbroadcastable broadcast.
+    plan = _plan(spark, "returned_item_customers")
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
     # Q1 shape: no join at all, partial+final agg
     plan = _plan(spark, "pricing_summary")
     assert "Join" not in plan, plan
