@@ -233,8 +233,51 @@ def ngram_jaccard_pairs(
                 / (F.col("n_a") + F.col("n_b") - F.col("inter")),
                 6,
             ).alias("jaccard"),
+        ).filter(F.col("jaccard") >= threshold)
+        # Exactness guard: the rare-candidate path misses a qualifying
+        # pair only if its ENTIRE intersection is stop shingles. Then
+        # inter ≥ t/(1+t)·(n_a+n_b) and inter ≤ min(n_stop_a, n_stop_b)
+        # force BOTH docs to be stop-heavy: n_stop/n_sh ≥ t/(1+t).
+        # Exact-scoring the self-join restricted to those docs (empty
+        # on any non-pathological corpus — it only fills up when
+        # boilerplate docs consist of stop shingles) makes the capped
+        # variant provably identical to the uncapped one. If the whole
+        # corpus is stop-heavy this degrades to the uncapped join —
+        # that is the price of exactness, not a regression.
+        stoppy = stats.filter(
+            (1.0 + threshold) * F.col("n_stop").cast("double")
+            >= threshold * F.col("n_sh").cast("double") - 1e-9
+        ).select("doc_id")
+        sh_heavy = sh.join(stoppy, "doc_id", "left_semi")
+        heavy_inter = (
+            sh_heavy.alias("a")
+            .join(sh_heavy.alias("b"), "shingle")
+            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+            .groupBy(
+                F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+            )
+            .agg(F.count(F.lit(1)).alias("inter"))
         )
-        return jac.filter(F.col("jaccard") >= threshold)
+        heavy_jac = (
+            heavy_inter.join(sizes.alias("ha"), F.col("doc_a") == F.col("ha.doc_id"))
+            .join(sizes.alias("hb"), F.col("doc_b") == F.col("hb.doc_id"))
+            .select(
+                "doc_a",
+                "doc_b",
+                F.round(
+                    F.col("inter").cast("double")
+                    / (
+                        F.col("ha.n_sh") + F.col("hb.n_sh") - F.col("inter")
+                    ),
+                    6,
+                ).alias("jaccard"),
+            )
+            .filter(F.col("jaccard") >= threshold)
+        )
+        # Identical pairs may surface on both paths with bit-identical
+        # values (same integer counts, same single division) — distinct
+        # dedups them.
+        return jac.unionByName(heavy_jac).distinct()
     jac = (
         inter.join(sizes.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
         .join(sizes.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
@@ -457,9 +500,18 @@ def duplicate_clusters(pairs: DataFrame, max_rounds: int = 50) -> DataFrame:
             f"duplicate_clusters did not converge in {max_rounds} rounds; "
             "component diameter exceeds 2^rounds — raise max_rounds"
         )
-    return labels.select(
+    result = labels.select(
         F.col("src").alias("doc_id"), F.col("comp").alias("cluster_id")
-    )
+    ).localCheckpoint(eager=True)
+    # Release loop state AFTER materializing the result: the cached
+    # edge relation and the final round's cached labels would
+    # otherwise pin executor storage for the rest of the session
+    # (repeated calls accumulate); the checkpointed result no longer
+    # references either.
+    edges.unpersist()
+    if prev is not None:
+        prev.unpersist()
+    return result
 
 
 def _large_star(edges: DataFrame) -> DataFrame:

@@ -102,16 +102,18 @@ def filtered_timeseries(rollup: DataFrame, client: str | None = None) -> DataFra
 
 def client_activity(rollup: DataFrame, client: str) -> DataFrame:
     """Interactive callback #2: one client's total hourly activity,
-    zero-filled over the FULL hour spine of the rollup — the reference
-    reindexes the single-client series over the whole hour range with
-    fill_value=0 (plot.py:321-331), so a sparse client renders zeros,
-    not gaps."""
+    zero-filled between the client's OWN first and last active hour —
+    the reference builds ``pd.date_range(filtered.min(),
+    filtered.max())`` from the client-FILTERED frame (plot.py:321-331)
+    and never emits zeros outside that span; an absent client yields
+    an EMPTY frame (the reference's 'no data' figure, plot.py:297-319),
+    not an all-zero spine."""
     series = (
         rollup.filter(F.col("client") == client)
         .groupBy("hour_bucket")
         .agg(F.sum("cnt").alias("cnt"))
     )
-    bounds = rollup.agg(
+    bounds = series.agg(
         F.min("hour_bucket").alias("lo"), F.max("hour_bucket").alias("hi")
     )
     spine = bounds.select(

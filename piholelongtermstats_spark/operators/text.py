@@ -139,6 +139,65 @@ def lang_id(docs: DataFrame) -> DataFrame:
     )
 
 
+def text_panel(docs: DataFrame) -> DataFrame:
+    """All four text signals — quality stats, BPE token count,
+    language ID, rolling fingerprint — fused into ONE map-side
+    projection (zero shuffle, one pass over `text`).
+
+    This is how a production pipeline actually runs them: Catalyst
+    collapses the shared `split(trim(text))` subtrees, so the fused
+    panel costs one tokenization, not four. Column semantics are
+    identical to text_stats / token_count_bpe / lang_id / fingerprint
+    (each individually oracle-checked; the panel has its own fused
+    oracle).
+    """
+    toks = tokens(F.col("text"))
+    ltoks = tokens(F.lower(F.col("text")))
+    n_tokens = F.size(toks).cast("long")
+    sw = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))).cast("long")
+    tok_chars = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+    )
+    quality_num = (
+        4 * F.least(n_tokens, F.lit(100).cast("long")) * 80 * n_tokens
+        + 3 * (n_tokens - sw) * 8000
+        + 3 * F.least(tok_chars, 8 * n_tokens) * 1000
+    )
+
+    def _in_markers(markers: tuple[str, ...]):
+        return lambda t: t.isin(*markers)
+
+    langs = sorted(LANG_MARKERS)
+    scores = {
+        lang: F.size(F.filter(ltoks, _in_markers(LANG_MARKERS[lang])))
+        for lang in langs
+    }
+    best = F.greatest(*scores.values())
+    pred = F.when(best == 0, F.lit("und"))
+    for lang in langs:  # first max in ASC lang order wins ties
+        pred = pred.when(scores[lang] == best, F.lit(lang))
+    fp = F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, t: (acc * 31 + md5_hash60(t) % MOD_PRIME) % MOD_PRIME,
+    )
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars"),
+        (tok_chars.cast("double") / n_tokens).alias("avg_token_len"),
+        (sw.cast("double") / n_tokens).alias("stopword_ratio"),
+        (quality_num.cast("double") / (80000 * n_tokens)).alias("quality_score"),
+        F.size(F.regexp_extract_all(F.lower(F.col("text")), F.lit(BPE_PATTERN), 0))
+        .cast("long")
+        .alias("bpe_tokens"),
+        F.col("lang").alias("actual_lang"),
+        pred.alias("pred_lang"),
+        best.cast("long").alias("best_score"),
+        fp.alias("fingerprint"),
+    )
+
+
 def fingerprint(docs: DataFrame) -> DataFrame:
     """Rolling polynomial fingerprint over token hashes:
     fp = fold(tokens, acc = (acc·31 + h(tok) mod P) mod P), P = 1e9+7.

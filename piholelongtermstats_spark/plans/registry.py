@@ -840,16 +840,22 @@ spine AS (
 , series AS (
   SELECT hour_bucket, CAST(sum(cnt) AS BIGINT) AS cnt FROM roll
   WHERE client = (SELECT min(client) FROM fact) GROUP BY 1
+), sbounds AS (SELECT min(hour_bucket) AS lo, max(hour_bucket) AS hi FROM series),
+sspine AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour_bucket
+  FROM sbounds
 )
 SELECT s.hour_bucket, coalesce(x.cnt, 0) AS cnt
-FROM spine s LEFT JOIN series x ON x.hour_bucket = s.hour_bucket
+FROM sspine s LEFT JOIN series x ON x.hour_bucket = s.hour_bucket
 """,
 )
 def q_client_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interactive single-client hourly activity off the ROLLUP (never
-    the fact table), zero-filled over the full hour spine (reference
-    plot.py:268-364 + the 321-331 reindex). The probed client (min) is
-    deterministic on both engines."""
+    the fact table), zero-filled between the client's own first/last
+    active hour — the reference's pd.date_range is built from the
+    client-FILTERED frame (plot.py:321-331), so the spine bounds come
+    from the filtered series, not the full rollup. The probed client
+    (min) is deterministic on both engines."""
     from piholelongtermstats_spark.operators import plotdata
 
     fact = _fact(spark, sf_dir)

@@ -42,6 +42,29 @@ def test_ngram_jaccard_finds_near_dup(spark):
     assert pairs[0]["jaccard"] == pytest.approx(12 / 14, abs=1e-6)
 
 
+def test_ngram_jaccard_capped_exact_on_stop_heavy_corpus(spark):
+    """The pathological case for df_cap: near-dup pairs whose ENTIRE
+    intersection is stop shingles (boilerplate docs, every shingle's
+    document frequency above the cap). The stop-heavy guard path must
+    recover them, making the capped variant provably identical to the
+    uncapped oracle on ANY corpus — the property the registry's
+    exact-Jaccard oracle gate relies on."""
+    boiler = "terms of service apply to all users of this site always"
+    boiler_near = "terms of service apply to all users of this site today"
+    texts = [boiler] * 6 + [boiler_near] * 3 + [FAR]
+    docs = _docs(spark, texts)
+    # df of every boiler shingle ≥ 6 > df_cap=4 → zero rare candidates
+    exact = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(docs, 0.5).collect()
+    }
+    capped = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(docs, 0.5, df_cap=4).collect()
+    }
+    assert exact and capped == exact
+
+
 def test_lsh_recovers_jaccard_pairs(spark):
     docs = _docs(spark, [BASE, NEAR, FAR, "x y z w v u t s r q p o n m"])
     cand = {(r["doc_a"], r["doc_b"]) for r in dedup.lsh_candidate_pairs(docs).collect()}

@@ -190,8 +190,11 @@ def test_near_dup_adaptive_planes():
 # ---------------------------------------------------------------------------
 
 def test_client_activity_zero_fills_hour_spine(spark):
-    """Reference plot.py:321-331 reindexes the single-client series
-    over the FULL hour range with fill_value=0."""
+    """Reference plot.py:321-331 builds pd.date_range from the
+    client-FILTERED series' own min/max — zeros between the client's
+    first and last active hour, nothing outside that span, and an
+    EMPTY frame for an absent client (the 'no data' figure,
+    plot.py:297-319)."""
     from piholelongtermstats_spark.operators import plotdata
 
     fact = make_fact(
@@ -207,10 +210,13 @@ def test_client_activity_zero_fills_hour_spine(spark):
         r["hour_bucket"].hour: r["cnt"]
         for r in plotdata.client_activity(rollup, "10.0.0.1").collect()
     }
-    # spine spans the ROLLUP's range (hours 0..5), zeros where silent
-    assert sorted(rows) == [0, 1, 2, 3, 4, 5]
+    # spine spans the CLIENT's range (hours 0..3): hour 5 (another
+    # client's activity) is NOT padded; hours 1-2 are zero-filled
+    assert sorted(rows) == [0, 1, 2, 3]
     assert rows[0] == 1 and rows[3] == 1
-    assert rows[1] == rows[2] == rows[4] == rows[5] == 0
+    assert rows[1] == rows[2] == 0
+    # absent client → empty result, not an all-zero spine
+    assert plotdata.client_activity(rollup, "ghost").count() == 0
 
 
 # ---------------------------------------------------------------------------
