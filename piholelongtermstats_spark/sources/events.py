@@ -57,22 +57,38 @@ def dns_fact(
     everything at 100 TB.
     """
     ev = load_table(spark, sf_dir, "events")
-    # events.ts is parquet TIMESTAMP(NANOS) — read as nanos-long (see
-    # session.ensure_session_defaults) and truncate to µs exactly like
-    # DuckDB's TIMESTAMP_NS → TIMESTAMP cast. Integer DIV keeps full
-    # int64 precision (a double division would corrupt the low digits).
+    # The driver has shipped events.ts as either parquet
+    # TIMESTAMP(NANOS) (read as nanos-long via
+    # session.ensure_session_defaults) or TIMESTAMP(MICROS) without
+    # timezone (read as TIMESTAMP_NTZ). Handle both: truncate nanos to
+    # µs exactly like DuckDB's TIMESTAMP_NS → TIMESTAMP cast (integer
+    # DIV keeps full int64 precision), and reinterpret NTZ wall-clock
+    # as a UTC instant (session TZ is pinned to UTC, so derived
+    # date/hour/day_name match DuckDB's naive-timestamp semantics).
     ts = F.col("ts")
-    if dict(ev.dtypes).get("ts") == "bigint":
+    ts_type = dict(ev.dtypes).get("ts")
+    if ts_type == "bigint":
         if lo is not None:
             ev = ev.filter(F.col("ts") >= _epoch_us(lo) * 1000)
         if hi is not None:
             ev = ev.filter(F.col("ts") < _epoch_us(hi) * 1000)
         ts = F.timestamp_micros(F.expr("ts DIV 1000"))
     else:
+        # Filter the RAW column with literals of the SAME type so the
+        # comparison needs no column-side cast and reaches
+        # PushedFilters on the scan (a cast on the column would
+        # evaluate post-scan and read everything at 100 TB).
+        lit_type = "timestamp_ntz" if ts_type == "timestamp_ntz" else "timestamp"
         if lo is not None:
-            ev = ev.filter(F.col("ts") >= F.lit(lo.replace(tzinfo=None)))
+            ev = ev.filter(
+                F.col("ts") >= F.lit(lo.replace(tzinfo=None)).cast(lit_type)
+            )
         if hi is not None:
-            ev = ev.filter(F.col("ts") < F.lit(hi.replace(tzinfo=None)))
+            ev = ev.filter(
+                F.col("ts") < F.lit(hi.replace(tzinfo=None)).cast(lit_type)
+            )
+        if ts_type == "timestamp_ntz":
+            ts = F.col("ts").cast("timestamp")
     df = ev.select(
         F.col("event_id"),
         ts.alias("ts"),
