@@ -600,7 +600,14 @@ ORDER BY revenue DESC, l_orderkey LIMIT 10
 )
 def q_top_unshipped_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3-shaped: selective dim filter → broadcast customer into
-    orders, shuffle join to lineitem, grouped revenue, top-10."""
+    orders, shuffle join to lineitem, grouped revenue, top-10.
+
+    Only the filtered CUSTOMER side is broadcast-hinted: the
+    orders⨝customer product is O(|orders|) (BUILDING is ~1/5 of
+    customers), so pinning a broadcast there OOMs executors at 100×.
+    The fact-fact edge (lineitem ⨝ orders) is left to Catalyst/AQE —
+    small at low SF (static BHJ), sort-merge or AQE-converted at
+    scale. Guarded by test_plan_properties.py (hint audit)."""
     ensure_session_defaults(spark)
     cust = load_table(spark, sf_dir, "customer").filter(
         F.col("c_mktsegment") == "BUILDING"
@@ -613,7 +620,7 @@ def q_top_unshipped_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(
-            F.broadcast(orders.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))),
+            orders.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey")),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
         .groupBy("l_orderkey", "o_orderdate")
@@ -644,8 +651,10 @@ def q_returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     window. Aggregate-then-join: revenue is grouped per custkey BEFORE
     the customer/nation dims attach, so the dim join's left side
     shrinks from |filtered lineitem| to |customers with returns|;
-    date-filtered orders broadcast into lineitem (the Q3 posture);
-    global top-20 compiles to TakeOrderedAndProject."""
+    the 6-month orders slice joins lineitem UNHINTED (billions of rows
+    at 100 TB even filtered — Catalyst broadcasts it when its size
+    estimate allows, AQE converts at runtime otherwise); global top-20
+    compiles to TakeOrderedAndProject."""
     ensure_session_defaults(spark)
     lo = F.lit("1996-01-01 00:00:00").cast("timestamp")
     hi = F.lit("1996-07-01 00:00:00").cast("timestamp")
@@ -659,7 +668,7 @@ def q_returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(1) - F.col("l_discount").cast(_DEC)
     )
     rev = (
-        li.join(F.broadcast(orders), F.col("l_orderkey") == F.col("o_orderkey"))
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("o_custkey")
         .agg(F.sum(revenue).alias("_rev"))
     )
@@ -700,8 +709,12 @@ GROUP BY n_name
 """,
 )
 def q_region_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5-shaped star join: every dimension broadcasts; the only
-    shuffle is the final groupBy on n_name."""
+    """TPC-H Q5-shaped star join: nation/region broadcast-hinted (tiny,
+    always safe); customer⨝dims and orders⨝that are UNHINTED — with no
+    date filter the orders side is ~40% of ALL orders (ASIA+EUROPE),
+    so a pinned broadcast there is the canonical 100×-OOM. Catalyst
+    picks BHJ at low SF from size estimates; at scale the fact edges
+    go sort-merge (or AQE skew/broadcast-converts at runtime)."""
     ensure_session_defaults(spark)
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
@@ -719,7 +732,7 @@ def q_region_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c_custkey", "n_name")
     )
     return (
-        li.join(F.broadcast(orders.join(F.broadcast(dims), F.col("o_custkey") == F.col("c_custkey"))),
+        li.join(orders.join(dims, F.col("o_custkey") == F.col("c_custkey")),
                 F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("n_name")
         .agg(

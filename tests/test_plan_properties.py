@@ -61,12 +61,25 @@ def test_registry_queries_share_cached_fact(spark):
     assert "InMemoryTableScan" in p2, p2
 
 
+def _analyzed(spark, name: str) -> str:
+    df = se.queries()[name](spark, SF)
+    return df._jdf.queryExecution().analyzed().toString()
+
+
 def test_dim_joins_broadcast(spark):
-    """region_nation_revenue: every dimension side broadcasts — no
-    shuffle (SortMergeJoin/Exchange-on-fact) join of lineitem."""
+    """region_nation_revenue: the tiny dims (nation, region) are
+    broadcast-hinted and nothing else is — the orders/customer sides
+    must NOT carry a pinned broadcast (r3 VERDICT: a hinted broadcast
+    of ~40% of orders OOMs at 100×). SortMergeJoin on the fact edges
+    is explicitly ALLOWED — it is the scale-safe strategy; at low SF
+    Catalyst still picks BHJ from size estimates."""
     plan = _plan(spark, "region_nation_revenue")
     assert "BroadcastHashJoin" in plan
-    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    # hint audit: exactly the 2 dim hints (nation, region) survive
+    # analysis — any orders/customer-side pin would add a third
+    analyzed = _analyzed(spark, "region_nation_revenue")
+    assert analyzed.count("ResolvedHint") == 2, analyzed
 
 
 def test_aggregates_are_partial_final(spark):
@@ -98,24 +111,27 @@ def test_top_domain_top_client_broadcasts_small_side(spark):
 
 
 def test_tpch_trio_join_strategies(spark):
-    """Registry-level guards (VERDICT r1 #8): the TPC-H-shaped trio
-    must keep broadcast joins on dims and never degrade to a
-    cartesian/shuffle-everything plan under conf drift."""
-    for name, min_bhj in (
-        ("top_unshipped_orders", 2),
-        ("region_nation_revenue", 4),
+    """Registry-level guards (rewritten per r3 VERDICT #1): dims keep
+    their broadcast hints, the orders-derived sides are UNPINNED, and
+    SortMergeJoin on fact-fact edges is allowed — it is the plan you
+    want at 100×. The hint audit (ResolvedHint count in the analyzed
+    plan) proves no broadcast pin ever returns to an orders-sized
+    relation; CartesianProduct stays forbidden everywhere."""
+    for name, dim_hints in (
+        ("top_unshipped_orders", 1),   # broadcast(filtered customer)
+        ("region_nation_revenue", 2),  # broadcast(nation), broadcast(region)
+        ("returned_item_customers", 1),  # broadcast(nation)
     ):
         plan = _plan(spark, name)
-        assert plan.count("BroadcastHashJoin") >= min_bhj, (name, plan)
+        assert "BroadcastHashJoin" in plan, (name, plan)
         assert "CartesianProduct" not in plan, (name, plan)
-        assert "SortMergeJoin" not in plan, (name, plan)
-    # Q10 shape: orders and nation broadcast, but the final
-    # rev⋈customer join is LEGITIMATELY a shuffle join — both sides
-    # are O(|customers|) after the aggregate-then-join reduction, so
-    # forbidding SMJ there would force an unbroadcastable broadcast.
+        analyzed = _analyzed(spark, name)
+        assert analyzed.count("ResolvedHint") == dim_hints, (name, analyzed)
+    # Q10 shape: the final rev⋈customer join is LEGITIMATELY a shuffle
+    # join — both sides are O(|customers|) after the aggregate-then-join
+    # reduction, so forbidding SMJ there would force an unbroadcastable
+    # broadcast. Same reasoning now applies to the Q3/Q5 fact edges.
     plan = _plan(spark, "returned_item_customers")
-    assert plan.count("BroadcastHashJoin") >= 2, plan
-    assert "CartesianProduct" not in plan, plan
     assert "TakeOrderedAndProject" in plan, plan
     # Q1 shape: no join at all, partial+final agg
     plan = _plan(spark, "pricing_summary")
