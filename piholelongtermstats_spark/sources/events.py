@@ -77,16 +77,22 @@ def dns_fact(
         # Filter the RAW column with literals of the SAME type so the
         # comparison needs no column-side cast and reaches
         # PushedFilters on the scan (a cast on the column would
-        # evaluate post-scan and read everything at 100 TB).
+        # evaluate post-scan and read everything at 100 TB). The bound
+        # is built from UTC epoch micros — a naive-datetime literal
+        # would be converted through the driver OS timezone, shifting
+        # the window on a non-UTC host; timestamp_micros(lit) is
+        # OS-independent and both it and the NTZ cast (session TZ is
+        # pinned UTC) constant-fold BEFORE pushdown, so PushedFilters
+        # still sees a plain literal.
         lit_type = "timestamp_ntz" if ts_type == "timestamp_ntz" else "timestamp"
+
+        def _bound(t: dt.datetime):
+            return F.timestamp_micros(F.lit(_epoch_us(t))).cast(lit_type)
+
         if lo is not None:
-            ev = ev.filter(
-                F.col("ts") >= F.lit(lo.replace(tzinfo=None)).cast(lit_type)
-            )
+            ev = ev.filter(F.col("ts") >= _bound(lo))
         if hi is not None:
-            ev = ev.filter(
-                F.col("ts") < F.lit(hi.replace(tzinfo=None)).cast(lit_type)
-            )
+            ev = ev.filter(F.col("ts") < _bound(hi))
         if ts_type == "timestamp_ntz":
             ts = F.col("ts").cast("timestamp")
     df = ev.select(
