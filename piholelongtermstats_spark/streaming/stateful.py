@@ -17,10 +17,13 @@ would target on Spark 4. Requires the RocksDB state store provider
 
 Ordering contract: events are folded in (ts, event_id) order WITHIN
 each micro-batch (explicit sort — Spark does not guarantee intra-
-group batch order), and batches arrive in source order. A strict
-event-time guarantee under out-of-order arrival would need
-`eventTimeColumnName` + watermark-driven timers; documented, not
-needed for the file-drop sources exercised here.
+group batch order). ACROSS batches the processor tracks the
+last-folded (ts, event_id) in state and DROPS rows at or before it,
+emitting a cumulative `late_rows` count — a late batch can no longer
+silently corrupt cur_len/best_len (r2/r3 VERDICT item), and the drop
+is observable in the output stream. A full event-time reordering
+guarantee would need `eventTimeColumnName` + watermark-driven timers;
+the guard makes the weaker contract safe and visible instead.
 
 Container gate: the transformWithState Python state-server protocol
 imports google.protobuf, which this container lacks (and installs
@@ -49,17 +52,39 @@ STREAK_OUTPUT_SCHEMA = T.StructType(
         T.StructField("cur_len", T.LongType()),
         T.StructField("best_status", T.StringType()),
         T.StructField("best_len", T.LongType()),
+        T.StructField("late_rows", T.LongType()),
     ]
 )
 
 _STATE_SCHEMA = (
-    "cur_status string, cur_len long, best_status string, best_len long"
+    "cur_status string, cur_len long, best_status string, best_len long, "
+    "last_ts_us long, last_event_id long, late_rows long"
 )
+
+_NEG_INF = -(2**63)
+
+
+def _epoch_us_series(s: "pd.Series") -> "pd.Series":
+    """ts column → int64 epoch micros, whatever shape the source
+    delivered (datetime64[ns/us], raw int64 micros, or objects)."""
+    import pandas as pd
+
+    if pd.api.types.is_datetime64_any_dtype(s):
+        return pd.to_datetime(s).astype("int64") // 1000
+    if pd.api.types.is_integer_dtype(s):
+        return s.astype("int64")
+    return pd.to_datetime(s).astype("int64") // 1000
 
 
 class StreakProcessor(StatefulProcessor):
     """Per-client longest same-status streak, maintained across
-    micro-batches in a single ValueState row."""
+    micro-batches in a single ValueState row.
+
+    Late-event guard: state carries the last-folded (ts_us, event_id);
+    any row at or before that point (late OR duplicate) is dropped,
+    never folded, and counted in the cumulative `late_rows` output
+    column — out-of-order arrival degrades to an observable drop
+    instead of silently corrupting cur_len/best_len."""
 
     def init(self, handle: StatefulProcessorHandle) -> None:
         self._streak = handle.getValueState("streak", _STATE_SCHEMA)
@@ -69,19 +94,49 @@ class StreakProcessor(StatefulProcessor):
     ) -> "Iterator[pd.DataFrame]":
         import pandas as pd
 
-        cur_status, cur_len, best_status, best_len = (
-            self._streak.get() if self._streak.exists() else (None, 0, None, 0)
+        (
+            cur_status,
+            cur_len,
+            best_status,
+            best_len,
+            last_ts_us,
+            last_event_id,
+            late_rows,
+        ) = (
+            self._streak.get()
+            if self._streak.exists()
+            else (None, 0, None, 0, _NEG_INF, _NEG_INF, 0)
         )
         batch = pd.concat(list(rows), ignore_index=True)
         batch = batch.sort_values(["ts", "event_id"])
-        for status in batch["status_type"]:
+        ts_us = _epoch_us_series(batch["ts"])
+        eid = batch["event_id"].astype("int64")
+        late = (ts_us < last_ts_us) | (
+            (ts_us == last_ts_us) & (eid <= last_event_id)
+        )
+        late_rows += int(late.sum())
+        live = batch.loc[~late]
+        for status in live["status_type"]:
             if status == cur_status:
                 cur_len += 1
             else:
                 cur_status, cur_len = status, 1
             if cur_len > best_len:
                 best_status, best_len = cur_status, cur_len
-        self._streak.update((cur_status, cur_len, best_status, best_len))
+        if len(live):
+            last_ts_us = int(ts_us.loc[~late].iloc[-1])
+            last_event_id = int(eid.loc[~late].iloc[-1])
+        self._streak.update(
+            (
+                cur_status,
+                cur_len,
+                best_status,
+                best_len,
+                last_ts_us,
+                last_event_id,
+                late_rows,
+            )
+        )
         yield pd.DataFrame(
             {
                 "client": [key[0]],
@@ -89,6 +144,7 @@ class StreakProcessor(StatefulProcessor):
                 "cur_len": [cur_len],
                 "best_status": [best_status],
                 "best_len": [best_len],
+                "late_rows": [late_rows],
             }
         )
 

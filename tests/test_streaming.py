@@ -360,6 +360,29 @@ def test_streak_processor_logic():
     ])
     assert (r2["cur_status"], r2["cur_len"]) == ("Blocked", 3)
     assert (r2["best_status"], r2["best_len"]) == ("Blocked", 3)
+    assert r2["late_rows"] == 0
+
+    # LATE batch (r3 VERDICT #3): rows at/before the last-folded
+    # (ts, event_id) must be dropped and counted, not folded — state
+    # stays uncorrupted. Row 6 is earlier than last ts; row 5 is an
+    # exact duplicate of the last folded (ts, event_id); row 7 is live.
+    r3 = batch([
+        (6, t0 + dt.timedelta(minutes=1, seconds=30), "Allowed"),  # late
+        (5, t0 + dt.timedelta(minutes=4), "Allowed"),              # dup
+        (7, t0 + dt.timedelta(minutes=5), "Blocked"),              # live
+    ])
+    assert (r3["cur_status"], r3["cur_len"]) == ("Blocked", 4)
+    assert (r3["best_status"], r3["best_len"]) == ("Blocked", 4)
+    assert r3["late_rows"] == 2
+
+    # late count is cumulative and an all-late batch leaves everything
+    # (including the last-folded cursor) untouched
+    r4 = batch([(0, t0, "Allowed")])
+    assert (r4["cur_status"], r4["cur_len"]) == ("Blocked", 4)
+    assert r4["late_rows"] == 3
+    r5 = batch([(8, t0 + dt.timedelta(minutes=6), "Blocked")])
+    assert (r5["cur_status"], r5["cur_len"]) == ("Blocked", 5)
+    assert r5["late_rows"] == 3
 
 
 def test_streaming_corpus_ingest_gates_and_dedups(spark, tmp_path):
