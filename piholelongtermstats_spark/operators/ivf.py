@@ -47,6 +47,30 @@ N_PROBE = 4
 _CENTROID_CACHE: dict[tuple, list[list[float]]] = {}
 
 
+def fixed_centroids(dim: int, n_cells: int = N_CELLS) -> list[list[float]]:
+    """Deterministic corpus-INDEPENDENT centroids for the
+    oracle-checked registry entry (same technique as
+    similarity.plane_signs): md5-derived values j/32768 − 1 are
+    exactly representable doubles, so the DuckDB oracle can embed the
+    IDENTICAL centroids as SQL literals and reproduce cell assignment
+    bit-for-bit. The data-adaptive quantizer (train_centroids) stays
+    the production default, covered by pytest recall tests — a static
+    SQL string cannot retrain per corpus."""
+    import hashlib
+
+    return [
+        [
+            int(
+                hashlib.md5(f"ivf:{cell}:{i}".encode()).hexdigest()[:4], 16
+            )
+            / 32768.0
+            - 1.0
+            for i in range(dim)
+        ]
+        for cell in range(n_cells)
+    ]
+
+
 def _assign_udf(centroids: list[list[float]]):
     """Vectorized (Arrow-batched) nearest-centroid assignment.
 

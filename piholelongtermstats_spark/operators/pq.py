@@ -53,6 +53,34 @@ N_ITERS = 3
 _CODEBOOK_CACHE: dict[tuple, list] = {}
 
 
+def fixed_codebooks(
+    dim: int, n_sub: int = N_SUB, n_codes: int = N_CODES
+) -> list:
+    """Deterministic corpus-INDEPENDENT codebooks for the
+    oracle-checked registry entry (see ivf.fixed_centroids): values
+    j/32768 − 1 are exactly representable doubles so the DuckDB
+    oracle embeds identical literals. train_pq_codebooks remains the
+    production (data-adaptive) path, pytest-covered."""
+    import hashlib
+
+    subdim = dim // n_sub
+    return [
+        [
+            [
+                int(
+                    hashlib.md5(f"pq:{s}:{code}:{i}".encode()).hexdigest()[:4],
+                    16,
+                )
+                / 32768.0
+                - 1.0
+                for i in range(subdim)
+            ]
+            for code in range(n_codes)
+        ]
+        for s in range(n_sub)
+    ]
+
+
 def _codes_udf(codebooks: list):
     """All-subspace nearest-code assignment, one Arrow batch at a time.
 

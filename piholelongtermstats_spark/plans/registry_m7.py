@@ -423,39 +423,153 @@ def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_ann_topk(_emb(spark, sf_dir), 0, 10, multiprobe=2)
 
 
-@register("ivf_ann_topk")  # rows-only: iterative index build isn't ANSI SQL
+# ---------------------------------------------------------------------------
+# IVF / PQ ANN — oracle-checked with PINNED deterministic quantizers
+# (r3 VERDICT #4): the index parameters are corpus-independent
+# md5-derived constants (ivf.fixed_centroids / pq.fixed_codebooks,
+# values j/32768−1 — exactly representable doubles), so the DuckDB
+# oracle embeds the IDENTICAL literals and reproduces cell assignment
+# / code assignment / probe selection / ADC candidate cut exactly.
+# The data-adaptive trained quantizers (train_centroids /
+# train_pq_codebooks) stay the production default — registered below
+# the line as *_trained (rows-only: an iterative k-means isn't a
+# static SQL string) and covered by pytest recall tests.
+# ---------------------------------------------------------------------------
+
+from piholelongtermstats_spark.operators import ivf as _ivf_mod
+from piholelongtermstats_spark.operators import pq as _pq_mod
+
+_IVF_CENTS = _ivf_mod.fixed_centroids(_EMB_DIM)
+_PQ_CBS = _pq_mod.fixed_codebooks(_EMB_DIM)
+
+
+def _arr(vals) -> str:
+    return "[" + ",".join(repr(float(x)) for x in vals) + "]::DOUBLE[]"
+
+
+_IVF_CENT_VALUES = ",".join(
+    f"({i}, {_arr(c)})" for i, c in enumerate(_IVF_CENTS)
+)
+
+# assignment: argmin |v−c|² = argmax (v·c − |c|²/2), ties → lowest
+# cell (np.argmax first-hit ⇔ ORDER BY score DESC, cell ASC);
+# probe: nprobe centroids nearest to the query vector, ties → lowest
+# cell (Python sorted on (dist, cell) ⇔ ORDER BY distance, cell).
+_IVF_SQL = f"""
+WITH cent AS (SELECT * FROM (VALUES {_IVF_CENT_VALUES}) AS t(cell, c)),
+v AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+scored AS (
+  SELECT v.vec_id, v.label, v.v, cent.cell,
+         list_dot_product(v.v, cent.c)
+           - 0.5 * list_dot_product(cent.c, cent.c) AS score
+  FROM v CROSS JOIN cent),
+assigned AS (
+  SELECT vec_id, label, v, cell FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY vec_id ORDER BY score DESC, cell) AS rn
+    FROM scored) WHERE rn = 1),
+q AS (SELECT v AS qv FROM v WHERE vec_id = 0),
+probe AS (
+  SELECT cell FROM cent, q
+  ORDER BY list_distance(c, qv), cell LIMIT {_ivf_mod.N_PROBE})
+SELECT a.vec_id, a.label,
+       round(list_cosine_similarity(a.v, q.qv), 6) AS cosine
+FROM assigned a, q
+WHERE a.cell IN (SELECT cell FROM probe) AND a.vec_id <> 0
+ORDER BY cosine DESC, a.vec_id LIMIT 10
+"""
+
+
+@register("ivf_ann_topk", _IVF_SQL)
 def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF coarse-quantizer ANN (16 cells trained on a 1/4 subsample,
-    2 Lloyd iterations, probe 4) — the data-adaptive counterpart to
-    the hyperplane-LSH path. The trained centroids are cached per
-    (session, corpus): the first call pays index build, repeats time
-    search only — the train-once/search-many contract."""
-    from piholelongtermstats_spark.operators import ivf
-
-    emb = _emb(spark, sf_dir)
-    key = (spark.sparkContext.applicationId, sf_dir, 16, 2, 4)
-    cents = ivf._CENTROID_CACHE.get(key)
-    if cents is None:
-        cents = ivf.train_centroids(emb, n_iters=2, sample_mod=4)
-        ivf._CENTROID_CACHE[key] = cents
-    return ivf.ivf_ann_topk(emb, 0, 10, centroids=cents)
+    """IVF coarse-quantizer ANN (16 cells, probe 4) with the pinned
+    deterministic quantizer — assignment, probe selection, and the
+    cell-restricted exact-cosine scan are all oracle-reproduced."""
+    return _ivf_mod.ivf_ann_topk(
+        _emb(spark, sf_dir), 0, 10, centroids=_IVF_CENTS
+    )
 
 
-@register("pq_ann_topk")  # rows-only: per-subspace k-means isn't ANSI SQL
+_SUBDIM = _EMB_DIM // _pq_mod.N_SUB
+_PQ_CB_VALUES = ",".join(
+    f"({s},{code},{_arr(c)})"
+    for s, book in enumerate(_PQ_CBS)
+    for code, c in enumerate(book)
+)
+
+_PQ_SQL = f"""
+WITH cb AS (SELECT * FROM (VALUES {_PQ_CB_VALUES}) AS t(s, code, c)),
+v AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+subs AS (
+  SELECT vec_id,
+         CAST(t.s AS INTEGER) AS s,
+         list_slice(v, t.s * {_SUBDIM} + 1, (t.s + 1) * {_SUBDIM}) AS vs
+  FROM v, range({_pq_mod.N_SUB}) t(s)),
+assigned AS (
+  SELECT vec_id, s, c FROM (
+    SELECT subs.vec_id, subs.s, cb.c,
+      row_number() OVER (PARTITION BY subs.vec_id, subs.s
+        ORDER BY list_dot_product(subs.vs, cb.c)
+                 - 0.5 * list_dot_product(cb.c, cb.c) DESC, cb.code) AS rn
+    FROM subs JOIN cb ON subs.s = cb.s) WHERE rn = 1),
+q AS (SELECT v AS qv, sqrt(list_dot_product(v, v)) AS qn
+      FROM v WHERE vec_id = 0),
+qsubs AS (
+  SELECT CAST(t.s AS INTEGER) AS s,
+         list_slice(qv, t.s * {_SUBDIM} + 1, (t.s + 1) * {_SUBDIM}) AS qs
+  FROM q, range({_pq_mod.N_SUB}) t(s)),
+approx AS (
+  SELECT a.vec_id, sum(list_dot_product(qs.qs, a.c)) AS ip
+  FROM assigned a JOIN qsubs qs ON a.s = qs.s
+  WHERE a.vec_id <> 0 GROUP BY a.vec_id),
+cand AS (
+  SELECT approx.vec_id
+  FROM approx
+  JOIN (SELECT vec_id, sqrt(list_dot_product(v, v)) AS vn FROM v)
+    USING (vec_id), q
+  ORDER BY ip / (vn * qn) DESC, vec_id LIMIT 40)
+SELECT v.vec_id, v.label,
+       round(list_cosine_similarity(v.v, q.qv), 6) AS cosine
+FROM v JOIN cand USING (vec_id), q
+ORDER BY cosine DESC, v.vec_id LIMIT 10
+"""
+
+
+@register("pq_ann_topk", _PQ_SQL)
 def q_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN (8 subspaces × 16 codes, ADC scan +
-    exact re-rank) — the memory scale path: 4-byte codes instead of
-    256-byte float vectors, LUT lookups instead of dot products.
-    Codebooks cached per (session, corpus) like the IVF centroids."""
-    from piholelongtermstats_spark.operators import pq
+    exact re-rank over 4k=40 candidates) with the pinned deterministic
+    codebooks — code assignment, the ADC candidate cut, and the exact
+    re-rank are all oracle-reproduced."""
+    return _pq_mod.pq_ann_topk(_emb(spark, sf_dir), 0, 10, codebooks=_PQ_CBS)
 
+
+@register("ivf_ann_topk_trained")  # rows-only: iterative k-means isn't SQL
+def q_ivf_ann_topk_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production data-adaptive IVF path (16 cells trained on a
+    1/4 subsample, 2 Lloyd iterations, probe 4), centroids cached per
+    (session, corpus) — train once, search many."""
+    emb = _emb(spark, sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir, 16, 2, 4)
+    cents = _ivf_mod._CENTROID_CACHE.get(key)
+    if cents is None:
+        cents = _ivf_mod.train_centroids(emb, n_iters=2, sample_mod=4)
+        _ivf_mod._CENTROID_CACHE[key] = cents
+    return _ivf_mod.ivf_ann_topk(emb, 0, 10, centroids=cents)
+
+
+@register("pq_ann_topk_trained")  # rows-only: per-subspace k-means isn't SQL
+def q_pq_ann_topk_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production data-adaptive PQ path (codebooks trained with 2
+    Lloyd iterations on a 1/2 subsample), cached like the IVF
+    centroids."""
     emb = _emb(spark, sf_dir)
     key = (spark.sparkContext.applicationId, sf_dir, 8, 16, 2)
-    cbs = pq._CODEBOOK_CACHE.get(key)
+    cbs = _pq_mod._CODEBOOK_CACHE.get(key)
     if cbs is None:
-        cbs = pq.train_pq_codebooks(emb, n_iters=2, sample_mod=2)
-        pq._CODEBOOK_CACHE[key] = cbs
-    return pq.pq_ann_topk(emb, 0, 10, codebooks=cbs)
+        cbs = _pq_mod.train_pq_codebooks(emb, n_iters=2, sample_mod=2)
+        _pq_mod._CODEBOOK_CACHE[key] = cbs
+    return _pq_mod.pq_ann_topk(emb, 0, 10, codebooks=cbs)
 
 
 @register(
