@@ -70,8 +70,15 @@ def main() -> None:
     # in the stdout line made the line exceed the driver's tail-capture
     # window, so BENCH_r02 recorded parsed=null. The stdout contract is
     # ONE COMPACT JSON line.
+    # Timings are persisted here too (r3 VERDICT #6) so round-over-round
+    # per-query comparison never depends on the driver's stdout tail
+    # window again (the BENCH_r02 gap).
     with open(os.path.join(REPO, "bench_metrics.json"), "w") as f:
-        json.dump({"sf": sf, "query_metrics": plan_metrics}, f, indent=1)
+        json.dump(
+            {"sf": sf, "timings_sec": timings, "query_metrics": plan_metrics},
+            f,
+            indent=1,
+        )
 
     print(
         json.dumps(

@@ -248,6 +248,14 @@ def ngram_jaccard_pairs(
             (1.0 + threshold) * F.col("n_stop").cast("double")
             >= threshold * F.col("n_sh").cast("double") - 1e-9
         ).select("doc_id")
+        # Short-circuit (r3 VERDICT #5): on any non-pathological corpus
+        # the stoppy set is EMPTY, and the guard's three extra
+        # shuffles (self-join + two size joins) are pure overhead in
+        # the main plan. One tiny driver-side job (a groupBy over the
+        # cached shingle set) decides; the returned plan is identical
+        # in output either way, so the oracle is unaffected.
+        if stoppy.isEmpty():
+            return jac
         sh_heavy = sh.join(stoppy, "doc_id", "left_semi")
         heavy_inter = (
             sh_heavy.alias("a")
