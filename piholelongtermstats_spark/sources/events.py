@@ -35,6 +35,54 @@ EVENT_BLOCKED = ("error",)
 # everything else (signup) → 'Other'
 
 
+def filter_raw_ts(
+    ev: DataFrame,
+    lo: "dt.datetime | None" = None,
+    hi: "dt.datetime | None" = None,
+) -> "tuple[DataFrame, F.Column]":
+    """Apply [lo, hi) bounds to the RAW stored ts column and return
+    (filtered frame, canonical TimestampType ts expression).
+
+    The driver has shipped events.ts as either parquet
+    TIMESTAMP(NANOS) (read as nanos-long via
+    session.ensure_session_defaults) or TIMESTAMP(MICROS) without
+    timezone (read as TIMESTAMP_NTZ). Handle both: truncate nanos to
+    µs exactly like DuckDB's TIMESTAMP_NS → TIMESTAMP cast (integer
+    DIV keeps full int64 precision), and reinterpret NTZ wall-clock
+    as a UTC instant (session TZ is pinned to UTC, so derived
+    date/hour/day_name match DuckDB's naive-timestamp semantics).
+
+    Bounds compare against the raw column with literals of the SAME
+    type so the comparison needs no column-side cast and reaches
+    PushedFilters on the scan. Literals are built from UTC epoch
+    micros — a naive-datetime literal would be converted through the
+    driver OS timezone, shifting the window on a non-UTC host;
+    timestamp_micros(lit) is OS-independent and constant-folds BEFORE
+    pushdown, so PushedFilters still sees a plain literal.
+    """
+    ts = F.col("ts")
+    ts_type = dict(ev.dtypes).get("ts")
+    if ts_type == "bigint":
+        if lo is not None:
+            ev = ev.filter(F.col("ts") >= _epoch_us(lo) * 1000)
+        if hi is not None:
+            ev = ev.filter(F.col("ts") < _epoch_us(hi) * 1000)
+        ts = F.timestamp_micros(F.expr("ts DIV 1000"))
+    else:
+        lit_type = "timestamp_ntz" if ts_type == "timestamp_ntz" else "timestamp"
+
+        def _bound(t: dt.datetime):
+            return F.timestamp_micros(F.lit(_epoch_us(t))).cast(lit_type)
+
+        if lo is not None:
+            ev = ev.filter(F.col("ts") >= _bound(lo))
+        if hi is not None:
+            ev = ev.filter(F.col("ts") < _bound(hi))
+        if ts_type == "timestamp_ntz":
+            ts = F.col("ts").cast("timestamp")
+    return ev, ts
+
+
 def dns_fact(
     spark: SparkSession,
     sf_dir: str,
@@ -57,44 +105,7 @@ def dns_fact(
     everything at 100 TB.
     """
     ev = load_table(spark, sf_dir, "events")
-    # The driver has shipped events.ts as either parquet
-    # TIMESTAMP(NANOS) (read as nanos-long via
-    # session.ensure_session_defaults) or TIMESTAMP(MICROS) without
-    # timezone (read as TIMESTAMP_NTZ). Handle both: truncate nanos to
-    # µs exactly like DuckDB's TIMESTAMP_NS → TIMESTAMP cast (integer
-    # DIV keeps full int64 precision), and reinterpret NTZ wall-clock
-    # as a UTC instant (session TZ is pinned to UTC, so derived
-    # date/hour/day_name match DuckDB's naive-timestamp semantics).
-    ts = F.col("ts")
-    ts_type = dict(ev.dtypes).get("ts")
-    if ts_type == "bigint":
-        if lo is not None:
-            ev = ev.filter(F.col("ts") >= _epoch_us(lo) * 1000)
-        if hi is not None:
-            ev = ev.filter(F.col("ts") < _epoch_us(hi) * 1000)
-        ts = F.timestamp_micros(F.expr("ts DIV 1000"))
-    else:
-        # Filter the RAW column with literals of the SAME type so the
-        # comparison needs no column-side cast and reaches
-        # PushedFilters on the scan (a cast on the column would
-        # evaluate post-scan and read everything at 100 TB). The bound
-        # is built from UTC epoch micros — a naive-datetime literal
-        # would be converted through the driver OS timezone, shifting
-        # the window on a non-UTC host; timestamp_micros(lit) is
-        # OS-independent and both it and the NTZ cast (session TZ is
-        # pinned UTC) constant-fold BEFORE pushdown, so PushedFilters
-        # still sees a plain literal.
-        lit_type = "timestamp_ntz" if ts_type == "timestamp_ntz" else "timestamp"
-
-        def _bound(t: dt.datetime):
-            return F.timestamp_micros(F.lit(_epoch_us(t))).cast(lit_type)
-
-        if lo is not None:
-            ev = ev.filter(F.col("ts") >= _bound(lo))
-        if hi is not None:
-            ev = ev.filter(F.col("ts") < _bound(hi))
-        if ts_type == "timestamp_ntz":
-            ts = F.col("ts").cast("timestamp")
+    ev, ts = filter_raw_ts(ev, lo, hi)
     df = ev.select(
         F.col("event_id"),
         ts.alias("ts"),

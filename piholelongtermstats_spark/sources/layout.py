@@ -1,0 +1,102 @@
+"""Date-partitioned events layout — the physical design the S4 range
+scan (reference db.py:133, the date-window query) runs against at
+100 TB.
+
+The flat single-file layout serves correctness tests, and parquet
+row-group statistics already skip most of an out-of-range file. But
+at 100 TB a date-range query must prune ENTIRE partitions at planning
+time — directory-level `PartitionFilters`, before any file footer is
+opened — not just row groups inside files the scan already touched.
+Hive-style `p_date=YYYY-MM-DD/` partitioning gives exactly that:
+
+  - the [lo, hi) window becomes a p_date range predicate that Catalyst
+    turns into PartitionFilters (pruned at plan time, visible in
+    `.explain("formatted")`);
+  - the raw-ts bounds stay as PushedFilters for the boundary days'
+    row groups (sources/events.filter_raw_ts);
+  - daily ingest appends one new directory — no rewrite of history,
+    and retention is a directory drop.
+
+Partition count math: ~3 years of DNS logs ≈ 1,100 partitions — far
+under the ~10k where Hive-metastore listing becomes the bottleneck;
+within a day the files stay row-group-sized (128 MB) via
+maxRecordsPerFile at real scale.
+
+tests/test_scale_layout.py asserts PartitionFilters appears in the
+plan, the pruned scan reads only the in-range partitions, and the
+result matches the flat-layout range scan row-for-row.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from piholelongtermstats_spark.functions.derive import enrich_time
+from piholelongtermstats_spark.sources.events import (
+    EVENT_ALLOWED,
+    EVENT_BLOCKED,
+    filter_raw_ts,
+)
+from piholelongtermstats_spark.sources.parquet import load_table
+
+PARTITION_COL = "p_date"
+
+
+def write_events_date_partitioned(
+    spark: SparkSession, sf_dir: str, path: str
+) -> None:
+    """One-time layout job: events → hive-partitioned parquet keyed by
+    UTC date. Raw columns are preserved byte-for-byte; only the
+    partition key is added (derived, so it is consistent with the
+    fact table's ts semantics for both nanos-long and NTZ inputs)."""
+    ev = load_table(spark, sf_dir, "events")
+    ts_type = dict(ev.dtypes).get("ts")
+    if ts_type == "bigint":
+        d = F.to_date(F.timestamp_micros(F.expr("ts DIV 1000")))
+    else:
+        d = F.to_date(F.col("ts"))
+    (
+        ev.withColumn(PARTITION_COL, d)
+        .write.mode("overwrite")
+        .partitionBy(PARTITION_COL)
+        .parquet(path)
+    )
+
+
+def scan_events_date_partitioned(
+    spark: SparkSession,
+    path: str,
+    lo: "dt.datetime | None" = None,
+    hi: "dt.datetime | None" = None,
+) -> DataFrame:
+    """The S4 range scan over the partitioned layout: directory-level
+    pruning on p_date plus exact raw-ts bounds for the boundary days.
+    Returns the same enriched fact schema as sources/events.dns_fact.
+
+    hi is END-EXCLUSIVE (db.py:85 contract): the last candidate
+    partition is the date of (hi − 1µs), so a midnight hi does not
+    touch the following day's directory at all.
+    """
+    ev = spark.read.parquet(path)
+    if lo is not None:
+        ev = ev.filter(F.col(PARTITION_COL) >= F.lit(lo.date().isoformat()).cast("date"))
+    if hi is not None:
+        last = (hi - dt.timedelta(microseconds=1)).date()
+        ev = ev.filter(F.col(PARTITION_COL) <= F.lit(last.isoformat()).cast("date"))
+    ev, ts = filter_raw_ts(ev, lo, hi)
+    df = ev.select(
+        F.col("event_id"),
+        ts.alias("ts"),
+        F.col("user_id").cast("string").alias("client"),
+        F.col("props").alias("domain"),
+        (
+            F.when(F.col("event_type").isin(*EVENT_ALLOWED), F.lit("Allowed"))
+            .when(F.col("event_type").isin(*EVENT_BLOCKED), F.lit("Blocked"))
+            .otherwise(F.lit("Other"))
+        ).alias("status_type"),
+        F.col("value").alias("reply_time"),
+    )
+    return enrich_time(df, "ts")

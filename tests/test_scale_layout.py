@@ -93,3 +93,47 @@ def test_salted_avg_matches_direct(spark):
     assert set(salted) == set(direct)
     for k in direct:
         assert salted[k] == pytest.approx(direct[k], rel=1e-12)
+
+
+def test_date_partitioned_scan_prunes_partitions(spark, tmp_path_factory):
+    """r3 VERDICT #7: the S4 range scan over the date-partitioned
+    layout must prune whole date DIRECTORIES at plan time
+    (PartitionFilters on p_date), keep the exact raw-ts bounds as
+    PushedFilters for the boundary days, and return exactly what the
+    flat-layout scan returns."""
+    import datetime as dt
+
+    from piholelongtermstats_spark.sources import layout
+    from piholelongtermstats_spark.sources.events import dns_fact
+
+    path = str(tmp_path_factory.mktemp("evpart") / "events_by_date")
+    layout.write_events_date_partitioned(spark, SF, path)
+
+    lo = dt.datetime.fromisoformat("2024-01-05 06:00:00")
+    hi = dt.datetime.fromisoformat("2024-01-12 00:00:00")
+    scan = layout.scan_events_date_partitioned(spark, path, lo, hi)
+    plan = _explain(scan)
+
+    # Directory-level pruning is in the plan: PartitionFilters carries
+    # the p_date range, and partition count proves pruning (7 of ~30
+    # days; hi is midnight-exclusive so Jan 12's directory is NOT read).
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and "p_date" in pf[0], plan
+    assert "(p_date" in pf[0] and "2024-01-05" in pf[0] and "2024-01-11" in pf[0], pf[0]
+    # pruning is real, not just printed: the executed scan's
+    # numPartitions SQLMetric reports only the 7 in-range date
+    # directories (Jan 12's is never opened)
+    from piholelongtermstats_spark.plans.metrics import executed_plan_metrics
+
+    scan.collect()
+    m = executed_plan_metrics(scan, keys=("numPartitions",))
+    assert m.get("numPartitions") == 7, m
+    # exact ts bounds still reach the parquet row groups
+    assert "PushedFilters" in plan and "ts" in plan.split("PushedFilters")[1][:200], plan
+
+    # row-for-row parity with the flat layout
+    flat = dns_fact(spark, SF, lo=lo, hi=hi)
+    assert scan.count() == flat.count()
+    assert (
+        scan.select("event_id").exceptAll(flat.select("event_id")).count() == 0
+    )
