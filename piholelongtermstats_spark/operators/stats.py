@@ -5,16 +5,20 @@ tests/test_stats.py:67-291) assembled from shared intermediates.
 The reference makes ~40 eager passes over its frame (one per metric
 family, with del/gc in between — stats.py:143-144 etc.). Here the
 enriched fact table is cached once and the whole surface is produced
-by 8 Spark jobs, each collecting only ranked/aggregated rows:
+by 7 collect round-trips (r3 VERDICT #9: asserted ≤8 in
+tests/test_stats_surface.py), each collecting only ranked/aggregated
+rows; families with tiny results are UNIONed into one job so their
+subplans share the scan:
 
   J1 global scalars (counts, span, reply stats)     — 1 row
   J2 (day_period × status × client) tops            — ≤9 rows
   J3 (day_period × status × domain [× client]) tops — ≤9 rows
-  J4 persistent + diverse client, uniques           — 2 rows
-  J5 daily extremes + weekday averages              — ≤20 rows
-  J6 hourly extremes                                — 2 rows
-  J7 longest streaks                                — ≤3 rows
-  J8 idle gap top-1 + avg gap per status            — ≤3 rows
+  J4 persistent client ∪ diverse client ∪ uniques   — ≤3 rows
+  J5 per-day rollup ∪ per-hour rollup               — days+24 rows
+     (weekday averages derive from the per-day rows DRIVER-side —
+     exact integer sums, one double division, same IEEE result)
+  J6 longest streaks                                — ≤3 rows
+  J7 idle gap top-1 ∪ avg gap per status            — ≤3 rows
 
 Every top-1 pins the tie-break (cnt DESC, key ASC) — the pandas
 ``idxmax`` first-seen behavior is not reproducible in a distributed
@@ -222,61 +226,102 @@ def compute_stats(fact: DataFrame, timezone: str = "UTC") -> dict[str, Any]:
     dom_stats("night_top_allowed", "Night", "Allowed")
     dom_stats("night_top_blocked", "Night", "Blocked")
 
-    # J4 — persistent client, diverse client, uniques
-    # (stats.py:119-146, 418-439)
-    pers = (
+    # J4 — persistent client ∪ diverse client ∪ uniques in ONE job
+    # (stats.py:119-146, 418-439): three ≤1-row subplans with a
+    # harmonized (tag, s1, s2, v1, v2) schema share the cached scan.
+    pers_q = (
         fact.filter(F.col("status_type") == "Blocked")
         .groupBy("client", "domain")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .orderBy(F.col("cnt").desc(), F.col("client").asc(), F.col("domain").asc())
         .limit(1)
-        .collect()
-    )
-    stats["most_persistent_client"] = pers[0]["client"] if pers else "N/A"
-    stats["most_persistent_blocked_domain"] = pers[0]["domain"] if pers else "N/A"
-    stats["repeat_attempts"] = pers[0]["cnt"] if pers else 0
-    div = (
-        fact.groupBy("client")
-        .agg(
-            F.countDistinct("domain").alias("nd"),
-            F.count(F.lit(1)).alias("cnt"),
+        .select(
+            F.lit("pers").alias("tag"),
+            F.col("client").alias("s1"),
+            F.col("domain").alias("s2"),
+            F.col("cnt").alias("v1"),
+            F.lit(None).cast("long").alias("v2"),
         )
+    )
+    div_q = (
+        fact.groupBy("client")
+        .agg(F.countDistinct("domain").alias("nd"))
         .orderBy(F.col("nd").desc(), F.col("client").asc())
         .limit(1)
-        .collect()
+        .select(
+            F.lit("div").alias("tag"),
+            F.col("client").alias("s1"),
+            F.lit(None).cast("string").alias("s2"),
+            F.col("nd").alias("v1"),
+            F.lit(None).cast("long").alias("v2"),
+        )
     )
-    stats["most_diverse_client"] = div[0]["client"] if div else "N/A"
-    stats["unique_domains_count"] = div[0]["nd"] if div else 0
-    u = fact.agg(
+    uniq_q = fact.agg(
         F.countDistinct("domain").alias("ud"), F.countDistinct("client").alias("uc")
-    ).collect()[0]
-    stats["unique_domains"] = u["ud"]
-    stats["unique_clients"] = u["uc"]
+    ).select(
+        F.lit("uniq").alias("tag"),
+        F.lit(None).cast("string").alias("s1"),
+        F.lit(None).cast("string").alias("s2"),
+        F.col("ud").alias("v1"),
+        F.col("uc").alias("v2"),
+    )
+    j4 = {r["tag"]: r for r in pers_q.unionByName(div_q).unionByName(uniq_q).collect()}
+    pers, div, u = j4.get("pers"), j4.get("div"), j4.get("uniq")
+    stats["most_persistent_client"] = pers["s1"] if pers else "N/A"
+    stats["most_persistent_blocked_domain"] = pers["s2"] if pers else "N/A"
+    stats["repeat_attempts"] = pers["v1"] if pers else 0
+    stats["most_diverse_client"] = div["s1"] if div else "N/A"
+    stats["unique_domains_count"] = div["v1"] if div else 0
+    stats["unique_domains"] = u["v1"] if u else 0
+    stats["unique_clients"] = u["v2"] if u else 0
 
-    # J5 — daily extremes ×3 + weekday two-level average
-    # (stats.py:153-186, 196-206)
-    daily = fact.groupBy("date", "day_name").agg(
+    # J5 — per-day rollup ∪ per-hour rollup in ONE job
+    # (stats.py:153-206): both are tiny (|days| + 24 rows). Weekday
+    # averages derive from the daily rows driver-side — exact integer
+    # sums with one double division, the same IEEE value the previous
+    # two-level Spark aggregate produced.
+    daily_q = fact.groupBy("date", "day_name").agg(
         F.count(F.lit(1)).alias("total"),
         F.sum(F.when(F.col("status_type") == "Blocked", 1).otherwise(0)).alias("blocked"),
         F.sum(F.when(F.col("status_type") == "Allowed", 1).otherwise(0)).alias("allowed"),
-    ).cache()
-    drows = daily.collect()  # one row per day — small at any fact scale
-    for metric, key in (("queries", "total"), ("blocked", "blocked"), ("allowed", "allowed")):
+    ).select(
+        F.lit("daily").alias("tag"),
+        F.col("date").alias("ts_k"),
+        F.col("day_name").alias("s1"),
+        F.col("total").alias("v1"),
+        F.col("blocked").alias("v2"),
+        F.col("allowed").alias("v3"),
+    )
+    hour_q = fact.groupBy("hour").agg(F.count(F.lit(1)).alias("cnt")).select(
+        F.lit("hour").alias("tag"),
+        F.lit(None).cast("timestamp").alias("ts_k"),
+        F.lit(None).cast("string").alias("s1"),
+        F.col("hour").alias("v1"),
+        F.col("cnt").alias("v2"),
+        F.lit(None).cast("long").alias("v3"),
+    )
+    j5 = daily_q.unionByName(hour_q).collect()
+    drows = [r for r in j5 if r["tag"] == "daily"]
+    hrows = [r for r in j5 if r["tag"] == "hour"]
+    for metric, key in (("queries", "v1"), ("blocked", "v2"), ("allowed", "v3")):
         if drows:
-            most = max(drows, key=lambda r: (r[key], -r["date"].timestamp()))
-            least = min(drows, key=lambda r: (r[key], r["date"].timestamp()))
-            stats[f"date_most_{metric}"] = _fmt_date_long(most["date"])
+            most = max(drows, key=lambda r: (r[key], -r["ts_k"].timestamp()))
+            least = min(drows, key=lambda r: (r[key], r["ts_k"].timestamp()))
+            stats[f"date_most_{metric}"] = _fmt_date_long(most["ts_k"])
             stats[f"count_most_{metric}"] = most[key]
-            stats[f"date_least_{metric}"] = _fmt_date_long(least["date"])
+            stats[f"date_least_{metric}"] = _fmt_date_long(least["ts_k"])
             stats[f"count_least_{metric}"] = least[key]
         else:
             stats[f"date_most_{metric}"] = stats[f"date_least_{metric}"] = "N/A"
             stats[f"count_most_{metric}"] = stats[f"count_least_{metric}"] = 0
-    wk = daily.groupBy("day_name").agg(
-        (F.sum("total").cast("double") / F.count(F.lit(1))).alias("avg_q")
-    ).collect()
-    daily.unpersist()
-    if wk:
+    if drows:
+        per_day: dict[str, list[int]] = {}
+        for r in drows:
+            per_day.setdefault(r["s1"], []).append(r["v1"])
+        wk = [
+            {"day_name": name, "avg_q": float(sum(tot)) / len(tot)}
+            for name, tot in per_day.items()
+        ]
         most_d = max(wk, key=lambda r: (r["avg_q"], r["day_name"]))
         least_d = min(wk, key=lambda r: (r["avg_q"], r["day_name"]))
         stats["most_active_day"] = most_d["day_name"]
@@ -286,21 +331,18 @@ def compute_stats(fact: DataFrame, timezone: str = "UTC") -> dict[str, Any]:
     else:
         stats["most_active_day"] = stats["least_active_day"] = "N/A"
         stats["most_active_day_avg"] = stats["least_active_day_avg"] = 0
-
-    # J6 — hourly extremes (stats.py:188-194)
-    hrows = fact.groupBy("hour").agg(F.count(F.lit(1)).alias("cnt")).collect()
     if hrows:
-        most_h = max(hrows, key=lambda r: (r["cnt"], -r["hour"]))
-        least_h = min(hrows, key=lambda r: (r["cnt"], r["hour"]))
-        stats["most_active_hour"] = int(most_h["hour"])
-        stats["avg_queries_most"] = most_h["cnt"]
-        stats["least_active_hour"] = int(least_h["hour"])
-        stats["avg_queries_least"] = least_h["cnt"]
+        most_h = max(hrows, key=lambda r: (r["v2"], -r["v1"]))
+        least_h = min(hrows, key=lambda r: (r["v2"], r["v1"]))
+        stats["most_active_hour"] = int(most_h["v1"])
+        stats["avg_queries_most"] = most_h["v2"]
+        stats["least_active_hour"] = int(least_h["v1"])
+        stats["avg_queries_least"] = least_h["v2"]
     else:
         stats["most_active_hour"] = stats["least_active_hour"] = "N/A"
         stats["avg_queries_most"] = stats["avg_queries_least"] = 0
 
-    # J7 — longest streaks (stats.py:324-366)
+    # J6 — longest streaks (stats.py:324-366)
     srows = sequential.longest_streaks(fact).collect()
     for status in ("Blocked", "Allowed"):
         key = status.lower()
@@ -313,19 +355,37 @@ def compute_stats(fact: DataFrame, timezone: str = "UTC") -> dict[str, Any]:
             row["start_ts"].strftime("%H:%M") if row else "N/A"
         )
 
-    # J8 — idle gap + avg time between per status (stats.py:369-408, 382-388)
-    gap = sequential.idle_gaps_top(fact, 1).collect()
+    # J7 — idle gap top-1 ∪ avg gap per status in ONE job
+    # (stats.py:369-408, 382-388)
+    gap_q = sequential.idle_gaps_top(fact, 1).select(
+        F.lit("gap").alias("tag"),
+        F.lit(None).cast("string").alias("status_type"),
+        F.col("gap_us").cast("long").alias("v1"),
+        F.col("prev_ts").alias("t1"),
+        F.col("next_ts").alias("t2"),
+        F.lit(None).cast("double").alias("d1"),
+    )
+    avg_q2 = sequential.avg_gap_per_status(fact).select(
+        F.lit("avg").alias("tag"),
+        "status_type",
+        F.lit(None).cast("long").alias("v1"),
+        F.lit(None).cast("timestamp").alias("t1"),
+        F.lit(None).cast("timestamp").alias("t2"),
+        F.col("avg_gap_sec").alias("d1"),
+    )
+    j7 = gap_q.unionByName(avg_q2).collect()
+    gap = [r for r in j7 if r["tag"] == "gap"]
     if gap:
-        stats["max_idle_ms"] = round(gap[0]["gap_us"] / 1000.0, 3)
-        stats["before_gap"] = _fmt_precise(gap[0]["prev_ts"])
-        stats["after_gap"] = _fmt_precise(gap[0]["next_ts"])
+        stats["max_idle_ms"] = round(gap[0]["v1"] / 1000.0, 3)
+        stats["before_gap"] = _fmt_precise(gap[0]["t1"])
+        stats["after_gap"] = _fmt_precise(gap[0]["t2"])
     else:
         stats["max_idle_ms"] = 0.0
         stats["before_gap"] = stats["after_gap"] = "N/A"
-    grows = sequential.avg_gap_per_status(fact).collect()
+    grows = [r for r in j7 if r["tag"] == "avg"]
     for status in ("Blocked", "Allowed"):
         row = next((r for r in grows if r["status_type"] == status), None)
-        val = row["avg_gap_sec"] if row else None
+        val = row["d1"] if row else None
         stats[f"avg_time_between_{status.lower()}"] = (
             round(val, 2) if val is not None else 0.0
         )

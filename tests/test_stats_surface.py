@@ -107,3 +107,26 @@ def test_empty_fact_degrades_to_zeros(spark):
     assert s["day_total_queries"] == 0 and s["night_total_queries"] == 0
     assert s["min_date"] == "N/A"
     assert s["top_client"] == "N/A"
+
+
+def test_stats_surface_collect_round_trips(spark, monkeypatch):
+    """r3 VERDICT #9: the whole ~60-scalar surface must assemble in at
+    most 8 driver round-trips (it currently uses 7 — tiny-result
+    families are UNIONed into shared jobs). Counted by instrumenting
+    DataFrame.collect, which every family funnels through."""
+    from pyspark.sql import DataFrame
+
+    calls = {"n": 0}
+    orig = DataFrame.collect
+
+    def counting_collect(self):
+        calls["n"] += 1
+        return orig(self)
+
+    monkeypatch.setattr(DataFrame, "collect", counting_collect)
+    stats = compute_stats(make_fact(spark, _mixed_rows()))
+    assert calls["n"] <= 8, calls["n"]
+    # the batching must not change a single value
+    assert stats["total_queries"] == 48
+    assert stats["unique_domains"] == 4
+    assert stats["unique_clients"] == 2
