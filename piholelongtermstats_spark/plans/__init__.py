@@ -119,6 +119,7 @@ _OVERFLOW = [
     "mix_sample",
     "corpus_delta",
     "doc_repetition",
+    "dedup_scale_2x",
     # rows-only by design (sketches, iterative index builds, stubs)
     "uniques_approx",
     "reply_time_quantiles",

@@ -292,3 +292,49 @@ def q_contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     benchmark shingle set is broadcast; the corpus streams map-side
     (corpus.contamination_overlap)."""
     return corpus.contamination_overlap(_shingles(spark, sf_dir), bench_mod=29)
+
+
+# ---------------------------------------------------------------------------
+# Dedup-at-scale proof (r3 VERDICT #8): the full fuzzy-dedup pipeline
+# on a DOUBLED corpus, end to end, uncached — corpus ∪ id-shifted copy
+# → shingles → MinHash → LSH banding → star-contraction components →
+# survivors, as one run. The doubling is the oracle trick: every doc
+# gains an exact twin (identical shingles ⇒ identical signatures ⇒
+# a guaranteed banding collision), the twin joins its original's
+# component, and min-id canonicalization always picks the ORIGINAL id
+# (the shift is strictly positive). Hence the surviving id set of the
+# doubled corpus EQUALS the single-corpus survivor set, and the entry
+# is fully oracle-checked by the same recursive-CTE pipeline
+# dedup_survivors uses — at 2× the Spark-side data volume.
+# tests/test_clusters_star.py asserts the executed run spills zero
+# bytes and funnels no stage through a single partition.
+# ---------------------------------------------------------------------------
+
+_SHIFT = 1 << 40  # far above any real doc_id; keeps BIGINT min-id order
+
+
+@register(
+    "dedup_scale_2x",
+    (_SHINGLE_CTE + _SIG_CTE).replace("WITH tk AS", "WITH RECURSIVE tk AS", 1)
+    + _EDGE_CTES
+    + """
+SELECT d.doc_id
+FROM documents d LEFT JOIN lab l ON d.doc_id = l.doc_id
+WHERE coalesce(l.cluster_id, d.doc_id) = d.doc_id
+""",
+)
+def q_dedup_scale_2x(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    doubled = docs.unionByName(
+        docs.select((F.col("doc_id") + _SHIFT).alias("doc_id"), "text")
+    )
+    sh2 = dedup.shingles(doubled)
+    pairs = dedup.lsh_candidate_pairs(doubled, sh=sh2)
+    clusters = dedup.duplicate_clusters_star(pairs)
+    return (
+        corpus.dedup_survivors(doubled, clusters)
+        .filter(F.col("kept") == 1)
+        .select("doc_id")
+    )

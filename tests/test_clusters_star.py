@@ -58,3 +58,36 @@ def test_star_raises_on_round_cap(spark):
     pairs_edges = [(i, i + 1) for i in range(500)]
     with pytest.raises(RuntimeError, match="did not converge"):
         _labels(spark, pairs_edges, max_rounds=1)
+
+
+def test_dedup_scale_2x_no_spill_no_single_partition(spark):
+    """r3 VERDICT #8: the end-to-end doubled-corpus dedup run (corpus ∪
+    shifted copy → LSH → star contraction → survivors) must execute
+    with ZERO spill and never funnel a stage through a single
+    partition — the two local signals that a plan would fall over at
+    100×. Also pins the oracle identity: doubled-corpus survivors ==
+    single-corpus survivor ids."""
+    from pyspark.sql import functions as F
+
+    from piholelongtermstats_spark.plans import QUERIES
+    from piholelongtermstats_spark.plans.metrics import executed_plan_metrics
+
+    sf = "/root/testdata/sf0.001"
+    df = QUERIES["dedup_scale_2x"](spark, sf)
+    got = sorted(r["doc_id"] for r in df.collect())
+
+    m = executed_plan_metrics(df)
+    assert m.get("spillSize", 0) == 0, m
+    plan = df._jdf.queryExecution().explainString(
+        df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "SinglePartition" not in plan, plan
+
+    single = (
+        QUERIES["dedup_survivors"](spark, sf)
+        .filter(F.col("kept") == 1)
+        .select("doc_id")
+    )
+    assert got == sorted(r["doc_id"] for r in single.collect())
