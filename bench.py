@@ -44,16 +44,35 @@ def main() -> None:
     # occasional 2-4x transient spikes (JIT/GC/IO) unrelated to the
     # plans; the min of two runs of a deterministic query is the
     # honest steady-state cost. `value` = sum of per-query minima.
+    # Timing contract (r4 — CHANGED vs r1-r3): the timer wraps plan
+    # CONSTRUCTION + execution. r1-r3 timed collect() only, which let
+    # iterative operators (star-contraction components, trained index
+    # builds) run their distributed jobs during the untimed fn() and
+    # report a ~0.03s "time" for a pipeline whose work already
+    # happened. The price of honesty is a ~0.2s/query constant of
+    # py4j/plan-build/schema-discovery overhead that r1-r3 never
+    # counted (~15s across 81 queries — driver-side, NOT distributed
+    # work, and paid once per query in a real deployment). For
+    # round-over-round comparability the side file records the
+    # build/exec split per query and stdout carries exec_value (the
+    # r1-r3-comparable execute-only sum) next to value (the honest
+    # total).
     timings: dict[str, float] = {}
+    build_sec: dict[str, float] = {}
+    exec_sec: dict[str, float] = {}
     plan_metrics: dict[str, dict] = {}
     for rnd in range(2):
         for name, fn in QUERIES.items():
-            df = fn(spark, sf_dir)
             t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            t1 = time.perf_counter()
             df.collect()
-            t = round(time.perf_counter() - t0, 4)
+            t2 = time.perf_counter()
+            t = round(t2 - t0, 4)
             if name not in timings or t < timings[name]:
                 timings[name] = t
+                build_sec[name] = round(t1 - t0, 4)
+                exec_sec[name] = round(t2 - t1, 4)
             if rnd == 1:
                 # Observed SQLMetrics (shuffle bytes/records, spill)
                 # from the executed plan — evidence for the scale
@@ -72,10 +91,18 @@ def main() -> None:
     # ONE COMPACT JSON line.
     # Timings are persisted here too (r3 VERDICT #6) so round-over-round
     # per-query comparison never depends on the driver's stdout tail
-    # window again (the BENCH_r02 gap).
+    # window again (the BENCH_r02 gap). timings_sec = build+exec total
+    # (the honest headline); build_sec/exec_sec split it — exec_sec is
+    # the r1-r3-comparable collect-only number.
     with open(os.path.join(REPO, "bench_metrics.json"), "w") as f:
         json.dump(
-            {"sf": sf, "timings_sec": timings, "query_metrics": plan_metrics},
+            {
+                "sf": sf,
+                "timings_sec": timings,
+                "build_sec": build_sec,
+                "exec_sec": exec_sec,
+                "query_metrics": plan_metrics,
+            },
             f,
             indent=1,
         )
@@ -86,6 +113,7 @@ def main() -> None:
                 "metric": "suite_sec_sum_of_query_min",
                 "value": total,
                 "unit": "sec",
+                "exec_value": round(sum(exec_sec.values()), 4),
                 "queries": {k: round(v, 3) for k, v in timings.items()},
                 "sf": sf,
             }

@@ -17,6 +17,7 @@ from piholelongtermstats_spark.plans.registry_m7 import (
     _docs,
     _pairs,
     _shingles,
+    _star_clusters,
 )
 
 # Shared 60-bit md5 hash, DuckDB side (mirrors text.md5_hash60).
@@ -65,7 +66,7 @@ def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     components → one canonical survivor per cluster, full corpus
     labeled (doc_id, cluster_id, kept)."""
     docs = _docs(spark, sf_dir)
-    clusters = dedup.duplicate_clusters_star(_pairs(spark, sf_dir))
+    clusters = _star_clusters(spark, sf_dir)
     return corpus.dedup_survivors(docs, clusters)
 
 
