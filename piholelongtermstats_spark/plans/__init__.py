@@ -38,7 +38,6 @@ TOP_50 = [
     "day_night_counts",
     "uniques",
     "top_clients",
-    "top_domains",
     "top_clients_per_status",
     "top_domain_top_client",
     "most_persistent_client",
@@ -46,7 +45,6 @@ TOP_50 = [
     "top_clients_stacked",
     "client_domain_scatter",
     "daily_counts",
-    "hourly_histogram",
     "weekday_avg",
     "hourly_rollup",
     "hour_spine_zerofill",
@@ -65,6 +63,7 @@ TOP_50 = [
     "salted_top_domains",
     "asof_rollup_enrich",
     "range_join_blocked_windows",
+    "range_scan_pruned",
     # --- TPC-H-shaped join suite ---
     "pricing_summary",
     "top_unshipped_orders",
@@ -87,6 +86,7 @@ TOP_50 = [
     "contamination_overlap",
     "tfidf_top_terms",
     "sampling_panel",
+    "dedup_scale_2x",
 ]
 
 # Below the line: previously-green queries first, then never-checked
@@ -94,8 +94,15 @@ TOP_50 = [
 # demoted in r4 to give the newly oracle-checked IVF/PQ entries driver
 # rows (r3 VERDICT #4): signatures feed lsh_candidate_pairs (still
 # checked) and survivors are composed inside corpus_build (still
-# checked); both remain green in the local parity suite.
+# checked); both remain green in the local parity suite. r5 (r4
+# VERDICT #3): dedup_scale_2x and range_scan_pruned took driver rows
+# from top_domains (byte-identical output verified through
+# salted_top_domains — same oracle SQL, same 10 rows) and
+# hourly_histogram (the hour marginal of day_hour_heatmap_panel; A6
+# semantics stay parity-tested below the line).
 _OVERFLOW = [
+    "top_domains",
+    "hourly_histogram",
     "minhash_signatures",
     "dedup_survivors",
     "day_hour_heatmap",
@@ -119,7 +126,9 @@ _OVERFLOW = [
     "mix_sample",
     "corpus_delta",
     "doc_repetition",
-    "dedup_scale_2x",
+    "streaks_scale_2x",
+    "gaps_scale_2x",
+    "sessions_scale_2x",
     # rows-only by design (sketches, iterative index builds, stubs)
     "uniques_approx",
     "reply_time_quantiles",

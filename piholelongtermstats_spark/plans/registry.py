@@ -1020,3 +1020,175 @@ def q_activity_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("date", "status_type", "cnt", "gid")
     )
+
+
+# ---------------------------------------------------------------------------
+# Partitioned-layout range scan (r4 VERDICT #3): the S4 range scan
+# executed against the hive p_date layout (sources/layout.py) with an
+# exact oracle over the FLAT file — a green row proves directory-level
+# partition pruning returns byte-identical results to the layout the
+# oracle reads. Same SQL as `range_scan`; only the Spark physical
+# design differs.
+# ---------------------------------------------------------------------------
+
+@register(
+    "range_scan_pruned",
+    FACT_CTE
+    + """
+SELECT status_type, count(*) AS cnt FROM fact
+WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' AND ts < TIMESTAMP '2024-01-20 00:00:00'
+GROUP BY status_type
+""",
+)
+def q_range_scan_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range scan over the date-partitioned layout: [lo, hi) becomes
+    PartitionFilters (whole directories pruned at plan time) plus
+    raw-ts PushedFilters for the boundary days
+    (tests/test_scale_layout.py asserts both in the plan and the
+    pruned partition count in the executed SQLMetrics)."""
+    import datetime as dt
+
+    from piholelongtermstats_spark.sources import layout
+
+    ensure_session_defaults(spark)
+    path = layout.ensure_layout(spark, sf_dir)
+    fact = layout.scan_events_date_partitioned(
+        spark, path, lo=dt.datetime(2024, 1, 10), hi=dt.datetime(2024, 1, 20)
+    )
+    return fact.groupBy("status_type").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+# ---------------------------------------------------------------------------
+# Sequential-tier doubling proofs (r4 VERDICT #6): the stitched
+# order-dependent operators run over events ∪ a ts-shifted copy (2×
+# the fact volume, uncached) with the oracle computed DIRECTLY on the
+# doubled input — the same methodology that made dedup_scale_2x the
+# repo's strongest scale evidence (6d4cf92), now covering the one real
+# distributed-algorithm decision in the DNS tier (SURVEY §2.6: no
+# global-order window over fact rows). tests/test_scale2x_sequential.py
+# asserts zero spill and that every unpartitioned window orders a
+# reduced summary, not fact rows.
+# ---------------------------------------------------------------------------
+
+# +64 days clears the ~30-day event span, so the copy lands strictly
+# after the original (the junction is one honest mega-gap, which the
+# oracle computes too); the id shift keeps (ts, event_id) tie-break
+# order canonical and collision-free (events ids are far below 2^40).
+_SEQ2X_ID_SHIFT = 1 << 40
+
+_DBL_CTE = (
+    FACT_CTE
+    + f"""
+, dbl AS (
+  SELECT ts, event_id, status_type, client FROM fact
+  UNION ALL
+  SELECT ts + INTERVAL 64 DAY, event_id + {_SEQ2X_ID_SHIFT}, status_type, client
+  FROM fact
+)
+"""
+)
+
+
+def _fact2x(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events ∪ (+64 d, +2^40-id)-shifted copy, time-enriched — built
+    per call (NOT persisted): the point is the 2× execution volume."""
+    from piholelongtermstats_spark.functions.derive import enrich_time
+
+    base = _fact(spark, sf_dir).select("ts", "event_id", "status_type", "client")
+    shifted = base.select(
+        (F.col("ts") + F.expr("INTERVAL 64 DAYS")).alias("ts"),
+        (F.col("event_id") + F.lit(_SEQ2X_ID_SHIFT)).alias("event_id"),
+        "status_type",
+        "client",
+    )
+    return enrich_time(base.unionByName(shifted), "ts")
+
+
+@register(
+    "streaks_scale_2x",
+    _DBL_CTE
+    + """
+, flg AS (
+  SELECT ts, event_id, status_type,
+         CASE WHEN lag(status_type) OVER w IS NULL
+                OR lag(status_type) OVER w <> status_type THEN 1 ELSE 0 END AS chg
+  FROM dbl
+  WINDOW w AS (ORDER BY ts, event_id)
+), grp AS (
+  SELECT *, CAST(sum(chg) OVER (ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run_id
+  FROM flg
+), runs AS (
+  SELECT run_id, status_type, count(*) AS streak_len, min(ts) AS start_ts
+  FROM grp GROUP BY 1, 2
+)
+SELECT status_type, streak_len, start_ts FROM (
+  SELECT *, row_number() OVER (PARTITION BY status_type
+                               ORDER BY streak_len DESC, start_ts) AS rn
+  FROM runs
+) WHERE rn = 1
+""",
+)
+def q_streaks_scale_2x(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """longest_streaks (two-level stitch) at 2× fact volume. The
+    junction can legally merge the original's tail run with the
+    copy's head run — the oracle's global-order SQL sees the same
+    doubled sequence, so the comparison is exact either way."""
+    return sequential.longest_streaks_stitched(_fact2x(spark, sf_dir))
+
+
+@register(
+    "gaps_scale_2x",
+    _DBL_CTE
+    + """
+, g AS (
+  SELECT lag(ts) OVER (ORDER BY ts, event_id) AS prev_ts, ts AS next_ts FROM dbl
+)
+SELECT prev_ts, next_ts, epoch_us(next_ts) - epoch_us(prev_ts) AS gap_us
+FROM g WHERE prev_ts IS NOT NULL
+ORDER BY gap_us DESC, next_ts LIMIT 10
+""",
+)
+def q_gaps_scale_2x(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """idle_gaps_top (date-partition + boundary stitch) at 2× volume;
+    the 64-day junction gap is the expected #1 row on both engines."""
+    return sequential.idle_gaps_top(_fact2x(spark, sf_dir), 10)
+
+
+@register(
+    "sessions_scale_2x",
+    _DBL_CTE
+    + """
+, flagged AS (
+  SELECT client, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM dbl WINDOW w AS (PARTITION BY client ORDER BY ts, event_id)
+), sess AS (
+  SELECT client, ts,
+         sum(new_s) OVER (PARTITION BY client ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+), sessions AS (
+  SELECT client,
+         min(ts) AS session_start,
+         max(ts) + INTERVAL 30 MINUTE AS session_end,
+         count(*) AS n_events
+  FROM sess GROUP BY client, sid
+)
+SELECT client,
+       count(*) AS n_sessions,
+       round(CAST(CAST(sum(n_events) AS BIGINT) AS DOUBLE) / count(*), 6)
+         AS avg_events_per_session,
+       round(CAST(max(epoch_us(session_end) - epoch_us(session_start)) AS DOUBLE)
+             / 1000000.0, 6) AS longest_session_sec
+FROM sessions GROUP BY client
+""",
+)
+def q_sessions_scale_2x(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """session_window summary at 2× volume: each client's session set
+    doubles (the 64-day shift can never bridge a 30-min gap)."""
+    from piholelongtermstats_spark.streaming.sessions import session_summary
+
+    return session_summary(_fact2x(spark, sf_dir))

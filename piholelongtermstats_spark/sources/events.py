@@ -15,6 +15,7 @@ with session timezone pinned to UTC.
 from __future__ import annotations
 
 import datetime as dt
+import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -103,7 +104,21 @@ def dns_fact(
     ``PushedFilters`` on the parquet scan and skip row groups — a
     filter on the derived column would evaluate post-scan and read
     everything at 100 TB.
+
+    With ``SPARK_GRAFT_USE_LAYOUT`` set (bench does, r4 VERDICT #8),
+    the scan routes through the date-partitioned hive layout
+    (sources/layout.py) instead of the flat file: identical rows and
+    schema (tests/test_scale_layout.py), but [lo, hi) additionally
+    prunes whole date DIRECTORIES at plan time (PartitionFilters) —
+    the physical design every events query runs against at 100 TB.
+    The flag is opt-in so oracle comparisons and the driver's
+    correctness runs stay on the exact files DuckDB reads.
     """
+    if os.environ.get("SPARK_GRAFT_USE_LAYOUT", "").lower() in ("1", "true", "auto"):
+        from piholelongtermstats_spark.sources import layout as _layout
+
+        path = _layout.ensure_layout(spark, sf_dir)
+        return _layout.scan_events_date_partitioned(spark, path, lo, hi)
     ev = load_table(spark, sf_dir, "events")
     ev, ts = filter_raw_ts(ev, lo, hi)
     df = ev.select(

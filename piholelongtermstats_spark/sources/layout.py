@@ -30,6 +30,8 @@ result matches the flat-layout range scan row-for-row.
 from __future__ import annotations
 
 import datetime as dt
+import os
+import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -38,11 +40,55 @@ from piholelongtermstats_spark.functions.derive import enrich_time
 from piholelongtermstats_spark.sources.events import (
     EVENT_ALLOWED,
     EVENT_BLOCKED,
+    _epoch_us,
     filter_raw_ts,
 )
 from piholelongtermstats_spark.sources.parquet import load_table
 
 PARTITION_COL = "p_date"
+
+# One layout write per (application, path): the existence check alone
+# would race a concurrent in-session write of the same path.
+_LAYOUT_READY: set[tuple] = set()
+
+
+def layout_path(sf_dir: str) -> str:
+    """Deterministic on-disk location of the partitioned layout for a
+    given source dir. Root overridable via SPARK_GRAFT_LAYOUT_DIR (the
+    cluster deployment points it at the warehouse); default is a
+    tmp-dir keyed by sf name so repeat sessions reuse one layout."""
+    root = os.environ.get(
+        "SPARK_GRAFT_LAYOUT_DIR",
+        os.path.join(tempfile.gettempdir(), "phlts_layout"),
+    )
+    sf_name = os.path.basename(sf_dir.rstrip("/")) or "events"
+    return os.path.join(root, sf_name, "events_by_date")
+
+
+def layout_is_fresh(sf_dir: str) -> bool:
+    """True iff a completed layout exists for sf_dir and is no older
+    than the source events parquet (a regenerated source invalidates
+    the derived layout — staleness must never win over correctness)."""
+    marker = os.path.join(layout_path(sf_dir), "_SUCCESS")
+    src = os.path.join(sf_dir, "events.parquet")
+    if not os.path.exists(marker) or not os.path.exists(src):
+        return False
+    return os.path.getmtime(marker) >= os.path.getmtime(src)
+
+
+def ensure_layout(spark: SparkSession, sf_dir: str) -> str:
+    """Idempotently materialize the date-partitioned layout for sf_dir
+    and return its path. The write runs at most once per (application,
+    path); a fresh on-disk layout from an earlier session is reused
+    (daily-ingest model: history directories are immutable)."""
+    path = layout_path(sf_dir)
+    key = (spark.sparkContext.applicationId, path)
+    if key in _LAYOUT_READY:
+        return path
+    if not layout_is_fresh(sf_dir):
+        write_events_date_partitioned(spark, sf_dir, path)
+    _LAYOUT_READY.add(key)
+    return path
 
 
 def write_events_date_partitioned(
@@ -79,12 +125,27 @@ def scan_events_date_partitioned(
     hi is END-EXCLUSIVE (db.py:85 contract): the last candidate
     partition is the date of (hi − 1µs), so a midnight hi does not
     touch the following day's directory at all.
+
+    Partition bounds are taken from the UTC date of the bound INSTANT
+    (r4 ADVICE): p_date is derived from UTC event time, and
+    filter_raw_ts accepts tz-aware bounds, so a tz-aware bound (e.g.
+    UTC+14 early morning — already the previous day in UTC) must
+    prune on its UTC calendar date, not its local wall-clock date, or
+    the directory holding in-range rows would be pruned away.
     """
+
+    def _utc_date(t: dt.datetime) -> dt.date:
+        return dt.datetime.fromtimestamp(
+            _epoch_us(t) / 1e6, tz=dt.timezone.utc
+        ).date()
+
     ev = spark.read.parquet(path)
     if lo is not None:
-        ev = ev.filter(F.col(PARTITION_COL) >= F.lit(lo.date().isoformat()).cast("date"))
+        ev = ev.filter(
+            F.col(PARTITION_COL) >= F.lit(_utc_date(lo).isoformat()).cast("date")
+        )
     if hi is not None:
-        last = (hi - dt.timedelta(microseconds=1)).date()
+        last = _utc_date(hi - dt.timedelta(microseconds=1))
         ev = ev.filter(F.col(PARTITION_COL) <= F.lit(last.isoformat()).cast("date"))
     ev, ts = filter_raw_ts(ev, lo, hi)
     df = ev.select(

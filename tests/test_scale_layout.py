@@ -137,3 +137,37 @@ def test_date_partitioned_scan_prunes_partitions(spark, tmp_path_factory):
     assert (
         scan.select("event_id").exceptAll(flat.select("event_id")).count() == 0
     )
+
+
+def test_date_partitioned_scan_tz_aware_bounds(spark, tmp_path_factory):
+    """r4 ADVICE (medium): partition pruning must use the UTC date of
+    a tz-aware bound, not its local wall-clock date. A UTC+14
+    early-morning bound is still the PREVIOUS day in UTC — pruning on
+    the wall-clock date would drop that directory and silently lose
+    its in-range rows."""
+    import datetime as dt
+
+    from piholelongtermstats_spark.sources import layout
+    from piholelongtermstats_spark.sources.events import dns_fact
+
+    path = str(tmp_path_factory.mktemp("evpart_tz") / "events_by_date")
+    layout.write_events_date_partitioned(spark, SF, path)
+
+    tz14 = dt.timezone(dt.timedelta(hours=14))
+    # 2024-01-06 04:00 at UTC+14 == 2024-01-05 14:00 UTC: the window
+    # starts inside the Jan 5 UTC directory.
+    lo = dt.datetime(2024, 1, 6, 4, 0, 0, tzinfo=tz14)
+    # 2024-01-12 10:00 at UTC+14 == 2024-01-11 20:00 UTC: the window
+    # ends inside Jan 11; Jan 12's directory must not be read.
+    hi = dt.datetime(2024, 1, 12, 10, 0, 0, tzinfo=tz14)
+
+    scan = layout.scan_events_date_partitioned(spark, path, lo, hi)
+    flat = dns_fact(spark, SF, lo=lo, hi=hi)
+    assert scan.count() == flat.count()
+    assert (
+        scan.select("event_id").exceptAll(flat.select("event_id")).count() == 0
+    )
+    # the pruned window is the UTC dates [2024-01-05, 2024-01-11]
+    plan = _explain(scan)
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and "2024-01-05" in pf[0] and "2024-01-11" in pf[0], pf[0]
