@@ -450,6 +450,17 @@ def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # train_pq_codebooks) stay the production default — registered below
 # the line as *_trained (rows-only: an iterative k-means isn't a
 # static SQL string) and covered by pytest recall tests.
+#
+# FP caveat (r4 ADVICE): "exactly" above assumes no argmax/ordering
+# decision is within floating-point error of a tie — Spark scores via
+# numpy BLAS matmul, DuckDB via list_dot_product, and their
+# accumulation orders differ, so an ulp-level near-tie COULD flip a
+# cell/code/probe decision between engines. The assumption is
+# enforced, not hoped for: tests/test_fp_determinism.py measures every
+# such decision's margin against an exactly-rounded fsum reference
+# (observed ≫ 1e-7 vs ~1e-13 accumulation error) on each corpus, so a
+# future near-tie fails there with a number instead of surfacing as a
+# mystery parity mismatch.
 # ---------------------------------------------------------------------------
 
 from piholelongtermstats_spark.operators import ivf as _ivf_mod

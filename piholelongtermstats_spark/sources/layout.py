@@ -104,12 +104,18 @@ def write_events_date_partitioned(
         d = F.to_date(F.timestamp_micros(F.expr("ts DIV 1000")))
     else:
         d = F.to_date(F.col("ts"))
-    (
-        ev.withColumn(PARTITION_COL, d)
-        .write.mode("overwrite")
-        .partitionBy(PARTITION_COL)
-        .parquet(path)
-    )
+    keyed = ev.withColumn(PARTITION_COL, d)
+    # Empty source (the reference's first-class empty-DB path,
+    # tests/test_db.py:272-362): a zero-row partitionBy write creates
+    # NO partition directories, leaving a path whose schema cannot be
+    # inferred back. Write the zero-row frame unpartitioned instead —
+    # p_date becomes an ordinary (empty) DATE column, so the scan path
+    # reads, filters, and projects identically. isEmpty() is a
+    # LIMIT-1 probe: O(first row) on any real table.
+    if keyed.isEmpty():
+        keyed.write.mode("overwrite").parquet(path)
+        return
+    keyed.write.mode("overwrite").partitionBy(PARTITION_COL).parquet(path)
 
 
 def scan_events_date_partitioned(

@@ -56,6 +56,12 @@ STREAK_OUTPUT_SCHEMA = T.StructType(
     ]
 )
 
+# r4 widened this from 4 to 7 columns (late-event guard). ValueState
+# schemas are NOT migrated by Spark: a checkpoint written before the
+# widening will fail (or misbind) on restore. There is no compatible
+# upgrade path — restart such a pipeline with a NEW checkpoint
+# location (state rebuilds from the source's retained history); this
+# module's state name/shape is otherwise stable going forward.
 _STATE_SCHEMA = (
     "cur_status string, cur_len long, best_status string, best_len long, "
     "last_ts_us long, last_event_id long, late_rows long"
@@ -108,7 +114,15 @@ class StreakProcessor(StatefulProcessor):
             else (None, 0, None, 0, _NEG_INF, _NEG_INF, 0)
         )
         batch = pd.concat(list(rows), ignore_index=True)
-        batch = batch.sort_values(["ts", "event_id"])
+        # Within-batch duplicates fold too if only the cross-batch
+        # cursor is checked (r4 ADVICE): dedupe on (ts, event_id)
+        # inside the batch first, counting the drops as late_rows —
+        # same observable-drop contract as the cursor guard.
+        n_raw = len(batch)
+        batch = batch.drop_duplicates(["ts", "event_id"]).sort_values(
+            ["ts", "event_id"]
+        )
+        late_rows += n_raw - len(batch)
         ts_us = _epoch_us_series(batch["ts"])
         eid = batch["event_id"].astype("int64")
         late = (ts_us < last_ts_us) | (

@@ -1,0 +1,100 @@
+"""Floating-point determinism margins for the pinned IVF/PQ oracles
+(r4 ADVICE).
+
+The ivf_ann_topk / pq_ann_topk oracle comparisons assume the Spark
+side (numpy BLAS matmul, pairwise/SIMD accumulation) and the DuckDB
+side (list_dot_product, sequential accumulation) agree on every
+argmax/ordering decision. Non-associativity means that assumption
+holds only while no decision is within fp error of a tie. This test
+MEASURES those margins on the actual corpus against an
+exactly-rounded reference (math.fsum): if a future corpus or quantizer
+change brings any decision within ulp range, the failure lands here
+with a number — not as a mystery hash mismatch in the parity suite.
+
+Decisions covered (the ones the oracle replays):
+  - IVF cell assignment: argmax over 16 centroid scores per vector;
+  - IVF probe selection: the nprobe-th vs (nprobe+1)-th centroid
+    distance cut for the query vector;
+  - PQ per-subspace code assignment: argmax over 16 codes × 8
+    subspaces per vector.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+import numpy as np
+import pyarrow.parquet as papq
+import pytest
+
+from piholelongtermstats_spark.operators import ivf as ivf_mod
+from piholelongtermstats_spark.operators import pq as pq_mod
+
+SF_DIRS = [
+    d for d in ("/root/testdata/sf0.001", "/root/testdata/sf0.01")
+    if os.path.isdir(d)
+]
+
+# Margins far above double-precision accumulation error for dim-64
+# dot products of O(1) components (error ~1e-13); anything smaller
+# than this and the two engines could legitimately disagree.
+MIN_SAFE_MARGIN = 1e-7
+
+
+def _load(sf_dir: str) -> np.ndarray:
+    t = papq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    return np.stack(t.column("embedding").to_pylist()).astype(np.float64)
+
+
+def _fsum_scores(V: np.ndarray, C: np.ndarray, half: np.ndarray) -> np.ndarray:
+    """Exactly-rounded reference: math.fsum per (vector, centroid)."""
+    out = np.empty((len(V), len(C)))
+    for i, v in enumerate(V):
+        for j, c in enumerate(C):
+            out[i, j] = math.fsum(v * c) - half[j]
+    return out
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
+def test_ivf_cell_assignment_margins(sf_dir):
+    V = _load(sf_dir)
+    C = np.asarray(ivf_mod.fixed_centroids(V.shape[1]), dtype=np.float64)
+    half = 0.5 * (C * C).sum(axis=1)
+    blas = V @ C.T - half[None, :]
+    ref = _fsum_scores(V, C, half)
+    # same winner under both accumulation orders
+    assert (np.argmax(blas, axis=1) == np.argmax(ref, axis=1)).all()
+    # and the winner is never a near-tie
+    top2 = np.partition(ref, -2, axis=1)[:, -2:]
+    margins = top2[:, 1] - top2[:, 0]
+    assert margins.min() > MIN_SAFE_MARGIN, margins.min()
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
+def test_ivf_probe_cut_margin(sf_dir):
+    V = _load(sf_dir)
+    C = np.asarray(ivf_mod.fixed_centroids(V.shape[1]), dtype=np.float64)
+    q = V[0]
+    d = ((C - q[None, :]) ** 2).sum(axis=1)
+    order = np.argsort(d, kind="stable")
+    cut = d[order[ivf_mod.N_PROBE]] - d[order[ivf_mod.N_PROBE - 1]]
+    assert cut > MIN_SAFE_MARGIN, cut
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
+def test_pq_code_assignment_margins(sf_dir):
+    V = _load(sf_dir)
+    cbs = pq_mod.fixed_codebooks(V.shape[1])
+    subdim = V.shape[1] // len(cbs)
+    worst = np.inf
+    for s, cb in enumerate(cbs):
+        C = np.asarray(cb, dtype=np.float64)
+        half = 0.5 * (C * C).sum(axis=1)
+        Vs = V[:, s * subdim : (s + 1) * subdim]
+        blas = Vs @ C.T - half[None, :]
+        ref = _fsum_scores(Vs, C, half)
+        assert (np.argmax(blas, axis=1) == np.argmax(ref, axis=1)).all()
+        top2 = np.partition(ref, -2, axis=1)[:, -2:]
+        worst = min(worst, float((top2[:, 1] - top2[:, 0]).min()))
+    assert worst > MIN_SAFE_MARGIN, worst

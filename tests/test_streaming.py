@@ -384,6 +384,17 @@ def test_streak_processor_logic():
     assert (r5["cur_status"], r5["cur_len"]) == ("Blocked", 5)
     assert r5["late_rows"] == 3
 
+    # WITHIN-batch duplicates (r4 ADVICE): the same (ts, event_id)
+    # arriving twice in ONE micro-batch folds once — the duplicate is
+    # dropped and counted, so cur_len advances by 2, not 3
+    r6 = batch([
+        (9, t0 + dt.timedelta(minutes=7), "Blocked"),
+        (9, t0 + dt.timedelta(minutes=7), "Blocked"),   # in-batch dup
+        (10, t0 + dt.timedelta(minutes=8), "Blocked"),
+    ])
+    assert (r6["cur_status"], r6["cur_len"]) == ("Blocked", 7)
+    assert r6["late_rows"] == 4
+
 
 def test_streaming_corpus_ingest_gates_and_dedups(spark, tmp_path):
     """Quality gate + fingerprint dedup on the way in; the gate is the
