@@ -416,3 +416,81 @@ def contamination_overlap(
             ).alias("overlap"),
         )
     )
+
+
+def span_dedup(
+    docs: DataFrame, span: int = 10, max_df: int = 2
+) -> DataFrame:
+    """Repeated-span removal — the line/paragraph-level dedup a
+    pretraining pipeline runs AFTER document-level dedup (the
+    MassiveText "repeated passages" / C4 "three-sentence span" rule,
+    adapted to this corpus's single-line documents by treating each
+    consecutive ``span``-token chunk as the dedup unit).
+
+    A chunk appearing in more than ``max_df`` DISTINCT documents is
+    boilerplate: every occurrence is removed from every document, and
+    each document's surviving chunks are reassembled in original
+    order. Returns one row per input document:
+      (doc_id, n_spans, kept_spans, removed_spans, clean_text).
+
+    Scale shape (all native Column expressions, zero UDFs):
+      1. explode → |corpus-tokens|/span rows — LINEAR in corpus size;
+      2. chunk-df: one hash-groupBy shuffle keyed on chunk content
+         (high cardinality — boilerplate is the rare tail by
+         definition);
+      3. the bad-chunk set is a left_anti join; its size is bounded
+         by |chunks|/max_df, and AQE broadcasts it when small without
+         pinning that assumption into the plan;
+      4. reassembly: one groupBy(doc_id) whose per-group state is one
+         document's own chunks — bounded by max document length, the
+         same bound every per-doc operator already assumes.
+    """
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    n_chunks = F.ceil(F.size(toks) / F.lit(float(span))).cast("int")
+    chunked = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda i: F.array_join(F.slice(toks, i * span + 1, span), " "),
+            )
+        ).alias("pos", "chunk"),
+    )
+    bad = (
+        chunked.groupBy("chunk")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") > max_df)
+        .select("chunk")
+    )
+    kept = chunked.join(bad, "chunk", "left_anti")
+    # array_sort on struct(pos, chunk): pos is unique per doc, so the
+    # reassembly order is the original chunk order, deterministically.
+    reassembled = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("kept_spans"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "chunk"))),
+                lambda s: s["chunk"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+    n_spans = F.ceil(
+        F.size(F.split(F.trim(F.col("text")), r"\s+")) / F.lit(float(span))
+    ).cast("long")
+    return (
+        docs.select("doc_id", n_spans.alias("n_spans"))
+        .join(reassembled, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_spans",
+            F.coalesce(F.col("kept_spans"), F.lit(0)).cast("long").alias(
+                "kept_spans"
+            ),
+            (
+                F.col("n_spans")
+                - F.coalesce(F.col("kept_spans"), F.lit(0))
+            ).cast("long").alias("removed_spans"),
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        )
+    )

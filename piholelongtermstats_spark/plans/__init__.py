@@ -129,6 +129,8 @@ _OVERFLOW = [
     "streaks_scale_2x",
     "gaps_scale_2x",
     "sessions_scale_2x",
+    "pricing_scale_2x",
+    "span_dedup",
     # rows-only by design (sketches, iterative index builds, stubs)
     "uniques_approx",
     "reply_time_quantiles",

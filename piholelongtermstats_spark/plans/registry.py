@@ -1192,3 +1192,47 @@ def q_sessions_scale_2x(spark: SparkSession, sf_dir: str) -> DataFrame:
     from piholelongtermstats_spark.streaming.sessions import session_summary
 
     return session_summary(_fact2x(spark, sf_dir))
+
+
+@register(
+    "pricing_scale_2x",
+    """
+WITH li2 AS (SELECT * FROM lineitem UNION ALL SELECT * FROM lineitem)
+SELECT l_returnflag, l_linestatus,
+  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS DOUBLE) AS sum_qty,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_qty,
+  count(*) AS count_order
+FROM li2
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def q_pricing_scale_2x(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 at 2× fact volume (lineitem ∪ lineitem, uncached) —
+    the doubling methodology (dedup_scale_2x / streaks_scale_2x)
+    extended to the partial-agg tier: exact DECIMAL sums and counts
+    double, averages are invariant, and the oracle recomputes the
+    doubled input directly. Map-side partial aggregation is what makes
+    the 2× input cost ~2× map work and an IDENTICAL shuffle size (6
+    groups × partials) — the property that holds at any scale-up."""
+    ensure_session_defaults(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    li2 = union_all(li, li)
+    qty = F.col("l_quantity").cast(_DEC)
+    price = F.col("l_extendedprice").cast(_DEC)
+    disc_price = price * (F.lit(1) - F.col("l_discount").cast(_DEC))
+    return (
+        li2.filter(
+            F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp")
+        )
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).cast("double").alias("sum_qty"),
+            F.sum(price).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.round(F.sum(qty).cast("double") / F.count(F.lit(1)), 6).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )

@@ -339,3 +339,54 @@ def q_dedup_scale_2x(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("kept") == 1)
         .select("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Span-level dedup (r5, beyond-reference): repeated-span removal — the
+# line/paragraph-level pass a pretraining pipeline runs after
+# document-level dedup (MassiveText repeated-passages / C4 span rule).
+# Fixed 10-token chunks are the dedup unit on this single-line corpus;
+# a chunk in >2 distinct docs is boilerplate and every occurrence is
+# removed, documents reassembled in original order.
+# ---------------------------------------------------------------------------
+
+_SPAN = 10
+_SPAN_MAX_DF = 2
+
+@register(
+    "span_dedup",
+    rf"""
+WITH tk AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
+), chunks AS (
+  SELECT doc_id, i AS pos,
+         array_to_string(toks[(i*{_SPAN}+1):(i*{_SPAN}+{_SPAN})], ' ') AS chunk
+  FROM tk, LATERAL unnest(
+    generate_series(0, CAST(ceil(len(toks)/{_SPAN}.0) AS INT) - 1)) AS t(i)
+), bad AS (
+  SELECT chunk FROM chunks GROUP BY chunk
+  HAVING count(DISTINCT doc_id) > {_SPAN_MAX_DF}
+), kept AS (
+  SELECT c.* FROM chunks c LEFT JOIN bad b USING (chunk) WHERE b.chunk IS NULL
+), agg AS (
+  SELECT doc_id, count(*) AS kept_spans,
+         string_agg(chunk, ' ' ORDER BY pos) AS clean_text
+  FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(ceil(len(string_split_regex(trim(d.text), '\s+'))/{_SPAN}.0) AS BIGINT)
+         AS n_spans,
+       CAST(coalesce(a.kept_spans, 0) AS BIGINT) AS kept_spans,
+       CAST(ceil(len(string_split_regex(trim(d.text), '\s+'))/{_SPAN}.0) AS BIGINT)
+         - CAST(coalesce(a.kept_spans, 0) AS BIGINT) AS removed_spans,
+       coalesce(a.clean_text, '') AS clean_text
+FROM documents d LEFT JOIN agg a USING (doc_id)
+""",
+)
+def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-span removal over the shared corpus (corpus.span_dedup:
+    explode is linear, chunk-df one hash shuffle, reassembly one
+    per-doc groupBy)."""
+    return corpus.span_dedup(
+        _docs(spark, sf_dir), span=_SPAN, max_df=_SPAN_MAX_DF
+    )

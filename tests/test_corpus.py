@@ -308,3 +308,43 @@ def test_tfidf_skew_split_matches_default(spark):
     a = corpus.tfidf_top_terms(docs, k=3)
     b = corpus.tfidf_top_terms(docs, k=3, hot_df_threshold=10)
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+# ---------------------------------------------------------------------------
+# span_dedup (r5: repeated-span removal)
+# ---------------------------------------------------------------------------
+
+def test_span_dedup_removes_boilerplate_spans_in_order(spark):
+    """A 3-token span shared by 3 docs is removed everywhere; spans in
+    ≤2 docs survive; reassembly preserves original chunk order; a doc
+    made ENTIRELY of boilerplate comes back with empty clean_text."""
+    boiler = "one two three"
+    docs = _docs(
+        spark,
+        [
+            (0, boiler + " alpha beta gamma", "en", "s"),
+            (1, "delta eps zeta " + boiler, "en", "s"),
+            (2, boiler, "en", "s"),
+            (3, "unique words here entirely kept yes", "en", "s"),
+        ],
+    )
+    out = {
+        r["doc_id"]: (
+            r["n_spans"], r["kept_spans"], r["removed_spans"], r["clean_text"]
+        )
+        for r in corpus.span_dedup(docs, span=3, max_df=2).collect()
+    }
+    # each doc splits into 3-token chunks; the boiler chunk has df=3
+    assert out[0] == (2, 1, 1, "alpha beta gamma")
+    assert out[1] == (2, 1, 1, "delta eps zeta")
+    assert out[2] == (1, 0, 1, "")
+    assert out[3] == (2, 2, 0, "unique words here entirely kept yes")
+
+
+def test_span_dedup_within_doc_repeat_counts_once(spark):
+    """df counts DISTINCT documents: a span repeated twice inside one
+    doc has df=1 and is kept (both occurrences, in order)."""
+    docs = _docs(spark, [(0, "a b c a b c", "en", "s")])
+    out = corpus.span_dedup(docs, span=3, max_df=2).collect()[0]
+    assert (out["n_spans"], out["kept_spans"], out["removed_spans"]) == (2, 2, 0)
+    assert out["clean_text"] == "a b c a b c"

@@ -99,3 +99,45 @@ def test_stratified_tournament_equals_naive_window(spark, langs, k, n_buckets):
     assert sorted(map(tuple, got.collect())) == sorted(
         map(tuple, want.collect())
     )
+
+
+@settings(
+    max_examples=6, deadline=None, suppress_health_check=list(HealthCheck)
+)
+@given(docs_strategy, st.integers(min_value=1, max_value=3))
+def test_span_dedup_matches_python_oracle(spark, token_docs, max_df):
+    """span_dedup ≡ a direct python computation on any corpus: chunk
+    each doc into 3-token spans, count DISTINCT-doc frequency, drop
+    spans over max_df everywhere, reassemble in order. Also pins the
+    accounting identity kept + removed == n_spans."""
+    span = 3
+    rows = [(i, " ".join(toks), "en", "s") for i, toks in enumerate(token_docs)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    got = {
+        r["doc_id"]: (
+            r["n_spans"], r["kept_spans"], r["removed_spans"], r["clean_text"]
+        )
+        for r in corpus.span_dedup(df, span=span, max_df=max_df).collect()
+    }
+    chunks = {
+        i: [
+            " ".join(toks[p : p + span])
+            for p in range(0, len(toks), span)
+        ]
+        for i, toks in enumerate(token_docs)
+    }
+    dfreq = Counter()
+    for i, cs in chunks.items():
+        for c in set(cs):
+            dfreq[c] += 1
+    for i, cs in chunks.items():
+        kept = [c for c in cs if dfreq[c] <= max_df]
+        want = (
+            len(cs),
+            len(kept),
+            len(cs) - len(kept),
+            " ".join(kept),
+        )
+        assert got[i] == want, (i, got[i], want)
