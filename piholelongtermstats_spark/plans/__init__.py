@@ -131,6 +131,7 @@ _OVERFLOW = [
     "sessions_scale_2x",
     "pricing_scale_2x",
     "span_dedup",
+    "bucketed_join_revenue",
     # rows-only by design (sketches, iterative index builds, stubs)
     "uniques_approx",
     "reply_time_quantiles",

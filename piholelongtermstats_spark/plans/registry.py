@@ -1236,3 +1236,84 @@ def q_pricing_scale_2x(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("count_order"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Bucketed co-located join (r5): the bucketing tier (sources/
+# bucketing.py) gets an oracle-checked registry entry, not just plan
+# tests. The one-time bucketed write pays the orderkey shuffle at
+# layout time; the recorded join then runs with NO Exchange on either
+# fact-sized side — the physical design for fact⋈fact at 100 TB. The
+# oracle recomputes the same revenue rollup from the flat files.
+# ---------------------------------------------------------------------------
+
+_BUCKETED_READY: dict[tuple, tuple] = {}
+
+
+def _ensure_bucketed_orderkey(spark: SparkSession, sf_dir: str) -> tuple:
+    """Write lineitem/orders bucketed by orderkey (8 buckets, sorted)
+    once per (application, sf_dir); external paths keep the data in a
+    deterministic tmp location, the in-memory catalog carries the
+    bucket spec."""
+    import os
+    import re
+    import tempfile
+
+    from piholelongtermstats_spark.sources import bucketing
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key in _BUCKETED_READY:
+        return _BUCKETED_READY[key]
+    tag = re.sub(r"[^A-Za-z0-9_]", "_", os.path.basename(sf_dir.rstrip("/")))
+    li_t, ord_t = f"phlts_li_bucketed_{tag}", f"phlts_ord_bucketed_{tag}"
+    root = os.path.join(tempfile.gettempdir(), "phlts_bucketed", tag)
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderdate")
+        .withColumnRenamed("o_orderkey", "l_orderkey")
+    )
+    for df, t in ((li, li_t), (orders, ord_t)):
+        (
+            df.write.format("parquet")
+            .mode("overwrite")
+            .option("path", os.path.join(root, t))
+            .bucketBy(8, "l_orderkey")
+            .sortBy("l_orderkey")
+            .saveAsTable(t)
+        )
+    _BUCKETED_READY[key] = (li_t, ord_t)
+    return li_t, ord_t
+
+
+@register(
+    "bucketed_join_revenue",
+    """
+SELECT date_trunc('month', o_orderdate) AS order_month,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+  count(*) AS n_items
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1
+""",
+)
+def q_bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly revenue off the BUCKETED lineitem⋈orders join: both
+    sides pre-bucketed by orderkey ⇒ SortMergeJoin with no Exchange
+    on either side (tests/test_scale_layout.py pins the no-Exchange
+    property; this entry pins the RESULT against the flat-file
+    oracle). The month rollup after the join is the only shuffle."""
+    from piholelongtermstats_spark.sources import bucketing
+
+    ensure_session_defaults(spark)
+    li_t, ord_t = _ensure_bucketed_orderkey(spark, sf_dir)
+    joined = bucketing.colocated_join(spark, li_t, ord_t, ["l_orderkey"])
+    price = F.col("l_extendedprice").cast(_DEC)
+    rev = price * (F.lit(1) - F.col("l_discount").cast(_DEC))
+    return joined.groupBy(
+        F.date_trunc("month", F.col("o_orderdate")).alias("order_month")
+    ).agg(
+        F.sum(rev).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )

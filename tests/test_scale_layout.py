@@ -171,3 +171,33 @@ def test_date_partitioned_scan_tz_aware_bounds(spark, tmp_path_factory):
     plan = _explain(scan)
     pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
     assert pf and "2024-01-05" in pf[0] and "2024-01-11" in pf[0], pf[0]
+
+
+def test_bucketed_join_revenue_no_exchange_under_join(spark):
+    """r5: the registry's bucketed_join_revenue must actually exercise
+    the bucketed path — with broadcast disabled, the lineitem⋈orders
+    SortMergeJoin reads both bucketed tables with NO Exchange below
+    the join (the only shuffle is the month rollup above it)."""
+    from piholelongtermstats_spark.plans import QUERIES
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = QUERIES["bucketed_join_revenue"](spark, SF)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan, plan
+        # exactly ONE Exchange in the whole plan: the month-rollup
+        # aggregation above the join; the join inputs read the bucketed
+        # tables directly
+        n_exchange = len(
+            [ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln]
+        )
+        assert n_exchange == 1, plan
+        # result sanity: matches the plain parquet join
+        li = load_table(spark, SF, "lineitem")
+        orders = load_table(spark, SF, "orders")
+        expected = li.join(orders, li.l_orderkey == orders.o_orderkey).count()
+        from pyspark.sql import functions as FF
+        got = df.agg(FF.sum("n_items")).first()[0]
+        assert got == expected
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
