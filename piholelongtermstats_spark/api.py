@@ -88,6 +88,7 @@ def build_corpus(
     fuzzy_dedup: bool = False,
     k_per_lang: int | None = None,
     decontaminate_mod: int | None = None,
+    span_dedup: bool = False,
 ) -> dict[str, Any]:
     """Beyond-reference convenience surface for the corpus tier
     (SURVEY §2.12): one call composing quality gate → (optional) mix
@@ -101,10 +102,13 @@ def build_corpus(
       dedup is not enough.
     - ``decontaminate_mod``: also return the per-benchmark-doc max
       containment frame (`contamination_overlap`).
+    - ``span_dedup``: also return the span-level cleaned corpus
+      (`corpus.span_dedup` — repeated cross-document 10-token chunks
+      removed everywhere, documents reassembled in order).
 
-    Returns {"manifest", "survivors"?, "contamination"?} — each a
-    DataFrame ready for `.write` (the 100 TB path) or `.collect()`
-    (tests).
+    Returns {"manifest", "survivors"?, "contamination"?,
+    "span_cleaned"?} — each a DataFrame ready for `.write` (the
+    100 TB path) or `.collect()` (tests).
     """
     from piholelongtermstats_spark.operators import corpus as corpus_ops
     from piholelongtermstats_spark.operators import dedup as dedup_ops
@@ -131,4 +135,6 @@ def build_corpus(
         out["contamination"] = corpus_ops.contamination_overlap(
             sh, bench_mod=decontaminate_mod
         )
+    if span_dedup:
+        out["span_cleaned"] = corpus_ops.span_dedup(docs)
     return out

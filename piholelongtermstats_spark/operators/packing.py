@@ -1,0 +1,106 @@
+"""Sequence packing — the concat-then-chunk manifest a pretraining
+pipeline computes before writing training shards.
+
+Beyond-reference capability (SURVEY §2.12 tier): GPT-style packing
+concatenates every document's tokens in a canonical order and slices
+the stream into fixed ``seq_len`` chunks; a document may straddle a
+chunk boundary. The manifest assigns each document its global token
+offset and the [first_chunk, last_chunk] span it lands in — exactly a
+PREFIX SUM over documents in doc_id order.
+
+The naive formulation is a global-order window (``sum() OVER (ORDER
+BY doc_id)``) — a single-task stage over the whole corpus, the same
+scale failure the sequential tier avoids (SURVEY §2.6). The
+distributed decomposition here is the classic two-level scan:
+
+  1. bucket documents by ``doc_id DIV id_bucket`` and prefix-sum
+     WITHIN each bucket (windows partitioned by bucket — parallel);
+  2. bucket totals form a summary of ~|corpus|/id_bucket rows; the
+     only unpartitioned window runs over THAT (one row per bucket —
+     at 10¹⁰ docs and id_bucket 10⁶ that is 10⁴ rows, trivially
+     single-task safe);
+  3. each document's global offset = its within-bucket prefix + the
+     exclusive prefix of bucket totals.
+
+Identical results to the global window by associativity of addition
+(exact BIGINT token counts — no float). tests/test_packing.py pins
+the differential equivalence and the plan property (no unpartitioned
+window over corpus rows).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def concat_chunk_manifest(
+    docs: DataFrame, seq_len: int = 512, id_bucket: int = 64
+) -> DataFrame:
+    """(doc_id, n_tok, start_off, first_chunk, last_chunk) for packing
+    the corpus, in doc_id order, into ``seq_len``-token chunks.
+
+    ``start_off`` is the document's global token offset (0-based);
+    first/last_chunk are the chunk indices of its first and last
+    token. An empty document (n_tok = 0) gets last_chunk =
+    first_chunk − 1 — a well-defined empty span, same value the SQL
+    oracle computes.
+    """
+    n_tok = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long")
+    base = docs.select("doc_id", n_tok.alias("n_tok")).withColumn(
+        "_b", (F.col("doc_id") / id_bucket).cast("long")
+    )
+    w_in = (
+        Window.partitionBy("_b")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    within = base.withColumn("_cum_in", F.sum("n_tok").over(w_in))
+    totals = base.groupBy("_b").agg(F.sum("n_tok").alias("_tot"))
+    # exclusive prefix over the per-bucket summary — the ONLY
+    # unpartitioned window, sized |corpus| / id_bucket
+    w_b = (
+        Window.orderBy("_b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.withColumn(
+        "_off", F.coalesce(F.sum("_tot").over(w_b), F.lit(0))
+    ).select("_b", "_off")
+    cum = within.join(offsets, "_b").withColumn(
+        "_cum", F.col("_cum_in") + F.col("_off")
+    )
+    start = F.col("_cum") - F.col("n_tok")
+    return cum.select(
+        "doc_id",
+        "n_tok",
+        start.alias("start_off"),
+        F.floor(start / F.lit(float(seq_len))).cast("long").alias("first_chunk"),
+        F.floor((F.col("_cum") - 1) / F.lit(float(seq_len)))
+        .cast("long")
+        .alias("last_chunk"),
+    )
+
+
+def concat_chunk_manifest_global(
+    docs: DataFrame, seq_len: int = 512
+) -> DataFrame:
+    """Single-global-window reference formulation — kept ONLY as the
+    differential-test baseline (one task over the whole corpus; never
+    use at scale)."""
+    n_tok = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long")
+    w = Window.orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = docs.select("doc_id", n_tok.alias("n_tok")).withColumn(
+        "_cum", F.sum("n_tok").over(w)
+    )
+    start = F.col("_cum") - F.col("n_tok")
+    return cum.select(
+        "doc_id",
+        "n_tok",
+        start.alias("start_off"),
+        F.floor(start / F.lit(float(seq_len))).cast("long").alias("first_chunk"),
+        F.floor((F.col("_cum") - 1) / F.lit(float(seq_len)))
+        .cast("long")
+        .alias("last_chunk"),
+    )

@@ -132,6 +132,7 @@ _OVERFLOW = [
     "pricing_scale_2x",
     "span_dedup",
     "bucketed_join_revenue",
+    "pack_manifest",
     # rows-only by design (sketches, iterative index builds, stubs)
     "uniques_approx",
     "reply_time_quantiles",

@@ -390,3 +390,41 @@ def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.span_dedup(
         _docs(spark, sf_dir), span=_SPAN, max_df=_SPAN_MAX_DF
     )
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing (r5, beyond-reference): the concat-then-chunk
+# manifest — a distributed prefix sum in doc_id order (two-level
+# bucket scan; the only unpartitioned window runs over the per-bucket
+# summary). Oracle is the direct global-window cumsum.
+# ---------------------------------------------------------------------------
+
+_SEQ_LEN = 512
+
+@register(
+    "pack_manifest",
+    rf"""
+WITH tk AS (
+  SELECT doc_id,
+         len(string_split_regex(trim(text), '\s+')) AS n_tok
+  FROM documents
+), c AS (
+  SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+         CAST(sum(n_tok) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+  FROM tk
+)
+SELECT doc_id, n_tok,
+       cum - n_tok AS start_off,
+       CAST(floor((cum - n_tok) / {_SEQ_LEN}.0) AS BIGINT) AS first_chunk,
+       CAST(floor((cum - 1) / {_SEQ_LEN}.0) AS BIGINT) AS last_chunk
+FROM c
+""",
+)
+def q_pack_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing manifest over the shared corpus
+    (packing.concat_chunk_manifest — distributed two-level prefix
+    sum; differential + plan tests in test_packing.py)."""
+    from piholelongtermstats_spark.operators import packing
+
+    return packing.concat_chunk_manifest(_docs(spark, sf_dir), seq_len=_SEQ_LEN)

@@ -53,13 +53,17 @@ def test_build_corpus_surface(spark):
         fuzzy_dedup=True,
         k_per_lang=25,
         decontaminate_mod=29,
+        span_dedup=True,
     )
     manifest = res["manifest"]
     assert manifest.columns == ["doc_id", "lang", "n_tokens", "rn"]
     assert manifest.filter("rn > 25").count() == 0
-    assert set(res) == {"manifest", "survivors", "contamination"}
+    assert set(res) == {"manifest", "survivors", "contamination", "span_cleaned"}
     assert res["survivors"].filter("kept = 1").count() > 0
     assert res["contamination"].columns == ["bench_id", "best_match", "overlap"]
+    assert res["span_cleaned"].columns == [
+        "doc_id", "n_spans", "kept_spans", "removed_spans", "clean_text"
+    ]
     # uncapped manifest: no rn column, superset of every capped group
     uncapped = build_corpus(spark, docs)["manifest"]
     assert uncapped.columns == ["doc_id", "lang", "n_tokens"]

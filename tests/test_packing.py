@@ -1,0 +1,69 @@
+"""Sequence-packing manifest (operators/packing.py): the distributed
+two-level prefix sum must equal the naive global-window formulation
+row-for-row on awkward inputs (sparse/non-contiguous doc_ids, empty
+docs, bucket boundaries), and its plan may not contain an
+unpartitioned window over corpus rows."""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from piholelongtermstats_spark.operators import packing
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+
+
+def test_matches_global_window_on_awkward_ids(spark):
+    rows = []
+    # sparse non-contiguous ids straddling several 64-buckets,
+    # including exact bucket-boundary ids and an empty-ish doc
+    for i, did in enumerate([0, 1, 63, 64, 65, 127, 128, 1000, 4096, 9999]):
+        rows.append((did, " ".join(f"w{j}" for j in range((i * 37) % 90 + 1)), "en", "s"))
+    docs = _docs(spark, rows)
+    got = sorted(
+        map(tuple, packing.concat_chunk_manifest(docs, seq_len=50).collect())
+    )
+    want = sorted(
+        map(tuple, packing.concat_chunk_manifest_global(docs, seq_len=50).collect())
+    )
+    assert got == want
+    # manifest invariants: offsets are the prefix sums in doc_id order
+    by_id = sorted(got)
+    run = 0
+    for doc_id, n_tok, start, first, last in by_id:
+        assert start == run
+        assert first == start // 50
+        assert last == (start + n_tok - 1) // 50
+        run += n_tok
+
+
+def test_chunks_partition_the_token_stream(spark):
+    docs = _docs(
+        spark,
+        [(i, " ".join(["t"] * 30), "en", "s") for i in range(40)],  # 1200 tokens
+    )
+    out = packing.concat_chunk_manifest(docs, seq_len=512).collect()
+    total = sum(r["n_tok"] for r in out)
+    assert total == 1200
+    assert max(r["last_chunk"] for r in out) == (total - 1) // 512  # 2
+    # every chunk index between 0 and max is touched by some doc
+    touched = set()
+    for r in out:
+        touched.update(range(r["first_chunk"], r["last_chunk"] + 1))
+    assert touched == set(range((total - 1) // 512 + 1))
+
+
+def test_no_unpartitioned_window_over_corpus_rows(spark):
+    docs = _docs(spark, [(i, "a b c", "en", "s") for i in range(10)])
+    df = packing.concat_chunk_manifest(docs)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    # every windowspecdefinition over doc_id must carry the bucket
+    # partition column; the summary window is over _b, not doc_id
+    bad = re.findall(r"windowspecdefinition\(doc_id#\d+L? ASC", opt)
+    assert not bad, opt
