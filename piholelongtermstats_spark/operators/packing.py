@@ -18,7 +18,11 @@ distributed decomposition here is the classic two-level scan:
   2. bucket totals form a summary of ~|corpus|/id_bucket rows; the
      only unpartitioned window runs over THAT (one row per bucket —
      at 10¹⁰ docs and id_bucket 10⁶ that is 10⁴ rows, trivially
-     single-task safe);
+     single-task safe). ``id_bucket`` therefore SCALES WITH THE
+     CORPUS: pick ≈ √|corpus| (or |corpus|/10⁴) so neither the
+     per-bucket window nor the summary window degenerates — the
+     default 64 is sized for the ~10²-10⁴-doc test corpora, NOT for
+     production;
   3. each document's global offset = its within-bucket prefix + the
      exclusive prefix of bucket totals.
 

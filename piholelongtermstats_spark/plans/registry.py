@@ -1254,7 +1254,10 @@ def _ensure_bucketed_orderkey(spark: SparkSession, sf_dir: str) -> tuple:
     """Write lineitem/orders bucketed by orderkey (8 buckets, sorted)
     once per (application, sf_dir); external paths keep the data in a
     deterministic tmp location, the in-memory catalog carries the
-    bucket spec."""
+    bucket spec. Table names and paths carry an abspath digest —
+    basename alone would let two same-named sf dirs clobber each
+    other's tables while the first's memo still points at them."""
+    import hashlib
     import os
     import re
     import tempfile
@@ -1264,7 +1267,9 @@ def _ensure_bucketed_orderkey(spark: SparkSession, sf_dir: str) -> tuple:
     key = (spark.sparkContext.applicationId, sf_dir)
     if key in _BUCKETED_READY:
         return _BUCKETED_READY[key]
-    tag = re.sub(r"[^A-Za-z0-9_]", "_", os.path.basename(sf_dir.rstrip("/")))
+    ap = os.path.abspath(sf_dir.rstrip("/"))
+    tag = re.sub(r"[^A-Za-z0-9_]", "_", os.path.basename(ap))
+    tag = f"{tag}_{hashlib.md5(ap.encode()).hexdigest()[:8]}"
     li_t, ord_t = f"phlts_li_bucketed_{tag}", f"phlts_ord_bucketed_{tag}"
     root = os.path.join(tempfile.gettempdir(), "phlts_bucketed", tag)
     li = load_table(spark, sf_dir, "lineitem").select(
@@ -1276,13 +1281,9 @@ def _ensure_bucketed_orderkey(spark: SparkSession, sf_dir: str) -> tuple:
         .withColumnRenamed("o_orderkey", "l_orderkey")
     )
     for df, t in ((li, li_t), (orders, ord_t)):
-        (
-            df.write.format("parquet")
-            .mode("overwrite")
-            .option("path", os.path.join(root, t))
-            .bucketBy(8, "l_orderkey")
-            .sortBy("l_orderkey")
-            .saveAsTable(t)
+        bucketing.write_bucketed(
+            df, t, ["l_orderkey"], 8, ["l_orderkey"],
+            path=os.path.join(root, t),
         )
     _BUCKETED_READY[key] = (li_t, ord_t)
     return li_t, ord_t

@@ -424,7 +424,9 @@ FROM c
 def q_pack_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Packing manifest over the shared corpus
     (packing.concat_chunk_manifest — distributed two-level prefix
-    sum; differential + plan tests in test_packing.py)."""
+    sum; differential + plan tests in test_packing.py). The default
+    id_bucket=64 fits the 500-5000-doc test corpora; production picks
+    ≈ √|corpus| (packing.py docstring)."""
     from piholelongtermstats_spark.operators import packing
 
     return packing.concat_chunk_manifest(_docs(spark, sf_dir), seq_len=_SEQ_LEN)

@@ -60,25 +60,24 @@ def get_spark(
     return builder.getOrCreate()
 
 
-_DEFAULTS_APPLIED: set[str] = set()
-
-
 def ensure_session_defaults(spark: SparkSession) -> SparkSession:
     """Pin runtime-settable confs on an externally provided session.
 
     The driver hands us its own SparkSession; timezone determinism and
     AQE are runtime-configurable, so set them defensively here.
 
-    Applied once per application: every registry function calls this
-    defensively, and each conf.set is a py4j round trip — at 81 queries
-    × 3 confs that was a measurable slice of the per-query driver
-    constant (r4 VERDICT #7). The confs set here are not touched
-    elsewhere at runtime (the one save/restore site,
-    streaming/sink.py, restores what it changes), so once-per-app is
-    safe.
+    Applied once per SESSION OBJECT (memo flag set on the instance):
+    every registry function calls this defensively, and each conf.set
+    is a py4j round trip — at ~90 queries × 3 confs that was a
+    measurable slice of the per-query driver constant (r4 VERDICT #7).
+    Per-session (not per-application) because runtime confs are
+    session-scoped: `spark.newSession()` shares the applicationId but
+    starts from fresh conf state and must be re-pinned. The confs set
+    here are not touched elsewhere at runtime (the one save/restore
+    site, streaming/sink.py, restores what it changes), so
+    once-per-session is safe.
     """
-    app_id = spark.sparkContext.applicationId
-    if app_id in _DEFAULTS_APPLIED:
+    if getattr(spark, "_phlts_defaults_applied", False):
         return spark
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
@@ -86,5 +85,5 @@ def ensure_session_defaults(spark: SparkSession) -> SparkSession:
     # rejects by default; read as nanos-long and convert explicitly
     # (sources/events.py) with µs truncation matching DuckDB.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    _DEFAULTS_APPLIED.add(app_id)
+    spark._phlts_defaults_applied = True
     return spark

@@ -29,6 +29,7 @@ def write_bucketed(
     bucket_cols: list[str],
     num_buckets: int,
     sort_cols: list[str] | None = None,
+    path: str | None = None,
 ) -> None:
     """Persist `df` as a parquet table bucketed (and optionally
     sorted) by `bucket_cols` — the one-time shuffle that later joins
@@ -37,12 +38,18 @@ def write_bucketed(
     Sorting within buckets additionally lets SortMergeJoin skip its
     sort, and gives parquet row groups tight min/max bounds on the
     sort columns (range-predicate row-group skipping).
+
+    ``path`` makes it an EXTERNAL table at that location (the bucket
+    spec still lives in the catalog — which is what makes bucketing
+    effective; a bare ``parquet(path)`` write silently drops it).
     """
     w = df.write.format("parquet").mode("overwrite").bucketBy(
         num_buckets, *bucket_cols
     )
     if sort_cols:
         w = w.sortBy(*sort_cols)
+    if path is not None:
+        w = w.option("path", path)
     w.saveAsTable(table)
 
 

@@ -56,37 +56,85 @@ def layout_path(sf_dir: str) -> str:
     """Deterministic on-disk location of the partitioned layout for a
     given source dir. Root overridable via SPARK_GRAFT_LAYOUT_DIR (the
     cluster deployment points it at the warehouse); default is a
-    tmp-dir keyed by sf name so repeat sessions reuse one layout."""
+    tmp-dir keyed by sf name + an abspath digest — basename alone
+    would silently alias two different dirs that share a name (e.g.
+    /a/sf0.1 and /b/sf0.1) onto one layout."""
+    import hashlib
+
     root = os.environ.get(
         "SPARK_GRAFT_LAYOUT_DIR",
         os.path.join(tempfile.gettempdir(), "phlts_layout"),
     )
-    sf_name = os.path.basename(sf_dir.rstrip("/")) or "events"
-    return os.path.join(root, sf_name, "events_by_date")
+    ap = os.path.abspath(sf_dir.rstrip("/"))
+    sf_name = os.path.basename(ap) or "events"
+    digest = hashlib.md5(ap.encode()).hexdigest()[:8]
+    return os.path.join(root, f"{sf_name}-{digest}", "events_by_date")
+
+
+_META_FILE = "_PHLTS_SRC_META"
+
+
+def _src_stat(sf_dir: str) -> "str | None":
+    src = os.path.join(sf_dir, "events.parquet")
+    try:
+        st = os.stat(src)
+    except OSError:
+        return None
+    return f"{st.st_mtime_ns}:{st.st_size}"
 
 
 def layout_is_fresh(sf_dir: str) -> bool:
-    """True iff a completed layout exists for sf_dir and is no older
-    than the source events parquet (a regenerated source invalidates
-    the derived layout — staleness must never win over correctness)."""
-    marker = os.path.join(layout_path(sf_dir), "_SUCCESS")
-    src = os.path.join(sf_dir, "events.parquet")
-    if not os.path.exists(marker) or not os.path.exists(src):
+    """True iff a completed layout exists for sf_dir and was derived
+    from the CURRENT source bytes. Freshness compares the source's
+    (mtime_ns, size) recorded at write time — a plain mtime>=mtime
+    check misses a source regenerated within the filesystem's mtime
+    granularity of the layout write (staleness must never win over
+    correctness)."""
+    path = layout_path(sf_dir)
+    marker = os.path.join(path, "_SUCCESS")
+    meta = os.path.join(path, _META_FILE)
+    cur = _src_stat(sf_dir)
+    if cur is None or not os.path.exists(marker):
         return False
-    return os.path.getmtime(marker) >= os.path.getmtime(src)
+    try:
+        with open(meta) as f:
+            return f.read().strip() == cur
+    except OSError:
+        return False
 
 
 def ensure_layout(spark: SparkSession, sf_dir: str) -> str:
     """Idempotently materialize the date-partitioned layout for sf_dir
     and return its path. The write runs at most once per (application,
     path); a fresh on-disk layout from an earlier session is reused
-    (daily-ingest model: history directories are immutable)."""
+    (daily-ingest model: history directories are immutable).
+
+    Cross-PROCESS collisions (bench + a concurrent parity run on the
+    same sf) are narrowed by writing to a pid-unique staging dir and
+    renaming into place: a concurrent reader sees either the old
+    complete layout or the new complete layout, never a half-written
+    one. (The production contract needs none of this — the warehouse
+    layout is append-only daily ingest; the swap exists for the local
+    regenerate-testdata loop.)"""
+    import shutil
+
     path = layout_path(sf_dir)
     key = (spark.sparkContext.applicationId, path)
     if key in _LAYOUT_READY:
         return path
     if not layout_is_fresh(sf_dir):
-        write_events_date_partitioned(spark, sf_dir, path)
+        src_stat = _src_stat(sf_dir)
+        staging = f"{path}.staging.{os.getpid()}"
+        shutil.rmtree(staging, ignore_errors=True)
+        write_events_date_partitioned(spark, sf_dir, staging)
+        with open(os.path.join(staging, _META_FILE), "w") as f:
+            f.write(src_stat or "")
+        if layout_is_fresh(sf_dir):
+            # another process completed the same layout while we wrote
+            shutil.rmtree(staging, ignore_errors=True)
+        else:
+            shutil.rmtree(path, ignore_errors=True)
+            os.rename(staging, path)
     _LAYOUT_READY.add(key)
     return path
 

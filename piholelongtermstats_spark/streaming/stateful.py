@@ -117,10 +117,15 @@ class StreakProcessor(StatefulProcessor):
         # Within-batch duplicates fold too if only the cross-batch
         # cursor is checked (r4 ADVICE): dedupe on (ts, event_id)
         # inside the batch first, counting the drops as late_rows —
-        # same observable-drop contract as the cursor guard.
+        # same observable-drop contract as the cursor guard. Sort
+        # BEFORE dedup so the survivor is deterministic even when
+        # duplicate keys carry different payloads (a retry with an
+        # amended status): keep='first' on the fully-sorted frame
+        # always picks the lexicographically-lowest payload, not
+        # whichever arrived first in partition order.
         n_raw = len(batch)
-        batch = batch.drop_duplicates(["ts", "event_id"]).sort_values(
-            ["ts", "event_id"]
+        batch = batch.sort_values(list(batch.columns)).drop_duplicates(
+            ["ts", "event_id"], keep="first"
         )
         late_rows += n_raw - len(batch)
         ts_us = _epoch_us_series(batch["ts"])

@@ -395,6 +395,16 @@ def test_streak_processor_logic():
     assert (r6["cur_status"], r6["cur_len"]) == ("Blocked", 7)
     assert r6["late_rows"] == 4
 
+    # conflicting-payload duplicate: the survivor is DETERMINISTIC
+    # (lexicographically-lowest payload after the full sort), whatever
+    # the arrival order — here "Allowed" < "Blocked" wins both ways
+    r7 = batch([
+        (11, t0 + dt.timedelta(minutes=9), "Blocked"),
+        (11, t0 + dt.timedelta(minutes=9), "Allowed"),  # conflict dup
+    ])
+    assert (r7["cur_status"], r7["cur_len"]) == ("Allowed", 1)
+    assert r7["late_rows"] == 5
+
 
 def test_streaming_corpus_ingest_gates_and_dedups(spark, tmp_path):
     """Quality gate + fingerprint dedup on the way in; the gate is the
