@@ -1,0 +1,232 @@
+"""SemDeDup — semantic deduplication over the `embeddings` table.
+
+Beyond-reference capability (LLM-training-data tier, alongside
+operators/dedup.py's lexical families): the SemDeDup recipe (Abbas et
+al. 2023, arXiv:2303.09540) removes *semantic* duplicates — documents
+whose embeddings are close in cosine space even when their text
+differs — by (1) k-means-clustering the embedding space and (2)
+comparing pairs ONLY within a cluster, keeping one representative per
+ε-ball. The clustering is what makes it scale: candidate pairs are
+quadratic per cluster, not per corpus, exactly the role the sign
+buckets play for `similarity.embedding_near_dup_pairs` and the
+shingle bands play for LSH MinHash.
+
+Clustering is SPHERICAL (assign to argmax cosine(v, centroid)) — the
+paper operates on normalized embeddings, and spherical assignment
+partitions by direction, which is the geometry cosine dedup needs.
+(The euclidean IVF quantizer in operators/ivf.py is the wrong tool
+here: with corpus-independent pinned centroids its −|c|²/2 bias term
+dominates and every vector lands in one cell.)
+
+Removal policy (deterministic, SQL-reproducible): within a cluster,
+vector b is removed iff some vector a with a.vec_id < b.vec_id has
+round(cosine(a, b), 6) ≥ threshold. This is the paper's
+upper-triangular max-similarity rule with vec_id as the keep-order
+(the reference implementation uses an arbitrary-but-fixed index order
+within each cluster; keeping lowest id makes that order explicit and
+engine-independent). Note removal looks at ALL lower-id members, not
+just surviving ones — matching the paper's matrix formulation, and
+keeping the operator a single self-join instead of an iterative loop.
+
+Scale shape (100 TB): assignment is one Arrow-batched matmul per
+partition — no shuffle; the pair join shuffles on `cell` once;
+`cluster_cap` bounds the per-cluster quadratic worst case exactly as
+`bucket_cap` does for the LSH path; removal-set + anti-join is one
+more hash shuffle on vec_id. At 10⁹ vectors, k scales as n/target so
+clusters stay ~constant-sized, and the assigned corpus is persisted
+bucketed by cell (sources/bucketing.py) so repeated dedup passes skip
+the assignment scan.
+
+Determinism: no RNG. The oracle-checked registry entry uses the
+corpus-independent md5-derived centroids (ivf.fixed_centroids) under
+spherical assignment; the production path trains spherical k-means
+with md5-ordered seeds (train_spherical_centroids) — same
+train-once/apply-many contract as ivf.train_centroids, covered by
+pytest (an iterative trainer isn't a static SQL string).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from piholelongtermstats_spark.operators import ivf
+from piholelongtermstats_spark.operators.similarity import _dot, _norm
+from piholelongtermstats_spark.operators.text import md5_hash60
+
+N_CLUSTERS = 16
+N_ITERS = 3
+THRESHOLD = 0.35  # driver-testdata ε: the synthetic embeddings have no
+# planted near-identical pairs (max pair cosine ≈ 0.55), so the
+# registry entry exercises the semantics at a radius where removals
+# are non-trivial at every SF; a production run on real embeddings
+# uses the paper's ~0.95+.
+
+
+def _spherical_assign_udf(centroids: list[list[float]]):
+    """Vectorized nearest-centroid-by-cosine assignment: one numpy
+    matmul per Arrow batch against the unit-normalized centroid
+    matrix (argmax v·ĉ == argmax cosine(v, c); |v| is constant per
+    row). Ties → lowest cell id (np.argmax first-hit), mirroring the
+    oracle's ORDER BY score DESC, cell."""
+    C = np.asarray(centroids, dtype=np.float64)
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+
+    @F.pandas_udf("int")
+    def assign(v: pd.Series) -> pd.Series:
+        V = np.stack(v.to_numpy())
+        return pd.Series(np.argmax(V @ Cn.T, axis=1).astype("int32"))
+
+    return assign
+
+
+def assign_clusters(emb: DataFrame, centroids: list[list[float]]) -> DataFrame:
+    """Corpus → (vec_id, label, v, cell) under spherical assignment.
+    At scale, persist this bucketed by cell."""
+    v = F.col("embedding").cast("array<double>")
+    return emb.select(
+        "vec_id",
+        "label",
+        v.alias("v"),
+        _spherical_assign_udf(centroids)(v).alias("cell"),
+    )
+
+
+def train_spherical_centroids(
+    emb: DataFrame,
+    n_clusters: int = N_CLUSTERS,
+    n_iters: int = N_ITERS,
+    sample_mod: int | None = None,
+) -> list[list[float]]:
+    """Deterministic spherical k-means: seeds are the vectors with the
+    n_clusters smallest md5(vec_id) (same fixed pseudo-sample as
+    ivf.train_centroids); each iteration assigns by cosine and takes
+    the element-wise member mean as the new centroid direction
+    (assignment normalizes, so the mean need not be). Empty cells
+    keep their previous centroid. Driver traffic per iteration is
+    k×dim doubles — kilobytes."""
+    if sample_mod and sample_mod > 1:
+        emb = emb.filter(F.col("vec_id") % sample_mod == 0)
+    v = F.col("embedding").cast("array<double>")
+    seeds = (
+        emb.select("vec_id", v.alias("v"))
+        .orderBy(md5_hash60(F.col("vec_id").cast("string")).asc(), F.col("vec_id").asc())
+        .limit(n_clusters)
+        .collect()
+    )
+    if not seeds:
+        return []
+    dim = len(seeds[0]["v"])
+    centroids = [list(r["v"]) for r in seeds]
+    base = emb.select(v.alias("v"))
+    for _ in range(n_iters):
+        assigned = base.withColumn(
+            "cell", _spherical_assign_udf(centroids)(F.col("v"))
+        )
+        means = (
+            assigned.groupBy("cell")
+            .agg(*[F.avg(F.col("v")[i]).alias(f"c{i}") for i in range(dim)])
+            .collect()
+        )
+        new = {r["cell"]: [r[f"c{i}"] for i in range(dim)] for r in means}
+        centroids = [new.get(i, centroids[i]) for i in range(len(centroids))]
+    return centroids
+
+
+def semdedup_pairs(
+    assigned: DataFrame, threshold: float = THRESHOLD
+) -> DataFrame:
+    """(vec_a < vec_b, cell, cosine) pairs within a cluster at or
+    above the rounded-cosine threshold — the upper-triangular
+    similarity matrix, one hash shuffle on cell."""
+    return (
+        assigned.alias("a")
+        .join(assigned.alias("b"), "cell")
+        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("cell"),
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(
+                _dot(F.col("a.v"), F.col("b.v"))
+                / (_norm(F.col("a.v")) * _norm(F.col("b.v"))),
+                6,
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    threshold: float = THRESHOLD,
+    centroids: list[list[float]] | None = None,
+    cluster_cap: int | None = None,
+) -> DataFrame:
+    """Survivors (vec_id, label, cell) after SemDeDup removal. With
+    ``centroids=None`` trains the spherical quantizer (production
+    path); pass ivf.fixed_centroids(dim) for the pinned
+    SQL-reproducible variant.
+
+    ``cluster_cap`` bounds the quadratic per-cluster pair join: only
+    the cap lowest-vec_id members of an oversized cluster enter pair
+    generation (over-cap members are never removed — they saw no
+    comparisons — matching the documented keep-on-no-evidence
+    policy)."""
+    if centroids is None:
+        centroids = train_spherical_centroids(emb)
+    if not centroids:
+        return emb.sparkSession.createDataFrame(
+            [], "vec_id bigint, label int, cell int"
+        )
+    assigned = assign_clusters(emb, centroids)
+    candidates = assigned
+    if cluster_cap is not None:
+        w = Window.partitionBy("cell").orderBy("vec_id")
+        candidates = (
+            assigned.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= cluster_cap)
+            .drop("_rn")
+        )
+    removed = (
+        semdedup_pairs(candidates, threshold)
+        .select(F.col("vec_b").alias("vec_id"))
+        .distinct()
+    )
+    return assigned.join(removed, "vec_id", "left_anti").select(
+        "vec_id", "label", "cell"
+    )
+
+
+def semantic_dedup_stats(
+    emb: DataFrame,
+    threshold: float = THRESHOLD,
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """Per-cluster audit frame: (cell, n_members, n_removed,
+    survivor_id_sum) — compact, but the id-sum makes the hash
+    sensitive to every individual keep/remove decision, so the
+    oracle compare verifies the full pairwise rule, not just counts."""
+    if centroids is None:
+        centroids = train_spherical_centroids(emb)
+    assigned = assign_clusters(emb, centroids)
+    removed = (
+        semdedup_pairs(assigned, threshold)
+        .select(F.col("vec_b").alias("vec_id"))
+        .distinct()
+        .withColumn("_removed", F.lit(1))
+    )
+    flagged = assigned.join(removed, "vec_id", "left")
+    return (
+        flagged.groupBy("cell")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.count("_removed").alias("n_removed"),
+            F.sum(
+                F.when(F.col("_removed").isNull(), F.col("vec_id"))
+            ).alias("survivor_id_sum"),
+        )
+        .orderBy("cell")
+    )

@@ -28,6 +28,7 @@ ever raised they regain rows immediately), rows-only entries last
 
 from piholelongtermstats_spark.plans import registry_m7  # noqa: F401  (registers M7 queries)
 from piholelongtermstats_spark.plans import registry_m8  # noqa: F401  (registers M8 queries)
+from piholelongtermstats_spark.plans import registry_m9  # noqa: F401  (registers M9 queries)
 from piholelongtermstats_spark.plans import registry_panels  # noqa: F401  (fused panels)
 from piholelongtermstats_spark.plans.registry import ORACLE, QUERIES  # noqa: F401
 

@@ -1,0 +1,112 @@
+r"""M9 registry: round-5 LLM-pipeline additions — semantic dedup
+(SemDeDup), deterministic epoch-shuffle manifest, hashed-feature
+quality classifier, and the ANN doubling scale proof.
+
+Shared conventions (see registry_m7.py): the 60-bit md5 hash
+primitive is bit-identical across engines
+(Spark conv(substr(md5(x),1,15),16,10)::long ==
+DuckDB ('0x' || substr(md5(x),1,15))::BIGINT); pinned deterministic
+quantizer constants are embedded in the oracle SQL as literals so
+DuckDB reproduces every assignment decision; cosine scores are
+rounded to 6 digits before any threshold/ordering decision so
+fp-accumulation-order differences between engines cannot flip a
+comparison (margins measured in tests/test_fp_determinism.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from piholelongtermstats_spark.operators import ivf, packing, semdedup, similarity, text
+from piholelongtermstats_spark.plans.cache import shared_input
+from piholelongtermstats_spark.plans.registry import register
+from piholelongtermstats_spark.session import ensure_session_defaults
+from piholelongtermstats_spark.sources.parquet import load_table
+
+_EMB_DIM = 64  # driver testdata embedding dimensionality (all SFs)
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session_defaults(spark)
+    return shared_input(
+        spark, "embeddings", sf_dir, lambda: load_table(spark, sf_dir, "embeddings")
+    )
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session_defaults(spark)
+    return shared_input(
+        spark, "documents", sf_dir, lambda: load_table(spark, sf_dir, "documents")
+    )
+
+
+def _arr(vals) -> str:
+    return "[" + ",".join(repr(float(x)) for x in vals) + "]::DOUBLE[]"
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup — semantic dedup with the pinned spherical quantizer
+# (operators/semdedup.py; paper semantics cited there). The oracle
+# embeds the identical md5-derived centroids and reproduces spherical
+# assignment (argmax cosine, ties → lowest cell), the
+# upper-triangular removal rule on round(cosine, 6) ≥ τ, and the
+# per-cluster audit frame whose survivor_id_sum makes the hash
+# sensitive to every individual keep/remove decision.
+# ---------------------------------------------------------------------------
+
+_SEM_CENTS = ivf.fixed_centroids(_EMB_DIM, semdedup.N_CLUSTERS)
+_SEM_CENT_VALUES = ",".join(
+    f"({i}, {_arr(c)})" for i, c in enumerate(_SEM_CENTS)
+)
+
+_SEMDEDUP_SQL = f"""
+WITH cent AS (SELECT * FROM (VALUES {_SEM_CENT_VALUES}) AS t(cell, c)),
+v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+scored AS (
+  SELECT v.vec_id, v.v, cent.cell,
+         list_cosine_similarity(v.v, cent.c) AS score
+  FROM v CROSS JOIN cent),
+assigned AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY vec_id ORDER BY score DESC, cell) AS rn
+    FROM scored) WHERE rn = 1),
+removed AS (
+  SELECT DISTINCT b.vec_id
+  FROM assigned a JOIN assigned b
+    ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE round(list_cosine_similarity(a.v, b.v), 6) >= {semdedup.THRESHOLD})
+SELECT a.cell,
+       count(*) AS n_members,
+       count(r.vec_id) AS n_removed,
+       CAST(sum(CASE WHEN r.vec_id IS NULL THEN a.vec_id END) AS BIGINT)
+         AS survivor_id_sum
+FROM assigned a LEFT JOIN removed r ON a.vec_id = r.vec_id
+GROUP BY a.cell ORDER BY a.cell
+"""
+
+
+@register("semantic_dedup", _SEMDEDUP_SQL)
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup per-cluster audit: spherical-assign to the 16 pinned
+    centroids, remove within-cluster rounded-cosine ≥ τ duplicates
+    (keep lowest vec_id), report members/removed/survivor-id-sum per
+    cluster."""
+    return semdedup.semantic_dedup_stats(
+        _emb(spark, sf_dir), centroids=_SEM_CENTS
+    )
+
+
+@register("semantic_dedup_trained")  # rows-only: iterative k-means isn't SQL
+def q_semantic_dedup_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production path — spherical k-means trained on the corpus
+    (deterministic md5-ordered seeds), then the same removal rule.
+    Covered by pytest invariants (survivor-set sanity, cap
+    monotonicity); the driver records the weaker rows-only check."""
+    emb = _emb(spark, sf_dir)
+    key = (spark.sparkContext.applicationId, "semdedup_cents", sf_dir)
+    cents = ivf._CENTROID_CACHE.get(key)
+    if cents is None:
+        cents = semdedup.train_spherical_centroids(emb)
+        ivf._CENTROID_CACHE[key] = cents
+    return semdedup.semantic_dedup(emb, centroids=cents)
