@@ -37,6 +37,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from piholelongtermstats_spark.operators.text import md5_hash60
+
 
 def concat_chunk_manifest(
     docs: DataFrame, seq_len: int = 512, id_bucket: int = 64
@@ -107,4 +109,82 @@ def concat_chunk_manifest_global(
         F.floor((F.col("_cum") - 1) / F.lit(float(seq_len)))
         .cast("long")
         .alias("last_chunk"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Epoch shuffle — deterministic training order
+# ---------------------------------------------------------------------------
+
+KEY_SPACE = 1 << 60  # md5_hash60 range
+
+
+def epoch_shuffle(
+    docs: DataFrame,
+    epoch: int = 1,
+    n_shards: int = 8,
+    key_buckets: int = 256,
+) -> DataFrame:
+    """Deterministic per-epoch global shuffle manifest:
+    (doc_id, shard, global_pos).
+
+    A training pipeline needs a DIFFERENT, REPRODUCIBLE document
+    order every epoch without materializing a permutation on the
+    driver. The shuffle key is md5_hash60('epoch:<e>:' || doc_id) — a
+    seeded pseudo-random 60-bit value, identical in DuckDB — and the
+    epoch order is simply ascending key (doc_id tie-break on the
+    ~2⁻⁶⁰-probability collisions). ``shard`` = key % n_shards gives
+    the writer its output-file assignment with a uniform, epoch-
+    varying document-to-shard mapping.
+
+    ``global_pos`` (the document's rank in the epoch order) is the
+    same prefix-sum shape as concat_chunk_manifest, computed with the
+    same two-level scan: keys are uniform on [0, 2⁶⁰), so slicing the
+    KEY SPACE into ``key_buckets`` equal ranges buckets the corpus
+    evenly; rank-within-bucket windows are partitioned (parallel) and
+    the only unpartitioned window orders the ~key_buckets-row count
+    summary. Pick key_buckets ≈ √|corpus| at scale (default 256 is
+    sized for the test corpora).
+    """
+    span = KEY_SPACE // key_buckets
+    key = md5_hash60(
+        F.concat(F.lit(f"epoch:{epoch}:"), F.col("doc_id").cast("string"))
+    )
+    base = docs.select("doc_id", key.alias("_key")).withColumn(
+        "_b", F.expr(f"_key DIV {span}")
+    )
+    w_in = Window.partitionBy("_b").orderBy("_key", "doc_id")
+    within = base.withColumn("_rn", F.row_number().over(w_in))
+    counts = base.groupBy("_b").agg(F.count("*").alias("_cnt"))
+    w_b = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.withColumn(
+        "_off", F.coalesce(F.sum("_cnt").over(w_b), F.lit(0))
+    ).select("_b", "_off")
+    return (
+        within.join(offsets, "_b")
+        .select(
+            "doc_id",
+            (F.col("_key") % n_shards).alias("shard"),
+            (F.col("_rn") - 1 + F.col("_off")).cast("long").alias("global_pos"),
+        )
+    )
+
+
+def epoch_shuffle_global(
+    docs: DataFrame, epoch: int = 1, n_shards: int = 8
+) -> DataFrame:
+    """Single-global-window formulation — differential-test baseline
+    only (one task over the whole corpus; never use at scale)."""
+    key = md5_hash60(
+        F.concat(F.lit(f"epoch:{epoch}:"), F.col("doc_id").cast("string"))
+    )
+    w = Window.orderBy("_key", "doc_id")
+    return (
+        docs.select("doc_id", key.alias("_key"))
+        .withColumn("global_pos", F.row_number().over(w).cast("long") - 1)
+        .select(
+            "doc_id",
+            (F.col("_key") % n_shards).alias("shard"),
+            "global_pos",
+        )
     )

@@ -110,3 +110,37 @@ def q_semantic_dedup_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         cents = semdedup.train_spherical_centroids(emb)
         ivf._CENTROID_CACHE[key] = cents
     return semdedup.semantic_dedup(emb, centroids=cents)
+
+
+# ---------------------------------------------------------------------------
+# Epoch shuffle manifest — deterministic training order
+# (operators/packing.py:epoch_shuffle). The oracle computes the SAME
+# seeded md5 key and ranks with ONE global window — fine for DuckDB
+# at test scale; the Spark side runs the two-level scan whose only
+# unpartitioned window orders the ~256-row bucket summary
+# (differential + plan tests in tests/test_packing.py).
+# ---------------------------------------------------------------------------
+
+_EPOCH = 3
+_SHARDS = 8
+
+_EPOCH_SHUFFLE_SQL = f"""
+WITH k AS (
+  SELECT doc_id,
+         ('0x' || substr(md5('epoch:{_EPOCH}:' || doc_id), 1, 15))::BIGINT
+           AS key
+  FROM documents)
+SELECT doc_id,
+       key % {_SHARDS} AS shard,
+       row_number() OVER (ORDER BY key, doc_id) - 1 AS global_pos
+FROM k ORDER BY global_pos
+"""
+
+
+@register("epoch_shuffle", _EPOCH_SHUFFLE_SQL)
+def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-3 shuffle manifest: every document's shard assignment
+    and global training-order rank under the seeded md5 key."""
+    return packing.epoch_shuffle(
+        _docs(spark, sf_dir), epoch=_EPOCH, n_shards=_SHARDS
+    ).orderBy("global_pos")

@@ -67,3 +67,42 @@ def test_no_unpartitioned_window_over_corpus_rows(spark):
     # partition column; the summary window is over _b, not doc_id
     bad = re.findall(r"windowspecdefinition\(doc_id#\d+L? ASC", opt)
     assert not bad, opt
+
+
+def test_epoch_shuffle_matches_global_window(spark):
+    # sparse ids straddling key-space buckets; small key_buckets so
+    # several buckets are populated
+    rows = [(did, "x", "en", "s") for did in [0, 1, 7, 63, 64, 900, 4096, 9999]]
+    docs = _docs(spark, rows)
+    for epoch in (1, 2):
+        got = sorted(
+            map(tuple, packing.epoch_shuffle(docs, epoch, key_buckets=8).collect())
+        )
+        want = sorted(map(tuple, packing.epoch_shuffle_global(docs, epoch).collect()))
+        assert got == want
+        # global_pos is a permutation of 0..n-1
+        assert sorted(t[2] for t in got) == list(range(len(rows)))
+
+
+def test_epoch_shuffle_epochs_differ_and_reproduce(spark):
+    docs = _docs(spark, [(i, "x", "en", "s") for i in range(64)])
+    e1 = {r["doc_id"]: r["global_pos"] for r in packing.epoch_shuffle(docs, 1).collect()}
+    e1b = {r["doc_id"]: r["global_pos"] for r in packing.epoch_shuffle(docs, 1).collect()}
+    e2 = {r["doc_id"]: r["global_pos"] for r in packing.epoch_shuffle(docs, 2).collect()}
+    assert e1 == e1b  # reproducible
+    assert e1 != e2  # epochs reorder
+    # shards roughly uniform: no shard owns more than half of 64 docs
+    shards = [r["shard"] for r in packing.epoch_shuffle(docs, 1).collect()]
+    from collections import Counter
+
+    assert max(Counter(shards).values()) <= 32
+
+
+def test_epoch_shuffle_no_unpartitioned_window_over_corpus_rows(spark):
+    docs = _docs(spark, [(i, "x", "en", "s") for i in range(10)])
+    df = packing.epoch_shuffle(docs)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    # corpus-row windows must carry the _b partition column; the only
+    # unpartitioned window runs over the ~key_buckets-row summary
+    bad = re.findall(r"windowspecdefinition\(_key#\d+L? ASC", opt)
+    assert not bad, opt
