@@ -144,3 +144,54 @@ def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packing.epoch_shuffle(
         _docs(spark, sf_dir), epoch=_EPOCH, n_shards=_SHARDS
     ).orderBy("global_pos")
+
+
+# ---------------------------------------------------------------------------
+# ANN doubling scale proof — the dedup_scale_2x methodology
+# (registry_m8.py) applied to the similarity tier: run the BUCKETED
+# ANN path over embeddings ∪ an id-shifted exact copy. The plan shape
+# under 2× volume is the claim being proven: the corpus is bucketed
+# once (map-side), only the query's probe buckets are scanned — twice
+# the rows in those buckets, no new shuffles — and the duplicated
+# vectors surface as the expected twin results (the id-shifted copy
+# of the query itself lands at cosine 1.0). Oracle: the identical
+# doubled corpus and pinned hyperplanes in SQL.
+# ---------------------------------------------------------------------------
+
+_ANN2X_OFFSET = 1_000_000
+from piholelongtermstats_spark.plans.registry_m7 import _bucket_sql  # noqa: E402
+
+_ANN_SCALE_2X_SQL = f"""
+WITH base AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS v0 FROM embeddings
+  UNION ALL
+  SELECT vec_id + {_ANN2X_OFFSET}, label, embedding::DOUBLE[] FROM embeddings
+), b AS (
+  SELECT vec_id, label, v0 AS v, {_bucket_sql('v0')} AS bucket FROM base
+), q AS (SELECT v AS qv, bucket AS qb FROM b WHERE vec_id = 0)
+SELECT vec_id, label,
+       round(list_cosine_similarity(v, qv), 6) AS cosine
+FROM b, q
+WHERE vec_id <> 0
+  AND (bucket = qb OR bucket = xor(qb, 1) OR bucket = xor(qb, 2))
+ORDER BY cosine DESC, vec_id LIMIT 20
+"""
+
+
+def doubled_embeddings(emb: DataFrame, offset: int = _ANN2X_OFFSET) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    copy = emb.select(
+        (F.col("vec_id") + offset).alias("vec_id"), "embedding", "label"
+    )
+    return emb.select("vec_id", "embedding", "label").unionByName(copy)
+
+
+@register("ann_scale_2x", _ANN_SCALE_2X_SQL)
+def q_ann_scale_2x(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed LSH ANN top-20 over the doubled corpus (multiprobe 2)
+    — scale proof for the similarity tier; tests pin the doubling
+    identity (results arrive as id-twin pairs) and the plan shape."""
+    return similarity.lsh_ann_topk(
+        doubled_embeddings(_emb(spark, sf_dir)), 0, 20, multiprobe=2
+    )
