@@ -212,3 +212,42 @@ def fingerprint(docs: DataFrame) -> DataFrame:
         lambda acc, t: (acc * 31 + md5_hash60(t) % MOD_PRIME) % MOD_PRIME,
     )
     return docs.select("doc_id", fp.alias("fingerprint"))
+
+
+def quality_classifier(docs: DataFrame) -> DataFrame:
+    """Model-based quality filter: a fastText-shaped linear classifier
+    over the hashed bag-of-tokens, as one map-side projection.
+
+    score(doc) = Σ_t w[h(t)] / (1000·n_tokens), with the weight table
+    addressed by the shared 60-bit md5 hash: w[h] = h % 2001 − 1000 ∈
+    [−1000, 1000]. The weights here are PSEUDO-RANDOM STAND-INS — the
+    Spark plumbing (hash → weight lookup → mean → threshold) is
+    exactly what a trained hashed linear model (fastText / logistic
+    over hashing-trick features) executes at inference; a deployment
+    swaps the arithmetic weight for a broadcast-map lookup of trained
+    coefficients without touching the plan shape.
+
+    Engine-independence: the weight sum is EXACT BIGINT arithmetic
+    (|Σ| ≤ 1000·n, no overflow) and the keep decision compares the
+    INTEGER sum against 0 — no float ever enters a comparison; score
+    itself is a single division of exact integers (same convention as
+    text_stats.quality_score).
+
+    Scale: zero shuffle — tokenize, hash, and sum are per-row Column
+    expressions inside whole-stage codegen; at 100 TB this is a pure
+    scan-bound projection like the rest of the text tier.
+    """
+    toks = tokens(F.col("text"))
+    n_tokens = F.size(toks).cast("long")
+    weight_sum = F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + (md5_hash60(t) % 2001 - 1000),
+    )
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        weight_sum.alias("weight_sum"),
+        (weight_sum.cast("double") / (1000 * n_tokens)).alias("score"),
+        (weight_sum >= 0).alias("keep"),
+    )

@@ -195,3 +195,31 @@ def q_ann_scale_2x(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_ann_topk(
         doubled_embeddings(_emb(spark, sf_dir)), 0, 20, multiprobe=2
     )
+
+
+# ---------------------------------------------------------------------------
+# Hashed linear quality classifier (operators/text.py:
+# quality_classifier). Oracle mirrors the hashed-weight arithmetic
+# with DuckDB list lambdas; the keep decision is integer-exact on
+# both sides so no fp comparison exists to diverge.
+# ---------------------------------------------------------------------------
+
+_QC_W = r"list_transform(string_split_regex(trim(text), '\s+'), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT % 2001 - 1000)"
+
+_QUALITY_CLASSIFIER_SQL = f"""
+WITH w AS (
+  SELECT doc_id,
+         len(string_split_regex(trim(text), '\\s+'))::BIGINT AS n_tokens,
+         CAST(list_sum({_QC_W}) AS BIGINT) AS weight_sum
+  FROM documents)
+SELECT doc_id, n_tokens, weight_sum,
+       CAST(weight_sum AS DOUBLE) / (1000 * n_tokens) AS score,
+       weight_sum >= 0 AS keep
+FROM w ORDER BY doc_id
+"""
+
+
+@register("quality_classifier", _QUALITY_CLASSIFIER_SQL)
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document hashed-linear quality score and keep decision."""
+    return text.quality_classifier(_docs(spark, sf_dir)).orderBy("doc_id")

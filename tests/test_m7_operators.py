@@ -294,3 +294,39 @@ def test_multiprobe_improves_or_matches_recall(spark):
     r0, r4 = recall(0), recall(4)
     assert r4 >= r0
     assert r4 >= 0.5, (r0, r4)
+
+
+def test_quality_classifier_known_values(spark):
+    import hashlib
+
+    docs = _docs(spark, ["the cat sat"])
+    row = text.quality_classifier(docs).collect()[0]
+
+    def w(tok: str) -> int:
+        return int(hashlib.md5(tok.encode()).hexdigest()[:15], 16) % 2001 - 1000
+
+    want = w("the") + w("cat") + w("sat")
+    assert row["n_tokens"] == 3
+    assert row["weight_sum"] == want
+    assert row["score"] == want / 3000.0
+    assert row["keep"] == (want >= 0)
+
+
+def test_quality_classifier_splits_corpus(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = text.quality_classifier(docs)
+    n = out.count()
+    kept = out.filter("keep").count()
+    # pseudo-random weights → keep rate near 1/2, never degenerate
+    assert 0 < kept < n
+
+
+def test_quality_classifier_plan_no_shuffle(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = (
+        text.quality_classifier(docs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan, plan
