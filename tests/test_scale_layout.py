@@ -310,3 +310,53 @@ def test_aqe_splits_skewed_join_partitions(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_runtime_bloom_filter_prunes_fact_before_shuffle(spark, tmp_path_factory):
+    """r5: at 100 TB the win for selective dim joins that CANNOT
+    broadcast is Spark's runtime bloom filter — the dim side builds a
+    bloom_filter_agg, and a might_contain() filter is injected on the
+    fact side BELOW its shuffle, so non-matching fact rows never hit
+    the wire. Evidence, not a claim: with thresholds scaled to test
+    size, the executed plan contains the injected filter and the
+    fact side's shuffle writes collapse from ~200k rows to the ~1k
+    that survive the dim's selective predicate (+false positives)."""
+    from piholelongtermstats_spark.plans.metrics import executed_plan_metrics
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        d = tmp_path_factory.mktemp("bloom")
+        fp, dp = str(d / "fact"), str(d / "dim")
+        spark.range(0, 200_000, 1, 4).select(
+            (F.col("id") % 1000).alias("k"), F.col("id").alias("v")
+        ).write.parquet(fp)
+        spark.createDataFrame(
+            [(i, "keep" if i < 5 else "drop") for i in range(1000)],
+            "k long, tag string",
+        ).coalesce(1).write.parquet(dp)
+        fact = spark.read.parquet(fp)
+        dim = spark.read.parquet(dp).filter(F.col("tag") == "keep")
+        joined = fact.join(dim, "k")
+        n = len(joined.collect())  # executes THIS plan
+        assert n == 1000  # 5 surviving keys x 200 fact rows each
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan, plan
+        assert "bloom_filter_agg" in plan.lower(), plan
+        # executed, not just planned: total shuffle records = pruned
+        # fact side (~1k + fp) + dim side (5) + bloom build traffic —
+        # far below the 200k an unfiltered fact shuffle writes
+        m = executed_plan_metrics(joined, keys=("shuffleRecordsWritten",))
+        assert 0 < m["shuffleRecordsWritten"] < 20_000, m
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
