@@ -181,6 +181,11 @@ def text_panel(docs: DataFrame) -> DataFrame:
         F.lit(0).cast("long"),
         lambda acc, t: (acc * 31 + md5_hash60(t) % MOD_PRIME) % MOD_PRIME,
     )
+    clf_sum = F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + (md5_hash60(t) % 2001 - 1000),
+    )
     return docs.select(
         "doc_id",
         n_tokens.alias("n_tokens"),
@@ -195,6 +200,10 @@ def text_panel(docs: DataFrame) -> DataFrame:
         pred.alias("pred_lang"),
         best.cast("long").alias("best_score"),
         fp.alias("fingerprint"),
+        # hashed-linear classifier (quality_classifier), same
+        # integer-exact arithmetic — the fifth fused signal
+        clf_sum.alias("clf_weight_sum"),
+        (clf_sum >= 0).alias("clf_keep"),
     )
 
 
@@ -250,4 +259,35 @@ def quality_classifier(docs: DataFrame) -> DataFrame:
         weight_sum.alias("weight_sum"),
         (weight_sum.cast("double") / (1000 * n_tokens)).alias("score"),
         (weight_sum >= 0).alias("keep"),
+    )
+
+
+def vocab_topk(docs: DataFrame, k: int = 100) -> DataFrame:
+    """Corpus vocabulary induction: top-``k`` tokens by term
+    frequency, with document frequency — the first step of building
+    a tokenizer vocab or a frequency-based stopword/OOV list.
+
+    Scale shape: explode is linear in token volume; the count
+    aggregate partial-aggregates map-side, so the shuffle carries one
+    row per (partition, distinct token), not per occurrence — Zipf
+    skew (the corpus's hottest token is a large fraction of all
+    occurrences) is absorbed by the map-side combine exactly like the
+    salted-agg tier's analysis (operators/skew.py docstring). The
+    distinct-doc count rides the same aggregation via Spark's expand
+    (2× explode volume pre-combine, still map-side bounded). Final
+    top-k is TakeOrderedAndProject over |vocab| rows.
+
+    Ordering pinned: tf DESC, token ASC — engine-independent (exact
+    integer counts, lexicographic tie-break).
+    """
+    tok = F.explode(tokens(F.col("text"))).alias("token")
+    return (
+        docs.select("doc_id", tok)
+        .groupBy("token")
+        .agg(
+            F.count("*").alias("tf"),
+            F.countDistinct("doc_id").alias("df"),
+        )
+        .orderBy(F.col("tf").desc(), F.col("token").asc())
+        .limit(k)
     )

@@ -73,12 +73,12 @@ TOP_50 = [
     # --- LLM-training-data pipeline tier ---
     "exact_dedup",
     "ngram_jaccard_capped",
-    "lsh_candidate_pairs",
+    "semantic_dedup",
     "dedup_clusters_star",
     "simhash",
     "text_panel",
     "cosine_topk",
-    "lsh_ann_topk",
+    "ann_scale_2x",
     "ivf_ann_topk",
     "pq_ann_topk",
     "embedding_near_dup",
@@ -100,10 +100,19 @@ TOP_50 = [
 # from top_domains (byte-identical output verified through
 # salted_top_domains — same oracle SQL, same 10 rows) and
 # hourly_histogram (the hour marginal of day_hour_heatmap_panel; A6
-# semantics stay parity-tested below the line).
+# semantics stay parity-tested below the line). Late-r5 swaps:
+# semantic_dedup (new SemDeDup tier) displaced lsh_candidate_pairs
+# (its banding path stays verified inside dedup_clusters_star, which
+# consumes the same shared LSH-pair frame), and ann_scale_2x
+# displaced lsh_ann_topk (the scale proof runs the IDENTICAL bucketed
+# multiprobe path over a 2× corpus with the same oracle family —
+# strictly more evidence per slot). quality_classifier needs no slot:
+# its columns are fused into the checked text_panel row.
 _OVERFLOW = [
     "top_domains",
     "hourly_histogram",
+    "lsh_candidate_pairs",
+    "lsh_ann_topk",
     "minhash_signatures",
     "dedup_survivors",
     "day_hour_heatmap",

@@ -223,3 +223,27 @@ FROM w ORDER BY doc_id
 def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document hashed-linear quality score and keep decision."""
     return text.quality_classifier(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary induction (operators/text.py:vocab_topk)
+# ---------------------------------------------------------------------------
+
+_VOCAB_TOPK_SQL = r"""
+WITH tk AS (
+  SELECT doc_id,
+         unnest(string_split_regex(trim(text), '\s+')) AS token
+  FROM documents)
+SELECT token,
+       count(*)::BIGINT AS tf,
+       count(DISTINCT doc_id)::BIGINT AS df
+FROM tk GROUP BY token
+ORDER BY tf DESC, token LIMIT 100
+"""
+
+
+@register("vocab_topk", _VOCAB_TOPK_SQL)
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 corpus vocabulary by term frequency with document
+    frequency."""
+    return text.vocab_topk(_docs(spark, sf_dir))

@@ -144,7 +144,10 @@ WITH t AS (
       list_prepend(0::BIGINT,
         list_transform(toks,
           x -> ('0x' || substr(md5(x), 1, 15))::BIGINT % 1000000007)),
-      (a, b) -> (a * 31 + b) % 1000000007) AS fingerprint
+      (a, b) -> (a * 31 + b) % 1000000007) AS fingerprint,
+    CAST(list_sum(list_transform(toks,
+      x -> ('0x' || substr(md5(x), 1, 15))::BIGINT % 2001 - 1000))
+      AS BIGINT) AS clf_weight_sum
   FROM t
 ), s AS (
   SELECT m.*,
@@ -163,7 +166,9 @@ SELECT doc_id, n_tokens, n_chars,
        {whens}
        ELSE '{langs[-1]}' END AS pred_lang,
   CAST({great} AS BIGINT) AS best_score,
-  fingerprint
+  fingerprint,
+  clf_weight_sum,
+  clf_weight_sum >= 0 AS clf_keep
 FROM s
 """
 

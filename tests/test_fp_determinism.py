@@ -98,3 +98,46 @@ def test_pq_code_assignment_margins(sf_dir):
         top2 = np.partition(ref, -2, axis=1)[:, -2:]
         worst = min(worst, float((top2[:, 1] - top2[:, 0]).min()))
     assert worst > MIN_SAFE_MARGIN, worst
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
+def test_semdedup_assignment_and_threshold_margins(sf_dir):
+    """r5: the semantic_dedup oracle replays two fp decisions —
+    spherical cell assignment (argmax cosine over 16 centroids) and
+    the removal threshold round(cos,6) ≥ τ on within-cluster pairs.
+    Measure both margins against exactly-rounded references."""
+    from piholelongtermstats_spark.operators import semdedup as sd
+
+    V = _load(sf_dir)
+    C = np.asarray(
+        ivf_mod.fixed_centroids(V.shape[1], sd.N_CLUSTERS), dtype=np.float64
+    )
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+    blas = V @ Cn.T
+    ref = np.empty_like(blas)
+    for j in range(len(Cn)):
+        for i, v in enumerate(V):
+            ref[i, j] = math.fsum(v * Cn[j])
+    assert (np.argmax(blas, axis=1) == np.argmax(ref, axis=1)).all()
+    top2 = np.partition(ref, -2, axis=1)[:, -2:]
+    assert (top2[:, 1] - top2[:, 0]).min() > MIN_SAFE_MARGIN
+
+    # threshold decision: no within-cluster pair's ROUNDED cosine sits
+    # on the τ boundary closer than the cross-engine rounding error
+    # band (~1e-13 on the unrounded value ⇒ a flip requires the
+    # unrounded cosine within 1e-13 of a 5e-7 decimal midpoint).
+    cells = np.argmax(blas, axis=1)
+    norms = np.linalg.norm(V, axis=1)
+    worst = 1.0
+    for cell in np.unique(cells):
+        idx = np.where(cells == cell)[0]
+        if len(idx) < 2:
+            continue
+        W = V[idx] / norms[idx, None]
+        cos = W @ W.T
+        iu = np.triu_indices(len(idx), k=1)
+        r = np.round(cos[iu], 6)
+        worst = min(worst, np.abs(r - sd.THRESHOLD).min())
+    # rounded values are multiples of 1e-6; a nonzero gap means the
+    # decision is pinned a full rounding step away from the boundary
+    assert worst == 0.0 or worst > 5e-7, worst

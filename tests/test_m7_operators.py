@@ -330,3 +330,26 @@ def test_quality_classifier_plan_no_shuffle(spark):
         .toString()
     )
     assert "Exchange" not in plan, plan
+
+
+def test_vocab_topk_known_values(spark):
+    docs = _docs(spark, ["the cat sat", "the cat", "dog"])
+    rows = text.vocab_topk(docs, k=3).collect()
+    assert [(r["token"], r["tf"], r["df"]) for r in rows] == [
+        ("cat", 2, 2),
+        ("the", 2, 2),
+        ("dog", 1, 1),
+    ]
+
+
+def test_vocab_topk_plan_partial_agg_and_topk(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = (
+        text.vocab_topk(docs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # one shuffle on token (plus the countDistinct expand stage runs
+    # inside the same aggregation); final top-k never global-sorts
+    assert "TakeOrderedAndProject" in plan, plan
