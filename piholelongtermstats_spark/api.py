@@ -89,6 +89,11 @@ def build_corpus(
     k_per_lang: int | None = None,
     decontaminate_mod: int | None = None,
     span_dedup: bool = False,
+    embeddings: DataFrame | None = None,
+    semantic_threshold: float | None = None,
+    quality_model: bool = False,
+    pack_seq_len: int | None = None,
+    shuffle_epoch: int | None = None,
 ) -> dict[str, Any]:
     """Beyond-reference convenience surface for the corpus tier
     (SURVEY §2.12): one call composing quality gate → (optional) mix
@@ -105,10 +110,20 @@ def build_corpus(
     - ``span_dedup``: also return the span-level cleaned corpus
       (`corpus.span_dedup` — repeated cross-document 10-token chunks
       removed everywhere, documents reassembled in order).
+    - ``embeddings`` + ``semantic_threshold``: also run SemDeDup
+      (`operators/semdedup.py`, trained spherical k-means path) over
+      the embedding table and return the semantic survivor set.
+    - ``quality_model``: also return the hashed-linear classifier
+      frame (`text.quality_classifier`) — per-doc score + keep.
+    - ``pack_seq_len``: also return the concat-then-chunk packing
+      manifest (`packing.concat_chunk_manifest`) at that seq_len.
+    - ``shuffle_epoch``: also return the deterministic epoch training
+      order (`packing.epoch_shuffle`) for that epoch.
 
     Returns {"manifest", "survivors"?, "contamination"?,
-    "span_cleaned"?} — each a DataFrame ready for `.write` (the
-    100 TB path) or `.collect()` (tests).
+    "span_cleaned"?, "semantic_survivors"?, "quality_scores"?,
+    "pack_manifest"?, "epoch_order"?} — each a DataFrame ready for
+    `.write` (the 100 TB path) or `.collect()` (tests).
     """
     from piholelongtermstats_spark.operators import corpus as corpus_ops
     from piholelongtermstats_spark.operators import dedup as dedup_ops
@@ -137,4 +152,27 @@ def build_corpus(
         )
     if span_dedup:
         out["span_cleaned"] = corpus_ops.span_dedup(docs)
+    if embeddings is not None:
+        from piholelongtermstats_spark.operators import semdedup as semdedup_ops
+
+        kwargs = (
+            {} if semantic_threshold is None else {"threshold": semantic_threshold}
+        )
+        out["semantic_survivors"] = semdedup_ops.semantic_dedup(
+            embeddings, **kwargs
+        )
+    if quality_model:
+        from piholelongtermstats_spark.operators import text as text_ops
+
+        out["quality_scores"] = text_ops.quality_classifier(docs)
+    if pack_seq_len is not None:
+        from piholelongtermstats_spark.operators import packing as packing_ops
+
+        out["pack_manifest"] = packing_ops.concat_chunk_manifest(
+            docs, seq_len=pack_seq_len
+        )
+    if shuffle_epoch is not None:
+        from piholelongtermstats_spark.operators import packing as packing_ops
+
+        out["epoch_order"] = packing_ops.epoch_shuffle(docs, epoch=shuffle_epoch)
     return out

@@ -67,3 +67,37 @@ def test_build_corpus_surface(spark):
     # uncapped manifest: no rn column, superset of every capped group
     uncapped = build_corpus(spark, docs)["manifest"]
     assert uncapped.columns == ["doc_id", "lang", "n_tokens"]
+
+
+def test_build_corpus_training_stages(spark):
+    from piholelongtermstats_spark.api import build_corpus
+    from piholelongtermstats_spark.sources.parquet import load_table
+
+    docs = load_table(spark, SF, "documents")
+    emb = load_table(spark, SF, "embeddings")
+    res = build_corpus(
+        spark,
+        docs,
+        embeddings=emb,
+        quality_model=True,
+        pack_seq_len=256,
+        shuffle_epoch=2,
+    )
+    assert set(res) == {
+        "manifest",
+        "semantic_survivors",
+        "quality_scores",
+        "pack_manifest",
+        "epoch_order",
+    }
+    n_emb = emb.count()
+    n_surv = res["semantic_survivors"].count()
+    assert 0 < n_surv <= n_emb
+    qs = res["quality_scores"]
+    assert qs.columns == ["doc_id", "n_tokens", "weight_sum", "score", "keep"]
+    pm = res["pack_manifest"]
+    assert pm.columns == ["doc_id", "n_tok", "start_off", "first_chunk", "last_chunk"]
+    eo = res["epoch_order"]
+    assert eo.columns == ["doc_id", "shard", "global_pos"]
+    n_docs = docs.count()
+    assert sorted(r["global_pos"] for r in eo.collect()) == list(range(n_docs))
