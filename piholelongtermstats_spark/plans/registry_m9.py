@@ -247,3 +247,53 @@ def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-100 corpus vocabulary by term frequency with document
     frequency."""
     return text.vocab_topk(_docs(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup doubling proof: embeddings ∪ id-shifted exact copy. Every
+# copy shares its original's cell (deterministic assignment) and
+# pairs with it at rounded cosine 1.0 ≥ τ with a strictly higher
+# vec_id — so ALL copies are removed, and since copies' ids exceed
+# every original id the original survivor set is IDENTICAL to the
+# single-corpus run (pytest pins that identity; the oracle replays
+# the doubled computation directly).
+# ---------------------------------------------------------------------------
+
+_SEMDEDUP_2X_SQL = f"""
+WITH cent AS (SELECT * FROM (VALUES {_SEM_CENT_VALUES}) AS t(cell, c)),
+v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+  UNION ALL
+  SELECT vec_id + {_ANN2X_OFFSET}, embedding::DOUBLE[] FROM embeddings),
+scored AS (
+  SELECT v.vec_id, v.v, cent.cell,
+         list_cosine_similarity(v.v, cent.c) AS score
+  FROM v CROSS JOIN cent),
+assigned AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY vec_id ORDER BY score DESC, cell) AS rn
+    FROM scored) WHERE rn = 1),
+removed AS (
+  SELECT DISTINCT b.vec_id
+  FROM assigned a JOIN assigned b
+    ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE round(list_cosine_similarity(a.v, b.v), 6) >= {semdedup.THRESHOLD})
+SELECT a.cell,
+       count(*) AS n_members,
+       count(r.vec_id) AS n_removed,
+       CAST(sum(CASE WHEN r.vec_id IS NULL THEN a.vec_id END) AS BIGINT)
+         AS survivor_id_sum
+FROM assigned a LEFT JOIN removed r ON a.vec_id = r.vec_id
+GROUP BY a.cell ORDER BY a.cell
+"""
+
+
+@register("semdedup_scale_2x", _SEMDEDUP_2X_SQL)
+def q_semdedup_scale_2x(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup per-cluster audit over the doubled corpus — the
+    semantic tier's scale proof (2× members, all copies removed,
+    survivor_id_sum equal to the single-corpus run's)."""
+    return semdedup.semantic_dedup_stats(
+        doubled_embeddings(_emb(spark, sf_dir)), centroids=_SEM_CENTS
+    )

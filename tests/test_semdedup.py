@@ -130,3 +130,25 @@ def test_semdedup_plan_no_cartesian(spark):
         semdedup.assign_clusters(emb, cents)
     )._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
+
+
+def test_doubled_corpus_identity(spark):
+    # scale proof backing semdedup_scale_2x: under corpus ∪ id-shifted
+    # copy, every copy is removed (its original shares the cell at
+    # rounded cosine 1.0 with a lower id) and the ORIGINAL survivor
+    # set is unchanged.
+    from piholelongtermstats_spark.plans.registry_m9 import (
+        _ANN2X_OFFSET,
+        doubled_embeddings,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = ivf.fixed_centroids(64, semdedup.N_CLUSTERS)
+    single = {r["vec_id"] for r in semdedup.semantic_dedup(emb, centroids=cents).collect()}
+    doubled = {
+        r["vec_id"]
+        for r in semdedup.semantic_dedup(
+            doubled_embeddings(emb), centroids=cents
+        ).collect()
+    }
+    assert doubled == single  # no copy survives, no original flips
