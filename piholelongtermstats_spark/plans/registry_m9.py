@@ -297,3 +297,112 @@ def q_semdedup_scale_2x(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semdedup.semantic_dedup_stats(
         doubled_embeddings(_emb(spark, sf_dir)), centroids=_SEM_CENTS
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ composed index (operators/ivfpq.py) — both quantizers pinned
+# (spherical-routed fixed centroids + fixed PQ codebooks on
+# RESIDUALS), so the oracle replays cell assignment, residual code
+# assignment, probe selection, the ADC candidate cut, and the exact
+# re-rank. Same fp-near-tie caveat and margin-measurement regime as
+# the single-family indexes (registry_m7.py commentary,
+# tests/test_fp_determinism.py).
+# ---------------------------------------------------------------------------
+
+from piholelongtermstats_spark.operators import ivfpq as _ivfpq_mod
+from piholelongtermstats_spark.operators import pq as _pq_mod
+
+_PQ_CBS9 = _pq_mod.fixed_codebooks(_EMB_DIM)
+_SUBDIM9 = _EMB_DIM // _pq_mod.N_SUB
+_CB_VALUES9 = ",".join(
+    f"({s},{code},{_arr(c)})"
+    for s, book in enumerate(_PQ_CBS9)
+    for code, c in enumerate(book)
+)
+_RERANK9 = 4 * 10  # rerank * k
+
+_IVFPQ_SQL = f"""
+WITH cent AS (SELECT * FROM (VALUES {_SEM_CENT_VALUES}) AS t(cell, c)),
+cb AS (SELECT * FROM (VALUES {_CB_VALUES9}) AS t(s, code, c)),
+v AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+scored AS (
+  SELECT v.vec_id, v.label, v.v, cent.cell, cent.c AS cvec,
+         list_cosine_similarity(v.v, cent.c) AS score
+  FROM v CROSS JOIN cent),
+assigned AS (
+  SELECT vec_id, label, v, cell, cvec FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY vec_id ORDER BY score DESC, cell) AS rn
+    FROM scored) WHERE rn = 1),
+res AS (
+  SELECT vec_id, cell,
+         list_transform(generate_series(1, {_EMB_DIM}),
+                        i -> v[i] - cvec[i]) AS r
+  FROM assigned),
+subs AS (
+  SELECT vec_id, CAST(t.s AS INTEGER) AS s,
+         list_slice(r, t.s * {_SUBDIM9} + 1, (t.s + 1) * {_SUBDIM9}) AS rs
+  FROM res, range({_pq_mod.N_SUB}) t(s)),
+acode AS (
+  SELECT vec_id, s, c FROM (
+    SELECT subs.vec_id, subs.s, cb.c,
+      row_number() OVER (PARTITION BY subs.vec_id, subs.s
+        ORDER BY list_dot_product(subs.rs, cb.c)
+                 - 0.5 * list_dot_product(cb.c, cb.c) DESC, cb.code) AS rn
+    FROM subs JOIN cb ON subs.s = cb.s) WHERE rn = 1),
+q AS (SELECT v AS qv, sqrt(list_dot_product(v, v)) AS qn
+      FROM v WHERE vec_id = 0),
+probe AS (
+  SELECT cell FROM cent, q
+  ORDER BY list_cosine_similarity(c, qv) DESC, cell
+  LIMIT {_ivfpq_mod.N_PROBE}),
+qsubs AS (
+  SELECT CAST(t.s AS INTEGER) AS s,
+         list_slice(qv, t.s * {_SUBDIM9} + 1, (t.s + 1) * {_SUBDIM9}) AS qs
+  FROM q, range({_pq_mod.N_SUB}) t(s)),
+lutsum AS (
+  SELECT a.vec_id, sum(list_dot_product(qs.qs, a.c)) AS ls
+  FROM acode a JOIN qsubs qs ON a.s = qs.s GROUP BY a.vec_id),
+adc AS (
+  SELECT r.vec_id, list_dot_product(q.qv, cent.c) + ls AS ip
+  FROM res r JOIN lutsum USING (vec_id) JOIN cent ON r.cell = cent.cell, q
+  WHERE r.cell IN (SELECT cell FROM probe) AND r.vec_id <> 0),
+cand AS (
+  SELECT adc.vec_id
+  FROM adc
+  JOIN (SELECT vec_id, sqrt(list_dot_product(v, v)) AS vn FROM v)
+    USING (vec_id), q
+  ORDER BY ip / (vn * qn) DESC, vec_id LIMIT {_RERANK9})
+SELECT v.vec_id, v.label,
+       round(list_cosine_similarity(v.v, q.qv), 6) AS cosine
+FROM v JOIN cand USING (vec_id), q
+ORDER BY cosine DESC, vec_id LIMIT 10
+"""
+
+
+@register("ivfpq_ann_topk", _IVFPQ_SQL)
+def q_ivfpq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composed ANN (16 spherical cells, probe 4, 8×16 residual
+    codebooks, ADC + exact re-rank) with both quantizers pinned."""
+    return _ivfpq_mod.ivfpq_ann_topk(
+        _emb(spark, sf_dir), 0, 10, centroids=_SEM_CENTS, codebooks=_PQ_CBS9
+    )
+
+
+@register("ivfpq_ann_topk_trained")  # rows-only: iterative k-means isn't SQL
+def q_ivfpq_ann_topk_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production path: trained spherical coarse quantizer + trained
+    PQ codebooks; recall/monotonicity pytest-covered."""
+    emb = _emb(spark, sf_dir)
+    key = (spark.sparkContext.applicationId, "ivfpq", sf_dir)
+    cached = ivf._CENTROID_CACHE.get(key)
+    if cached is None:
+        from piholelongtermstats_spark.operators import semdedup as _sd
+
+        cents = _sd.train_spherical_centroids(emb, _ivfpq_mod.N_CELLS)
+        cbs = _pq_mod.train_pq_codebooks(emb)
+        cached = (cents, cbs)
+        ivf._CENTROID_CACHE[key] = cached
+    return _ivfpq_mod.ivfpq_ann_topk(
+        emb, 0, 10, centroids=cached[0], codebooks=cached[1]
+    )

@@ -141,3 +141,42 @@ def test_semdedup_assignment_and_threshold_margins(sf_dir):
     # rounded values are multiples of 1e-6; a nonzero gap means the
     # decision is pinned a full rounding step away from the boundary
     assert worst == 0.0 or worst > 5e-7, worst
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
+def test_ivfpq_residual_code_and_probe_margins(sf_dir):
+    """r5: the ivfpq_ann_topk oracle replays residual PQ code
+    assignment (argmax over 16 codes × 8 subspaces on v − c[cell])
+    and the spherical probe cut — measure both margins. The spherical
+    CELL assignment margin is covered by the semdedup test (same
+    centroids, same routing rule)."""
+    from piholelongtermstats_spark.operators import ivfpq as ivfpq_mod
+
+    V = _load(sf_dir)
+    C = np.asarray(
+        ivf_mod.fixed_centroids(V.shape[1], ivfpq_mod.N_CELLS), dtype=np.float64
+    )
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+    cells = np.argmax(V @ Cn.T, axis=1)
+    R = V - C[cells]
+    cbs = pq_mod.fixed_codebooks(V.shape[1])
+    subdim = V.shape[1] // len(cbs)
+    for s, book in enumerate(cbs):
+        B = np.asarray(book, dtype=np.float64)
+        half = 0.5 * (B * B).sum(axis=1)
+        Rs = R[:, s * subdim : (s + 1) * subdim]
+        blas = Rs @ B.T - half[None, :]
+        ref = np.empty_like(blas)
+        for j in range(len(B)):
+            for i in range(len(Rs)):
+                ref[i, j] = math.fsum(Rs[i] * B[j]) - half[j]
+        assert (np.argmax(blas, axis=1) == np.argmax(ref, axis=1)).all()
+        top2 = np.partition(ref, -2, axis=1)[:, -2:]
+        assert (top2[:, 1] - top2[:, 0]).min() > MIN_SAFE_MARGIN
+
+    # probe cut: the nprobe-th vs (nprobe+1)-th centroid cosine gap
+    q = V[0]
+    sims = Cn @ (q / np.linalg.norm(q))
+    order = np.argsort(-sims, kind="stable")
+    cut = sims[order[ivfpq_mod.N_PROBE - 1]] - sims[order[ivfpq_mod.N_PROBE]]
+    assert cut > MIN_SAFE_MARGIN, cut
