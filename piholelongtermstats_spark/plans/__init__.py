@@ -80,7 +80,7 @@ TOP_50 = [
     "cosine_topk",
     "ann_scale_2x",
     "ivf_ann_topk",
-    "pq_ann_topk",
+    "ivfpq_ann_topk",
     "embedding_near_dup",
     "media_pipeline_check",
     "corpus_build",
@@ -107,12 +107,16 @@ TOP_50 = [
 # displaced lsh_ann_topk (the scale proof runs the IDENTICAL bucketed
 # multiprobe path over a 2× corpus with the same oracle family —
 # strictly more evidence per slot). quality_classifier needs no slot:
-# its columns are fused into the checked text_panel row.
+# its columns are fused into the checked text_panel row. ivfpq_ann_topk
+# (the composed index) displaced flat pq_ann_topk: its oracle replays
+# the identical ADC + exact-re-rank machinery — on residuals — plus
+# coarse routing and the probe cut; flat PQ stays parity-checked below.
 _OVERFLOW = [
     "top_domains",
     "hourly_histogram",
     "lsh_candidate_pairs",
     "lsh_ann_topk",
+    "pq_ann_topk",
     "minhash_signatures",
     "dedup_survivors",
     "day_hour_heatmap",
