@@ -47,12 +47,33 @@ def streaming_corpus_ingest(
     stop_num: int = 6,
     stop_den: int = 10,
     watermark: str = "1 hour",
+    classifier_gate: bool = False,
 ) -> DataFrame:
-    """File-source streaming ingest → quality gate → fingerprint
-    dedup within the watermark horizon. Returns the streaming
-    DataFrame; callers attach the sink (append mode)."""
+    """File-source streaming ingest → quality gate → (optional
+    model-based keep gate) → fingerprint dedup within the watermark
+    horizon. Returns the streaming DataFrame; callers attach the sink
+    (append mode).
+
+    ``classifier_gate=True`` additionally drops documents the
+    hashed-linear classifier rejects (text.quality_classifier's
+    integer-exact keep rule, evaluated inline on the stream — a pure
+    per-row projection, so batch ≡ stream by construction, pinned by
+    test). This is the heuristics-then-model gate order a production
+    ingest runs: cheap rules first, model score second, dedup last
+    (state is the expensive stage; feed it as little as possible)."""
     docs = spark.readStream.schema(schema).parquet(source_dir)
     gated = quality_gate(docs, min_tokens, stop_num, stop_den)
+    if classifier_gate:
+        from pyspark.sql import functions as F
+
+        from piholelongtermstats_spark.operators.text import md5_hash60, tokens
+
+        clf_sum = F.aggregate(
+            tokens(F.col("text")),
+            F.lit(0).cast("long"),
+            lambda acc, t: acc + (md5_hash60(t) % 2001 - 1000),
+        )
+        gated = gated.filter(clf_sum >= 0)
     return gated.withWatermark(
         "ingest_ts", watermark
     ).dropDuplicatesWithinWatermark(["fingerprint"])

@@ -508,3 +508,52 @@ def test_streaming_corpus_ingest_state_ages_out(spark, tmp_path):
     assert _run(
         [(4, good, "en", "s", t0 + dt.timedelta(hours=2, minutes=30))]
     ) == [1, 3, 4]
+
+
+def test_streaming_classifier_gate_batch_equals_stream(spark, tmp_path):
+    """r5: the model-based keep gate (quality_classifier's
+    integer-exact rule) composes into the streaming ingest; the
+    streamed survivor set equals the batch classifier's keep set
+    intersected with the heuristic gate."""
+    from piholelongtermstats_spark.operators.corpus import quality_gate
+    from piholelongtermstats_spark.operators.text import quality_classifier
+    from piholelongtermstats_spark.streaming.corpus_ingest import (
+        DOC_STREAM_SCHEMA,
+        streaming_corpus_ingest,
+    )
+
+    src = str(tmp_path / "clf_src")
+    t0 = dt.datetime.fromisoformat("2024-01-01T10:00:00")
+    # 30 distinct long-enough docs: the pseudo-random weights split
+    # them into keep/drop non-degenerately
+    rows = [
+        (
+            i,
+            " ".join(f"tok{i}w{j}" for j in range(12)),
+            "en",
+            "s",
+            t0 + dt.timedelta(seconds=i),
+        )
+        for i in range(30)
+    ]
+    spark.createDataFrame(rows, DOC_STREAM_SCHEMA).coalesce(1).write.parquet(src)
+
+    out = streaming_corpus_ingest(spark, src, classifier_gate=True)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("clf_gate_t1")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["doc_id"] for r in spark.sql("SELECT doc_id FROM clf_gate_t1").collect()}
+
+    batch = spark.createDataFrame(rows, DOC_STREAM_SCHEMA)
+    heur = {r["doc_id"] for r in quality_gate(batch).select("doc_id").collect()}
+    keep = {
+        r["doc_id"]
+        for r in quality_classifier(batch).filter("keep").select("doc_id").collect()
+    }
+    assert got == heur & keep
+    assert 0 < len(got) < 30  # the model gate actually discriminates
