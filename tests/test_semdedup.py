@@ -152,3 +152,26 @@ def test_doubled_corpus_identity(spark):
         ).collect()
     }
     assert doubled == single  # no copy survives, no original flips
+
+
+def test_pairs_backends_agree(spark):
+    # grouped-matmul pairs == pure-Column pairs, decision for
+    # decision, on both the single and doubled corpora (the fp-margin
+    # test guarantees this CAN hold; this pins that it DOES)
+    from piholelongtermstats_spark.plans.registry_m9 import doubled_embeddings
+
+    cents = ivf.fixed_centroids(64, semdedup.N_CLUSTERS)
+    for base in (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet"),
+    ):
+        for emb in (base, doubled_embeddings(base)):
+            assigned = semdedup.assign_clusters(emb, cents)
+            vec = {
+                (r["vec_a"], r["vec_b"])
+                for r in semdedup.semdedup_pairs(assigned).collect()
+            }
+            expr = {
+                (r["vec_a"], r["vec_b"])
+                for r in semdedup.semdedup_pairs_expr(assigned).collect()
+            }
+            assert vec == expr and len(vec) > 0
