@@ -188,3 +188,82 @@ def epoch_shuffle_global(
             "global_pos",
         )
     )
+
+
+def epoch_pack_manifest(
+    docs: DataFrame,
+    epoch: int = 1,
+    seq_len: int = 512,
+    key_buckets: int = 256,
+) -> DataFrame:
+    """Per-epoch packing manifest: the concat-then-chunk prefix sum
+    computed in the EPOCH'S shuffled order instead of doc_id order —
+    what a pretraining pipeline materializes each epoch (shuffle, then
+    pack the shuffled stream into fixed-length sequences).
+
+    Same two-level scan as concat_chunk_manifest, but bucketed by the
+    epoch key's range slice (uniform ⇒ balanced, as in epoch_shuffle):
+    per-bucket token prefix sums are windows partitioned by bucket and
+    ordered by (key, doc_id); the only unpartitioned window sums the
+    ~key_buckets-row bucket totals. Output: (doc_id, n_tok,
+    start_off, first_chunk, last_chunk) where start_off is the
+    document's token offset in the EPOCH order.
+    """
+    span = KEY_SPACE // key_buckets
+    key = md5_hash60(
+        F.concat(F.lit(f"epoch:{epoch}:"), F.col("doc_id").cast("string"))
+    )
+    n_tok = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long")
+    base = docs.select(
+        "doc_id", n_tok.alias("n_tok"), key.alias("_key")
+    ).withColumn("_b", F.expr(f"_key DIV {span}"))
+    w_in = (
+        Window.partitionBy("_b")
+        .orderBy("_key", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    within = base.withColumn("_cum_in", F.sum("n_tok").over(w_in))
+    totals = base.groupBy("_b").agg(F.sum("n_tok").alias("_tot"))
+    w_b = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.withColumn(
+        "_off", F.coalesce(F.sum("_tot").over(w_b), F.lit(0))
+    ).select("_b", "_off")
+    cum = within.join(offsets, "_b").withColumn(
+        "_cum", F.col("_cum_in") + F.col("_off")
+    )
+    start = F.col("_cum") - F.col("n_tok")
+    return cum.select(
+        "doc_id",
+        "n_tok",
+        start.alias("start_off"),
+        F.floor(start / F.lit(float(seq_len))).cast("long").alias("first_chunk"),
+        F.floor((F.col("_cum") - 1) / F.lit(float(seq_len)))
+        .cast("long")
+        .alias("last_chunk"),
+    )
+
+
+def write_training_shards(
+    docs: DataFrame,
+    path: str,
+    epoch: int = 1,
+    n_shards: int = 8,
+    key_buckets: int = 256,
+) -> None:
+    """Materialize the epoch's training shards: join the shuffle
+    manifest, route every document to its shard (one hash shuffle),
+    and write `shard=N/` parquet directories with rows in epoch order
+    WITHIN each shard (sortWithinPartitions — a per-shard local sort,
+    never a global one). A trainer reads shard directories
+    round-robin ordered by global_pos; re-running the same epoch
+    reproduces byte-identical shard contents (keys are deterministic).
+    """
+    order = epoch_shuffle(docs, epoch, n_shards, key_buckets)
+    (
+        docs.join(order, "doc_id")
+        .repartition(n_shards, "shard")
+        .sortWithinPartitions("shard", "global_pos")
+        .write.partitionBy("shard")
+        .mode("overwrite")
+        .parquet(path)
+    )

@@ -406,3 +406,37 @@ def q_ivfpq_ann_topk_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ivfpq_mod.ivfpq_ann_topk(
         emb, 0, 10, centroids=cached[0], codebooks=cached[1]
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-epoch packing manifest (operators/packing.py:epoch_pack_manifest)
+# — the prefix sum in epoch-shuffled order; oracle = one global window
+# over the same seeded key.
+# ---------------------------------------------------------------------------
+
+_EPOCH_PACK_SQL = rf"""
+WITH k AS (
+  SELECT doc_id,
+         len(string_split_regex(trim(text), '\s+'))::BIGINT AS n_tok,
+         ('0x' || substr(md5('epoch:{_EPOCH}:' || doc_id), 1, 15))::BIGINT
+           AS key
+  FROM documents),
+c AS (
+  SELECT doc_id, n_tok,
+         sum(n_tok) OVER (ORDER BY key, doc_id
+                          ROWS UNBOUNDED PRECEDING) AS cum
+  FROM k)
+SELECT doc_id, n_tok,
+       cum - n_tok AS start_off,
+       CAST(floor((cum - n_tok) / 512.0) AS BIGINT) AS first_chunk,
+       CAST(floor((cum - 1) / 512.0) AS BIGINT) AS last_chunk
+FROM c ORDER BY doc_id
+"""
+
+
+@register("epoch_pack_manifest", _EPOCH_PACK_SQL)
+def q_epoch_pack_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing manifest in the epoch-3 shuffled order (seq_len 512)."""
+    return packing.epoch_pack_manifest(
+        _docs(spark, sf_dir), epoch=_EPOCH, seq_len=512
+    ).orderBy("doc_id")

@@ -106,3 +106,52 @@ def test_epoch_shuffle_no_unpartitioned_window_over_corpus_rows(spark):
     # unpartitioned window runs over the ~key_buckets-row summary
     bad = re.findall(r"windowspecdefinition\(_key#\d+L? ASC", opt)
     assert not bad, opt
+
+
+def test_write_training_shards_roundtrip(spark, tmp_path):
+    import pyarrow.parquet as papq
+    import glob as _glob
+    import os
+
+    docs = _docs(
+        spark, [(i, " ".join(["w"] * (i % 5 + 1)), "en", "s") for i in range(64)]
+    )
+    path = str(tmp_path / "shards")
+    packing.write_training_shards(docs, path, epoch=1, n_shards=4)
+    # every document lands exactly once, in its manifest shard
+    back = spark.read.parquet(path)
+    assert back.count() == 64
+    manifest = {
+        r["doc_id"]: (r["shard"], r["global_pos"])
+        for r in packing.epoch_shuffle(docs, 1, 4).collect()
+    }
+    for r in back.select("doc_id", "shard", "global_pos").collect():
+        assert manifest[r["doc_id"]] == (int(r["shard"]), r["global_pos"])
+    # within each shard file, rows are in epoch order (local sort)
+    for f in _glob.glob(os.path.join(path, "shard=*", "*.parquet")):
+        gp = papq.read_table(f).column("global_pos").to_pylist()
+        assert gp == sorted(gp)
+    # deterministic re-run: same shard contents
+    path2 = str(tmp_path / "shards2")
+    packing.write_training_shards(docs, path2, epoch=1, n_shards=4)
+    a = sorted(map(tuple, spark.read.parquet(path).collect()))
+    b = sorted(map(tuple, spark.read.parquet(path2).collect()))
+    assert a == b
+
+
+def test_epoch_pack_matches_shuffled_global_window(spark):
+    # differential: epoch_pack_manifest == prefix sum over the
+    # epoch_shuffle order computed naively
+    docs = _docs(spark, [(i, " ".join(["t"] * (i % 7 + 1)), "en", "s") for i in range(50)])
+    got = {r["doc_id"]: (r["start_off"], r["first_chunk"], r["last_chunk"])
+           for r in packing.epoch_pack_manifest(docs, epoch=2, seq_len=16, key_buckets=8).collect()}
+    order = sorted(
+        packing.epoch_shuffle_global(docs, 2).collect(), key=lambda r: r["global_pos"]
+    )
+    ntok = {r["doc_id"]: r["n_tok"] for r in packing.concat_chunk_manifest(docs).collect()}
+    run = 0
+    for r in order:
+        n = ntok[r["doc_id"]]
+        want = (run, run // 16, (run + n - 1) // 16)
+        assert got[r["doc_id"]] == want, (r["doc_id"], got[r["doc_id"]], want)
+        run += n
