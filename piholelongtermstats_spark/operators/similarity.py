@@ -208,6 +208,60 @@ def embedding_near_dup_pairs(
             .filter(F.col("_rn") <= bucket_cap)
             .drop("_rn")
         )
+    return _bucket_pairs_vec(b, threshold)
+
+
+def _bucket_pairs_vec(b: DataFrame, threshold: float) -> DataFrame:
+    """Within-bucket pair cosines via one grouped BLAS matmul per
+    bucket (`applyInPandas` on the bucket key) — the deliberate
+    Pandas-UDF exception (see ivf._assign_udf, semdedup.semdedup_pairs
+    for the measurement rationale): the Column self-join evaluates a
+    64-step interpreted lambda per pair; the grouped W·Wᵀ is ~5×
+    faster at test scale and is the per-bucket dense-math shape a
+    production near-dup pass runs.
+
+    Oracle-value parity: the UDF emits RAW float cosines and the
+    6-digit rounding happens in a Spark `round()` (HALF_UP — the same
+    rule DuckDB applies), so the two engines differ only in dot
+    accumulation order (~1e-13); tests/test_fp_determinism.py
+    measures every pair's distance from the nearest rounding midpoint
+    (≫1e-7) so an ulp-level flip of a ROUNDED VALUE would fail there
+    with a number, and `_bucket_pairs_expr` (the pure-Column
+    formulation) is differential-tested against this backend."""
+
+    import numpy as np
+    import pandas as pd
+
+    def _pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame(
+                {"vec_a": [], "vec_b": [], "raw_cosine": []}
+            ).astype({"vec_a": "int64", "vec_b": "int64", "raw_cosine": "float64"})
+        pdf = pdf.sort_values("vec_id")
+        ids = pdf["vec_id"].to_numpy()
+        V = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+        W = V / np.linalg.norm(V, axis=1, keepdims=True)
+        S = W @ W.T
+        ai, bi = np.triu_indices(len(ids), k=1)
+        # loose pre-filter on the RAW value, one full rounding step
+        # below the threshold: every pair whose ROUNDED value could
+        # reach it survives to the exact Spark-side round
+        keep = S[ai, bi] >= threshold - 1e-6
+        return pd.DataFrame(
+            {"vec_a": ids[ai[keep]], "vec_b": ids[bi[keep]], "raw_cosine": S[ai, bi][keep]}
+        )
+
+    raw = b.select("vec_id", "bucket", "v").groupBy("bucket").applyInPandas(
+        _pairs, "vec_a long, vec_b long, raw_cosine double"
+    )
+    return raw.select(
+        "vec_a", "vec_b", F.round(F.col("raw_cosine"), 6).alias("cosine")
+    ).filter(F.col("cosine") >= threshold)
+
+
+def _bucket_pairs_expr(b: DataFrame, threshold: float) -> DataFrame:
+    """Pure-Column formulation (bucket self-join + higher-order dot) —
+    kept as the differential baseline for _bucket_pairs_vec."""
     pairs = (
         b.alias("a")
         .join(b.alias("b"), "bucket")

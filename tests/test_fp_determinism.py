@@ -180,3 +180,50 @@ def test_ivfpq_residual_code_and_probe_margins(sf_dir):
     order = np.argsort(-sims, kind="stable")
     cut = sims[order[ivfpq_mod.N_PROBE - 1]] - sims[order[ivfpq_mod.N_PROBE]]
     assert cut > MIN_SAFE_MARGIN, cut
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
+def test_near_dup_pair_value_midpoint_margins(sf_dir):
+    """r5: embedding_near_dup's ORACLE compares the 6-digit-rounded
+    cosine VALUES, and the Spark side now computes them with a
+    grouped BLAS matmul while DuckDB accumulates sequentially. The
+    rounded values agree as long as no pair's true cosine sits within
+    accumulation error (~1e-13) of a 5e-7 rounding midpoint — measure
+    that distance for EVERY within-bucket pair."""
+    from piholelongtermstats_spark.operators import similarity as sim
+
+    V = _load(sf_dir)
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    planes = np.asarray(
+        [sim.plane_signs(V.shape[1], p) for p in range(sim.N_PLANES)]
+    )
+    buckets = ((V @ planes.T) > 0) @ (1 << np.arange(sim.N_PLANES))
+    worst_clear = 1.0
+    worst_diverge = 0.0
+    for bkt in np.unique(buckets):
+        idx = np.where(buckets == bkt)[0]
+        if len(idx) < 2:
+            continue
+        S = Vn[idx] @ Vn[idx].T
+        iu = np.triu_indices(len(idx), k=1)
+        c = S[iu]
+        # distance from the nearest x.5e-6 rounding midpoint
+        frac = np.abs((c * 1e6 + 0.5) % 1.0 - 0.5)  # dist to nearest int of c*1e6+0.5
+        worst_clear = min(worst_clear, frac.min() / 1e6)
+        # MEASURED accumulation divergence: BLAS matmul vs
+        # exactly-rounded fsum, pair for pair (the worst-case n·eps
+        # bound ≈ 1.4e-14 is pessimistic by orders of magnitude)
+        W = Vn[idx]
+        ref = np.array(
+            [math.fsum(W[a] * W[b]) for a, b in zip(iu[0], iu[1])]
+        )
+        worst_diverge = max(worst_diverge, np.abs(c - ref).max())
+    # every pair's rounded value is pinned: the clearance to the
+    # nearest rounding midpoint must dwarf the observed cross-method
+    # error (measured ~1e-16; clearance ≥ ~7e-13 at these SFs). NB
+    # this is a TEST-SCALE determinism guarantee for the oracle
+    # harness — at ~1e9 pairs the expected clearance approaches the
+    # error band and value-level cross-engine hashes stop being
+    # meaningful (threshold DECISIONS, as in semdedup, degrade
+    # gracefully; value hashes would not).
+    assert worst_diverge < worst_clear / 100, (worst_diverge, worst_clear)

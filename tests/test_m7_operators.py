@@ -353,3 +353,22 @@ def test_vocab_topk_plan_partial_agg_and_topk(spark):
     # one shuffle on token (plus the countDistinct expand stage runs
     # inside the same aggregation); final top-k never global-sorts
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_near_dup_backends_agree(spark):
+    # grouped-matmul pair values == pure-Column pair values after the
+    # shared Spark-side rounding (the midpoint-margin fp test
+    # guarantees this CAN hold; this pins that it DOES)
+    from pyspark.sql import functions as F
+
+    from piholelongtermstats_spark.operators import similarity as sim
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    dimc = sim._dim(emb)
+    v = F.col("embedding").cast("array<double>")
+    b = emb.select(
+        "vec_id", v.alias("v"), sim.lsh_bucket(v, dimc, sim.N_PLANES).alias("bucket")
+    )
+    vec = {tuple(r) for r in sim._bucket_pairs_vec(b, 0.4).collect()}
+    expr = {tuple(r) for r in sim._bucket_pairs_expr(b, 0.4).collect()}
+    assert vec == expr and len(vec) > 0
