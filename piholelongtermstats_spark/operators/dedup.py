@@ -626,3 +626,67 @@ def duplicate_clusters_star(pairs: DataFrame, max_rounds: int = 30) -> DataFrame
         edges.select(F.col("b").alias("doc_id"))
     ).withColumn("cluster_id", F.col("doc_id"))
     return members.unionByName(centers)
+
+
+def simhash_near_dup(
+    docs: DataFrame,
+    max_hamming: int = 6,
+    bands: int = 5,
+    band_bits: int = 12,
+) -> DataFrame:
+    """SimHash near-duplicate pairs via hamming-LSH banding — closes
+    the simhash loop (the sketch alone is evidence; this is the
+    dedup operator that consumes it).
+
+    The 60-bit sketch splits into ``bands`` chunks of ``band_bits``;
+    a candidate pair is any two documents sharing at least one whole
+    band (an equi-join on (band, key) — the hamming analogue of the
+    MinHash banding join, never all-pairs), then verified with
+    bit_count(xor) ≤ max_hamming. Pigeonhole guarantee: any pair at
+    hamming < ``bands`` shares a band, so recall is EXACT for
+    distance ≤ bands−1; above that the banding is a deterministic
+    (sketch-determined) candidate filter — the standard simhash
+    dedup trade (Manku et al., WWW'07 use the same
+    split-and-exact-verify shape).
+
+    Scale: the band explode is ``bands``× |docs| rows; the join is
+    bucketed by 12-bit band keys (uniform for random sketches);
+    verification is one codegen xor/bit_count per candidate.
+    """
+    sk = simhash(docs)
+    band_arr = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("b"),
+                F.shiftright(F.col("simhash"), b * band_bits)
+                .bitwiseAND(F.lit((1 << band_bits) - 1))
+                .alias("key"),
+            )
+            for b in range(bands)
+        ]
+    )
+    bd = sk.select("doc_id", "simhash", F.explode(band_arr).alias("bd")).select(
+        "doc_id", "simhash", F.col("bd.b").alias("b"), F.col("bd.key").alias("key")
+    )
+    cand = (
+        bd.alias("a")
+        .join(bd.alias("c"), ["b", "key"])
+        .filter(F.col("a.doc_id") < F.col("c.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("c.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sa"),
+            F.col("c.simhash").alias("sb"),
+        )
+        .distinct()
+    )
+    return (
+        cand.select(
+            "doc_a",
+            "doc_b",
+            F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+            .cast("long")
+            .alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )

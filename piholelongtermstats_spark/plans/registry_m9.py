@@ -440,3 +440,53 @@ def q_epoch_pack_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packing.epoch_pack_manifest(
         _docs(spark, sf_dir), epoch=_EPOCH, seq_len=512
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# SimHash near-dup pairs (operators/dedup.py:simhash_near_dup) — the
+# hamming-banding consumer of the simhash sketch. Oracle replays the
+# sketch (same CTE as the `simhash` entry), the band equi-join, and
+# the bit_count(xor) verification.
+# ---------------------------------------------------------------------------
+
+from piholelongtermstats_spark.operators import dedup as _dedup_mod
+from piholelongtermstats_spark.plans.registry_m7 import _TOKS as _TOKS9
+
+_SIMHASH_ND_SQL = rf"""
+WITH tok AS (
+  SELECT doc_id, unnest({_TOKS9}) AS tok FROM documents
+), h AS (
+  SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM tok
+), v AS (
+  SELECT doc_id, bit,
+         CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END AS vote
+  FROM h CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS bit)
+), s AS (
+  SELECT doc_id, bit, sum(vote) AS s FROM v GROUP BY 1, 2
+), sk AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << bit) ELSE 0 END)
+              AS BIGINT) AS simhash
+  FROM s GROUP BY doc_id
+), bands AS (
+  SELECT doc_id, simhash, b, (simhash >> (b * 12)) & 4095 AS key
+  FROM sk CROSS JOIN (SELECT unnest(generate_series(0, 4)) AS b)
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b,
+         a.simhash AS sa, c.simhash AS sb
+  FROM bands a JOIN bands c ON a.b = c.b AND a.key = c.key
+   AND a.doc_id < c.doc_id)
+SELECT doc_a, doc_b,
+       CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+FROM cand WHERE bit_count(xor(sa, sb)) <= 6
+ORDER BY doc_a, doc_b
+"""
+
+
+@register("simhash_near_dup", _SIMHASH_ND_SQL)
+def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash hamming-banding near-dup pairs (5×12-bit bands,
+    hamming ≤ 6)."""
+    return _dedup_mod.simhash_near_dup(_docs(spark, sf_dir)).orderBy(
+        "doc_a", "doc_b"
+    )

@@ -372,3 +372,31 @@ def test_near_dup_backends_agree(spark):
     vec = {tuple(r) for r in sim._bucket_pairs_vec(b, 0.4).collect()}
     expr = {tuple(r) for r in sim._bucket_pairs_expr(b, 0.4).collect()}
     assert vec == expr and len(vec) > 0
+
+
+def test_simhash_near_dup_pigeonhole_and_values(spark):
+    # identical texts → hamming 0 pair; pigeonhole: any planted pair
+    # at distance < bands must surface
+    docs = _docs(spark, [BASE, BASE, FAR])
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in dedup.simhash_near_dup(docs).collect()
+    }
+    assert pairs.get((0, 1)) == 0
+    assert (0, 2) not in pairs and (1, 2) not in pairs
+    # brute-force differential on the real corpus: banded candidates
+    # with hamming <= 4 (= bands-1) EXACTLY equal the all-pairs set
+    real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    sk = {r["doc_id"]: r["simhash"] for r in dedup.simhash(real).collect()}
+    ids = sorted(sk)
+    want = {
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin(sk[a] ^ sk[b]).count("1") <= 4
+    }
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.simhash_near_dup(real, max_hamming=4).collect()
+    }
+    assert got == want and len(want) > 0
