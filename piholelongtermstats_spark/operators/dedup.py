@@ -690,3 +690,56 @@ def simhash_near_dup(
         )
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def minhash_jaccard_estimates(
+    docs: DataFrame,
+    num_perms: int = NUM_PERMS,
+    band_size: int = BAND_SIZE,
+    sh: DataFrame | None = None,
+    pairs: DataFrame | None = None,
+) -> DataFrame:
+    """Per-candidate-pair MinHash Jaccard estimate — the sketch's
+    actual estimator (fraction of agreeing permutations), computed
+    for every LSH banding candidate: (doc_a, doc_b, matches,
+    est_jaccard).
+
+    This is the triage stage between banding and the exact re-score:
+    a pipeline ranks/filters candidates on the O(num_perms) estimate
+    before paying the exact shingle-set intersection
+    (ngram_jaccard_* tier). E[matches/num_perms] = J(a,b) — the
+    classic MinHash identity.
+
+    Scale: the signature join fans each candidate pair out to
+    num_perms rows — bounded by the banding candidate volume, never
+    all-pairs; matches is exact integer arithmetic, est_jaccard one
+    division.
+    """
+    if pairs is None:
+        pairs = lsh_candidate_pairs(docs, num_perms, band_size, sh)
+    sig = minhash_signatures(docs, num_perms, sh)
+    a = sig.select(
+        F.col("doc_id").alias("doc_a"), "perm", F.col("minhash").alias("mh_a")
+    )
+    b = sig.select(
+        F.col("doc_id").alias("doc_b"), "perm", F.col("minhash").alias("mh_b")
+    )
+    return (
+        pairs.select("doc_a", "doc_b")
+        .join(a, "doc_a")
+        .join(b, ["doc_b", "perm"])
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.sum(
+                F.when(F.col("mh_a") == F.col("mh_b"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("matches")
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "matches",
+            (F.col("matches") / F.lit(float(num_perms))).alias("est_jaccard"),
+        )
+    )

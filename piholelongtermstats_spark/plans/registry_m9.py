@@ -490,3 +490,56 @@ def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _dedup_mod.simhash_near_dup(_docs(spark, sf_dir)).orderBy(
         "doc_a", "doc_b"
     )
+
+
+# ---------------------------------------------------------------------------
+# MinHash Jaccard estimates (operators/dedup.py:
+# minhash_jaccard_estimates) — the sketch's estimator over the LSH
+# banding candidates; oracle reuses the shared shingle/signature CTEs.
+# ---------------------------------------------------------------------------
+
+from piholelongtermstats_spark.plans.registry_m7 import (  # noqa: E402
+    _SHINGLE_CTE as _SH9,
+    _SIG_CTE as _SIG9,
+    _pairs as _lsh_pairs9,
+    _shingles as _shingles9,
+)
+
+_MINHASH_EST_SQL = (
+    _SH9
+    + _SIG9
+    + """
+, keys AS (
+  SELECT doc_id, perm // 4 AS band,
+         string_agg(minhash::VARCHAR, ',' ORDER BY perm) AS band_key
+  FROM sig GROUP BY doc_id, band
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM keys a
+  JOIN keys b ON a.band = b.band AND a.band_key = b.band_key
+             AND a.doc_id < b.doc_id
+)
+SELECT p.doc_a, p.doc_b,
+       CAST(sum(CASE WHEN sa.minhash = sb.minhash THEN 1 ELSE 0 END)
+            AS BIGINT) AS matches,
+       sum(CASE WHEN sa.minhash = sb.minhash THEN 1 ELSE 0 END) / 16.0
+         AS est_jaccard
+FROM pairs p
+JOIN sig sa ON sa.doc_id = p.doc_a
+JOIN sig sb ON sb.doc_id = p.doc_b AND sb.perm = sa.perm
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+)
+
+
+@register("minhash_jaccard_est", _MINHASH_EST_SQL)
+def q_minhash_jaccard_est(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash agreement-fraction Jaccard estimate per LSH candidate
+    pair (16 permutations)."""
+    from piholelongtermstats_spark.operators import dedup as _dd
+
+    return _dd.minhash_jaccard_estimates(
+        _docs(spark, sf_dir),
+        sh=_shingles9(spark, sf_dir),
+        pairs=_lsh_pairs9(spark, sf_dir),
+    ).orderBy("doc_a", "doc_b")

@@ -400,3 +400,46 @@ def test_simhash_near_dup_pigeonhole_and_values(spark):
         for r in dedup.simhash_near_dup(real, max_hamming=4).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_minhash_estimate_identity_and_bounds(spark):
+    # identical documents estimate J=1 exactly; all estimates bounded
+    docs = _docs(spark, [BASE, BASE, FAR])
+    est = {
+        (r["doc_a"], r["doc_b"]): (r["matches"], r["est_jaccard"])
+        for r in dedup.minhash_jaccard_estimates(docs).collect()
+    }
+    assert est[(0, 1)] == (dedup.NUM_PERMS, 1.0)
+    for m, e in est.values():
+        assert 0 <= m <= dedup.NUM_PERMS and 0.0 <= e <= 1.0
+
+
+def test_minhash_estimate_tracks_exact_jaccard(spark):
+    # estimator sanity on the real corpus: mean |est - exact| over the
+    # candidate pairs is within the sketch's own error band
+    # (std ≈ sqrt(J(1-J)/16) ≤ 0.125)
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    est = dedup.minhash_jaccard_estimates(docs)
+    sh = dedup.shingles(docs)
+    from pyspark.sql import functions as F
+
+    sizes = sh.groupBy("doc_id").count()
+    inter = (
+        est.select("doc_a", "doc_b", "est_jaccard")
+        .join(sh.select(F.col("doc_id").alias("doc_a"), "shingle"), "doc_a")
+        .join(sh.select(F.col("doc_id").alias("doc_b"), "shingle"), ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b", "est_jaccard")
+        .agg(F.count("*").alias("inter"))
+    )
+    rows = (
+        inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("count").alias("na")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("count").alias("nb")), "doc_b")
+        .select(
+            "est_jaccard",
+            (F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))).alias("exact"),
+        )
+        .collect()
+    )
+    assert rows
+    mean_err = sum(abs(r["est_jaccard"] - r["exact"]) for r in rows) / len(rows)
+    assert mean_err <= 0.25, mean_err
