@@ -494,3 +494,49 @@ def span_dedup(
             F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
         )
     )
+
+
+def temperature_mix(
+    docs: DataFrame,
+    group: str = "lang",
+    key: str = "doc_id",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Temperature-flattened training mix (τ-sampling): keep rows of
+    group g at rate (min_cnt / cnt_g)^alpha, so over-represented
+    groups are downsampled toward the flattened distribution
+    p'_g ∝ p_g^alpha (the multilingual-pretraining reweighting; the
+    smallest group keeps everything). Unlike ``mix_sample`` the rates
+    come FROM the data — one tiny per-group count aggregate,
+    broadcast back, then the same md5 hash-acceptance filter.
+
+    Determinism (the reason alpha defaults to 1/2): every step of the
+    threshold is correctly rounded and engine-independent — one
+    long/long→double division, sqrt (IEEE correctly rounded
+    everywhere), an EXACT power-of-two scale by 2⁶⁰, floor — so the
+    integer thresholds are bit-identical in Spark and the DuckDB
+    oracle. Other alphas run through pow(), which libms only
+    guarantee to ~1 ulp; a boundary flip then needs a hash within a
+    couple of values of the threshold (P ≈ 2⁻⁵⁸ per row) — fine in
+    practice, but only alpha=1/2 is *pinned*, so only it is
+    oracle-registered.
+
+    Scale: count-agg shuffle (one row per group), broadcast of the
+    group→threshold map, zero-shuffle filter.
+    """
+    cnts = docs.groupBy(group).agg(F.count("*").alias("cnt"))
+    minc = cnts.agg(F.min("cnt").alias("min_cnt"))
+    ratio = F.col("min_cnt").cast("double") / F.col("cnt")
+    frac = F.sqrt(ratio) if alpha == 0.5 else F.pow(ratio, F.lit(alpha))
+    rates = (
+        cnts.crossJoin(F.broadcast(minc))
+        .select(
+            group,
+            F.floor(frac * F.lit(float(1 << 60))).cast("long").alias("_thr"),
+        )
+    )
+    return (
+        docs.join(F.broadcast(rates), group)
+        .where(md5_hash60(F.col(key).cast("string")) < F.col("_thr"))
+        .drop("_thr")
+    )

@@ -543,3 +543,50 @@ def q_minhash_jaccard_est(spark: SparkSession, sf_dir: str) -> DataFrame:
         sh=_shingles9(spark, sf_dir),
         pairs=_lsh_pairs9(spark, sf_dir),
     ).orderBy("doc_a", "doc_b")
+
+
+# ---------------------------------------------------------------------------
+# Temperature mix (operators/corpus.py:temperature_mix) — τ-sampling
+# with alpha=1/2; the threshold arithmetic (long/long division, sqrt,
+# exact 2^60 scale, floor) is correctly rounded step for step in both
+# engines, so the oracle reproduces every keep decision. Output is
+# the per-group audit frame (kept count + id-sum: decision-sensitive,
+# compact).
+# ---------------------------------------------------------------------------
+
+_TEMP_MIX_SQL = """
+WITH cnts AS (
+  SELECT lang, count(*)::BIGINT AS cnt FROM documents GROUP BY 1),
+m AS (SELECT min(cnt) AS min_cnt FROM cnts),
+r AS (
+  SELECT lang,
+         CAST(floor(sqrt(CAST(min_cnt AS DOUBLE) / cnt)
+                    * 1152921504606846976.0) AS BIGINT) AS thr
+  FROM cnts, m),
+kept AS (
+  SELECT d.lang, d.doc_id
+  FROM documents d JOIN r USING (lang)
+  WHERE ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 15))::BIGINT < r.thr)
+SELECT lang, count(*) AS n_kept,
+       CAST(sum(doc_id) AS BIGINT) AS kept_id_sum
+FROM kept GROUP BY lang ORDER BY lang
+"""
+
+
+@register("temperature_mix", _TEMP_MIX_SQL)
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """τ=1/2 temperature-flattened mix: per-language kept count and
+    decision-sensitive id sum."""
+    from pyspark.sql import functions as F
+
+    from piholelongtermstats_spark.operators import corpus as _corpus_mod
+
+    kept = _corpus_mod.temperature_mix(_docs(spark, sf_dir))
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.sum("doc_id").alias("kept_id_sum"),
+        )
+        .orderBy("lang")
+    )

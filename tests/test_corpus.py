@@ -348,3 +348,46 @@ def test_span_dedup_within_doc_repeat_counts_once(spark):
     out = corpus.span_dedup(docs, span=3, max_df=2).collect()[0]
     assert (out["n_spans"], out["kept_spans"], out["removed_spans"]) == (2, 2, 0)
     assert out["clean_text"] == "a b c a b c"
+
+
+def test_temperature_mix_flattens_distribution(spark):
+    from piholelongtermstats_spark.operators.corpus import temperature_mix
+
+    # skewed corpus: 400 'en', 100 'de', 25 'fr' — τ=1/2 keeps rates
+    # 1·sqrt(25/400)=0.25, sqrt(25/100)=0.5, 1.0
+    rows = (
+        [(i, "x", "en", "s") for i in range(400)]
+        + [(1000 + i, "x", "de", "s") for i in range(100)]
+        + [(2000 + i, "x", "fr", "s") for i in range(25)]
+    )
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    kept = temperature_mix(docs).groupBy("lang").count()
+    by = {r["lang"]: r["count"] for r in kept.collect()}
+    assert by["fr"] == 25  # smallest group keeps everything
+    # expected 100 en / 50 de; hash acceptance is binomial — wide bands
+    assert 60 <= by["en"] <= 140, by
+    assert 30 <= by["de"] <= 70, by
+    # flattening: post-mix ratios are closer to uniform than pre-mix
+    assert by["en"] / by["fr"] < 400 / 25
+    # deterministic: same run twice
+    again = {
+        r["lang"]: r["count"]
+        for r in temperature_mix(docs).groupBy("lang").count().collect()
+    }
+    assert again == by
+
+
+def test_temperature_mix_is_subset_and_zero_shuffle_filter(spark):
+    from piholelongtermstats_spark.operators.corpus import temperature_mix
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    kept = temperature_mix(docs)
+    all_ids = {r["doc_id"] for r in docs.select("doc_id").collect()}
+    kept_ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    assert kept_ids <= all_ids and 0 < len(kept_ids) < len(all_ids)
+    # the doc-side path is a broadcast-join filter: no shuffle of the
+    # corpus (only the tiny count agg exchanges)
+    plan = kept._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
