@@ -633,6 +633,7 @@ def simhash_near_dup(
     max_hamming: int = 6,
     bands: int = 5,
     band_bits: int = 12,
+    sk: DataFrame | None = None,
 ) -> DataFrame:
     """SimHash near-duplicate pairs via hamming-LSH banding — closes
     the simhash loop (the sketch alone is evidence; this is the
@@ -651,9 +652,12 @@ def simhash_near_dup(
 
     Scale: the band explode is ``bands``× |docs| rows; the join is
     bucketed by 12-bit band keys (uniform for random sketches);
-    verification is one codegen xor/bit_count per candidate.
+    verification is one codegen xor/bit_count per candidate. Pass a
+    precomputed/persisted ``sk`` (the production model: sketches are
+    an at-rest artifact, recomputed only on ingest).
     """
-    sk = simhash(docs)
+    if sk is None:
+        sk = simhash(docs)
     band_arr = F.array(
         *[
             F.struct(

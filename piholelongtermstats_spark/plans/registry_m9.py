@@ -486,10 +486,16 @@ ORDER BY doc_a, doc_b
 @register("simhash_near_dup", _SIMHASH_ND_SQL)
 def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash hamming-banding near-dup pairs (5×12-bit bands,
-    hamming ≤ 6)."""
-    return _dedup_mod.simhash_near_dup(_docs(spark, sf_dir)).orderBy(
-        "doc_a", "doc_b"
+    hamming ≤ 6) over the session-shared persisted sketch."""
+    sk = shared_input(
+        spark,
+        "simhash_sketch",
+        sf_dir,
+        lambda: _dedup_mod.simhash(_docs(spark, sf_dir)),
     )
+    return _dedup_mod.simhash_near_dup(
+        _docs(spark, sf_dir), sk=sk
+    ).orderBy("doc_a", "doc_b")
 
 
 # ---------------------------------------------------------------------------
