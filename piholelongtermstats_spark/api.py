@@ -85,6 +85,7 @@ def build_corpus(
     min_tokens: int = 10,
     max_stop_ratio: tuple[int, int] = (6, 10),
     mix_rates: dict[str, float] | None = None,
+    temperature: bool = False,
     fuzzy_dedup: bool = False,
     k_per_lang: int | None = None,
     decontaminate_mod: int | None = None,
@@ -132,6 +133,11 @@ def build_corpus(
     docs = documents
     if mix_rates:
         docs = corpus_ops.mix_sample(docs, mix_rates)
+    if temperature:
+        # τ=1/2 flattening with data-derived rates (temperature_mix);
+        # composes after explicit mix_rates — rates first, flatten
+        # what remains
+        docs = corpus_ops.temperature_mix(docs)
     num, den = max_stop_ratio
     manifest = corpus_ops.corpus_build(
         docs,

@@ -101,3 +101,22 @@ def test_build_corpus_training_stages(spark):
     assert eo.columns == ["doc_id", "shard", "global_pos"]
     n_docs = docs.count()
     assert sorted(r["global_pos"] for r in eo.collect()) == list(range(n_docs))
+
+
+def test_build_corpus_temperature_stage(spark):
+    from piholelongtermstats_spark.api import build_corpus
+    from piholelongtermstats_spark.sources.parquet import load_table
+
+    docs = load_table(spark, SF, "documents")
+    flat = build_corpus(spark, docs, temperature=True)["manifest"]
+    base = build_corpus(spark, docs)["manifest"]
+    n_flat, n_base = flat.count(), base.count()
+    assert 0 < n_flat < n_base
+    # flattening narrows the per-lang spread of the gated manifest
+    def spread(df):
+        counts = [r["c"] for r in df.groupBy("lang").agg(F.count("*").alias("c")).collect()]
+        return max(counts) / max(min(counts), 1)
+
+    from pyspark.sql import functions as F
+
+    assert spread(flat) <= spread(base) * 1.5
