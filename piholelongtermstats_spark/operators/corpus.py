@@ -540,3 +540,71 @@ def temperature_mix(
         .where(md5_hash60(F.col(key).cast("string")) < F.col("_thr"))
         .drop("_thr")
     )
+
+
+def source_data_card(docs: DataFrame) -> DataFrame:
+    """Per-source corpus data card: the summary table a dataset release
+    ships (C4/Pile/Dolma-style datasheet row per source) — document
+    and unique-text counts, language spread, size totals, mean and
+    exact median document length.
+
+    Exact median WITHOUT a per-source sort of the corpus: document
+    length is a bounded-cardinality value, so the median comes from a
+    value histogram — groupBy(source, n_chars) count, then a window
+    over the per-source DISTINCT VALUES (thousands of rows, not
+    |docs|) locates the middle rank(s). At 100 TB the plan is one
+    partial-agg shuffle for the histogram + one partial-agg shuffle
+    for the per-source scalars; the windows order only histogram rows.
+    (Contrast percentile()/quantile_cont: a full per-group sort, and
+    interpolated results whose fp rounding differs across engines —
+    the histogram median is pure integer arithmetic with ONE final
+    division by 2, exact in both.)
+
+    Median rule: lo = (n+1)//2, hi = (n+2)//2 ranks (1-based); median
+    = (value_at(lo) + value_at(hi)) / 2 — the standard even/odd rule.
+    avg_chars divides exact integer sums once, like every avg in the
+    engine (NOTES.md float policy).
+    """
+    n_toks = F.size(tokens(F.col("text"))).cast("long")
+    scalars = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("text").alias("n_unique_texts"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum(n_toks).alias("total_tokens"),
+    )
+    hist = docs.groupBy("source", "n_chars").agg(F.count("*").alias("cnt"))
+    ws = Window.partitionBy("source")
+    wc = ws.orderBy("n_chars").rowsBetween(Window.unboundedPreceding, 0)
+    h = (
+        hist.withColumn("cum", F.sum("cnt").over(wc))
+        .withColumn("n", F.sum("cnt").over(ws))
+        .withColumn("lo", (F.col("n") + 1) / 2)
+        .withColumn("hi", (F.col("n") + 2) / 2)
+    )
+    covers = lambda r: (F.col("cum") - F.col("cnt") < F.floor(r)) & (  # noqa: E731
+        F.floor(r) <= F.col("cum")
+    )
+    med = h.groupBy("source").agg(
+        (
+            (
+                F.sum(F.when(covers(F.col("lo")), F.col("n_chars")).otherwise(0))
+                + F.sum(F.when(covers(F.col("hi")), F.col("n_chars")).otherwise(0))
+            )
+            / 2.0
+        ).alias("median_chars")
+    )
+    return (
+        scalars.join(med, "source")
+        .select(
+            "source",
+            "n_docs",
+            "n_unique_texts",
+            "n_langs",
+            "total_chars",
+            "total_tokens",
+            (F.col("total_chars").cast("double") / F.col("n_docs")).alias("avg_chars"),
+            "median_chars",
+        )
+        .orderBy("source")
+    )

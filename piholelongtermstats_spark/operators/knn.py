@@ -1,0 +1,164 @@
+"""Batched k-NN join over the `embeddings` table — top-k neighbors
+for EVERY query vector in a query set, not one probe vector at a time.
+
+This is the workload shape a real training-data pipeline runs
+(similarity labeling, retrieval-augmented filtering, hard-negative
+mining all score a *batch* of queries against the corpus), and it is
+deliberately a different plan than `similarity.cosine_topk`
+(single-query TakeOrderedAndProject cannot express per-query limits).
+
+Two paths:
+
+- ``knn_join`` — exact brute force: corpus × broadcast(query block),
+  one rank-filter window per query_id. Catalyst turns the
+  ``row_number() <= k`` filter into a **WindowGroupLimit**: each map
+  task keeps only its local top-k per query BEFORE the shuffle, so the
+  exchange carries ~k·partitions rows per query, never |corpus|.
+  (The same optimization the stratified-sample tier relies on —
+  plan-asserted in tests/test_knn.py.) At 100 TB this is the correct
+  exact baseline: one pass over the corpus, map-side dot products
+  against the broadcast query block, tiny shuffle.
+- ``knn_join_ivf`` — the scale path: corpus vectors are assigned to
+  spherical cells once (the SemDeDup quantizer — argmax cosine; see
+  operators/semdedup.py for why the euclidean IVF quantizer is wrong
+  for pinned corpus-independent centroids), each query probes only its
+  ``nprobe`` nearest cells, and the same WindowGroupLimit rank cut
+  runs over the ~nprobe/n_cells candidate slice. The probe relation
+  (|queries| × nprobe rows) is broadcast, so the only shuffle is the
+  final per-query top-k merge.
+
+Determinism / oracle parity: scores are rounded to 6 digits before
+the rank (HALF_UP on both engines); rank ties break on vec_id; probe
+and cell selection order by raw score with cell-id tie-break exactly
+as the DuckDB oracle's ``row_number() OVER (ORDER BY score DESC,
+cell)`` — fp margins for these decisions are measured in
+tests/test_fp_determinism.py style by tests/test_knn.py.
+
+Reference scope note: the reference dashboard has no vector tier at
+all; this extends SURVEY.md §2.12's similarity family (cosine_topk,
+LSH/IVF/PQ single-query ANN) to the batched join shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from piholelongtermstats_spark.operators import semdedup
+from piholelongtermstats_spark.operators.similarity import _dot, _norm
+
+N_QUERIES = 8
+K = 5
+N_PROBE = 4
+
+
+def _query_corpus(emb: DataFrame, n_queries: int) -> tuple[DataFrame, DataFrame]:
+    """Deterministic query/corpus split: the n_queries lowest vec_ids
+    are the query block (tiny — broadcast it), the rest the corpus."""
+    v = F.col("embedding").cast("array<double>")
+    q = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), v.alias("qv")
+    )
+    c = emb.filter(F.col("vec_id") >= n_queries).select(
+        "vec_id", "label", v.alias("v")
+    )
+    return q, c
+
+
+def _ranked_topk(scored: DataFrame, k: int) -> DataFrame:
+    """Per-query rank cut on the rounded score. The row_number filter
+    is the WindowGroupLimit trigger — partial top-k per map task, then
+    one shuffle of the k·tasks survivors per query."""
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "label", "cosine")
+        .orderBy("query_id", "rank")
+    )
+
+
+def _cosine(a: Column, b: Column) -> Column:
+    return F.round(_dot(a, b) / (_norm(a) * _norm(b)), 6)
+
+
+def knn_join(emb: DataFrame, n_queries: int = N_QUERIES, k: int = K) -> DataFrame:
+    """Exact batched k-NN join: (query_id, rank, vec_id, label,
+    cosine) — top-k corpus neighbors per query by rounded cosine."""
+    q, c = _query_corpus(emb, n_queries)
+    scored = c.crossJoin(F.broadcast(q)).select(
+        "query_id", "vec_id", "label", _cosine(F.col("v"), F.col("qv")).alias("cosine")
+    )
+    return _ranked_topk(scored, k)
+
+
+def probe_cells(
+    q: DataFrame, centroids: list[list[float]], nprobe: int = N_PROBE
+) -> DataFrame:
+    """(query_id, qv, cell) — each query's nprobe nearest cells by
+    cosine, raw-score ordering with cell-id tie-break (the oracle's
+    row_number ORDER BY score DESC, cell). Pure Column: the centroid
+    list is a literal array of structs, sorted per row with an
+    array_sort comparator — no shuffle, no UDF; the query block is
+    tiny so interpreted lambda cost is irrelevant here."""
+    cent = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("cell"),
+                F.array(*[F.lit(float(x)) for x in c]).alias("c"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    scored = F.transform(
+        cent,
+        lambda s: F.struct(
+            s["cell"].alias("cell"),
+            (_dot(F.col("qv"), s["c"]) / (_norm(F.col("qv")) * _norm(s["c"]))).alias(
+                "score"
+            ),
+        ),
+    )
+    ranked = F.array_sort(
+        scored,
+        lambda l, r: F.when(l["score"] > r["score"], -1)
+        .when(l["score"] < r["score"], 1)
+        .otherwise(l["cell"] - r["cell"]),
+    )
+    probes = F.slice(ranked, 1, nprobe)
+    return q.select(
+        "query_id", "qv", F.explode(F.transform(probes, lambda s: s["cell"])).alias("cell")
+    )
+
+
+def knn_join_ivf(
+    emb: DataFrame,
+    n_queries: int = N_QUERIES,
+    k: int = K,
+    centroids: list[list[float]] | None = None,
+    nprobe: int = N_PROBE,
+) -> DataFrame:
+    """Cell-routed batched k-NN join: corpus spherical-assigned once
+    (persist bucketed by cell at scale — sources/bucketing.py), each
+    query scans only its nprobe probe cells. Pass pinned centroids for
+    the SQL-reproducible registry entry; None trains the spherical
+    k-means quantizer (production path, pytest-covered)."""
+    q, c = _query_corpus(emb, n_queries)
+    if centroids is None:
+        centroids = semdedup.train_spherical_centroids(
+            emb.filter(F.col("vec_id") >= n_queries)
+        )
+    if not centroids:
+        return emb.sparkSession.createDataFrame(
+            [], "query_id bigint, rank int, vec_id bigint, label int, cosine double"
+        )
+    assigned = c.withColumn(
+        "cell", semdedup._spherical_assign_udf(centroids)(F.col("v"))
+    )
+    probes = probe_cells(q, centroids, nprobe)
+    scored = assigned.join(F.broadcast(probes), "cell").select(
+        "query_id", "vec_id", "label", _cosine(F.col("v"), F.col("qv")).alias("cosine")
+    )
+    return _ranked_topk(scored, k)

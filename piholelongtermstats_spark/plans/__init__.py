@@ -29,6 +29,7 @@ ever raised they regain rows immediately), rows-only entries last
 from piholelongtermstats_spark.plans import registry_m7  # noqa: F401  (registers M7 queries)
 from piholelongtermstats_spark.plans import registry_m8  # noqa: F401  (registers M8 queries)
 from piholelongtermstats_spark.plans import registry_m9  # noqa: F401  (registers M9 queries)
+from piholelongtermstats_spark.plans import registry_m10  # noqa: F401  (registers M10 queries)
 from piholelongtermstats_spark.plans import registry_panels  # noqa: F401  (fused panels)
 from piholelongtermstats_spark.plans.registry import ORACLE, QUERIES  # noqa: F401
 
@@ -77,7 +78,7 @@ TOP_50 = [
     "dedup_clusters_star",
     "simhash",
     "text_panel",
-    "cosine_topk",
+    "knn_join",
     "ann_scale_2x",
     "ivf_ann_topk",
     "ivfpq_ann_topk",
@@ -111,7 +112,14 @@ TOP_50 = [
 # (the composed index) displaced flat pq_ann_topk: its oracle replays
 # the identical ADC + exact-re-rank machinery — on residuals — plus
 # coarse routing and the probe cut; flat PQ stays parity-checked below.
+# Continued-r5 swap: knn_join (batched exact k-NN join) displaced
+# single-query cosine_topk — the batch runs the identical rounded-
+# cosine machinery for 8 query vectors (strictly more scored pairs
+# verified per slot) and adds the WindowGroupLimit rank-cut evidence;
+# cosine_topk stays parity-green below the line, and tests pin that
+# knn_join_ivf's all-probe limit reproduces knn_join verbatim.
 _OVERFLOW = [
+    "cosine_topk",
     "top_domains",
     "hourly_histogram",
     "lsh_candidate_pairs",

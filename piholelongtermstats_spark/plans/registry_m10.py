@@ -1,0 +1,161 @@
+r"""M10 registry: round-5 (late) additions — the batched k-NN join
+(exact + cell-routed) and the per-source corpus data card.
+
+Shared conventions as registry_m7/m9: pinned md5-derived quantizer
+constants are embedded in the oracle SQL as literals; cosine scores
+are rounded to 6 digits before any rank/threshold decision; integer
+sums are CAST to BIGINT in the oracle (DuckDB sum() yields HUGEINT,
+which pandas would widen to float) and divided at most once.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from piholelongtermstats_spark.operators import corpus, knn
+from piholelongtermstats_spark.plans.registry import register
+from piholelongtermstats_spark.plans.registry_m9 import _SEM_CENTS, _arr, _docs, _emb
+
+# ---------------------------------------------------------------------------
+# Batched k-NN join (operators/knn.py) — top-k neighbors for EVERY
+# query in a query block. The exact path is the correctness baseline;
+# the cell-routed path reuses the SemDeDup spherical quantizer (same
+# pinned centroids ⇒ the oracle reproduces corpus assignment, probe
+# selection, and the rank cut decision-for-decision).
+# ---------------------------------------------------------------------------
+
+_KNN_Q = knn.N_QUERIES
+_KNN_K = knn.K
+_KNN_PROBE = knn.N_PROBE
+
+_KNN_JOIN_SQL = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id < {_KNN_Q}),
+c AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+      FROM embeddings WHERE vec_id >= {_KNN_Q}),
+s AS (SELECT query_id, vec_id, label,
+             round(list_cosine_similarity(v, qv), 6) AS cosine
+      FROM c CROSS JOIN q)
+SELECT query_id, rank, vec_id, label, cosine FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+  FROM s) t
+WHERE rank <= {_KNN_K}
+ORDER BY query_id, rank
+"""
+
+
+@register("knn_join", _KNN_JOIN_SQL)
+def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact batched k-NN join: top-5 corpus neighbors for each of the
+    8 lowest-id query vectors (WindowGroupLimit rank cut)."""
+    return knn.knn_join(_emb(spark, sf_dir))
+
+
+_KNN_CENT_VALUES = ",".join(f"({i}, {_arr(c)})" for i, c in enumerate(_SEM_CENTS))
+
+_KNN_JOIN_IVF_SQL = f"""
+WITH cent AS (SELECT * FROM (VALUES {_KNN_CENT_VALUES}) AS t(cell, c)),
+q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+      FROM embeddings WHERE vec_id < {_KNN_Q}),
+c0 AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+       FROM embeddings WHERE vec_id >= {_KNN_Q}),
+assigned AS (
+  SELECT vec_id, label, v, cell FROM (
+    SELECT c0.*, cent.cell, row_number() OVER (
+      PARTITION BY vec_id
+      ORDER BY list_cosine_similarity(v, cent.c) DESC, cent.cell) AS rn
+    FROM c0 CROSS JOIN cent) WHERE rn = 1),
+probes AS (
+  SELECT query_id, qv, cell FROM (
+    SELECT q.query_id, q.qv, cent.cell, row_number() OVER (
+      PARTITION BY query_id
+      ORDER BY list_cosine_similarity(qv, cent.c) DESC, cent.cell) AS rn
+    FROM q CROSS JOIN cent) WHERE rn <= {_KNN_PROBE}),
+s AS (SELECT p.query_id, a.vec_id, a.label,
+             round(list_cosine_similarity(a.v, p.qv), 6) AS cosine
+      FROM probes p JOIN assigned a USING (cell))
+SELECT query_id, rank, vec_id, label, cosine FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+  FROM s) t
+WHERE rank <= {_KNN_K}
+ORDER BY query_id, rank
+"""
+
+
+@register("knn_join_ivf", _KNN_JOIN_IVF_SQL)
+def q_knn_join_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cell-routed batched k-NN join over the pinned spherical
+    quantizer: each query scans only its 4 probe cells."""
+    return knn.knn_join_ivf(_emb(spark, sf_dir), centroids=_SEM_CENTS)
+
+
+@register("knn_join_ivf_trained")  # rows-only: iterative k-means isn't SQL
+def q_knn_join_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production path — spherical k-means trained on the corpus
+    (session-cached like the IVF/PQ quantizers), then the identical
+    probe/rank machinery. Recall vs the exact join is pytest-asserted
+    (tests/test_knn.py); the driver records the weaker rows-only
+    check."""
+    from pyspark.sql import functions as F
+
+    from piholelongtermstats_spark.operators import ivf, semdedup
+
+    emb = _emb(spark, sf_dir)
+    key = (spark.sparkContext.applicationId, "knn_sph_cents", sf_dir)
+    cents = ivf._CENTROID_CACHE.get(key)
+    if cents is None:
+        cents = semdedup.train_spherical_centroids(
+            emb.filter(F.col("vec_id") >= knn.N_QUERIES)
+        )
+        ivf._CENTROID_CACHE[key] = cents
+    return knn.knn_join_ivf(emb, centroids=cents)
+
+
+# ---------------------------------------------------------------------------
+# Per-source data card (operators/corpus.py:source_data_card) —
+# histogram-exact median, integer-exact totals, one division each for
+# the mean/median.
+# ---------------------------------------------------------------------------
+
+_DATA_CARD_SQL = r"""
+WITH t AS (
+  SELECT source, lang, text, n_chars,
+         len(string_split_regex(trim(text), '\s+'))::BIGINT AS n_toks
+  FROM documents),
+scal AS (
+  SELECT source,
+         count(*) AS n_docs,
+         count(DISTINCT text) AS n_unique_texts,
+         count(DISTINCT lang) AS n_langs,
+         CAST(sum(n_chars) AS BIGINT) AS total_chars,
+         CAST(sum(n_toks) AS BIGINT) AS total_tokens
+  FROM t GROUP BY source),
+hist AS (SELECT source, n_chars, count(*) AS cnt
+         FROM t GROUP BY source, n_chars),
+h AS (
+  SELECT *,
+         sum(cnt) OVER (PARTITION BY source ORDER BY n_chars
+                        ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(cnt) OVER (PARTITION BY source) AS n
+  FROM hist),
+med AS (
+  SELECT source,
+         CAST(sum(CASE WHEN cum - cnt < floor((n+1)/2.0)
+                        AND floor((n+1)/2.0) <= cum THEN n_chars ELSE 0 END)
+            + sum(CASE WHEN cum - cnt < floor((n+2)/2.0)
+                        AND floor((n+2)/2.0) <= cum THEN n_chars ELSE 0 END)
+              AS BIGINT) / 2.0 AS median_chars
+  FROM h GROUP BY source)
+SELECT s.source, n_docs, n_unique_texts, n_langs, total_chars, total_tokens,
+       CAST(total_chars AS DOUBLE) / n_docs AS avg_chars, median_chars
+FROM scal s JOIN med USING (source) ORDER BY s.source
+"""
+
+
+@register("data_card_panel", _DATA_CARD_SQL)
+def q_data_card_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source datasheet row: doc/unique/lang counts, char+token
+    totals, mean and histogram-exact median document length."""
+    return corpus.source_data_card(_docs(spark, sf_dir))

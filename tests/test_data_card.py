@@ -1,0 +1,70 @@
+"""source_data_card (operators/corpus.py): histogram-median exactness
+on constructed odd/even/tied groups, and the no-per-doc-sort plan
+property."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from piholelongtermstats_spark.operators.corpus import source_data_card
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+
+
+def test_median_odd_even_and_ties(spark):
+    rows = [
+        # odd group: lengths 1,3,100 → median 3
+        (0, "a", "en", "odd", 1),
+        (1, "a b", "en", "odd", 3),
+        (2, "x" * 5, "de", "odd", 100),
+        # even group: lengths 2,4,6,8 → median 5.0
+        (3, "aa", "en", "even", 2),
+        (4, "bbbb", "en", "even", 4),
+        (5, "cc cc", "en", "even", 6),
+        (6, "dd dd dd", "en", "even", 8),
+        # tied group: 5,5,5,9 → median 5
+        (7, "t", "en", "tied", 5),
+        (8, "t", "en", "tied", 5),
+        (9, "u", "fr", "tied", 5),
+        (10, "v", "fr", "tied", 9),
+    ]
+    out = {r.source: r for r in source_data_card(_docs(spark, rows)).collect()}
+    assert out["odd"].median_chars == 3.0
+    assert out["even"].median_chars == 5.0
+    assert out["tied"].median_chars == 5.0
+    assert out["odd"].n_docs == 3
+    assert out["tied"].n_unique_texts == 3  # "t" deduped
+    assert out["tied"].n_langs == 2
+    assert out["even"].total_chars == 20
+    assert out["even"].avg_chars == 5.0
+    # token totals: whitespace split
+    assert out["even"].total_tokens == 1 + 1 + 2 + 3
+
+
+def test_single_doc_group(spark):
+    out = source_data_card(
+        _docs(spark, [(0, "only", "en", "s", 42)])
+    ).collect()
+    assert out[0].median_chars == 42.0
+    assert out[0].avg_chars == 42.0
+
+
+def test_no_per_document_sort(spark):
+    """The median must come from the value histogram: no Sort over the
+    raw documents relation — the only windows order histogram rows
+    (post-aggregate). A Sort whose child is the parquet/LocalRelation
+    scan would mean a per-source sort of the corpus."""
+    df = source_data_card(_docs(spark, [(0, "a", "en", "s", 1)]))
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    # the windows must consume the histogram aggregate's output (cnt),
+    # not raw document columns — i.e. cumulative sums over cnt
+    assert "windowspecdefinition" in plan.lower(), plan
+    assert "sum(cnt" in plan, plan
+    # and no window references the text column (a per-doc window would)
+    for ln in plan.splitlines():
+        if "windowspecdefinition" in ln.lower():
+            assert "text" not in ln, ln

@@ -1,0 +1,131 @@
+"""Batched k-NN join (operators/knn.py): plan-shape guards, recall of
+the cell-routed path vs the exact join, fp-margin measurement for the
+probe/assignment decisions the oracle reproduces, and edge cases."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as se
+from piholelongtermstats_spark.operators import ivf, knn, semdedup
+from piholelongtermstats_spark.sources.parquet import load_table
+
+SF = "/root/testdata/sf0.001"
+_CENTS = ivf.fixed_centroids(64, semdedup.N_CLUSTERS)
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().explainString(
+        df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return load_table(spark, SF, "embeddings")
+
+
+def test_exact_join_rank_cut_is_window_group_limit(spark, emb):
+    """The row_number<=k filter must run as WindowGroupLimit — partial
+    top-k per map task BEFORE the per-query shuffle. Without it every
+    scored (query, corpus) row crosses the exchange."""
+    plan = _plan(knn.knn_join(emb))
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_ivf_join_broadcasts_probes_and_group_limits(spark, emb):
+    """The probe relation (|Q|·nprobe rows) must broadcast — the
+    corpus side never shuffles on cell — and the rank cut must again
+    be a WindowGroupLimit."""
+    plan = _plan(knn.knn_join_ivf(emb, centroids=_CENTS))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_exact_join_shape(spark, emb):
+    out = knn.knn_join(emb).collect()
+    n_q = emb.filter(F.col("vec_id") < knn.N_QUERIES).count()
+    assert len(out) == n_q * knn.K
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r)
+    for rows in by_q.values():
+        assert [r.rank for r in rows] == list(range(1, knn.K + 1))
+        cos = [r.cosine for r in rows]
+        assert cos == sorted(cos, reverse=True)
+        assert all(r.vec_id >= knn.N_QUERIES for r in rows)
+
+
+def _recall(approx_rows, exact_rows) -> float:
+    ex, ap = {}, {}
+    for r in exact_rows:
+        ex.setdefault(r.query_id, set()).add(r.vec_id)
+    for r in approx_rows:
+        ap.setdefault(r.query_id, set()).add(r.vec_id)
+    hits = sum(len(ex[q] & ap.get(q, set())) for q in ex)
+    total = sum(len(s) for s in ex.values())
+    return hits / total
+
+
+def test_ivf_join_recall_vs_exact(spark, emb):
+    """Probing 4 of 16 spherical cells must beat random cell routing
+    (recall nprobe/n_cells = 0.25 on an isotropic corpus — which the
+    synthetic embeddings nearly are; measured ~0.48 at sf0.001), and
+    nprobe=16 (scan everything) must recover ALL exact neighbors —
+    the all-probe limit reproduces the exact join verbatim."""
+    exact = knn.knn_join(emb).collect()
+    approx = knn.knn_join_ivf(emb, centroids=_CENTS).collect()
+    assert _recall(approx, exact) >= 0.4
+    full = knn.knn_join_ivf(
+        emb, centroids=_CENTS, nprobe=semdedup.N_CLUSTERS
+    ).collect()
+    assert _recall(full, exact) == 1.0
+
+
+def test_trained_quantizer_recall_not_worse_than_pinned(spark, emb):
+    """The data-adaptive spherical k-means quantizer (production path)
+    must not fall below the corpus-independent pinned centroids."""
+    exact = knn.knn_join(emb).collect()
+    pinned = _recall(knn.knn_join_ivf(emb, centroids=_CENTS).collect(), exact)
+    trained = _recall(knn.knn_join_ivf(emb, centroids=None).collect(), exact)
+    assert trained >= pinned - 1e-9, (trained, pinned)
+
+
+def test_probe_selection_margins(spark, emb):
+    """The oracle reproduces probe selection with its own fp
+    accumulation order; measure every query's score gap at the
+    nprobe boundary so an ulp-level divergence would fail HERE with a
+    number (tests/test_fp_determinism.py methodology). The boundary
+    gap must dwarf cross-engine dot error (~1e-13)."""
+    q = emb.filter(F.col("vec_id") < knn.N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("qv"),
+    )
+    rows = q.collect()
+    import numpy as np
+
+    C = np.asarray(_CENTS, dtype=np.float64)
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+    for r in rows:
+        v = np.asarray(r.qv)
+        scores = np.sort((Cn @ (v / np.linalg.norm(v))))[::-1]
+        gap = scores[knn.N_PROBE - 1] - scores[knn.N_PROBE]
+        assert gap > 1e-7, (r.query_id, gap)
+
+
+def test_empty_corpus(spark):
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>, label int")
+    assert knn.knn_join(empty).count() == 0
+    assert knn.knn_join_ivf(empty, centroids=_CENTS).count() == 0
+    assert knn.knn_join_ivf(empty, centroids=None).count() == 0
+
+
+def test_registry_entries_registered():
+    qs = se.queries()
+    for name in ("knn_join", "knn_join_ivf", "knn_join_ivf_trained"):
+        assert name in qs
+    assert "knn_join" in se.oracle_sql()
+    assert "knn_join_ivf_trained" not in se.oracle_sql()  # rows-only by design
