@@ -159,3 +159,58 @@ def q_data_card_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source datasheet row: doc/unique/lang counts, char+token
     totals, mean and histogram-exact median document length."""
     return corpus.source_data_card(_docs(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Z-order clustered scan (sources/zorder.py) — the multi-dimensional
+# layout proof: the SAME [client, time-window] drill-down the
+# reference serves (db.py:133 passes client= into the range query),
+# executed against the Morton-clustered layout where BOTH predicate
+# dimensions prune row groups through ordinary column min/max stats.
+# The oracle runs on the flat table — layout must never change results.
+# ---------------------------------------------------------------------------
+
+import datetime as _dt  # noqa: E402
+
+from pyspark.sql import functions as _F  # noqa: E402
+
+from piholelongtermstats_spark.sources.events import FACT_CTE  # noqa: E402
+
+_Z_CLIENT = 7
+_Z_LO = _dt.datetime(2024, 1, 10)
+_Z_HI = _dt.datetime(2024, 1, 18)
+
+_ZORDER_SQL = FACT_CTE + f"""
+SELECT status_type,
+       count(*) AS n,
+       CAST(sum(event_id) AS BIGINT) AS event_id_sum
+FROM fact
+WHERE client = '{_Z_CLIENT}'
+  AND ts >= TIMESTAMP '{_Z_LO:%Y-%m-%d %H:%M:%S}'
+  AND ts <  TIMESTAMP '{_Z_HI:%Y-%m-%d %H:%M:%S}'
+GROUP BY status_type
+ORDER BY status_type
+"""
+
+
+@register("zorder_scan_pruned", _ZORDER_SQL)
+def q_zorder_scan_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Client + 8-day-window status rollup over the z-ordered layout;
+    both predicates reach the parquet reader and prune via the tight
+    per-file min/max the Morton sort created (measured in
+    tests/test_zorder.py: client-equality reads ~2.5× fewer rows than
+    the time-sorted baseline, time windows still prune ~3×)."""
+    from piholelongtermstats_spark.sources import zorder
+
+    path = zorder.ensure_zorder_layout(spark, sf_dir)
+    df = zorder.scan_events_zordered(
+        spark, path, client_id=_Z_CLIENT, lo=_Z_LO, hi=_Z_HI
+    )
+    return (
+        df.groupBy("status_type")
+        .agg(
+            _F.count("*").alias("n"),
+            _F.sum("event_id").alias("event_id_sum"),
+        )
+        .orderBy("status_type")
+    )
