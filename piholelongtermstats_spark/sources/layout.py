@@ -47,6 +47,39 @@ from piholelongtermstats_spark.sources.parquet import load_table
 
 PARTITION_COL = "p_date"
 
+
+def canonical_ts(ev: DataFrame) -> DataFrame:
+    """Layout writes canonicalize ts to UTC TimestampType; run the
+    write under `micros_write` so it lands as INT64 micros. Spark's
+    default INT96 timestamp encoding carries NO usable parquet
+    statistics, and TIMESTAMP_NTZ stats are ignored by the reader's
+    row-group filter (both measured in sources/zorder.py: a 2-day
+    window over a ts-SORTED 16-file layout read 10000/10000 rows under
+    either default, 1236 under INT64 micros). For the p_date layout
+    this is what makes the BOUNDARY-day row groups skippable — the
+    directory pruning never needed stats, but the raw-ts PushedFilters
+    on the edge days did."""
+    ts_type = dict(ev.dtypes).get("ts")
+    if ts_type == "bigint":
+        return ev.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return ev.withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+class micros_write:
+    """Scoped outputTimestampType=TIMESTAMP_MICROS (save/restore)."""
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+
+    def __enter__(self):
+        self.prev = self.spark.conf.get("spark.sql.parquet.outputTimestampType")
+        self.spark.conf.set(
+            "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
+        )
+
+    def __exit__(self, *exc):
+        self.spark.conf.set("spark.sql.parquet.outputTimestampType", self.prev)
+
 # One layout write per (application, path): the existence check alone
 # would race a concurrent in-session write of the same path.
 _LAYOUT_READY: set[tuple] = set()
@@ -72,6 +105,9 @@ def layout_path(sf_dir: str) -> str:
 
 
 _META_FILE = "_PHLTS_SRC_META"
+# Bumped when the layout FORMAT changes (v2: ts canonicalized to INT64
+# UTC micros) so stale-format layouts from earlier sessions regenerate.
+LAYOUT_VERSION = 2
 
 
 def _src_stat(sf_dir: str) -> "str | None":
@@ -80,7 +116,7 @@ def _src_stat(sf_dir: str) -> "str | None":
         st = os.stat(src)
     except OSError:
         return None
-    return f"{st.st_mtime_ns}:{st.st_size}"
+    return f"v{LAYOUT_VERSION}:{st.st_mtime_ns}:{st.st_size}"
 
 
 def layout_is_fresh(sf_dir: str) -> bool:
@@ -143,16 +179,13 @@ def write_events_date_partitioned(
     spark: SparkSession, sf_dir: str, path: str
 ) -> None:
     """One-time layout job: events → hive-partitioned parquet keyed by
-    UTC date. Raw columns are preserved byte-for-byte; only the
-    partition key is added (derived, so it is consistent with the
-    fact table's ts semantics for both nanos-long and NTZ inputs)."""
-    ev = load_table(spark, sf_dir, "events")
-    ts_type = dict(ev.dtypes).get("ts")
-    if ts_type == "bigint":
-        d = F.to_date(F.timestamp_micros(F.expr("ts DIV 1000")))
-    else:
-        d = F.to_date(F.col("ts"))
-    keyed = ev.withColumn(PARTITION_COL, d)
+    UTC date. Non-ts columns are preserved byte-for-byte; ts is
+    canonicalized to INT64 UTC micros (canonical_ts — same µs-truncated
+    instants the fact table derives, but now with USABLE parquet
+    statistics, so the boundary days' raw-ts PushedFilters skip row
+    groups instead of silently reading the whole edge directory)."""
+    ev = canonical_ts(load_table(spark, sf_dir, "events"))
+    keyed = ev.withColumn(PARTITION_COL, F.to_date(F.col("ts")))
     # Empty source (the reference's first-class empty-DB path,
     # tests/test_db.py:272-362): a zero-row partitionBy write creates
     # NO partition directories, leaving a path whose schema cannot be
@@ -160,10 +193,11 @@ def write_events_date_partitioned(
     # p_date becomes an ordinary (empty) DATE column, so the scan path
     # reads, filters, and projects identically. isEmpty() is a
     # LIMIT-1 probe: O(first row) on any real table.
-    if keyed.isEmpty():
-        keyed.write.mode("overwrite").parquet(path)
-        return
-    keyed.write.mode("overwrite").partitionBy(PARTITION_COL).parquet(path)
+    with micros_write(spark):
+        if keyed.isEmpty():
+            keyed.write.mode("overwrite").parquet(path)
+            return
+        keyed.write.mode("overwrite").partitionBy(PARTITION_COL).parquet(path)
 
 
 def scan_events_date_partitioned(

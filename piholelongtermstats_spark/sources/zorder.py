@@ -47,7 +47,12 @@ from piholelongtermstats_spark.sources.events import (
     EVENT_BLOCKED,
     filter_raw_ts,
 )
-from piholelongtermstats_spark.sources.layout import _META_FILE, _src_stat
+from piholelongtermstats_spark.sources.layout import (
+    _META_FILE,
+    _src_stat,
+    canonical_ts,
+    micros_write,
+)
 from piholelongtermstats_spark.sources.parquet import load_table
 
 BITS = 8  # per-dimension resolution: 2^8 = 256 cells/dim
@@ -72,37 +77,6 @@ def zvalue(a: Column, b: Column, bits: int = BITS) -> Column:
             + F.shiftleft(F.shiftright(b, i).bitwiseAND(F.lit(1)), 2 * i + 1)
         )
     return z
-
-
-def _canonical_ts(ev: DataFrame) -> DataFrame:
-    """Layout writes canonicalize ts to UTC TimestampType, and the
-    write itself must run under outputTimestampType=TIMESTAMP_MICROS
-    (_micros_write): Spark's default INT96 encoding carries NO usable
-    parquet statistics, and NTZ stats are ignored by the reader's
-    row-group filter — measured: a 2-day window over a ts-SORTED
-    16-file layout read 10000/10000 rows under both defaults, 1236
-    under INT64 micros. Without this the time dimension of the
-    z-curve (and any sorted layout) silently loses pruning entirely."""
-    ts_type = dict(ev.dtypes).get("ts")
-    if ts_type == "bigint":
-        return ev.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-    return ev.withColumn("ts", F.col("ts").cast("timestamp"))
-
-
-class _micros_write:
-    """Scoped outputTimestampType=TIMESTAMP_MICROS (save/restore)."""
-
-    def __init__(self, spark: SparkSession):
-        self.spark = spark
-
-    def __enter__(self):
-        self.prev = self.spark.conf.get("spark.sql.parquet.outputTimestampType")
-        self.spark.conf.set(
-            "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
-        )
-
-    def __exit__(self, *exc):
-        self.spark.conf.set("spark.sql.parquet.outputTimestampType", self.prev)
 
 
 def _raw_with_hour(ev: DataFrame) -> tuple[DataFrame, Column]:
@@ -138,14 +112,14 @@ def write_events_zordered(
     handle skewed dims too; min/max scaling is enough for these
     near-uniform keys and costs one aggregate instead of two windows.
 
-    Raw columns are preserved byte-for-byte and the z column is NOT
-    persisted — the layout is indistinguishable from the flat table
-    schema-wise; pruning acts through ordinary user_id/ts min-max
-    file statistics."""
+    Non-ts columns are preserved byte-for-byte, ts is canonicalized to
+    INT64 UTC micros (layout.canonical_ts — INT96/NTZ encodings carry
+    no usable stats), and the z column is NOT persisted; pruning acts
+    through ordinary user_id/ts min-max file statistics."""
     ev = load_table(spark, sf_dir, "events")
     ev, hour = _raw_with_hour(ev)
     if ev.isEmpty():
-        _canonical_ts(ev).write.mode("overwrite").parquet(path)
+        canonical_ts(ev).write.mode("overwrite").parquet(path)
         return
     r = ev.select(
         F.min(F.col("user_id")).alias("u0"),
@@ -165,9 +139,9 @@ def write_events_zordered(
         _scale(hour, r["h0"], r["h1"]),
         bits,
     )
-    with _micros_write(spark):
+    with micros_write(spark):
         (
-            _canonical_ts(ev.withColumn("_z", z))
+            canonical_ts(ev.withColumn("_z", z))
             .repartitionByRange(n_files, "_z")
             .sortWithinPartitions("_z")
             .drop("_z")
@@ -183,9 +157,9 @@ def write_events_time_sorted(
     same file count) — exists so tests can measure the z-order pruning
     delta against an equally-sized, equally-sorted alternative."""
     ev = load_table(spark, sf_dir, "events")
-    with _micros_write(spark):
+    with micros_write(spark):
         (
-            _canonical_ts(ev)
+            canonical_ts(ev)
             .repartitionByRange(n_files, "ts")
             .sortWithinPartitions("ts")
             .write.mode("overwrite")
