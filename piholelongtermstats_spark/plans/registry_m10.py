@@ -214,3 +214,66 @@ def q_zorder_scan_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("status_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# k-NN join doubling scale proof — the dedup_scale_2x methodology
+# (registry_m8) applied to the BATCHED join tier: the cell-routed
+# k-NN join over embeddings ∪ an id-shifted exact copy. Claim proven
+# by the plan: assignment stays map-side (twice the rows, no new
+# shuffle), the probe relation is unchanged (queries come from the
+# original block), the candidate slice doubles, and the rank cut
+# still moves only ~k rows per query. The doubling identity is exact:
+# every unique vector appears twice at the same rounded cosine, and
+# the vec_id tie-break (originals < offset twins) makes the doubled
+# top-2k the exact top-k originals each paired with its twin
+# (tests/test_knn.py pins it).
+# ---------------------------------------------------------------------------
+
+_KNN2X_OFFSET = 1_000_000
+_KNN2X_K = 2 * _KNN_K
+
+_KNN_SCALE_2X_SQL = f"""
+WITH cent AS (SELECT * FROM (VALUES {{cents}}) AS t(cell, c)),
+base AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+  UNION ALL
+  SELECT vec_id + {_KNN2X_OFFSET}, label, embedding::DOUBLE[] FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, v AS qv FROM base WHERE vec_id < {_KNN_Q}),
+c0 AS (SELECT vec_id, label, v FROM base WHERE vec_id >= {_KNN_Q}),
+assigned AS (
+  SELECT vec_id, label, v, cell FROM (
+    SELECT c0.*, cent.cell, row_number() OVER (
+      PARTITION BY vec_id
+      ORDER BY list_cosine_similarity(v, cent.c) DESC, cent.cell) AS rn
+    FROM c0 CROSS JOIN cent) WHERE rn = 1),
+probes AS (
+  SELECT query_id, qv, cell FROM (
+    SELECT q.query_id, q.qv, cent.cell, row_number() OVER (
+      PARTITION BY query_id
+      ORDER BY list_cosine_similarity(qv, cent.c) DESC, cent.cell) AS rn
+    FROM q CROSS JOIN cent) WHERE rn <= {_KNN_PROBE}),
+s AS (SELECT p.query_id, a.vec_id, a.label,
+             round(list_cosine_similarity(a.v, p.qv), 6) AS cosine
+      FROM probes p JOIN assigned a USING (cell))
+SELECT query_id, rank, vec_id, label, cosine FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+  FROM s) t
+WHERE rank <= {_KNN2X_K}
+ORDER BY query_id, rank
+""".format(cents=_KNN_CENT_VALUES)
+
+
+@register("knn_scale_2x", _KNN_SCALE_2X_SQL)
+def q_knn_scale_2x(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cell-routed batched k-NN join over the doubled corpus (top-2k
+    per query) — scale proof for the batched join tier."""
+    from piholelongtermstats_spark.plans.registry_m9 import doubled_embeddings
+
+    return knn.knn_join_ivf(
+        doubled_embeddings(_emb(spark, sf_dir), _KNN2X_OFFSET),
+        k=_KNN2X_K,
+        centroids=_SEM_CENTS,
+    )

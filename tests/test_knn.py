@@ -129,3 +129,44 @@ def test_registry_entries_registered():
         assert name in qs
     assert "knn_join" in se.oracle_sql()
     assert "knn_join_ivf_trained" not in se.oracle_sql()  # rows-only by design
+
+
+def test_scale_2x_twin_identity(spark, emb):
+    """Doubling proof: over corpus ∪ id-shifted copy, each query's
+    rank-1 neighbor is its own twin at cosine 1.0, and the doubled
+    top-2k is exactly the single-corpus top-k with every vector
+    paired with its twin (originals sort before twins on the vec_id
+    tie-break)."""
+    from piholelongtermstats_spark.plans.registry_m9 import doubled_embeddings
+
+    OFF = 1_000_000
+    single = knn.knn_join_ivf(emb, centroids=_CENTS).collect()
+    doubled = knn.knn_join_ivf(
+        doubled_embeddings(emb, OFF), k=2 * knn.K, centroids=_CENTS
+    ).collect()
+    by_q = {}
+    for r in doubled:
+        by_q.setdefault(r.query_id, []).append(r)
+    sing_q = {}
+    for r in single:
+        sing_q.setdefault(r.query_id, []).append(r)
+    for q, rows in by_q.items():
+        rows.sort(key=lambda r: r.rank)
+        assert rows[0].vec_id == q + OFF and rows[0].cosine == 1.0, rows[0]
+        # every unique vector in the doubled top-2k appears as an
+        # (id, id+OFF) twin pair, except a possible unpaired tail at
+        # the cut boundary
+        ids = [r.vec_id % OFF for r in rows]
+        from collections import Counter
+
+        cnt = Counter(ids)
+        # unpaired: the self-twin (its original is a query, not corpus,
+        # so it appears once) plus at most one cut-boundary tail
+        unpaired = [v for v, c in cnt.items() if c != 2]
+        assert len(unpaired) <= 2, (q, cnt)
+        assert q in cnt and cnt[q] == 1, (q, cnt)
+        # ...and the paired set reproduces a single-corpus top-k prefix
+        paired = [v for v, c in cnt.items() if c == 2 and v != q]
+        sing_ids = [r.vec_id for r in sorted(sing_q[q], key=lambda r: r.rank)]
+        for v in paired:
+            assert v in sing_ids, (q, v, sing_ids)
