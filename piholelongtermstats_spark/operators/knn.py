@@ -41,6 +41,8 @@ LSH/IVF/PQ single-query ANN) to the batched join shape.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -98,27 +100,52 @@ def probe_cells(
     q: DataFrame, centroids: list[list[float]], nprobe: int = N_PROBE
 ) -> DataFrame:
     """(query_id, qv, cell) — each query's nprobe nearest cells by
-    cosine, raw-score ordering with cell-id tie-break (the oracle's
-    row_number ORDER BY score DESC, cell). Pure Column: the centroid
-    list is a literal array of structs, sorted per row with an
-    array_sort comparator — no shuffle, no UDF; the query block is
-    tiny so interpreted lambda cost is irrelevant here."""
-    cent = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("cell"),
-                F.array(*[F.lit(float(x)) for x in c]).alias("c"),
-            )
-            for i, c in enumerate(centroids)
-        ]
+    cosine, score-descending with cell-id tie-break (the oracle's
+    row_number ORDER BY score DESC, cell).
+
+    Backend: one Arrow-batched matmul against the unit-normalized
+    centroid matrix — the same deliberate Pandas-UDF exception as the
+    corpus assignment (semdedup._spherical_assign_udf) and for the
+    same measured reason: the pure-Column formulation
+    (probe_cells_expr: transform over a literal matrix + array_sort
+    comparator, each element evaluating nested aggregate/zip_with
+    lambdas) costs ~0.8 s of PLAN CONSTRUCTION alone per query — the
+    interactive-serving latency floor — vs ~0.02 s here. np.argsort
+    descending with kind='stable' keeps ties in original (ascending
+    cell) order, matching the oracle tie-break; boundary score gaps
+    are measured in tests/test_knn.py::test_probe_selection_margins.
+    probe_cells_expr stays as the cross-backend differential baseline.
+    """
+    C = np.asarray(centroids, dtype=np.float64)
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+    np_ = min(nprobe, len(centroids))
+
+    @F.pandas_udf("array<int>")
+    def probes(v: pd.Series) -> pd.Series:
+        V = np.stack(v.to_numpy())
+        Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+        idx = np.argsort(-(Vn @ Cn.T), axis=1, kind="stable")[:, :np_]
+        return pd.Series(list(idx.astype("int32")))
+
+    return q.select(
+        "query_id", "qv", F.explode(probes(F.col("qv"))).alias("cell")
     )
+
+
+def probe_cells_expr(
+    q: DataFrame, centroids: list[list[float]], nprobe: int = N_PROBE
+) -> DataFrame:
+    """Pure-Column probe selection (nested-array literal + array_sort
+    comparator) — the differential baseline for probe_cells."""
+    cmat = F.lit([[float(x) for x in c] for c in centroids])
     scored = F.transform(
-        cent,
-        lambda s: F.struct(
-            s["cell"].alias("cell"),
-            (_dot(F.col("qv"), s["c"]) / (_norm(F.col("qv")) * _norm(s["c"]))).alias(
-                "score"
-            ),
+        F.sequence(F.lit(0), F.lit(len(centroids) - 1)),
+        lambda i: F.struct(
+            i.cast("int").alias("cell"),
+            (
+                _dot(F.col("qv"), F.element_at(cmat, i + 1))
+                / (_norm(F.col("qv")) * _norm(F.element_at(cmat, i + 1)))
+            ).alias("score"),
         ),
     )
     ranked = F.array_sort(

@@ -170,3 +170,16 @@ def test_scale_2x_twin_identity(spark, emb):
         sing_ids = [r.vec_id for r in sorted(sing_q[q], key=lambda r: r.rank)]
         for v in paired:
             assert v in sing_ids, (q, v, sing_ids)
+
+
+def test_probe_backends_agree(spark, emb):
+    """Cross-backend differential: the Arrow matmul probe selection
+    (default) and the pure-Column formulation pick identical
+    (query_id, cell) probe sets."""
+    q = emb.filter(F.col("vec_id") < knn.N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("qv"),
+    )
+    vec = {(r.query_id, r.cell) for r in knn.probe_cells(q, _CENTS).collect()}
+    expr = {(r.query_id, r.cell) for r in knn.probe_cells_expr(q, _CENTS).collect()}
+    assert vec == expr and len(vec) == q.count() * knn.N_PROBE
