@@ -291,3 +291,37 @@ def vocab_topk(docs: DataFrame, k: int = 100) -> DataFrame:
         .orderBy(F.col("tf").desc(), F.col("token").asc())
         .limit(k)
     )
+
+
+# PII patterns — deliberately restricted to syntax valid in BOTH Java
+# regex (Spark) and RE2 (DuckDB oracle): char classes, bounded
+# quantifiers, \b, \d. No lookaround, no backrefs (RE2 has neither).
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE = r"\b\d{3}[-.]\d{3}[-.]\d{4}\b"
+PII_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII redaction — the privacy pass every released pretraining
+    corpus runs (C4/Dolma-style): emails, phone numbers, and IPv4
+    literals replaced with typed placeholder tags, with per-document
+    redaction counts for the audit trail.
+
+    Counts are taken on the PROGRESSIVELY scrubbed text (emails
+    first, then phones on the email-scrubbed text, then IPs) so a
+    digit run inside an email address is never double-counted as a
+    phone/IP; the oracle mirrors the same cascade. Pure Column
+    regexp_replace/regexp_count — zero shuffle, whole-stage codegen,
+    linear in corpus bytes; at 100 TB this fuses into the same scan
+    as the quality gate."""
+    t0 = F.col(text_col)
+    t1 = F.regexp_replace(t0, PII_EMAIL, "<EMAIL>")
+    t2 = F.regexp_replace(t1, PII_PHONE, "<PHONE>")
+    t3 = F.regexp_replace(t2, PII_IP, "<IP>")
+    return docs.select(
+        "doc_id",
+        F.regexp_count(t0, F.lit(PII_EMAIL)).cast("long").alias("n_emails"),
+        F.regexp_count(t1, F.lit(PII_PHONE)).cast("long").alias("n_phones"),
+        F.regexp_count(t2, F.lit(PII_IP)).cast("long").alias("n_ips"),
+        t3.alias("scrubbed"),
+    )

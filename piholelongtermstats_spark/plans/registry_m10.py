@@ -277,3 +277,89 @@ def q_knn_scale_2x(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=_KNN2X_K,
         centroids=_SEM_CENTS,
     )
+
+
+# ---------------------------------------------------------------------------
+# PII scrub audit (operators/text.py:pii_scrub). The driver's
+# synthetic documents contain no organic PII, so the registry entry
+# INJECTS deterministic synthetic PII (same || expression in both
+# engines — email always, phone iff doc_id%3=0, IP iff doc_id%5=0)
+# before scrubbing; the oracle replays injection + the identical
+# count-on-progressively-scrubbed-text cascade and hash-compares the
+# md5 of every scrubbed document, so the comparison verifies the
+# actual redactions, not an all-zeros no-op.
+# ---------------------------------------------------------------------------
+
+from piholelongtermstats_spark.operators import text as _text  # noqa: E402
+
+_PII_SQL = rf"""
+WITH injected AS (
+  SELECT doc_id,
+         text || ' reach doc' || doc_id || '@mail' || (doc_id % 7) || '.com'
+              || CASE WHEN doc_id % 3 = 0
+                      THEN ' call 555-010-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+                      ELSE '' END
+              || CASE WHEN doc_id % 5 = 0
+                      THEN ' from 10.0.' || (doc_id % 256) || '.' || ((doc_id * 7) % 256)
+                      ELSE '' END AS text
+  FROM documents),
+cascade AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '{_text.PII_EMAIL}')) AS n_emails,
+         regexp_replace(text, '{_text.PII_EMAIL}', '<EMAIL>', 'g') AS t1
+  FROM injected),
+cascade2 AS (
+  SELECT doc_id, n_emails,
+         len(regexp_extract_all(t1, '{_text.PII_PHONE}')) AS n_phones,
+         regexp_replace(t1, '{_text.PII_PHONE}', '<PHONE>', 'g') AS t2
+  FROM cascade)
+SELECT doc_id,
+       n_emails::BIGINT AS n_emails,
+       n_phones::BIGINT AS n_phones,
+       len(regexp_extract_all(t2, '{_text.PII_IP}'))::BIGINT AS n_ips,
+       md5(regexp_replace(t2, '{_text.PII_IP}', '<IP>', 'g')) AS scrub_md5
+FROM cascade2
+ORDER BY doc_id
+"""
+
+
+@register("pii_scrub_panel", _PII_SQL)
+def q_pii_scrub_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document PII redaction audit over deterministically
+    injected synthetic PII: typed counts + md5 of the scrubbed text."""
+    d = _docs(spark, sf_dir)
+    injected = d.withColumn(
+        "text",
+        _F.concat(
+            _F.col("text"),
+            _F.lit(" reach doc"),
+            _F.col("doc_id").cast("string"),
+            _F.lit("@mail"),
+            (_F.col("doc_id") % 7).cast("string"),
+            _F.lit(".com"),
+            _F.when(
+                _F.col("doc_id") % 3 == 0,
+                _F.concat(
+                    _F.lit(" call 555-010-"),
+                    _F.lpad((_F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                ),
+            ).otherwise(_F.lit("")),
+            _F.when(
+                _F.col("doc_id") % 5 == 0,
+                _F.concat(
+                    _F.lit(" from 10.0."),
+                    (_F.col("doc_id") % 256).cast("string"),
+                    _F.lit("."),
+                    ((_F.col("doc_id") * 7) % 256).cast("string"),
+                ),
+            ).otherwise(_F.lit("")),
+        ),
+    )
+    s = _text.pii_scrub(injected)
+    return s.select(
+        "doc_id",
+        "n_emails",
+        "n_phones",
+        "n_ips",
+        _F.md5(_F.col("scrubbed")).alias("scrub_md5"),
+    ).orderBy("doc_id")
