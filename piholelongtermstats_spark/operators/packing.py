@@ -267,3 +267,52 @@ def write_training_shards(
         .mode("overwrite")
         .parquet(path)
     )
+
+
+CHUNK_WINDOW = 32
+CHUNK_STRIDE = 24
+
+
+def chunk_documents(
+    docs: DataFrame,
+    window: int = CHUNK_WINDOW,
+    stride: int = CHUNK_STRIDE,
+) -> DataFrame:
+    """Sliding-window document chunking — the context-window prep pass
+    for documents longer than the model's sequence length: token
+    windows of ``window`` starting every ``stride`` tokens (overlap =
+    window − stride carries context across boundaries), last window
+    truncated at the document end.
+
+    Chunk count = 1 + ceil((n − window)/stride) for n > window, else 1
+    — exact integer arithmetic, mirrored in the oracle. Pure Column:
+    sequence() + explode fans out per-doc chunk ids (linear in chunk
+    volume, no shuffle at all — chunking fuses into the scan), then
+    slice() windows the token array. At 100 TB this is the map-side
+    stage immediately before pack_manifest/epoch_shuffle; nothing is
+    materialized per token, only per chunk."""
+    from piholelongtermstats_spark.operators.text import tokens
+
+    toks = tokens(F.col("text"))
+    n = F.size(toks).cast("long")
+    n_chunks = F.when(
+        n > window,
+        F.lit(1)
+        + F.floor((n - window + (stride - 1)) / stride).cast("long"),
+    ).otherwise(F.lit(1).cast("long"))
+    base = docs.select(
+        "doc_id",
+        toks.alias("_toks"),
+        n.alias("_n"),
+        F.explode(F.sequence(F.lit(0).cast("long"), n_chunks - 1)).alias(
+            "chunk_id"
+        ),
+    )
+    start = (F.col("chunk_id") * stride).cast("int")
+    piece = F.slice(F.col("_toks"), start + 1, window)
+    return base.select(
+        "doc_id",
+        "chunk_id",
+        F.size(piece).cast("long").alias("chunk_tokens"),
+        F.md5(F.array_join(piece, " ")).alias("chunk_md5"),
+    )

@@ -323,6 +323,54 @@ ORDER BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Sliding-window chunking (operators/packing.py:chunk_documents) —
+# context-window prep with overlap. Oracle replays the exact integer
+# chunk-count rule and per-chunk md5 with generate_series +
+# list_slice; the md5 compare pins every token of every chunk.
+# ---------------------------------------------------------------------------
+
+from piholelongtermstats_spark.operators import packing as _packing  # noqa: E402
+
+_CHUNK_W = _packing.CHUNK_WINDOW
+_CHUNK_S = _packing.CHUNK_STRIDE
+
+_CHUNK_SQL = rf"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+  FROM documents),
+n AS (
+  SELECT doc_id, toks, len(toks)::BIGINT AS n,
+         CASE WHEN len(toks) > {_CHUNK_W}
+              THEN 1 + (len(toks) - {_CHUNK_W} + {_CHUNK_S} - 1) // {_CHUNK_S}
+              ELSE 1 END AS n_chunks
+  FROM t)
+, chunks AS (
+  SELECT doc_id, toks, unnest(range(0, n_chunks))::BIGINT AS chunk_id
+  FROM n)
+SELECT doc_id,
+       chunk_id,
+       len(list_slice(toks, chunk_id * {_CHUNK_S} + 1,
+                      chunk_id * {_CHUNK_S} + {_CHUNK_W}))::BIGINT
+         AS chunk_tokens,
+       md5(array_to_string(
+             list_slice(toks, chunk_id * {_CHUNK_S} + 1,
+                        chunk_id * {_CHUNK_S} + {_CHUNK_W}), ' '))
+         AS chunk_md5
+FROM chunks
+ORDER BY doc_id, chunk_id
+"""
+
+
+@register("doc_chunks", _CHUNK_SQL)
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunk manifest (window 32, stride 24): per-chunk
+    token count + md5 over the whole corpus."""
+    return _packing.chunk_documents(_docs(spark, sf_dir)).orderBy(
+        "doc_id", "chunk_id"
+    )
+
+
 @register("pii_scrub_panel", _PII_SQL)
 def q_pii_scrub_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document PII redaction audit over deterministically

@@ -155,3 +155,42 @@ def test_epoch_pack_matches_shuffled_global_window(spark):
         want = (run, run // 16, (run + n - 1) // 16)
         assert got[r["doc_id"]] == want, (r["doc_id"], got[r["doc_id"]], want)
         run += n
+
+
+def test_chunk_documents_overlap_and_reassembly(spark):
+    """Constructed cases: exact chunk counts, overlap = window−stride,
+    truncation of the last window, and lossless reassembly (chunk 0 +
+    each later chunk's tail past the overlap == the document)."""
+    from piholelongtermstats_spark.operators.packing import chunk_documents
+
+    W, S = 8, 6
+    texts = {
+        0: " ".join(f"t{i}" for i in range(5)),    # n=5  <= W  → 1 chunk
+        1: " ".join(f"t{i}" for i in range(8)),    # n=8  == W  → 1 chunk
+        2: " ".join(f"t{i}" for i in range(9)),    # n=9 → 2 chunks (last len 3)
+        3: " ".join(f"t{i}" for i in range(21)),   # n=21 → 1+ceil(13/6)=4
+    }
+    docs = spark.createDataFrame(
+        [(k, v) for k, v in texts.items()], "doc_id long, text string"
+    )
+    out = chunk_documents(docs, window=W, stride=S).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert {d: len(v) for d, v in by_doc.items()} == {0: 1, 1: 1, 2: 2, 3: 4}
+    assert sorted(r.chunk_tokens for r in by_doc[2]) == [3, 8]
+    # reassembly: tokens covered = stride per chunk + window tail
+    import hashlib
+
+    for d, txt in texts.items():
+        toks = txt.split()
+        rows = sorted(by_doc[d], key=lambda r: r.chunk_id)
+        rebuilt = []
+        for r in rows:
+            start = r.chunk_id * S
+            piece = toks[start : start + W]
+            assert r.chunk_tokens == len(piece)
+            expect = hashlib.md5(" ".join(piece).encode()).hexdigest()
+            assert r.chunk_md5 == expect, (d, r.chunk_id)
+            rebuilt.extend(piece if not rebuilt else piece[W - S :])
+        assert rebuilt == toks, d
