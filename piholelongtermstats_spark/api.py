@@ -95,6 +95,9 @@ def build_corpus(
     quality_model: bool = False,
     pack_seq_len: int | None = None,
     shuffle_epoch: int | None = None,
+    pii_scrub: bool = False,
+    chunk_window: int | None = None,
+    chunk_stride: int | None = None,
 ) -> dict[str, Any]:
     """Beyond-reference convenience surface for the corpus tier
     (SURVEY §2.12): one call composing quality gate → (optional) mix
@@ -120,10 +123,16 @@ def build_corpus(
       manifest (`packing.concat_chunk_manifest`) at that seq_len.
     - ``shuffle_epoch``: also return the deterministic epoch training
       order (`packing.epoch_shuffle`) for that epoch.
+    - ``pii_scrub``: also return the typed PII redaction frame
+      (`text.pii_scrub` — scrubbed text + per-type counts).
+    - ``chunk_window``: also return the sliding-window chunk manifest
+      (`packing.chunk_documents`; ``chunk_stride`` defaults to the
+      module default when unset).
 
     Returns {"manifest", "survivors"?, "contamination"?,
     "span_cleaned"?, "semantic_survivors"?, "quality_scores"?,
-    "pack_manifest"?, "epoch_order"?} — each a DataFrame ready for
+    "pack_manifest"?, "epoch_order"?, "pii_scrubbed"?, "chunks"?} —
+    each a DataFrame ready for
     `.write` (the 100 TB path) or `.collect()` (tests).
     """
     from piholelongtermstats_spark.operators import corpus as corpus_ops
@@ -181,4 +190,15 @@ def build_corpus(
         from piholelongtermstats_spark.operators import packing as packing_ops
 
         out["epoch_order"] = packing_ops.epoch_shuffle(docs, epoch=shuffle_epoch)
+    if pii_scrub:
+        from piholelongtermstats_spark.operators import text as text_ops
+
+        out["pii_scrubbed"] = text_ops.pii_scrub(docs)
+    if chunk_window is not None:
+        from piholelongtermstats_spark.operators import packing as packing_ops
+
+        kwargs = {"window": chunk_window}
+        if chunk_stride is not None:
+            kwargs["stride"] = chunk_stride
+        out["chunks"] = packing_ops.chunk_documents(docs, **kwargs)
     return out

@@ -72,11 +72,11 @@ TOP_50 = [
     "returned_item_customers",
     "region_nation_revenue",
     # --- LLM-training-data pipeline tier ---
-    "exact_dedup",
+    "pii_scrub_panel",
     "ngram_jaccard_capped",
     "semantic_dedup",
     "dedup_clusters_star",
-    "simhash",
+    "doc_chunks",
     "text_panel",
     "knn_join",
     "ann_scale_2x",
@@ -118,7 +118,16 @@ TOP_50 = [
 # verified per slot) and adds the WindowGroupLimit rank-cut evidence;
 # cosine_topk stays parity-green below the line, and tests pin that
 # knn_join_ivf's all-probe limit reproduces knn_join verbatim.
+# Continued-r5 swaps (2): pii_scrub_panel took exact_dedup's row (the
+# hash-groupBy dedup shape stays exercised inside the checked dedup
+# tier and exact_dedup stays parity-green below the line; the PII
+# panel hash-audits 500 per-document redactions per slot), and
+# doc_chunks took simhash's row (the sketch is still consumed and
+# parity-verified by simhash_near_dup below the line; chunking is a
+# new operator family with a token-for-token md5 oracle).
 _OVERFLOW = [
+    "exact_dedup",
+    "simhash",
     "cosine_topk",
     "top_domains",
     "hourly_histogram",

@@ -120,3 +120,20 @@ def test_build_corpus_temperature_stage(spark):
     from pyspark.sql import functions as F
 
     assert spread(flat) <= spread(base) * 1.5
+
+
+def test_build_corpus_scrub_and_chunk_stages(spark):
+    from piholelongtermstats_spark.api import build_corpus
+    from piholelongtermstats_spark.sources.parquet import load_table
+
+    docs = load_table(spark, SF, "documents")
+    res = build_corpus(spark, docs, pii_scrub=True, chunk_window=16, chunk_stride=12)
+    scrubbed = res["pii_scrubbed"]
+    assert scrubbed.columns == ["doc_id", "n_emails", "n_phones", "n_ips", "scrubbed"]
+    # synthetic corpus carries no organic PII — scrub is a verified no-op
+    agg = scrubbed.groupBy().sum("n_emails", "n_phones", "n_ips").first()
+    assert tuple(agg) == (0, 0, 0)
+    chunks = res["chunks"]
+    assert chunks.columns == ["doc_id", "chunk_id", "chunk_tokens", "chunk_md5"]
+    assert chunks.count() >= docs.count()  # every doc yields ≥1 chunk
+    assert chunks.filter("chunk_tokens > 16").count() == 0
