@@ -280,6 +280,91 @@ def q_knn_scale_2x(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Retrieval tier (operators/retrieval.py): BM25 keyword scoring and
+# reciprocal-rank fusion with the cosine leg. The oracle mirrors the
+# exact expression tree (constants folded by Python are interpolated
+# with repr so both engines parse the identical double literal); RRF
+# arithmetic is bit-exact (integer ranks, one division per leg, fixed
+# two-term sum order).
+# ---------------------------------------------------------------------------
+
+from piholelongtermstats_spark.operators import retrieval as _retr  # noqa: E402
+
+_BM25_TERMS = "', '".join(_retr.DEFAULT_QUERY)
+
+_BM25_CORE = rf"""
+base AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+  FROM documents {{filter}}),
+d AS (SELECT doc_id, toks, len(toks)::BIGINT AS dl FROM base),
+stats AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS total_dl
+          FROM d),
+tf AS (
+  SELECT doc_id, dl, t AS term, count(*) AS tf
+  FROM (SELECT doc_id, dl, unnest(toks) AS t FROM d)
+  WHERE t IN ('{_BM25_TERMS}')
+  GROUP BY doc_id, dl, t),
+dft AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+s AS (
+  SELECT tf.doc_id,
+         ln(1.0 + (stats.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+         * (tf.tf * {_retr.K1 + 1!r})
+         / (tf.tf + {_retr.K1!r} * ({1 - _retr.B!r} + {_retr.B!r} * tf.dl
+              / (CAST(stats.total_dl AS DOUBLE) / stats.n_docs))) AS s
+  FROM tf JOIN dft USING (term) CROSS JOIN stats),
+scores AS (
+  SELECT doc_id, round(sum(s), 6) AS score FROM s GROUP BY doc_id)
+"""
+
+_BM25_SQL = (
+    "WITH "
+    + _BM25_CORE.format(filter="")
+    + "SELECT doc_id, score FROM scores ORDER BY score DESC, doc_id LIMIT 10"
+)
+
+
+@register("bm25_topk", _BM25_SQL)
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 documents by Okapi BM25 for the pinned query terms."""
+    return _retr.bm25_topk(_docs(spark, sf_dir))
+
+
+_RRF_SQL = (
+    "WITH "
+    + _BM25_CORE.format(filter="WHERE doc_id <> 0")
+    + rf""",
+bm AS (
+  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r_bm25
+  FROM scores QUALIFY r_bm25 <= 50),
+cosleg AS (
+  SELECT c.vec_id AS doc_id,
+         round(list_cosine_similarity(c.v, q.qv), 6) AS cosine
+  FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        WHERE vec_id <> 0) c,
+       (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0) q),
+cos AS (
+  SELECT doc_id, row_number() OVER (ORDER BY cosine DESC, doc_id) AS r_cos
+  FROM cosleg QUALIFY r_cos <= 50),
+fused AS (
+  SELECT COALESCE(bm.doc_id, cos.doc_id) AS doc_id,
+         COALESCE(1.0 / (60 + bm.r_bm25), 0.0)
+           + COALESCE(1.0 / (60 + cos.r_cos), 0.0) AS rrf,
+         COALESCE(bm.r_bm25, 0) AS r_bm25,
+         COALESCE(cos.r_cos, 0) AS r_cos
+  FROM bm FULL OUTER JOIN cos ON bm.doc_id = cos.doc_id)
+SELECT doc_id, rrf, r_bm25::BIGINT AS r_bm25, r_cos::BIGINT AS r_cos
+FROM fused ORDER BY rrf DESC, doc_id LIMIT 10"""
+)
+
+
+@register("hybrid_rrf_topk", _RRF_SQL)
+def q_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 by reciprocal-rank fusion of the BM25 and cosine legs
+    (query doc 0 excluded from both)."""
+    return _retr.hybrid_rrf_topk(_docs(spark, sf_dir), _emb(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
 # PII scrub audit (operators/text.py:pii_scrub). The driver's
 # synthetic documents contain no organic PII, so the registry entry
 # INJECTS deterministic synthetic PII (same || expression in both
