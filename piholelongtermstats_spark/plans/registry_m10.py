@@ -280,6 +280,47 @@ def q_knn_scale_2x(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Exact per-group quantiles (operators/approx.py:exact_group_quantiles)
+# — nearest-rank over a value histogram: the oracle-checkable exact
+# member of the quantile family (the GK sketch stays rows-only). No
+# interpolation ⇒ no fp: q_p is an ACTUAL data value selected by
+# integer rank comparison, bit-identical across engines.
+# ---------------------------------------------------------------------------
+
+from piholelongtermstats_spark.operators import approx as _approx  # noqa: E402
+from piholelongtermstats_spark.plans.registry import _fact  # noqa: E402
+from piholelongtermstats_spark.sources.events import FACT_CTE as _FACT_CTE  # noqa: E402
+
+_RQE_SQL = _FACT_CTE + """
+, h AS (
+  SELECT status_type, reply_time, count(*) AS cnt
+  FROM fact WHERE reply_time IS NOT NULL
+  GROUP BY status_type, reply_time),
+c AS (
+  SELECT *,
+         sum(cnt) OVER (PARTITION BY status_type ORDER BY reply_time
+                        ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(cnt) OVER (PARTITION BY status_type) AS n
+  FROM h)
+SELECT status_type,
+       CAST(sum(cnt) AS BIGINT) AS n_rows,
+       min(CASE WHEN cum >= ceil(0.5 * n) THEN reply_time END) AS p50,
+       min(CASE WHEN cum >= ceil(0.9 * n) THEN reply_time END) AS p90,
+       min(CASE WHEN cum >= ceil(0.99 * n) THEN reply_time END) AS p99
+FROM c GROUP BY status_type ORDER BY status_type
+"""
+
+
+@register("reply_quantiles_exact", _RQE_SQL)
+def q_reply_quantiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p50/p90/p99 reply time per status via the histogram
+    nearest-rank method — selected data values, zero interpolation."""
+    return _approx.exact_group_quantiles(
+        _fact(spark, sf_dir), "status_type", "reply_time"
+    )
+
+
+# ---------------------------------------------------------------------------
 # Retrieval tier (operators/retrieval.py): BM25 keyword scoring and
 # reciprocal-rank fusion with the cosine leg. The oracle mirrors the
 # exact expression tree (constants folded by Python are interpolated

@@ -68,3 +68,39 @@ def test_no_per_document_sort(spark):
     for ln in plan.splitlines():
         if "windowspecdefinition" in ln.lower():
             assert "text" not in ln, ln
+
+
+def test_exact_group_quantiles_constructed(spark):
+    """Nearest-rank on a known distribution, incl. tie mass and nulls."""
+    from piholelongtermstats_spark.operators.approx import exact_group_quantiles
+
+    rows = [("a", float(v)) for v in range(1, 11)]          # 1..10
+    rows += [("b", 5.0)] * 9 + [("b", 100.0), ("b", None)]  # heavy tie + null
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = {r.g: r for r in exact_group_quantiles(df, "g", "v").collect()}
+    # group a: n=10 → p50 = value at rank 5 = 5, p90 → rank 9 = 9, p99 → rank 10 = 10
+    assert (got["a"].p50, got["a"].p90, got["a"].p99) == (5.0, 9.0, 10.0)
+    assert got["a"].n_rows == 10
+    # group b: n=10 (null excluded); ranks 1-9 are 5.0 → p50=p90=5.0, p99 rank 10 → 100.0
+    assert (got["b"].p50, got["b"].p90, got["b"].p99) == (5.0, 5.0, 100.0)
+
+
+def test_exact_quantiles_match_gk_sketch_band(spark):
+    """The GK sketch (rows-only registry entry) must land within its
+    accuracy band of the exact histogram answer on real data."""
+    from piholelongtermstats_spark.operators.approx import (
+        exact_group_quantiles,
+        reply_time_quantiles,
+    )
+    from piholelongtermstats_spark.sources.events import dns_fact
+
+    fact = dns_fact(spark, "/root/testdata/sf0.001")
+    exact = exact_group_quantiles(
+        fact.withColumn("all", __import__("pyspark").sql.functions.lit(1)),
+        "all",
+        "reply_time",
+    ).first()
+    approx = reply_time_quantiles(fact).first()
+    # GK p50 (ms, on |reply|) vs exact p50: same order of magnitude band;
+    # reply_time here is nonnegative so |x| == x
+    assert abs(approx.p50_ms - exact.p50 * 1000) <= 0.05 * max(exact.p50 * 1000, 1)
