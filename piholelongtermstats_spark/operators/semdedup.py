@@ -284,3 +284,70 @@ def semantic_dedup_stats(
         )
         .orderBy("cell")
     )
+
+
+def semantic_contamination(
+    emb: DataFrame,
+    bench_mod: int = 10,
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """Semantic benchmark decontamination — the embedding-space
+    counterpart of corpus.contamination_overlap's lexical shingle
+    containment: for every held-out "benchmark" vector (vec_id %
+    bench_mod == 0), the most semantically similar training-corpus
+    vector and its cosine. Train/test leakage that survives lexical
+    decontamination (paraphrases, translations) shows up here.
+
+    Candidate generation is cell-bounded exactly like SemDeDup
+    removal: both sides spherical-assign once, pairs join within a
+    cell only — the benchmark side is tiny (corpus/bench_mod rows)
+    and broadcasts, so the corpus never shuffles. Per-bench argmax is
+    a (bench_id-partitioned) rank-1 cut — WindowGroupLimit, ties
+    pinned (cosine DESC, train vec_id ASC). A same-cell miss is the
+    same recall trade every bucketed pass makes; nprobe-style
+    widening composes if needed.
+    """
+    if centroids is None:
+        centroids = train_spherical_centroids(
+            emb.filter(F.col("vec_id") % bench_mod != 0)
+        )
+    if not centroids:
+        return emb.sparkSession.createDataFrame(
+            [], "bench_id bigint, train_id bigint, cosine double"
+        )
+    assigned = assign_clusters(emb, centroids)
+    nrm = assigned.withColumn(
+        "_nrm",
+        F.sqrt(
+            F.aggregate(
+                F.col("v"), F.lit(0.0).cast("double"), lambda a, x: a + x * x
+            )
+        ),
+    ).withColumn("_vn", F.transform(F.col("v"), lambda x: x / F.col("_nrm")))
+    bench = nrm.filter(F.col("vec_id") % bench_mod == 0).select(
+        F.col("vec_id").alias("bench_id"), F.col("cell"), F.col("_vn").alias("bv")
+    )
+    train = nrm.filter(F.col("vec_id") % bench_mod != 0).select(
+        F.col("vec_id").alias("train_id"), "cell", F.col("_vn").alias("tv")
+    )
+    pairs = train.join(F.broadcast(bench), "cell").select(
+        "bench_id",
+        "train_id",
+        F.round(
+            F.aggregate(
+                F.zip_with(F.col("bv"), F.col("tv"), lambda a, b: a * b),
+                F.lit(0.0).cast("double"),
+                lambda acc, x: acc + x,
+            ),
+            6,
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("bench_id").orderBy(
+        F.col("cosine").desc(), F.col("train_id").asc()
+    )
+    return (
+        pairs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("bench_id", "train_id", "cosine")
+        .orderBy("bench_id")
+    )

@@ -280,6 +280,51 @@ def q_knn_scale_2x(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Semantic benchmark contamination (semdedup.semantic_contamination)
+# — the embedding-space leg of decontamination beside the lexical
+# contamination_overlap. Same pinned spherical quantizer as the
+# SemDeDup/knn oracles; per-bench argmax ties pinned (cosine DESC,
+# train_id ASC).
+# ---------------------------------------------------------------------------
+
+_SEMCON_MOD = 10
+
+_SEMCON_SQL = f"""
+WITH cent AS (SELECT * FROM (VALUES {_KNN_CENT_VALUES}) AS t(cell, c)),
+v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+assigned AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT v.*, cent.cell, row_number() OVER (
+      PARTITION BY vec_id
+      ORDER BY list_cosine_similarity(v, cent.c) DESC, cent.cell) AS rn
+    FROM v CROSS JOIN cent) WHERE rn = 1),
+b AS (SELECT vec_id AS bench_id, cell, v AS bv FROM assigned
+      WHERE vec_id % {_SEMCON_MOD} = 0),
+t AS (SELECT vec_id AS train_id, cell, v AS tv FROM assigned
+      WHERE vec_id % {_SEMCON_MOD} <> 0),
+p AS (SELECT bench_id, train_id,
+             round(list_cosine_similarity(bv, tv), 6) AS cosine
+      FROM t JOIN b USING (cell))
+SELECT bench_id, train_id, cosine FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY bench_id ORDER BY cosine DESC, train_id) AS rn
+  FROM p) WHERE rn = 1
+ORDER BY bench_id
+"""
+
+
+@register("semantic_contamination", _SEMCON_SQL)
+def q_semantic_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-benchmark-vector nearest training vector by cosine,
+    cell-bounded over the pinned spherical quantizer."""
+    from piholelongtermstats_spark.operators import semdedup as _semdedup
+
+    return _semdedup.semantic_contamination(
+        _emb(spark, sf_dir), bench_mod=_SEMCON_MOD, centroids=_SEM_CENTS
+    )
+
+
+# ---------------------------------------------------------------------------
 # Exact per-group quantiles (operators/approx.py:exact_group_quantiles)
 # — nearest-rank over a value histogram: the oracle-checkable exact
 # member of the quantile family (the GK sketch stays rows-only). No

@@ -183,3 +183,24 @@ def test_probe_backends_agree(spark, emb):
     vec = {(r.query_id, r.cell) for r in knn.probe_cells(q, _CENTS).collect()}
     expr = {(r.query_id, r.cell) for r in knn.probe_cells_expr(q, _CENTS).collect()}
     assert vec == expr and len(vec) == q.count() * knn.N_PROBE
+
+
+def test_semantic_contamination_planted_leak(spark, emb):
+    """Plant a near-copy of a training vector as a benchmark vector:
+    contamination must surface it at ~cosine 1 with the right match,
+    and the report covers every benchmark vector in a populated cell."""
+    from pyspark.sql import functions as FF
+
+    # vec_id 1000 ≡ bench (1000 % 10 == 0), copy of train vec 17
+    leak = emb.filter(FF.col("vec_id") == 17).select(
+        FF.lit(1000).cast("long").alias("vec_id"), "embedding", "label"
+    )
+    corpus = emb.select("vec_id", "embedding", "label").unionByName(leak)
+    out = {r.bench_id: r for r in semdedup.semantic_contamination(
+        corpus, bench_mod=10, centroids=_CENTS
+    ).collect()}
+    assert out[1000].train_id == 17 and out[1000].cosine == 1.0
+    # plan: bench side broadcasts, corpus side never exchanges on cell
+    df = semdedup.semantic_contamination(corpus, bench_mod=10, centroids=_CENTS)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan, plan
