@@ -1,0 +1,83 @@
+"""Behavioral analytics over the events fact: cohort retention and
+ordered-funnel conversion.
+
+Beyond-reference capability (the reference dashboard has per-client
+activity panels, plot.py:321-331, but no cohort or funnel shapes);
+both are standard OLAP workloads a DNS/telemetry warehouse runs and
+both stress DISTINCT-over-derived-key aggregation patterns the rest
+of the engine doesn't.
+
+- ``client_retention``: cohort = each client's first active date; the
+  retention matrix counts distinct clients per (cohort, age_days).
+  Plan: one (client) agg for first dates, one shuffle join back on
+  client (both sides are client-keyed — at scale the fact is already
+  bucketable by client), one (cohort, age) count-distinct. No windows.
+- ``funnel_counts``: strictly-ordered view → click → purchase funnel.
+  Stage timestamps are per-client conditional mins with an ORDER
+  constraint (first click AFTER the first view, first purchase AFTER
+  that click) — two passes of conditional aggregation with a join
+  back, not a per-client sort. Emits one audit row of stage counts.
+
+Determinism: all outputs are integer counts keyed by dates/longs —
+no floats anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def client_retention(fact: DataFrame) -> DataFrame:
+    """(cohort_date, age_days, n_clients) — distinct clients active
+    ``age_days`` after their first active date."""
+    first = fact.groupBy("client").agg(F.min("date").alias("cohort_date"))
+    return (
+        fact.select("client", "date")
+        .distinct()
+        .join(first, "client")
+        .groupBy(
+            "cohort_date",
+            F.datediff(F.col("date"), F.col("cohort_date")).alias("age_days"),
+        )
+        .agg(F.countDistinct("client").alias("n_clients"))
+        .orderBy("cohort_date", "age_days")
+    )
+
+
+def funnel_counts(
+    events: DataFrame,
+    stages: tuple[str, str, str] = ("view", "click", "purchase"),
+) -> DataFrame:
+    """One audit row: total clients, clients reaching stage 1, stage 2
+    strictly after stage 1, stage 3 strictly after stage 2.
+
+    ``events`` is the RAW events table (event_type granularity — the
+    enriched fact's status buckets merge the funnel stages away)."""
+    s1, s2, s3 = stages
+    base = events.select("user_id", "event_type", "ts")
+    t1 = base.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == s1, F.col("ts"))).alias("t1")
+    )
+    with_t1 = base.join(t1, "user_id")
+    t2 = (
+        with_t1.filter((F.col("event_type") == s2) & (F.col("ts") > F.col("t1")))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    with_t2 = base.join(t2, "user_id")
+    t3 = (
+        with_t2.filter((F.col("event_type") == s3) & (F.col("ts") > F.col("t2")))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        t1.join(t2, "user_id", "left")
+        .join(t3, "user_id", "left")
+        .agg(
+            F.count("*").alias("n_clients"),
+            F.count("t1").alias(f"n_{s1}"),
+            F.count("t2").alias(f"n_{s2}_after_{s1}"),
+            F.count("t3").alias(f"n_{s3}_after_{s2}"),
+        )
+    )

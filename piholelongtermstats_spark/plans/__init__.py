@@ -30,6 +30,7 @@ from piholelongtermstats_spark.plans import registry_m7  # noqa: F401  (register
 from piholelongtermstats_spark.plans import registry_m8  # noqa: F401  (registers M8 queries)
 from piholelongtermstats_spark.plans import registry_m9  # noqa: F401  (registers M9 queries)
 from piholelongtermstats_spark.plans import registry_m10  # noqa: F401  (registers M10 queries)
+from piholelongtermstats_spark.plans import registry_m11  # noqa: F401  (registers M11 queries)
 from piholelongtermstats_spark.plans import registry_panels  # noqa: F401  (fused panels)
 from piholelongtermstats_spark.plans.registry import ORACLE, QUERIES  # noqa: F401
 

@@ -1,0 +1,100 @@
+"""M11 registry: behavioral analytics (cohort retention, ordered
+funnel) and time-series smoothing — classic OLAP shapes the
+reference's dashboard does not cover, over the same fact/events
+tables. All-integer outputs (counts, day offsets) except the moving
+average, which divides exact integer window sums once.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from piholelongtermstats_spark.operators import cohort
+from piholelongtermstats_spark.plans.cache import shared_input
+from piholelongtermstats_spark.plans.registry import _fact, register
+from piholelongtermstats_spark.session import ensure_session_defaults
+from piholelongtermstats_spark.sources.events import FACT_CTE
+from piholelongtermstats_spark.sources.parquet import load_table
+
+
+def _events_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw events (event_type granularity — the funnel stages the
+    enriched fact's status buckets merge away)."""
+    ensure_session_defaults(spark)
+    return shared_input(
+        spark, "events_raw", sf_dir, lambda: load_table(spark, sf_dir, "events")
+    )
+
+
+_RETENTION_SQL = FACT_CTE + """
+, d AS (SELECT DISTINCT client, date FROM fact),
+first AS (SELECT client, min(date) AS cohort_date FROM d GROUP BY client)
+SELECT cohort_date,
+       date_diff('day', cohort_date, d.date) AS age_days,
+       count(DISTINCT d.client) AS n_clients
+FROM d JOIN first USING (client)
+GROUP BY cohort_date, age_days
+ORDER BY cohort_date, age_days
+"""
+
+
+@register("client_retention", _RETENTION_SQL)
+def q_client_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: distinct clients active age_days after
+    their first active date."""
+    return cohort.client_retention(_fact(spark, sf_dir))
+
+
+_FUNNEL_SQL = """
+WITH base AS (SELECT user_id, event_type, ts FROM events),
+t1 AS (SELECT user_id, min(CASE WHEN event_type = 'view' THEN ts END) AS t1
+       FROM base GROUP BY user_id),
+t2 AS (SELECT b.user_id, min(b.ts) AS t2
+       FROM base b JOIN t1 USING (user_id)
+       WHERE b.event_type = 'click' AND b.ts > t1.t1
+       GROUP BY b.user_id),
+t3 AS (SELECT b.user_id, min(b.ts) AS t3
+       FROM base b JOIN t2 USING (user_id)
+       WHERE b.event_type = 'purchase' AND b.ts > t2.t2
+       GROUP BY b.user_id)
+SELECT count(*) AS n_clients,
+       count(t1.t1) AS n_view,
+       count(t2.t2) AS n_click_after_view,
+       count(t3.t3) AS n_purchase_after_click
+FROM t1 LEFT JOIN t2 USING (user_id) LEFT JOIN t3 USING (user_id)
+"""
+
+
+@register("funnel_counts", _FUNNEL_SQL)
+def q_funnel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strictly-ordered view→click→purchase funnel audit row."""
+    return cohort.funnel_counts(_events_raw(spark, sf_dir))
+
+
+_MA7_SQL = FACT_CTE + """
+, daily AS (SELECT date, count(*) AS cnt FROM fact GROUP BY date)
+SELECT date, cnt,
+       CAST(sum(cnt) OVER w AS DOUBLE) / count(*) OVER w AS ma7
+FROM daily
+WINDOW w AS (ORDER BY date ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+ORDER BY date
+"""
+
+
+@register("daily_counts_ma7", _MA7_SQL)
+def q_daily_counts_ma7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily totals with a 7-day trailing moving average — the global
+    window orders the ~|dates| aggregate rows, never the fact (the
+    tiny-frame global-window rule, operators/sequential.py)."""
+    daily = (
+        _fact(spark, sf_dir).groupBy("date").agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.orderBy("date").rowsBetween(-6, 0)
+    return daily.select(
+        "date",
+        "cnt",
+        (F.sum("cnt").over(w).cast("double") / F.count(F.lit(1)).over(w)).alias(
+            "ma7"
+        ),
+    ).orderBy("date")

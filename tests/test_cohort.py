@@ -1,0 +1,66 @@
+"""Cohort retention + funnel (operators/cohort.py): constructed-case
+semantics — strict stage ordering, cohort age math, ma7 edges."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from piholelongtermstats_spark.operators import cohort
+from tests.conftest import make_fact
+
+
+def test_retention_ages(spark):
+    t = "2024-01-{:02d}T12:00:00"
+    rows = [
+        (1, t.format(1), "c1", "d", "Allowed", 0.1),   # c1 cohort 01-01
+        (2, t.format(3), "c1", "d", "Allowed", 0.1),   # age 2
+        (3, t.format(3), "c1", "d", "Blocked", 0.1),   # same day — distinct
+        (4, t.format(2), "c2", "d", "Allowed", 0.1),   # c2 cohort 01-02
+        (5, t.format(3), "c2", "d", "Allowed", 0.1),   # age 1
+    ]
+    out = {
+        (r.cohort_date.date().isoformat(), r.age_days): r.n_clients
+        for r in cohort.client_retention(make_fact(spark, rows)).collect()
+    }
+    assert out == {
+        ("2024-01-01", 0): 1,
+        ("2024-01-01", 2): 1,
+        ("2024-01-02", 0): 1,
+        ("2024-01-02", 1): 1,
+    }
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        [(u, e, dt.datetime.fromisoformat(ts)) for (u, e, ts) in rows],
+        "user_id long, event_type string, ts timestamp",
+    )
+
+
+def test_funnel_strict_ordering(spark):
+    T = "2024-01-01T10:{:02d}:00"
+    rows = [
+        # u1: full ordered funnel
+        (1, "view", T.format(0)), (1, "click", T.format(1)), (1, "purchase", T.format(2)),
+        # u2: click BEFORE view → click doesn't count, purchase after view
+        # but with no qualifying click → neither converts
+        (2, "click", T.format(0)), (2, "view", T.format(1)), (2, "purchase", T.format(2)),
+        # u3: view then purchase, no click → stage 2 and 3 not reached
+        (3, "view", T.format(0)), (3, "purchase", T.format(1)),
+        # u4: never views
+        (4, "click", T.format(0)),
+        # u5: view, click, but purchase BEFORE the click → not counted
+        (5, "view", T.format(0)), (5, "purchase", T.format(1)), (5, "click", T.format(2)),
+    ]
+    r = cohort.funnel_counts(_ev(spark, rows)).first()
+    assert r.n_clients == 5
+    assert r.n_view == 4              # u1, u2, u3, u5
+    assert r.n_click_after_view == 2  # u1, u5
+    assert r.n_purchase_after_click == 1  # u1 only
+
+
+def test_funnel_empty(spark):
+    r = cohort.funnel_counts(_ev(spark, [])).first()
+    assert tuple(r) == (0, 0, 0, 0)
