@@ -75,3 +75,19 @@ def uniques(fact: DataFrame) -> DataFrame:
         F.countDistinct("domain").alias("unique_domains"),
         F.countDistinct("client").alias("unique_clients"),
     )
+
+
+def client_degree_histogram(fact: DataFrame) -> DataFrame:
+    """Degree histogram of the client→domain bipartite graph: for k =
+    distinct domains contacted, how many clients have degree k. Two
+    partial-aggregated shuffles (client-distinct then k-count), both
+    on high-cardinality/then-tiny keys — the standard shape for
+    degree-distribution audits over interaction graphs."""
+    deg = fact.groupBy("client").agg(
+        F.countDistinct("domain").alias("degree")
+    )
+    return (
+        deg.groupBy("degree")
+        .agg(F.count(F.lit(1)).alias("n_clients"))
+        .orderBy("degree")
+    )

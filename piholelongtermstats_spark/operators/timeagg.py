@@ -172,3 +172,19 @@ def daily_avg_reply(fact: DataFrame) -> DataFrame:
             3,
         ).alias("avg_reply_ms")
     )
+
+
+def merge_rollup(old: DataFrame, delta: DataFrame) -> DataFrame:
+    """Incremental maintenance of the per-date count rollup: merge an
+    existing rollup with the rollup of newly-arrived events by summing
+    the count columns per date — COUNT/SUM are self-mergeable, so the
+    refresh cost is O(|rollup| + |new events|), never a rescan of
+    history. (The batch twin of streaming/sink.py's keyed upsert; at
+    100 TB `old` is the stored rollup table and only the delta dates'
+    rows change.) Column set must match daily_counts."""
+    cols = [c for c in old.columns if c != "date"]
+    return (
+        old.unionByName(delta)
+        .groupBy("date")
+        .agg(*[F.sum(c).alias(c) for c in cols])
+    )

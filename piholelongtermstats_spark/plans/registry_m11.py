@@ -98,3 +98,52 @@ def q_daily_counts_ma7(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ma7"
         ),
     ).orderBy("date")
+
+
+# ---------------------------------------------------------------------------
+# Incremental rollup maintenance (timeagg.merge_rollup): the rollup of
+# history merged with the rollup of a late-arriving slice must equal
+# the full recompute — COUNT/SUM self-mergeability as an ORACLE-
+# checked identity, not just a claim. Both legs run real pushed-down
+# range scans (dns_fact lo/hi on the raw column).
+# ---------------------------------------------------------------------------
+
+import datetime as _dt  # noqa: E402
+
+from piholelongtermstats_spark.operators import counts as _counts  # noqa: E402
+from piholelongtermstats_spark.operators import timeagg as _timeagg  # noqa: E402
+from piholelongtermstats_spark.sources.events import dns_fact as _dns_fact  # noqa: E402
+
+_ROLLUP_CUT = _dt.datetime(2024, 1, 25)
+
+_ROLLUP_DELTA_SQL = FACT_CTE + """
+SELECT date,
+  count(*) AS total_cnt,
+  count(*) FILTER (WHERE status_type = 'Blocked') AS blocked_cnt,
+  count(*) FILTER (WHERE status_type = 'Allowed') AS allowed_cnt
+FROM fact GROUP BY date
+"""
+
+
+@register("rollup_delta", _ROLLUP_DELTA_SQL)
+def q_rollup_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """daily_counts(history < cut) merged with daily_counts(delta ≥
+    cut) — the oracle is the FULL recompute, so the merge identity is
+    hash-verified end to end."""
+    old = _timeagg.daily_counts(_dns_fact(spark, sf_dir, hi=_ROLLUP_CUT))
+    new = _timeagg.daily_counts(_dns_fact(spark, sf_dir, lo=_ROLLUP_CUT))
+    return _timeagg.merge_rollup(old, new)
+
+
+_DEGREE_SQL = FACT_CTE + """
+, deg AS (SELECT client, count(DISTINCT domain) AS degree
+          FROM fact GROUP BY client)
+SELECT degree, count(*) AS n_clients FROM deg
+GROUP BY degree ORDER BY degree
+"""
+
+
+@register("client_degree_histogram", _DEGREE_SQL)
+def q_client_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the client→domain interaction graph."""
+    return _counts.client_degree_histogram(_fact(spark, sf_dir))
