@@ -64,3 +64,29 @@ def test_funnel_strict_ordering(spark):
 def test_funnel_empty(spark):
     r = cohort.funnel_counts(_ev(spark, [])).first()
     assert tuple(r) == (0, 0, 0, 0)
+
+
+def test_m11_plan_shapes(spark):
+    """Plan guards, house style: retention has NO window (join-back +
+    distinct count only); rollup_delta's two legs both push their ts
+    range bounds to the parquet scan."""
+    import __spark_entry__ as se
+
+    SF = "/root/testdata/sf0.01"
+
+    def plan(name):
+        df = se.queries()[name](spark, SF)
+        return df._jdf.queryExecution().explainString(
+            df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+
+    p = plan("client_retention")
+    assert "Window" not in p, p
+    import os
+    if not os.environ.get("SPARK_GRAFT_USE_LAYOUT"):
+        p2 = plan("rollup_delta")
+        assert p2.count("PushedFilters: [IsNotNull(ts)") >= 2 or p2.count(
+            "GreaterThanOrEqual(ts"
+        ) + p2.count("LessThan(ts") >= 2, p2
