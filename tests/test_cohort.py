@@ -72,7 +72,12 @@ def test_m11_plan_shapes(spark):
     range bounds to the parquet scan."""
     import __spark_entry__ as se
 
-    SF = "/root/testdata/sf0.01"
+    # sf0.001, NOT sf0.01: registry accessors persist the shared fact
+    # (plans/cache.py), and Spark's CacheManager then substitutes the
+    # cached plan into ANY later matching subtree — caching the sf0.01
+    # fact here would break test_plan_properties' uncached-scan
+    # assertions, which run later in alphabetical order.
+    SF = "/root/testdata/sf0.001"
 
     def plan(name):
         df = se.queries()[name](spark, SF)
