@@ -50,7 +50,7 @@ TOP_50 = [
     "daily_counts",
     "weekday_avg",
     "hourly_rollup",
-    "hour_spine_zerofill",
+    "rollup_delta",
     "day_hour_heatmap_panel",
     "reply_time_stats",
     "slowest_domains",
@@ -126,7 +126,14 @@ TOP_50 = [
 # doc_chunks took simhash's row (the sketch is still consumed and
 # parity-verified by simhash_near_dup below the line; chunking is a
 # new operator family with a token-for-token md5 oracle).
+# Third swap: rollup_delta (incremental-maintenance identity hash-
+# verified against the full recompute, both legs pushed-down range
+# scans) took hour_spine_zerofill's row — the J3 spine zero-fill and
+# A13 re-aggregation stay driver-verified through
+# filtered_timeseries_client and client_activity, and
+# hour_spine_zerofill stays parity-green below the line.
 _OVERFLOW = [
+    "hour_spine_zerofill",
     "exact_dedup",
     "simhash",
     "cosine_topk",

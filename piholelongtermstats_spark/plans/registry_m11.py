@@ -147,3 +147,40 @@ GROUP BY degree ORDER BY degree
 def q_client_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Degree distribution of the client→domain interaction graph."""
     return _counts.client_degree_histogram(_fact(spark, sf_dir))
+
+
+_P99_SQL = FACT_CTE + """
+, h AS (
+  SELECT client, reply_time, count(*) AS cnt
+  FROM fact WHERE reply_time IS NOT NULL
+  GROUP BY client, reply_time),
+c AS (
+  SELECT *,
+         sum(cnt) OVER (PARTITION BY client ORDER BY reply_time
+                        ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(cnt) OVER (PARTITION BY client) AS n
+  FROM h),
+q AS (
+  SELECT client,
+         CAST(sum(cnt) AS BIGINT) AS n_rows,
+         min(CASE WHEN cum >= ceil(0.5 * n) THEN reply_time END) AS p50,
+         min(CASE WHEN cum >= ceil(0.9 * n) THEN reply_time END) AS p90,
+         min(CASE WHEN cum >= ceil(0.99 * n) THEN reply_time END) AS p99
+  FROM c GROUP BY client)
+SELECT client, n_rows, p50, p90, p99 FROM q
+ORDER BY p99 DESC, client LIMIT 10
+"""
+
+
+@register("slowest_clients_p99", _P99_SQL)
+def q_slowest_clients_p99(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tail-latency outlier report: top-10 clients by EXACT p99 reply
+    time (nearest-rank histogram per client — the SRE-grade variant of
+    the reference's avg-based slowest_domains; slowest_domains itself
+    stays reference-parity). TakeOrdered cut, ties on client."""
+    from piholelongtermstats_spark.operators import approx as _approx
+
+    q = _approx.exact_group_quantiles(
+        _fact(spark, sf_dir), "client", "reply_time"
+    )
+    return q.orderBy(F.col("p99").desc(), F.col("client").asc()).limit(10)
