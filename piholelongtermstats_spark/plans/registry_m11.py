@@ -184,3 +184,80 @@ def q_slowest_clients_p99(spark: SparkSession, sf_dir: str) -> DataFrame:
         _fact(spark, sf_dir), "client", "reply_time"
     )
     return q.orderBy(F.col("p99").desc(), F.col("client").asc()).limit(10)
+
+
+# ---------------------------------------------------------------------------
+# Versioned snapshots (sources/snapshots.py): two deterministic corpus
+# versions are committed once per session (immutable v= directories +
+# manifest chain), then diffed by key with byte-exact content hashes.
+# The oracle reproduces the membership/change algebra in SQL — the
+# FILES are the Spark side's concern; the diff SEMANTICS are the
+# checked contract.
+# ---------------------------------------------------------------------------
+
+import hashlib as _hashlib  # noqa: E402
+import os as _os  # noqa: E402
+import tempfile as _tempfile  # noqa: E402
+
+from piholelongtermstats_spark.sources import snapshots as _snap  # noqa: E402
+
+_SNAP_READY: set = set()
+
+
+def _snapshot_root(spark: SparkSession, sf_dir: str) -> str:
+    digest = _hashlib.md5(_os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    root = _os.path.join(
+        _tempfile.gettempdir(),
+        "phlts_snapshots",
+        f"{spark.sparkContext.applicationId}-{digest}",
+    )
+    key = (spark.sparkContext.applicationId, root)
+    if key not in _SNAP_READY:
+        from piholelongtermstats_spark.plans.registry_m9 import _docs
+
+        docs = _docs(spark, sf_dir)
+        if not _snap.versions(root):
+            v0 = docs.filter(F.col("doc_id") % 2 == 0)
+            _snap.write_snapshot(v0, root)
+            v1 = docs.filter(F.col("doc_id") % 3 != 0).withColumn(
+                "text",
+                F.when(
+                    F.col("doc_id") % 10 == 0,
+                    F.concat(F.col("text"), F.lit(" [rev]")),
+                ).otherwise(F.col("text")),
+            )
+            _snap.write_snapshot(v1, root)
+        _SNAP_READY.add(key)
+    return root
+
+
+_SNAP_DIFF_SQL = """
+WITH oldv AS (SELECT doc_id FROM documents WHERE doc_id % 2 = 0),
+newv AS (SELECT doc_id, doc_id % 10 = 0 AS revised FROM documents
+         WHERE doc_id % 3 <> 0),
+diff AS (
+  SELECT 'added' AS change_type, doc_id FROM newv
+  WHERE doc_id NOT IN (SELECT doc_id FROM oldv)
+  UNION ALL
+  SELECT 'removed', doc_id FROM oldv
+  WHERE doc_id NOT IN (SELECT doc_id FROM newv)
+  UNION ALL
+  SELECT 'changed', doc_id FROM newv
+  WHERE revised AND doc_id IN (SELECT doc_id FROM oldv))
+SELECT change_type, count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS id_sum
+FROM diff GROUP BY change_type ORDER BY change_type
+"""
+
+
+@register("corpus_snapshot_diff", _SNAP_DIFF_SQL)
+def q_corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """added/removed/changed summary between two committed corpus
+    versions (time-travel reads off immutable v= directories)."""
+    root = _snapshot_root(spark, sf_dir)
+    vs = _snap.versions(root)
+    diff = _snap.snapshot_diff(spark, root, vs[0], vs[1])
+    return (
+        diff.groupBy("change_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("doc_id").alias("id_sum"))
+        .orderBy("change_type")
+    )

@@ -1,0 +1,132 @@
+"""Versioned corpus snapshots: write-once version directories with a
+manifest chain, time-travel reads, and key-level diffs.
+
+Lakehouse-lite (beyond-reference): a reproducible training-data
+pipeline needs "the corpus as of version N" to be a stable artifact —
+retrains, ablations, and contamination audits all reference frozen
+versions, and the interesting question between two versions is the
+DIFF (what entered, what left, what changed), not either snapshot.
+Delta/Iceberg solve this with log-structured metadata; this module is
+the dependency-free core of the same contract:
+
+- ``write_snapshot``: parquet under ``root/v=N/`` (N = parent + 1,
+  monotonic) plus a ``_MANIFEST.json`` recording version, parent, row
+  count, and schema. Version directories are IMMUTABLE — a new
+  version is a new directory, never a rewrite, so concurrent readers
+  of v=N are never torn (same discipline as layout.ensure_layout's
+  staging rename).
+- ``read_snapshot``: latest (manifest-chain head) or a pinned
+  version — time travel is directory selection, zero data movement.
+- ``snapshot_diff``: added/removed/changed rows between two versions
+  by key — two left-anti joins plus an inner join comparing content
+  hashes, all partial-agg/hash-shuffle shapes; at 100 TB each leg
+  shuffles on the key once and nothing is collected.
+
+Determinism: version numbers are assigned from the manifest chain,
+not timestamps; diffs hash content with md5 so "changed" is
+byte-exact.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _manifest_path(root: str, version: int) -> str:
+    return os.path.join(root, f"v={version}", "_MANIFEST.json")
+
+
+def versions(root: str) -> list[int]:
+    """Committed versions (manifest present) in ascending order."""
+    if not os.path.isdir(root):
+        return []
+    out = []
+    for d in os.listdir(root):
+        if d.startswith("v="):
+            try:
+                v = int(d[2:])
+            except ValueError:
+                continue
+            if os.path.exists(_manifest_path(root, v)):
+                out.append(v)
+    return sorted(out)
+
+
+def write_snapshot(df: DataFrame, root: str) -> int:
+    """Write ``df`` as the next version; returns the version number.
+    The manifest lands AFTER the parquet write succeeds — a crashed
+    write leaves an uncommitted directory that ``versions`` ignores."""
+    vs = versions(root)
+    version = (vs[-1] + 1) if vs else 0
+    path = os.path.join(root, f"v={version}")
+    df.write.mode("errorifexists").parquet(path)
+    n = df.sparkSession.read.parquet(path).count()
+    with open(_manifest_path(root, version), "w") as f:
+        json.dump(
+            {
+                "version": version,
+                "parent": vs[-1] if vs else None,
+                "n_rows": n,
+                "schema": df.schema.jsonValue(),
+            },
+            f,
+        )
+    return version
+
+
+def read_snapshot(
+    spark: SparkSession, root: str, version: "int | None" = None
+) -> DataFrame:
+    """Time-travel read: pinned ``version`` or the chain head."""
+    vs = versions(root)
+    if not vs:
+        raise FileNotFoundError(f"no committed snapshots under {root}")
+    v = vs[-1] if version is None else version
+    if v not in vs:
+        raise FileNotFoundError(f"version {v} not committed under {root}")
+    return spark.read.parquet(os.path.join(root, f"v={v}"))
+
+
+def snapshot_diff(
+    spark: SparkSession,
+    root: str,
+    v_old: int,
+    v_new: int,
+    key: str = "doc_id",
+    content_cols: "tuple[str, ...] | None" = None,
+) -> DataFrame:
+    """(change_type ∈ added|removed|changed, key) between versions.
+
+    ``content_cols`` defaults to every non-key column; "changed" means
+    the md5 of the concatenated content differs (byte-exact)."""
+    old = read_snapshot(spark, root, v_old)
+    new = read_snapshot(spark, root, v_new)
+    if content_cols is None:
+        content_cols = tuple(c for c in new.columns if c != key)
+
+    def _hashed(df: DataFrame) -> DataFrame:
+        h = F.md5(
+            F.concat_ws(
+                "\x1f", *[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in content_cols]
+            )
+        )
+        return df.select(F.col(key), h.alias("_h"))
+
+    ho, hn = _hashed(old), _hashed(new)
+    added = hn.join(ho, key, "left_anti").select(
+        F.lit("added").alias("change_type"), F.col(key)
+    )
+    removed = ho.join(hn, key, "left_anti").select(
+        F.lit("removed").alias("change_type"), F.col(key)
+    )
+    changed = (
+        hn.alias("n")
+        .join(ho.alias("o"), key)
+        .filter(F.col("n._h") != F.col("o._h"))
+        .select(F.lit("changed").alias("change_type"), F.col(key))
+    )
+    return added.unionByName(removed).unionByName(changed)

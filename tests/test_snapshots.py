@@ -1,0 +1,63 @@
+"""Versioned snapshots (sources/snapshots.py): commit chain,
+time-travel reads, immutability, crash-safety, and diff algebra."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from piholelongtermstats_spark.sources import snapshots as snap
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_version_chain_and_time_travel(spark, tmp_path):
+    root = str(tmp_path / "snaps")
+    v0 = snap.write_snapshot(_df(spark, [(1, "a"), (2, "b")]), root)
+    v1 = snap.write_snapshot(_df(spark, [(1, "a2"), (3, "c")]), root)
+    assert (v0, v1) == (0, 1)
+    assert snap.versions(root) == [0, 1]
+    # time travel: v0 unchanged after v1 commit
+    old = snap.read_snapshot(spark, root, 0)
+    assert sorted((r.doc_id, r.text) for r in old.collect()) == [(1, "a"), (2, "b")]
+    head = snap.read_snapshot(spark, root)  # chain head
+    assert sorted(r.doc_id for r in head.collect()) == [1, 3]
+    m = json.load(open(os.path.join(root, "v=1", "_MANIFEST.json")))
+    assert m["parent"] == 0 and m["n_rows"] == 2
+
+
+def test_uncommitted_directory_is_invisible(spark, tmp_path):
+    root = str(tmp_path / "snaps2")
+    snap.write_snapshot(_df(spark, [(1, "a")]), root)
+    # simulate a crashed writer: parquet dir exists, manifest missing
+    _df(spark, [(9, "x")]).write.parquet(os.path.join(root, "v=1"))
+    assert snap.versions(root) == [0]
+    assert snap.read_snapshot(spark, root).first().doc_id == 1
+    # the next commit does NOT reuse the torn directory's number blindly
+    with pytest.raises(Exception):
+        snap.write_snapshot(_df(spark, [(2, "b")]), root)  # v=1 occupied
+
+
+def test_diff_algebra(spark, tmp_path):
+    root = str(tmp_path / "snaps3")
+    snap.write_snapshot(_df(spark, [(1, "a"), (2, "b"), (3, "c")]), root)
+    snap.write_snapshot(_df(spark, [(2, "b"), (3, "c2"), (4, "d")]), root)
+    diff = {
+        (r.change_type, r.doc_id)
+        for r in snap.snapshot_diff(spark, root, 0, 1).collect()
+    }
+    assert diff == {("removed", 1), ("changed", 3), ("added", 4)}
+
+
+def test_read_missing_version_raises(spark, tmp_path):
+    root = str(tmp_path / "snaps4")
+    with pytest.raises(FileNotFoundError):
+        snap.read_snapshot(spark, root)
+    snap.write_snapshot(_df(spark, [(1, "a")]), root)
+    with pytest.raises(FileNotFoundError):
+        snap.read_snapshot(spark, root, 7)
