@@ -98,6 +98,7 @@ def build_corpus(
     pii_scrub: bool = False,
     chunk_window: int | None = None,
     chunk_stride: int | None = None,
+    snapshot_root: str | None = None,
 ) -> dict[str, Any]:
     """Beyond-reference convenience surface for the corpus tier
     (SURVEY §2.12): one call composing quality gate → (optional) mix
@@ -128,11 +129,16 @@ def build_corpus(
     - ``chunk_window``: also return the sliding-window chunk manifest
       (`packing.chunk_documents`; ``chunk_stride`` defaults to the
       module default when unset).
+    - ``snapshot_root``: also COMMIT the manifest as the next
+      immutable corpus version under that root
+      (`sources/snapshots.write_snapshot`) and return its number —
+      the reproducibility contract: retrains reference the frozen
+      version, `snapshot_diff` audits what a rebuild changed.
 
     Returns {"manifest", "survivors"?, "contamination"?,
     "span_cleaned"?, "semantic_survivors"?, "quality_scores"?,
-    "pack_manifest"?, "epoch_order"?, "pii_scrubbed"?, "chunks"?} —
-    each a DataFrame ready for
+    "pack_manifest"?, "epoch_order"?, "pii_scrubbed"?, "chunks"?,
+    "snapshot_version"?} — each a DataFrame (the version an int) ready for
     `.write` (the 100 TB path) or `.collect()` (tests).
     """
     from piholelongtermstats_spark.operators import corpus as corpus_ops
@@ -201,4 +207,10 @@ def build_corpus(
         if chunk_stride is not None:
             kwargs["stride"] = chunk_stride
         out["chunks"] = packing_ops.chunk_documents(docs, **kwargs)
+    if snapshot_root is not None:
+        from piholelongtermstats_spark.sources import snapshots
+
+        out["snapshot_version"] = snapshots.write_snapshot(
+            manifest, snapshot_root
+        )
     return out

@@ -130,3 +130,32 @@ def snapshot_diff(
         .select(F.lit("changed").alias("change_type"), F.col(key))
     )
     return added.unionByName(removed).unionByName(changed)
+
+
+def commit_version(df: DataFrame, root: str, version: int) -> bool:
+    """Idempotently commit ``df`` as exactly ``version``; returns
+    False (no work) if that version is already committed. A torn
+    directory from a crashed writer (data present, no manifest) is
+    cleaned and rewritten — together these make the commit REPLAYABLE:
+    calling again with the same (df, version) is a no-op, which is
+    what lets a streaming foreachBatch sink keyed by batchId deliver
+    effectively-once output (streaming/snapshot_sink.py)."""
+    import shutil
+
+    if os.path.exists(_manifest_path(root, version)):
+        return False
+    path = os.path.join(root, f"v={version}")
+    shutil.rmtree(path, ignore_errors=True)
+    df.write.mode("errorifexists").parquet(path)
+    n = df.sparkSession.read.parquet(path).count()
+    with open(_manifest_path(root, version), "w") as f:
+        json.dump(
+            {
+                "version": version,
+                "parent": max((v for v in versions(root) if v < version), default=None),
+                "n_rows": n,
+                "schema": df.schema.jsonValue(),
+            },
+            f,
+        )
+    return True

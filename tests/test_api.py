@@ -137,3 +137,23 @@ def test_build_corpus_scrub_and_chunk_stages(spark):
     assert chunks.columns == ["doc_id", "chunk_id", "chunk_tokens", "chunk_md5"]
     assert chunks.count() >= docs.count()  # every doc yields ≥1 chunk
     assert chunks.filter("chunk_tokens > 16").count() == 0
+
+
+def test_build_corpus_snapshot_stage(spark, tmp_path):
+    from piholelongtermstats_spark.api import build_corpus
+    from piholelongtermstats_spark.sources import snapshots
+    from piholelongtermstats_spark.sources.parquet import load_table
+
+    docs = load_table(spark, SF, "documents")
+    root = str(tmp_path / "corpus_versions")
+    v0 = build_corpus(spark, docs, snapshot_root=root)["snapshot_version"]
+    v1 = build_corpus(spark, docs, min_tokens=20, snapshot_root=root)[
+        "snapshot_version"
+    ]
+    assert (v0, v1) == (0, 1)
+    n0 = snapshots.read_snapshot(spark, root, 0).count()
+    n1 = snapshots.read_snapshot(spark, root, 1).count()
+    assert n1 <= n0  # stricter gate never grows the corpus
+    diff = snapshots.snapshot_diff(spark, root, 0, 1)
+    kinds = {r.change_type for r in diff.collect()}
+    assert kinds <= {"removed"}  # tightening only removes

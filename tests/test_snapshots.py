@@ -61,3 +61,51 @@ def test_read_missing_version_raises(spark, tmp_path):
     snap.write_snapshot(_df(spark, [(1, "a")]), root)
     with pytest.raises(FileNotFoundError):
         snap.read_snapshot(spark, root, 7)
+
+
+def test_commit_version_idempotent_replay(spark, tmp_path):
+    root = str(tmp_path / "snaps5")
+    df = _df(spark, [(1, "a")])
+    assert snap.commit_version(df, root, 0) is True
+    # replay (same batchId): no-op, data unchanged
+    assert snap.commit_version(_df(spark, [(9, "z")]), root, 0) is False
+    assert snap.read_snapshot(spark, root, 0).first().doc_id == 1
+    # torn directory (crash before manifest) → cleaned and rewritten
+    import shutil
+
+    _df(spark, [(7, "torn")]).write.parquet(os.path.join(root, "v=1"))
+    assert snap.commit_version(_df(spark, [(2, "b")]), root, 1) is True
+    assert snap.read_snapshot(spark, root, 1).first().doc_id == 2
+
+
+def test_streaming_snapshot_sink_effectively_once(spark, tmp_path):
+    """Each micro-batch commits version=batchId; rerunning the stream
+    over the same source with a FRESH checkpoint (forcing batch
+    replay from scratch) must not change committed versions."""
+    import datetime as dt
+
+    from piholelongtermstats_spark.streaming.rollup import STREAM_SCHEMA
+    from piholelongtermstats_spark.streaming.snapshot_sink import (
+        start_snapshot_sink,
+    )
+
+    src = str(tmp_path / "snap_src")
+    root = str(tmp_path / "snap_root")
+    t0 = dt.datetime.fromisoformat("2024-01-01T10:00:00")
+    spark.createDataFrame(
+        [(1, t0, "c1", "d1", "Allowed", 0.1)], STREAM_SCHEMA
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(STREAM_SCHEMA).parquet(src)
+    q = start_snapshot_sink(stream, root, str(tmp_path / "ck1"))
+    q.awaitTermination(60)
+    assert snap.versions(root) == [0]
+    n0 = snap.read_snapshot(spark, root, 0).count()
+    assert n0 == 1
+
+    # replay from a fresh checkpoint: batch 0 re-runs, commit no-ops
+    stream2 = spark.readStream.schema(STREAM_SCHEMA).parquet(src)
+    q2 = start_snapshot_sink(stream2, root, str(tmp_path / "ck2"))
+    q2.awaitTermination(60)
+    assert snap.versions(root) == [0]
+    assert snap.read_snapshot(spark, root, 0).count() == 1
