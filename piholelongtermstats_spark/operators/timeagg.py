@@ -14,7 +14,7 @@ double += reduction is order-dependent and would hash-mismatch.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -188,3 +188,63 @@ def merge_rollup(old: DataFrame, delta: DataFrame) -> DataFrame:
         .groupBy("date")
         .agg(*[F.sum(c).alias(c) for c in cols])
     )
+
+
+def ffill_client_hourly(
+    fact: DataFrame, clients: tuple[str, ...] = ("1", "2", "3")
+) -> DataFrame:
+    """Per-client hourly series with FORWARD-FILL: for each selected
+    client and every hour of the corpus span, the observed hourly avg
+    reply time if the client was active that hour, else the last
+    observed value carried forward (NULL before first observation) —
+    the standard time-series gap-carry the zero-fill spine family
+    (J3) cannot express.
+
+    Plan shape: the spine is hours × |clients| (bounded, broadcast);
+    the carry window partitions by CLIENT and orders the spine rows —
+    at 100 TB every client fills independently in parallel, and the
+    window runs over |hours| rows per client, never raw events.
+    avg = exact sum / count, ONE division per observed cell (NOTES.md
+    float policy); carried cells copy the value bit-for-bit."""
+    sel = fact.filter(F.col("client").isin(*clients))
+    hourly = (
+        sel.filter(F.col("reply_time").isNotNull())
+        .groupBy("client", F.date_trunc("HOUR", F.col("ts")).alias("hour_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_obs"),
+            # decimal sum → exact accumulation in ANY order, then ONE
+            # division (the daily_avg_reply technique) — a raw double
+            # sum would diverge from the oracle by ulps
+            F.round(
+                F.sum(F.col("reply_time").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_reply"),
+        )
+    )
+    bounds = fact.agg(
+        F.date_trunc("HOUR", F.min("ts")).alias("lo"),
+        F.date_trunc("HOUR", F.max("ts")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence(F.col("lo"), F.col("hi"), F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour_bucket")
+    )
+    cdim = fact.sparkSession.createDataFrame(
+        [(c,) for c in clients], "client string"
+    )
+    grid = spine.crossJoin(F.broadcast(cdim)).join(
+        F.broadcast(hourly), ["client", "hour_bucket"], "left"
+    )
+    w = (
+        Window.partitionBy("client")
+        .orderBy("hour_bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return grid.select(
+        "client",
+        "hour_bucket",
+        F.coalesce("n_obs", F.lit(0)).alias("n_obs"),
+        F.last("avg_reply", ignorenulls=True).over(w).alias("avg_reply_ffill"),
+    ).orderBy("client", "hour_bucket")

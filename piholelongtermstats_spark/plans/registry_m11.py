@@ -261,3 +261,85 @@ def q_corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"), F.sum("doc_id").alias("id_sum"))
         .orderBy("change_type")
     )
+
+
+_FFILL_SQL = FACT_CTE + """
+, sel AS (
+  SELECT client, date_trunc('hour', ts) AS hour_bucket, reply_time
+  FROM fact WHERE client IN ('1','2','3') AND reply_time IS NOT NULL),
+hourly AS (
+  SELECT client, hour_bucket, count(*) AS n_obs,
+         round(CAST(sum(CAST(reply_time AS DECIMAL(18,6))) AS DOUBLE)
+               / count(*), 6) AS avg_reply
+  FROM sel GROUP BY client, hour_bucket),
+bounds AS (SELECT date_trunc('hour', min(ts)) AS lo,
+                  date_trunc('hour', max(ts)) AS hi FROM fact),
+spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR))
+            AS hour_bucket FROM bounds),
+grid AS (SELECT c.client, s.hour_bucket
+         FROM spine s CROSS JOIN (VALUES ('1'),('2'),('3')) AS c(client))
+SELECT g.client, g.hour_bucket,
+       coalesce(h.n_obs, 0) AS n_obs,
+       last_value(h.avg_reply IGNORE NULLS) OVER (
+         PARTITION BY g.client ORDER BY g.hour_bucket
+         ROWS UNBOUNDED PRECEDING) AS avg_reply_ffill
+FROM grid g LEFT JOIN hourly h USING (client, hour_bucket)
+ORDER BY client, hour_bucket
+"""
+
+
+@register("client_hourly_ffill", _FFILL_SQL)
+def q_client_hourly_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-client hourly series with last-observation-carried-forward
+    gap fill over the corpus hour spine."""
+    return _timeagg.ffill_client_hourly(_fact(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# SCD2 history from the snapshot chain (snapshots.scd2_history): one
+# row per (key, contiguous constant-content version run). The Spark
+# side is the GENERAL gaps-and-islands fold over N versions; the
+# oracle enumerates the closed form for the two deterministic session
+# versions (same membership rules as corpus_snapshot_diff, same
+# sentinel-guarded content hash).
+# ---------------------------------------------------------------------------
+
+_H_EXPR = (
+    "md5(concat_ws(chr(31), coalesce({text}, chr(0)), coalesce(lang, chr(0)), "
+    "coalesce(source, chr(0)), coalesce(CAST(n_chars AS VARCHAR), chr(0))))"
+)
+
+_SCD2_SQL = f"""
+WITH h0 AS (SELECT doc_id, {_H_EXPR.format(text="text")} AS h
+            FROM documents WHERE doc_id % 2 = 0),
+h1 AS (SELECT doc_id,
+              {_H_EXPR.format(text="CASE WHEN doc_id % 10 = 0 THEN text || ' [rev]' ELSE text END")} AS h
+       FROM documents WHERE doc_id % 3 <> 0),
+runs AS (
+  SELECT h0.doc_id, h0.h AS content_md5, 0 AS valid_from, 1 AS valid_to,
+         true AS is_current
+  FROM h0 JOIN h1 USING (doc_id) WHERE h0.h = h1.h
+  UNION ALL
+  SELECT h0.doc_id, h0.h, 0, 0, false
+  FROM h0 JOIN h1 USING (doc_id) WHERE h0.h <> h1.h
+  UNION ALL
+  SELECT h1.doc_id, h1.h, 1, 1, true
+  FROM h0 JOIN h1 USING (doc_id) WHERE h0.h <> h1.h
+  UNION ALL
+  SELECT doc_id, h, 0, 0, false FROM h0
+  WHERE doc_id NOT IN (SELECT doc_id FROM h1)
+  UNION ALL
+  SELECT doc_id, h, 1, 1, true FROM h1
+  WHERE doc_id NOT IN (SELECT doc_id FROM h0))
+SELECT doc_id, content_md5,
+       valid_from::BIGINT AS valid_from, valid_to::BIGINT AS valid_to,
+       is_current
+FROM runs ORDER BY doc_id, valid_from
+"""
+
+
+@register("scd2_history", _SCD2_SQL)
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 validity ranges folded from the session's snapshot chain."""
+    root = _snapshot_root(spark, sf_dir)
+    return _snap.scd2_history(spark, root)

@@ -91,6 +91,18 @@ def read_snapshot(
     return spark.read.parquet(os.path.join(root, f"v={v}"))
 
 
+def content_hash(df: DataFrame, key: str, content_cols: tuple) -> DataFrame:
+    """(key, _h) — byte-exact md5 of the concatenated content columns
+    (NULLs marked with a sentinel so concat_ws cannot collapse them)."""
+    h = F.md5(
+        F.concat_ws(
+            "\x1f",
+            *[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in content_cols],
+        )
+    )
+    return df.select(F.col(key), h.alias("_h"))
+
+
 def snapshot_diff(
     spark: SparkSession,
     root: str,
@@ -107,16 +119,8 @@ def snapshot_diff(
     new = read_snapshot(spark, root, v_new)
     if content_cols is None:
         content_cols = tuple(c for c in new.columns if c != key)
-
-    def _hashed(df: DataFrame) -> DataFrame:
-        h = F.md5(
-            F.concat_ws(
-                "\x1f", *[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in content_cols]
-            )
-        )
-        return df.select(F.col(key), h.alias("_h"))
-
-    ho, hn = _hashed(old), _hashed(new)
+    ho = content_hash(old, key, content_cols)
+    hn = content_hash(new, key, content_cols)
     added = hn.join(ho, key, "left_anti").select(
         F.lit("added").alias("change_type"), F.col(key)
     )
@@ -159,3 +163,66 @@ def commit_version(df: DataFrame, root: str, version: int) -> bool:
             f,
         )
     return True
+
+
+def scd2_history(
+    spark: SparkSession,
+    root: str,
+    key: str = "doc_id",
+    content_cols: "tuple[str, ...] | None" = None,
+) -> DataFrame:
+    """Slowly-changing-dimension (type 2) history folded from the full
+    version chain: one row per (key, contiguous version run with
+    constant content) — (key, content_md5, valid_from, valid_to,
+    is_current). A key absent from a version and returning later
+    starts a NEW run even with identical content (the absence is
+    history). The gaps-and-islands window partitions by key over
+    |versions| rows per key — at 100 TB every key folds independently;
+    nothing is collected."""
+    from functools import reduce
+
+    vs = versions(root)
+    if not vs:
+        raise FileNotFoundError(f"no committed snapshots under {root}")
+    parts = []
+    for v in vs:
+        df = read_snapshot(spark, root, v)
+        if content_cols is None:
+            content_cols = tuple(c for c in df.columns if c != key)
+        parts.append(
+            content_hash(df, key, content_cols).withColumn("version", F.lit(v))
+        )
+    allv = reduce(lambda a, b: a.unionByName(b), parts)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key).orderBy("version")
+    prev_h = F.lag("_h").over(w)
+    prev_v = F.lag("version").over(w)
+    seg = allv.withColumn(
+        "_new",
+        F.when(
+            prev_h.isNull()
+            | (prev_h != F.col("_h"))
+            | (prev_v != F.col("version") - 1),
+            1,
+        ).otherwise(0),
+    ).withColumn(
+        "_seg",
+        F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    head = vs[-1]
+    return (
+        seg.groupBy(key, "_seg", "_h")
+        .agg(
+            F.min("version").alias("valid_from"),
+            F.max("version").alias("valid_to"),
+        )
+        .select(
+            F.col(key),
+            F.col("_h").alias("content_md5"),
+            "valid_from",
+            "valid_to",
+            (F.col("valid_to") == head).alias("is_current"),
+        )
+        .orderBy(key, "valid_from")
+    )

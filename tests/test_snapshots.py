@@ -109,3 +109,23 @@ def test_streaming_snapshot_sink_effectively_once(spark, tmp_path):
     q2.awaitTermination(60)
     assert snap.versions(root) == [0]
     assert snap.read_snapshot(spark, root, 0).count() == 1
+
+
+def test_scd2_three_version_fold(spark, tmp_path):
+    """General N-version fold: change, absence gap (same content
+    returning → NEW run), and currency flags."""
+    root = str(tmp_path / "scd2")
+    snap.write_snapshot(_df(spark, [(1, "a"), (2, "b")]), root)      # v0
+    snap.write_snapshot(_df(spark, [(1, "a2")]), root)               # v1: 1 changed, 2 absent
+    snap.write_snapshot(_df(spark, [(1, "a2"), (2, "b")]), root)     # v2: 2 returns, same content
+    hist = snap.scd2_history(spark, root)
+    rows = [
+        (r.doc_id, r.valid_from, r.valid_to, r.is_current)
+        for r in hist.collect()
+    ]
+    assert sorted(rows) == [
+        (1, 0, 0, False),   # "a"
+        (1, 1, 2, True),    # "a2" spans v1-v2
+        (2, 0, 0, False),   # "b" first run, ended by absence
+        (2, 2, 2, True),    # "b" returns as a NEW run
+    ]
