@@ -88,3 +88,39 @@ def test_serving_rank_is_window_group_limit(spark):
         )
     )
     assert "WindowGroupLimit" in plan, plan
+
+
+def test_stream_static_enrichment_sees_dim_updates(spark, tmp_path):
+    """The static dim side is re-planned per run: rows ingested after
+    a dim relabel carry the NEW label, earlier rows keep the label
+    they were enriched with; unmatched clients flow with NULL."""
+    import datetime as dt
+
+    from piholelongtermstats_spark.streaming.enrich import (
+        DIM_SCHEMA,
+        start_enriched_to_memory,
+    )
+
+    src = str(tmp_path / "enr_src")
+    dimp = str(tmp_path / "enr_dim")
+    t0 = dt.datetime.fromisoformat("2024-01-01T10:00:00")
+    spark.createDataFrame([("c1", "home")], DIM_SCHEMA).write.mode(
+        "overwrite"
+    ).parquet(dimp)
+    _write_batch(spark, src, [(1, t0, "c1", "d1", "Allowed", 0.1),
+                              (2, t0, "c9", "d1", "Allowed", 0.1)])
+    q = start_enriched_to_memory(spark, src, dimp, "enr_t1")
+    q.awaitTermination(60)
+    got = {r.event_id: r.client_label for r in spark.sql("SELECT * FROM enr_t1").collect()}
+    assert got == {1: "home", 2: None}
+
+    # relabel the dim, drop more events: the new run enriches with the
+    # updated dimension
+    spark.createDataFrame([("c1", "office")], DIM_SCHEMA).write.mode(
+        "overwrite"
+    ).parquet(dimp)
+    _write_batch(spark, src, [(3, t0, "c1", "d1", "Allowed", 0.1)])
+    q2 = start_enriched_to_memory(spark, src, dimp, "enr_t2")
+    q2.awaitTermination(60)
+    got2 = {r.event_id: r.client_label for r in spark.sql("SELECT * FROM enr_t2").collect()}
+    assert got2[3] == "office"
