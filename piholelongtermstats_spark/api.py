@@ -214,3 +214,32 @@ def build_corpus(
             manifest, snapshot_root
         )
     return out
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> list[str]:
+    """SQL surface: register the enriched fact, the resident hourly
+    rollup, and every raw testdata table as TEMP VIEWS so users query
+    with plain `spark.sql(...)` — the switch-over contract for a
+    dashboard user who writes SQL instead of the Python API. Views are
+    lazy plans over the same shared cached inputs the registry uses;
+    registering costs nothing until queried."""
+    from piholelongtermstats_spark.operators.timeagg import hourly_rollup
+    from piholelongtermstats_spark.sources.parquet import load_table
+
+    ensure_session_defaults(spark)
+    names: list[str] = []
+    fact = dns_fact(spark, sf_dir)
+    fact.createOrReplaceTempView("events_fact")
+    names.append("events_fact")
+    hourly_rollup(fact).createOrReplaceTempView("hourly_rollup_view")
+    names.append("hourly_rollup_view")
+    for t in (
+        "region nation customer supplier part orders lineitem "
+        "events documents embeddings"
+    ).split():
+        try:
+            load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+            names.append(t)
+        except Exception:  # noqa: BLE001 - table absent in this sf_dir
+            continue
+    return names

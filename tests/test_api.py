@@ -157,3 +157,20 @@ def test_build_corpus_snapshot_stage(spark, tmp_path):
     diff = snapshots.snapshot_diff(spark, root, 0, 1)
     kinds = {r.change_type for r in diff.collect()}
     assert kinds <= {"removed"}  # tightening only removes
+
+
+def test_register_views_sql_surface(spark):
+    from piholelongtermstats_spark.api import register_views
+
+    names = register_views(spark, SF)
+    assert "events_fact" in names and "documents" in names
+    n = spark.sql("SELECT count(*) AS n FROM events_fact").first().n
+    assert n > 0
+    top = spark.sql(
+        "SELECT client, count(*) AS c FROM events_fact "
+        "GROUP BY client ORDER BY c DESC, client LIMIT 1"
+    ).first()
+    assert top.c > 0
+    assert spark.sql(
+        "SELECT count(*) AS n FROM hourly_rollup_view"
+    ).first().n > 0
