@@ -204,3 +204,19 @@ def test_semantic_contamination_planted_leak(spark, emb):
     df = semdedup.semantic_contamination(corpus, bench_mod=10, centroids=_CENTS)
     plan = _plan(df)
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_recall_monotone_in_nprobe(spark, emb):
+    """Widening the probe set can only grow the candidate pool, so
+    recall vs the exact join is non-decreasing in nprobe, reaching
+    1.0 at the all-probe limit. (Measured sf0.1 curve recorded in
+    NOTES.md: 0.20 / 0.33 / 0.50 / 0.68 / 1.00 at nprobe 1/2/4/8/16.)"""
+    exact = knn.knn_join(emb).collect()
+    prev = -1.0
+    for np_ in (1, 4, 16):
+        rec = _recall(
+            knn.knn_join_ivf(emb, centroids=_CENTS, nprobe=np_).collect(), exact
+        )
+        assert rec >= prev, (np_, rec, prev)
+        prev = rec
+    assert prev == 1.0
