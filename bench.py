@@ -18,8 +18,13 @@ codegen) is materialized before any timer starts. r4's numbers had
 whichever query touched a shared cache first absorbing its build cost
 (dedup_clusters 0.03 ↔ 3.19 s round-over-round artifacts); now
 build_sec measures each query's OWN plan construction. Timed passes:
-3, per-query MIN (r4's min-of-2 left 40-50% host-noise swings on two
-queries; this host shows 2-4x transient spikes).
+5, per-query MIN (r4's min-of-2 left 40-50% host-noise swings on two
+queries; this host shows 2-4x transient spikes, and r5's min-of-3
+still let identical-code suite totals wander ±10% — r5 VERDICT #2).
+Every pass's timing is recorded in bench_metrics.json
+(``pass_sec``) plus a per-query and suite-level noise summary
+(``noise``: median/min ratios), so the next round's verdict can
+condition regressions on the measured spread instead of guessing.
 
 The events tier runs against the date-partitioned p_date layout
 (SPARK_GRAFT_USE_LAYOUT, sources/layout.py) so range queries exercise
@@ -46,7 +51,7 @@ from piholelongtermstats_spark.plans import QUERIES  # noqa: E402
 from piholelongtermstats_spark.plans.metrics import executed_plan_metrics  # noqa: E402
 from piholelongtermstats_spark.session import get_spark  # noqa: E402
 
-N_TIMED_PASSES = 3
+N_TIMED_PASSES = 5
 
 
 def main() -> None:
@@ -74,6 +79,7 @@ def main() -> None:
     build_sec: dict[str, float] = {}
     exec_sec: dict[str, float] = {}
     plan_metrics: dict[str, dict] = {}
+    pass_sec: dict[str, list] = {}
     for rnd in range(N_TIMED_PASSES):
         for name, fn in QUERIES.items():
             t0 = time.perf_counter()
@@ -82,6 +88,7 @@ def main() -> None:
             df.collect()
             t2 = time.perf_counter()
             t = round(t2 - t0, 4)
+            pass_sec.setdefault(name, []).append(t)
             if name not in timings or t < timings[name]:
                 timings[name] = t
                 build_sec[name] = round(t1 - t0, 4)
@@ -99,6 +106,37 @@ def main() -> None:
     total = round(sum(timings.values()), 4)
     exec_total = round(sum(exec_sec.values()), 4)
 
+    # Noise summary: per-query median/min ratio plus suite aggregates.
+    # The suite total is a sum of MINs; "median_total" is what a
+    # typical single pass would have summed to — their ratio bounds
+    # how much host noise a naive one-pass comparison would carry.
+    def _median(xs: list) -> float:
+        s = sorted(xs)
+        n = len(s)
+        return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
+
+    med = {k: _median(v) for k, v in pass_sec.items()}
+    ratios = sorted(
+        (med[k] / timings[k]) for k in timings if timings[k] > 0
+    )
+    noise = {
+        "median_total_sec": round(sum(med.values()), 4),
+        "median_over_min_total": round(sum(med.values()) / total, 4)
+        if total
+        else None,
+        "per_query_median_over_min_p50": round(_median(ratios), 4)
+        if ratios
+        else None,
+        "per_query_median_over_min_p90": round(
+            ratios[int(0.9 * (len(ratios) - 1))], 4
+        )
+        if ratios
+        else None,
+        "per_query_median_over_min_max": round(ratios[-1], 4)
+        if ratios
+        else None,
+    }
+
     # Full per-query record lives in the side file; round-over-round
     # comparison reads THIS, never the stdout tail. timings_sec =
     # build+exec total per query (the honest unit of work);
@@ -112,6 +150,8 @@ def main() -> None:
                 "timings_sec": timings,
                 "build_sec": build_sec,
                 "exec_sec": exec_sec,
+                "pass_sec": pass_sec,
+                "noise": noise,
                 "query_metrics": plan_metrics,
             },
             f,

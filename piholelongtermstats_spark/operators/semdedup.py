@@ -316,29 +316,23 @@ def semantic_contamination(
             [], "bench_id bigint, train_id bigint, cosine double"
         )
     assigned = assign_clusters(emb, centroids)
-    nrm = assigned.withColumn(
-        "_nrm",
-        F.sqrt(
-            F.aggregate(
-                F.col("v"), F.lit(0.0).cast("double"), lambda a, x: a + x * x
-            )
-        ),
-    ).withColumn("_vn", F.transform(F.col("v"), lambda x: x / F.col("_nrm")))
-    bench = nrm.filter(F.col("vec_id") % bench_mod == 0).select(
-        F.col("vec_id").alias("bench_id"), F.col("cell"), F.col("_vn").alias("bv")
+    bench = assigned.filter(F.col("vec_id") % bench_mod == 0).select(
+        F.col("vec_id").alias("bench_id"), F.col("cell"), F.col("v").alias("bv")
     )
-    train = nrm.filter(F.col("vec_id") % bench_mod != 0).select(
-        F.col("vec_id").alias("train_id"), "cell", F.col("_vn").alias("tv")
+    train = assigned.filter(F.col("vec_id") % bench_mod != 0).select(
+        F.col("vec_id").alias("train_id"), "cell", F.col("v").alias("tv")
     )
+    # Cosine over the RAW vectors with the engine-wide expression tree
+    # (dot/(norm·norm), round 6 — knn._cosine): the oracle's
+    # list_cosine_similarity also consumes raw vectors, so both engines
+    # evaluate the same mathematical form rather than a pre-normalized
+    # dot whose fp error tree differs near rounding/rank boundaries.
     pairs = train.join(F.broadcast(bench), "cell").select(
         "bench_id",
         "train_id",
         F.round(
-            F.aggregate(
-                F.zip_with(F.col("bv"), F.col("tv"), lambda a, b: a * b),
-                F.lit(0.0).cast("double"),
-                lambda acc, x: acc + x,
-            ),
+            _dot(F.col("bv"), F.col("tv"))
+            / (_norm(F.col("bv")) * _norm(F.col("tv"))),
             6,
         ).alias("cosine"),
     )

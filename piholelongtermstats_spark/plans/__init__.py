@@ -54,9 +54,9 @@ TOP_50 = [
     "day_hour_heatmap_panel",
     "reply_time_stats",
     "slowest_domains",
-    "daily_avg_reply",
     "idle_gaps_top",
     "longest_streaks",
+    "streaks_scale_2x",
     "avg_gap_per_status",
     "source_pipeline",
     "client_activity",
@@ -132,7 +132,14 @@ TOP_50 = [
 # A13 re-aggregation stay driver-verified through
 # filtered_timeseries_client and client_activity, and
 # hour_spine_zerofill stays parity-green below the line.
+# r6 swap (r5 VERDICT #1): streaks_scale_2x — the W3 total-order
+# doubling proof, the repo's most load-bearing distributed-algorithm
+# claim (SURVEY §2.6) — took daily_avg_reply's row. The A15 per-date
+# avg shape stays driver-verified through daily_counts +
+# reply_time_stats' avg legs and daily_avg_reply stays parity-green
+# below the line.
 _OVERFLOW = [
+    "daily_avg_reply",
     "hour_spine_zerofill",
     "exact_dedup",
     "simhash",
@@ -165,7 +172,6 @@ _OVERFLOW = [
     "mix_sample",
     "corpus_delta",
     "doc_repetition",
-    "streaks_scale_2x",
     "gaps_scale_2x",
     "sessions_scale_2x",
     "pricing_scale_2x",

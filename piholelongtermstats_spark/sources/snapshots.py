@@ -40,6 +40,23 @@ def _manifest_path(root: str, version: int) -> str:
     return os.path.join(root, f"v={version}", "_MANIFEST.json")
 
 
+def _write_manifest(root: str, version: int, manifest: dict) -> None:
+    """Commit the manifest ATOMICALLY: write to a temp path in the
+    same directory, fsync, then os.rename into place — the manifest
+    is the commit marker, so a crash mid-write must leave either no
+    manifest (version uncommitted, ``versions`` ignores the torn
+    directory) or a complete one; a truncated JSON that ``versions``
+    counts but ``json.load`` chokes on is the one unacceptable state.
+    Same staging-rename discipline as layout.ensure_layout."""
+    final = _manifest_path(root, version)
+    tmp = final + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.rename(tmp, final)
+
+
 def versions(root: str) -> list[int]:
     """Committed versions (manifest present) in ascending order."""
     if not os.path.isdir(root):
@@ -65,16 +82,16 @@ def write_snapshot(df: DataFrame, root: str) -> int:
     path = os.path.join(root, f"v={version}")
     df.write.mode("errorifexists").parquet(path)
     n = df.sparkSession.read.parquet(path).count()
-    with open(_manifest_path(root, version), "w") as f:
-        json.dump(
-            {
-                "version": version,
-                "parent": vs[-1] if vs else None,
-                "n_rows": n,
-                "schema": df.schema.jsonValue(),
-            },
-            f,
-        )
+    _write_manifest(
+        root,
+        version,
+        {
+            "version": version,
+            "parent": vs[-1] if vs else None,
+            "n_rows": n,
+            "schema": df.schema.jsonValue(),
+        },
+    )
     return version
 
 
@@ -152,16 +169,16 @@ def commit_version(df: DataFrame, root: str, version: int) -> bool:
     shutil.rmtree(path, ignore_errors=True)
     df.write.mode("errorifexists").parquet(path)
     n = df.sparkSession.read.parquet(path).count()
-    with open(_manifest_path(root, version), "w") as f:
-        json.dump(
-            {
-                "version": version,
-                "parent": max((v for v in versions(root) if v < version), default=None),
-                "n_rows": n,
-                "schema": df.schema.jsonValue(),
-            },
-            f,
-        )
+    _write_manifest(
+        root,
+        version,
+        {
+            "version": version,
+            "parent": max((v for v in versions(root) if v < version), default=None),
+            "n_rows": n,
+            "schema": df.schema.jsonValue(),
+        },
+    )
     return True
 
 

@@ -287,7 +287,8 @@ def test_avg_gap_single_pass_matches_filtered(spark):
 
 
 def test_approx_uniques_error_bound(spark):
-    """HLL at rsd=0.01 lands within 5% of exact on testdata."""
+    """HLL at the default rsd (0.016, the L1-resident p=13 sketch)
+    lands within 5% of exact on testdata."""
     from piholelongtermstats_spark.operators import approx, counts
     from piholelongtermstats_spark.sources.events import dns_fact
 

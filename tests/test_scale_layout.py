@@ -25,6 +25,15 @@ def _explain(df) -> str:
 
 @pytest.fixture(scope="module")
 def bucketed_tables(spark, tmp_path_factory):
+    # Pre-clean: a SIGKILLed previous run can leave the warehouse
+    # directories behind with the catalog entry gone (teardown never
+    # ran), and saveAsTable then fails with LOCATION_ALREADY_EXISTS.
+    import shutil
+
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in ("t_li_b", "t_ord_b"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"{warehouse}/{t}", ignore_errors=True)
     li = load_table(spark, SF, "lineitem").select(
         "l_orderkey", "l_extendedprice", "l_discount"
     )
