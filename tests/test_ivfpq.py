@@ -66,6 +66,47 @@ def test_recall_and_monotonicity(spark):
     assert all_probe == exact
 
 
+def test_recall_monotone_in_nprobe(spark):
+    """Probe widening can only grow the probed-cell set, so with the
+    candidate cut held non-binding (rerank covers the corpus) recall
+    vs the exact scan is non-decreasing in nprobe and reaches 1.0 at
+    the all-probe limit — the ivfpq mirror of
+    test_knn.py::test_recall_monotone_in_nprobe (r5 VERDICT #4).
+    (Measured sf0.1 curve recorded in NOTES.md.)"""
+    emb = _emb(spark)
+    cents, cbs = _pinned()
+    exact = {r["vec_id"] for r in similarity.cosine_topk(emb, 0, 10).collect()}
+    n = emb.count()
+    prev = -1.0
+    for np_ in (1, 4, ivfpq.N_CELLS):
+        got = {
+            r["vec_id"]
+            for r in ivfpq.ivfpq_ann_topk(
+                emb, 0, 10,
+                nprobe=np_, rerank=(n // 10) + 1,
+                centroids=cents, codebooks=cbs,
+            ).collect()
+        }
+        rec = len(exact & got) / 10
+        assert rec >= prev, (np_, rec, prev)
+        prev = rec
+    assert prev == 1.0
+    # trained path (the rows-only registry variant): same law under
+    # the data-adaptive quantizers
+    prev = -1.0
+    for np_ in (1, ivfpq.N_CELLS):
+        got = {
+            r["vec_id"]
+            for r in ivfpq.ivfpq_ann_topk(
+                emb, 0, 10, nprobe=np_, rerank=(n // 10) + 1
+            ).collect()
+        }
+        rec = len(exact & got) / 10
+        assert rec >= prev, (np_, rec, prev)
+        prev = rec
+    assert prev == 1.0
+
+
 def test_empty_and_missing_query(spark):
     emb = _emb(spark)
     cents, cbs = _pinned()
