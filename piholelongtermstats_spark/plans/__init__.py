@@ -176,6 +176,7 @@ _OVERFLOW = [
     "sessions_scale_2x",
     "pricing_scale_2x",
     "span_dedup",
+    "scd2_history_n",
     "bucketed_join_revenue",
     "pack_manifest",
     # rows-only by design (sketches, iterative index builds, stubs)

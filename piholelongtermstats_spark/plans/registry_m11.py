@@ -343,3 +343,117 @@ def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD2 validity ranges folded from the session's snapshot chain."""
     root = _snapshot_root(spark, sf_dir)
     return _snap.scd2_history(spark, root)
+
+
+# ---------------------------------------------------------------------------
+# SCD2 over an N-VERSION chain with absence gaps (r5 VERDICT #5):
+# five deterministic versions — membership churn (evens / non-mult-3 /
+# evens), two distinct revision waves, and a final retention drop —
+# exercise every fold case: change, absence gap with identical content
+# returning (new run), revision reverting (new run), and non-current
+# tails. The oracle is NOT a replay of the Spark window fold: it
+# characterizes runs declaratively as maximal intervals — a run START
+# is a (key, version, hash) row with no same-hash row at version-1, a
+# run END has none at version+1, and each start pairs with the first
+# end at or after it. Two genuinely different algorithms, one answer.
+# ---------------------------------------------------------------------------
+
+_SCD2N_HEAD = 4
+
+
+def _snapshot_root_n(spark: SparkSession, sf_dir: str) -> str:
+    digest = _hashlib.md5(_os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    root = _os.path.join(
+        _tempfile.gettempdir(),
+        "phlts_snapshots_n",
+        f"{spark.sparkContext.applicationId}-{digest}",
+    )
+    key = (spark.sparkContext.applicationId, root)
+    if key not in _SNAP_READY:
+        from piholelongtermstats_spark.plans.registry_m9 import _docs
+
+        docs = _docs(spark, sf_dir)
+        if not _snap.versions(root):
+            rev1 = F.when(
+                F.col("doc_id") % 10 == 0,
+                F.concat(F.col("text"), F.lit(" [rev]")),
+            ).otherwise(F.col("text"))
+            rev2 = F.when(
+                F.col("doc_id") % 8 == 0,
+                F.concat(F.col("text"), F.lit(" [rev2]")),
+            ).otherwise(F.col("text"))
+            evens = F.col("doc_id") % 2 == 0
+            for v_df in (
+                docs.filter(evens),                                     # v0
+                docs.filter(F.col("doc_id") % 3 != 0)
+                .withColumn("text", rev1),                              # v1
+                docs.filter(evens),                                     # v2
+                docs.filter(evens).withColumn("text", rev2),            # v3
+                docs.filter(evens & (F.col("doc_id") % 7 != 0))
+                .withColumn("text", rev2),                              # v4
+            ):
+                _snap.write_snapshot(v_df, root)
+        _SNAP_READY.add(key)
+    return root
+
+
+def _scd2n_hx_leg(version: int, text_expr: str, where: str) -> str:
+    return (
+        f"SELECT doc_id, {version} AS version, "
+        + _H_EXPR.format(text=text_expr)
+        + f" AS h FROM documents WHERE {where}"
+    )
+
+
+_SCD2N_SQL = (
+    "WITH hx AS (\n"
+    + "\nUNION ALL\n".join(
+        [
+            _scd2n_hx_leg(0, "text", "doc_id % 2 = 0"),
+            _scd2n_hx_leg(
+                1,
+                "CASE WHEN doc_id % 10 = 0 THEN text || ' [rev]' ELSE text END",
+                "doc_id % 3 <> 0",
+            ),
+            _scd2n_hx_leg(2, "text", "doc_id % 2 = 0"),
+            _scd2n_hx_leg(
+                3,
+                "CASE WHEN doc_id % 8 = 0 THEN text || ' [rev2]' ELSE text END",
+                "doc_id % 2 = 0",
+            ),
+            _scd2n_hx_leg(
+                4,
+                "CASE WHEN doc_id % 8 = 0 THEN text || ' [rev2]' ELSE text END",
+                "doc_id % 2 = 0 AND doc_id % 7 <> 0",
+            ),
+        ]
+    )
+    + f"""),
+starts AS (
+  SELECT x.doc_id, x.h, x.version FROM hx x
+  WHERE NOT EXISTS (SELECT 1 FROM hx p
+                    WHERE p.doc_id = x.doc_id
+                      AND p.version = x.version - 1 AND p.h = x.h)),
+ends AS (
+  SELECT x.doc_id, x.h, x.version FROM hx x
+  WHERE NOT EXISTS (SELECT 1 FROM hx s
+                    WHERE s.doc_id = x.doc_id
+                      AND s.version = x.version + 1 AND s.h = x.h))
+SELECT s.doc_id, s.h AS content_md5,
+       CAST(s.version AS BIGINT) AS valid_from,
+       CAST(min(e.version) AS BIGINT) AS valid_to,
+       min(e.version) = {_SCD2N_HEAD} AS is_current
+FROM starts s
+JOIN ends e ON e.doc_id = s.doc_id AND e.h = s.h AND e.version >= s.version
+GROUP BY s.doc_id, s.h, s.version
+ORDER BY s.doc_id, valid_from
+"""
+)
+
+
+@register("scd2_history_n", _SCD2N_SQL)
+def q_scd2_history_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 fold over the FIVE-version chain (gaps, reverts, drops) —
+    the general-N oracle the 2-version closed form couldn't give."""
+    root = _snapshot_root_n(spark, sf_dir)
+    return _snap.scd2_history(spark, root)

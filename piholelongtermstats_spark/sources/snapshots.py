@@ -182,6 +182,60 @@ def commit_version(df: DataFrame, root: str, version: int) -> bool:
     return True
 
 
+def compact(root: str, keep_last: int) -> list[int]:
+    """Retention: drop every committed version except the newest
+    ``keep_last``, folding the dropped manifests into the oldest
+    RETAINED version's manifest as ``compacted_parents`` — the chain
+    stops growing without losing its audit trail. Returns the list of
+    dropped versions (empty = nothing to do).
+
+    Every version directory is a SELF-CONTAINED full snapshot (never
+    a delta), so retention is pure directory removal: retained
+    versions are byte-identical afterwards — time-travel reads and
+    diffs between retained versions are unchanged
+    (tests/test_snapshots.py pins diff(v, v') pre ≡ post).
+
+    Crash-ordering: the oldest retained manifest is rewritten FIRST
+    (atomically, via _write_manifest) to record the folded lineage
+    and cut its ``parent`` pointer; directory removal follows. A
+    crash in between leaves extra committed-looking old versions but
+    a consistent chain — rerunning compact with the same ``keep_last``
+    finishes the removal (idempotent), which is the same replayable
+    contract as commit_version."""
+    import shutil
+
+    if keep_last < 1:
+        raise ValueError(f"keep_last must be >= 1, got {keep_last}")
+    vs = versions(root)
+    drop = vs[:-keep_last]
+    if not drop:
+        return []
+    base = vs[-keep_last]
+    with open(_manifest_path(root, base)) as f:
+        m = json.load(f)
+    lineage = list(m.get("compacted_parents", []))
+    seen = {e["version"] for e in lineage}
+    for v in drop:
+        with open(_manifest_path(root, v)) as f:
+            dm = json.load(f)
+        for e in dm.get("compacted_parents", []):
+            if e["version"] not in seen:  # crash-rerun: don't re-fold
+                lineage.append(e)
+                seen.add(e["version"])
+        if v not in seen:
+            lineage.append(
+                {"version": v, "parent": dm.get("parent"), "n_rows": dm.get("n_rows")}
+            )
+            seen.add(v)
+    lineage.sort(key=lambda e: e["version"])
+    m["compacted_parents"] = lineage
+    m["parent"] = None
+    _write_manifest(root, base, m)
+    for v in drop:
+        shutil.rmtree(os.path.join(root, f"v={v}"), ignore_errors=True)
+    return drop
+
+
 def scd2_history(
     spark: SparkSession,
     root: str,

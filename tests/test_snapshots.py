@@ -129,3 +129,86 @@ def test_scd2_three_version_fold(spark, tmp_path):
         (2, 0, 0, False),   # "b" first run, ended by absence
         (2, 2, 2, True),    # "b" returns as a NEW run
     ]
+
+
+def test_compact_retention(spark, tmp_path):
+    """compact(root, keep_last=N): retained versions byte-identical
+    (time-travel reads and diffs unchanged), dropped versions gone,
+    lineage folded into the oldest retained manifest."""
+    root = str(tmp_path / "compact")
+    for i in range(5):
+        snap.write_snapshot(
+            _df(spark, [(1, f"a{i}"), (2, "b"), (i + 10, "x")]), root
+        )
+    pre_v3 = sorted(
+        (r.doc_id, r.text) for r in snap.read_snapshot(spark, root, 3).collect()
+    )
+    pre_diff = sorted(
+        (r.change_type, r.doc_id)
+        for r in snap.snapshot_diff(spark, root, 3, 4).collect()
+    )
+    dropped = snap.compact(root, keep_last=2)
+    assert dropped == [0, 1, 2]
+    assert snap.versions(root) == [3, 4]
+    # retained snapshots unchanged (self-contained full snapshots)
+    post_v3 = sorted(
+        (r.doc_id, r.text) for r in snap.read_snapshot(spark, root, 3).collect()
+    )
+    assert post_v3 == pre_v3
+    # diff between retained versions preserved
+    post_diff = sorted(
+        (r.change_type, r.doc_id)
+        for r in snap.snapshot_diff(spark, root, 3, 4).collect()
+    )
+    assert post_diff == pre_diff
+    # dropped versions unreadable
+    with pytest.raises(FileNotFoundError):
+        snap.read_snapshot(spark, root, 1)
+    # lineage folded into the oldest retained manifest, parent cut
+    m = json.load(open(os.path.join(root, "v=3", "_MANIFEST.json")))
+    assert [e["version"] for e in m["compacted_parents"]] == [0, 1, 2]
+    assert m["parent"] is None
+    # no-op on rerun
+    assert snap.compact(root, keep_last=2) == []
+    # scd2 still folds over the retained chain
+    hist = snap.scd2_history(spark, root)
+    assert hist.filter(F.col("doc_id") == 2).count() == 1
+
+
+def test_compact_crash_rerun_no_duplicate_lineage(spark, tmp_path):
+    """A crash between manifest rewrite and directory removal leaves
+    old dirs behind; the rerun finishes removal WITHOUT refolding
+    versions already in the lineage."""
+    root = str(tmp_path / "compact_crash")
+    for i in range(4):
+        snap.write_snapshot(_df(spark, [(1, f"t{i}")]), root)
+    # simulate the crash: rewrite the base manifest as compact would,
+    # but leave v=0/v=1 directories in place
+    base_mp = os.path.join(root, "v=2", "_MANIFEST.json")
+    m = json.load(open(base_mp))
+    m["compacted_parents"] = [
+        {"version": 0, "parent": None, "n_rows": 1},
+        {"version": 1, "parent": 0, "n_rows": 1},
+    ]
+    m["parent"] = None
+    with open(base_mp, "w") as f:
+        json.dump(m, f)
+    dropped = snap.compact(root, keep_last=2)
+    assert dropped == [0, 1]
+    assert snap.versions(root) == [2, 3]
+    m2 = json.load(open(base_mp))
+    assert [e["version"] for e in m2["compacted_parents"]] == [0, 1]
+
+
+def test_compact_layered_lineage(spark, tmp_path):
+    """Compacting twice carries the earlier fold's lineage forward."""
+    root = str(tmp_path / "compact2x")
+    for i in range(4):
+        snap.write_snapshot(_df(spark, [(1, f"t{i}")]), root)
+    assert snap.compact(root, keep_last=3) == [0]
+    snap.write_snapshot(_df(spark, [(1, "t4")]), root)  # v4
+    assert snap.compact(root, keep_last=2) == [1, 2]
+    m = json.load(open(os.path.join(root, "v=3", "_MANIFEST.json")))
+    assert [e["version"] for e in m["compacted_parents"]] == [0, 1, 2]
+    with pytest.raises(ValueError):
+        snap.compact(root, keep_last=0)
