@@ -106,3 +106,66 @@ def test_ensure_layout_idempotent(spark, tmp_path, monkeypatch):
     p2 = zorder.ensure_zorder_layout(spark, SF)
     assert p1 == p2
     assert os.path.getmtime(os.path.join(p2, "_SUCCESS")) == mtime
+
+
+@pytest.fixture(scope="module")
+def composed_layout(spark, tmp_path_factory):
+    from piholelongtermstats_spark.sources.layout import (
+        write_events_date_partitioned,
+    )
+
+    out = tmp_path_factory.mktemp("zdate")
+    zd, dp = str(out / "zdate"), str(out / "pdate")
+    zorder.write_events_zordered_by_date(spark, SF, zd)
+    write_events_date_partitioned(spark, SF, dp)
+    return zd, dp
+
+
+def test_zdate_combined_pruning_beats_both_baselines(
+    spark, layouts, composed_layout
+):
+    """r5 VERDICT #6: for a (client, 2-day) predicate the composed
+    layout (p_date dirs + within-day z-order) must out-prune BOTH
+    single-dimension layouts — the date-only directories (which read
+    every row of the in-window days) and the flat z-order (which has
+    no directory pruning, so the 2-day window leaks across z-files).
+    numOutputRows = rows surviving directory + row-group pruning,
+    before Spark's residual Filter."""
+    zd, dp = composed_layout
+    zp, _ = layouts
+    lo, hi = dt.datetime(2024, 1, 10), dt.datetime(2024, 1, 12)
+
+    def _pred(df):
+        df = df.filter(F.col("user_id") == 42)
+        df, _ = filter_raw_ts(df, lo, hi)
+        return df.select("event_id")
+
+    def _dated(path):
+        df = spark.read.parquet(path)
+        df = df.filter(
+            (F.col("p_date") >= F.lit("2024-01-10").cast("date"))
+            & (F.col("p_date") <= F.lit("2024-01-11").cast("date"))
+        )
+        return _pred(df)
+
+    composed = _scan_rows(_dated(zd))
+    date_only = _scan_rows(_dated(dp))
+    flat_z = _scan_rows(_pred(spark.read.parquet(zp)))
+    total = spark.read.parquet(zp).count()
+    # directory pruning alone caps both dated layouts at the window's
+    # share of rows; the within-day z-sort must cut strictly deeper
+    assert composed < date_only, (composed, date_only)
+    assert composed < flat_z, (composed, flat_z)
+    assert composed <= 0.05 * total, (composed, total)
+
+
+def test_zdate_scan_matches_flat_scan(spark, composed_layout):
+    """Layout transparency for the composition: scan_events_zdate
+    returns row-for-row the flat dns_fact result."""
+    zd, _ = composed_layout
+    lo, hi = dt.datetime(2024, 1, 10), dt.datetime(2024, 1, 18)
+    zdf = zorder.scan_events_zdate(spark, zd, client_id=7, lo=lo, hi=hi)
+    flat = dns_fact(spark, SF, lo, hi).filter(F.col("client") == "7")
+    zrows = sorted((r.event_id, r.ts, r.status_type) for r in zdf.collect())
+    frows = sorted((r.event_id, r.ts, r.status_type) for r in flat.collect())
+    assert zrows == frows and len(zrows) > 0
