@@ -34,13 +34,16 @@ DIM_SCHEMA = T.StructType(
 
 
 def enriched_stream(
-    spark: SparkSession, source_dir: str, dim_path: str
+    spark: SparkSession,
+    source_dir: str,
+    dim_path: str,
+    max_files_per_trigger: int = 16,
 ) -> DataFrame:
     """File-source event stream left-joined to the client dimension
     (static side re-read per micro-batch; broadcast)."""
     events = (
         spark.readStream.schema(STREAM_SCHEMA)
-        .option("maxFilesPerTrigger", 16)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(source_dir)
     )
     dim = spark.read.schema(DIM_SCHEMA).parquet(dim_path)
