@@ -1,0 +1,142 @@
+"""DSIR — Data Selection with Importance Resampling (Xie et al. 2023,
+arXiv:2302.03169): select pretraining documents whose hashed n-gram
+feature distribution looks like a TARGET domain, by importance weight
+
+    log w(doc) = Σ_b c_doc(b) · [ log p_target(b) − log p_raw(b) ]
+
+over B hashed unigram buckets with Laplace-smoothed bucket
+probabilities. The published recipe uses 10k buckets over n-grams;
+the mechanics here are the same at B=64 so the fixture distributions
+are dense at test scale.
+
+Split into two operators along the repo's fp policy line:
+
+- ``dsir_bucket_counts`` — the DISTRIBUTED sufficient statistics
+  (per-bucket target/raw token counts): explode → md5-bucket →
+  one partial-agg shuffle of ≤B rows. Pure integers, fully
+  DuckDB-oracle-checkable, and the only part that touches the whole
+  corpus — at 100 TB this is one map-side-combined pass.
+- ``dsir_logweights`` — the per-document scoring edge. log() is NOT
+  an IEEE-correctly-rounded operation (JVM Math.log and libm may
+  differ in the last ulp), so unlike +,·,/,√ the engine-wide
+  same-expression-tree float policy cannot make a SQL oracle
+  bit-safe. Instead the ≤B log-ratios are computed ONCE driver-side
+  (same tiny-collect budget as quantizer training, ivf.py:122),
+  rounded to 12 decimals, and embedded as EXACT DECIMAL literals;
+  each document's weight is then an order-independent decimal
+  dot-product — deterministic to the bit on any partitioning. The
+  registry entry is rows-only with a numpy differential test
+  (tests/test_dsir.py) exactly like the trained vector indexes.
+
+Selection: top ⌈q·N⌉ documents by (weight DESC, doc_id ASC) — the
+engine-wide pinned tie-break; the rank cut is WindowGroupLimit-free
+here because the weight relation is one row per document already.
+"""
+
+from __future__ import annotations
+
+from decimal import Decimal
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from piholelongtermstats_spark.operators.text import md5_hash60, tokens
+
+B = 64
+
+
+def _bucket(word) -> "F.Column":
+    return (md5_hash60(word) % B).alias("bucket")
+
+
+def dsir_bucket_counts(docs: DataFrame, target_lang: str = "en") -> DataFrame:
+    """(bucket, target_cnt, raw_cnt): hashed-unigram token counts for
+    the target slice (lang == target_lang) and the full corpus. The
+    explode is linear in tokens; the shuffle carries ≤B rows after
+    map-side combine."""
+    tok = docs.select(
+        (F.col("lang") == target_lang).alias("is_t"),
+        F.explode(tokens(F.col("text"))).alias("w"),
+    )
+    return (
+        tok.groupBy(_bucket(F.col("w")))
+        .agg(
+            F.sum(F.when(F.col("is_t"), 1).otherwise(0)).alias("target_cnt"),
+            F.count(F.lit(1)).alias("raw_cnt"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def train_log_ratios(docs: DataFrame, target_lang: str = "en") -> list[Decimal]:
+    """Driver-side table of B Laplace-smoothed log-probability ratios,
+    rounded to 12 decimals → exact Decimal. ≤B rows collected."""
+    import math
+
+    rows = {r["bucket"]: r for r in dsir_bucket_counts(docs, target_lang).collect()}
+    nt = sum(r["target_cnt"] for r in rows.values())
+    nr = sum(r["raw_cnt"] for r in rows.values())
+    out = []
+    for b in range(B):
+        ct = rows[b]["target_cnt"] if b in rows else 0
+        cr = rows[b]["raw_cnt"] if b in rows else 0
+        lr = math.log((ct + 1) / (nt + B)) - math.log((cr + 1) / (nr + B))
+        out.append(Decimal(f"{lr:.12f}"))
+    return out
+
+
+def dsir_logweights(
+    docs: DataFrame,
+    target_lang: str = "en",
+    q: float = 0.25,
+    log_ratios: "list[Decimal] | None" = None,
+) -> DataFrame:
+    """(doc_id, n_tokens, log_weight, selected): per-document DSIR
+    importance log-weight and the top-⌈q·N⌉ selection flag.
+
+    The weight is Σ c_doc(b)·lr_b with lr_b an exact decimal literal,
+    so the sum is order-independent; log_weight is the decimal cast
+    to double only at the output edge. The per-doc bucket counting is
+    explode → (doc_id, bucket) partial agg — both shuffles carry
+    counts, never text."""
+    if log_ratios is None:
+        log_ratios = train_log_ratios(docs, target_lang)
+    lr_arr = F.array(*[F.lit(x).cast("decimal(20,12)") for x in log_ratios])
+    per_doc = (
+        docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("w"))
+        .groupBy("doc_id", _bucket(F.col("w")))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.sum(
+                F.col("c").cast("decimal(18,0)")
+                * F.element_at(lr_arr, (F.col("bucket") + 1).cast("int"))
+            ).alias("_w_dec"),
+        )
+    )
+    n = docs.count()
+    k = max(int(-(-q * n // 1)), 1)  # ceil(q*n), ≥1
+    # Selection WITHOUT a global window (row_number over an
+    # unpartitioned window is a SinglePartition plan — the exact
+    # anti-pattern the scale proofs forbid): find the k-th
+    # (weight, doc_id) boundary pair and select by comparison. The
+    # boundary probes are two single-scalar collects on the SKINNY
+    # (doc_id, weight) relation — the fat text never moves.
+    per_doc = per_doc.persist()
+    kth = per_doc.select("_w_dec", "doc_id").orderBy(
+        F.col("_w_dec").desc(), F.col("doc_id").asc()
+    ).limit(k)
+    thr_w = kth.agg(F.min("_w_dec")).first()[0]
+    thr_id = (
+        kth.filter(F.col("_w_dec") == thr_w).agg(F.max("doc_id")).first()[0]
+    )
+    sel = (F.col("_w_dec") > F.lit(thr_w)) | (
+        (F.col("_w_dec") == F.lit(thr_w)) & (F.col("doc_id") <= thr_id)
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        F.round(F.col("_w_dec").cast("double"), 6).alias("log_weight"),
+        sel.alias("selected"),
+    ).orderBy("doc_id")

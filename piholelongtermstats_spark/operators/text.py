@@ -325,3 +325,78 @@ def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.regexp_count(t2, F.lit(PII_IP)).cast("long").alias("n_ips"),
         t3.alias("scrubbed"),
     )
+
+
+GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher quality-filter rules (Rae et al. 2021, arXiv:2112.11446
+    Table A1 — the heuristic document gate MassiveWeb shipped and
+    most open corpora reuse): word count in [50, 100k], mean word
+    length in [3, 10], symbol-to-word ratio (# or ellipsis) < 0.1,
+    <90% bullet-started lines, <30% ellipsis-ended lines, >80% of
+    words containing an alphabetic character, and ≥2 of the eight
+    Gopher stop words present.
+
+    Every metric is an exact integer count and every rule a
+    CROSS-MULTIPLIED integer comparison (symbol_cnt·10 < word_count,
+    never symbol_cnt/word_count < 0.1) so the keep decision is
+    integer-exact across engines — no float thresholds, same policy
+    as text_panel's quality gate. Zero shuffle: one codegen
+    projection; at 100 TB this fuses into the corpus scan beside
+    pii_scrub/text_panel."""
+    t = F.col(text_col)
+    lt = F.lower(t)
+    toks = tokens(t)
+    wc = F.size(toks)
+    word_chars = F.length(F.regexp_replace(t, r"\s+", ""))
+    hash_cnt = F.length(t) - F.length(F.replace(t, F.lit("#")))
+    ell_cnt = F.floor(
+        (F.length(t) - F.length(F.replace(t, F.lit("...")))) / 3
+    ).cast("long")
+    symbol_cnt = (hash_cnt + ell_cnt).cast("long")
+    lines = F.split(t, "\n")
+    n_lines = F.size(lines)
+    bullet_lines = F.size(
+        F.filter(lines, lambda x: x.rlike(r"^\s*[-*•]"))
+    )
+    ellipsis_lines = F.size(F.filter(lines, lambda x: x.rlike(r"\.\.\.\s*$")))
+    alpha_words = F.size(F.filter(toks, lambda w: w.rlike("[A-Za-z]")))
+    stop_hits = sum(
+        F.when(lt.rlike(rf"\b{w}\b"), 1).otherwise(0) for w in GOPHER_STOPS
+    ).cast("long")
+    r_wordcount = (wc >= 50) & (wc <= 100_000)
+    r_meanlen = (3 * wc <= word_chars) & (word_chars <= 10 * wc)
+    r_symbol = symbol_cnt * 10 < wc
+    r_bullets = bullet_lines * 10 < 9 * n_lines
+    r_ellipsis = ellipsis_lines * 10 < 3 * n_lines
+    r_alpha = alpha_words * 5 > 4 * wc
+    r_stops = stop_hits >= 2
+    return docs.select(
+        "doc_id",
+        wc.cast("long").alias("word_count"),
+        word_chars.cast("long").alias("word_chars"),
+        symbol_cnt.alias("symbol_cnt"),
+        n_lines.cast("long").alias("n_lines"),
+        bullet_lines.cast("long").alias("bullet_lines"),
+        ellipsis_lines.cast("long").alias("ellipsis_lines"),
+        alpha_words.cast("long").alias("alpha_words"),
+        stop_hits.alias("stop_hits"),
+        r_wordcount.alias("r_wordcount"),
+        r_meanlen.alias("r_meanlen"),
+        r_symbol.alias("r_symbol"),
+        r_bullets.alias("r_bullets"),
+        r_ellipsis.alias("r_ellipsis"),
+        r_alpha.alias("r_alpha"),
+        r_stops.alias("r_stops"),
+        (
+            r_wordcount
+            & r_meanlen
+            & r_symbol
+            & r_bullets
+            & r_ellipsis
+            & r_alpha
+            & r_stops
+        ).alias("keep"),
+    )

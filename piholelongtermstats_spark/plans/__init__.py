@@ -31,6 +31,7 @@ from piholelongtermstats_spark.plans import registry_m8  # noqa: F401  (register
 from piholelongtermstats_spark.plans import registry_m9  # noqa: F401  (registers M9 queries)
 from piholelongtermstats_spark.plans import registry_m10  # noqa: F401  (registers M10 queries)
 from piholelongtermstats_spark.plans import registry_m11  # noqa: F401  (registers M11 queries)
+from piholelongtermstats_spark.plans import registry_m12  # noqa: F401  (registers M12 queries)
 from piholelongtermstats_spark.plans import registry_panels  # noqa: F401  (fused panels)
 from piholelongtermstats_spark.plans.registry import ORACLE, QUERIES  # noqa: F401
 
@@ -177,6 +178,8 @@ _OVERFLOW = [
     "pricing_scale_2x",
     "span_dedup",
     "scd2_history_n",
+    "gopher_quality_panel",
+    "dsir_bucket_counts",
     "bucketed_join_revenue",
     "pack_manifest",
     # rows-only by design (sketches, iterative index builds, stubs)
@@ -187,6 +190,7 @@ _OVERFLOW = [
     "media_features",
     "media_resize",
     "media_frames",
+    "dsir_logweights",
 ]
 
 

@@ -1,0 +1,109 @@
+"""M12 — published-recipe data-selection tier: Gopher heuristic
+quality rules (Rae et al. 2021) and DSIR importance resampling
+(Xie et al. 2023).
+
+Oracle notes: every Gopher rule is a cross-multiplied INTEGER
+comparison, so the panel is exact across engines; DSIR splits at the
+repo's fp-policy line — the distributed sufficient statistics
+(integer bucket counts) carry a full DuckDB oracle, the log-weight
+scoring edge is rows-only (log() is not IEEE-correctly-rounded; see
+operators/dsir.py) with a numpy differential test instead."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from piholelongtermstats_spark.operators import dsir as _dsir
+from piholelongtermstats_spark.operators import text as _text
+from piholelongtermstats_spark.plans.registry import register
+from piholelongtermstats_spark.plans.registry_m9 import _docs
+
+# ---------------------------------------------------------------------------
+# Gopher quality rules (operators/text.py:gopher_rules)
+# ---------------------------------------------------------------------------
+
+_STOP_HITS_SQL = " + ".join(
+    f"(CASE WHEN regexp_matches(lower(text), '\\b{w}\\b') THEN 1 ELSE 0 END)"
+    for w in _text.GOPHER_STOPS
+)
+
+_GOPHER_SQL = f"""
+WITH m AS (
+  SELECT doc_id,
+         len(string_split_regex(trim(text), '\\s+')) AS wc,
+         length(regexp_replace(text, '\\s+', '', 'g')) AS word_chars,
+         (length(text) - length(replace(text, '#', '')))
+           + (length(text) - length(replace(text, '...', ''))) // 3 AS symbol_cnt,
+         len(string_split(text, chr(10))) AS n_lines,
+         len(list_filter(string_split(text, chr(10)),
+             x -> regexp_matches(x, '^\\s*[-*•]'))) AS bullet_lines,
+         len(list_filter(string_split(text, chr(10)),
+             x -> regexp_matches(x, '\\.\\.\\.\\s*$'))) AS ellipsis_lines,
+         len(list_filter(string_split_regex(trim(text), '\\s+'),
+             w -> regexp_matches(w, '[A-Za-z]'))) AS alpha_words,
+         {_STOP_HITS_SQL} AS stop_hits
+  FROM documents)
+SELECT doc_id,
+       CAST(wc AS BIGINT) AS word_count,
+       CAST(word_chars AS BIGINT) AS word_chars,
+       CAST(symbol_cnt AS BIGINT) AS symbol_cnt,
+       CAST(n_lines AS BIGINT) AS n_lines,
+       CAST(bullet_lines AS BIGINT) AS bullet_lines,
+       CAST(ellipsis_lines AS BIGINT) AS ellipsis_lines,
+       CAST(alpha_words AS BIGINT) AS alpha_words,
+       CAST(stop_hits AS BIGINT) AS stop_hits,
+       (wc >= 50 AND wc <= 100000) AS r_wordcount,
+       (3 * wc <= word_chars AND word_chars <= 10 * wc) AS r_meanlen,
+       (symbol_cnt * 10 < wc) AS r_symbol,
+       (bullet_lines * 10 < 9 * n_lines) AS r_bullets,
+       (ellipsis_lines * 10 < 3 * n_lines) AS r_ellipsis,
+       (alpha_words * 5 > 4 * wc) AS r_alpha,
+       (stop_hits >= 2) AS r_stops,
+       ((wc >= 50 AND wc <= 100000)
+        AND (3 * wc <= word_chars AND word_chars <= 10 * wc)
+        AND (symbol_cnt * 10 < wc)
+        AND (bullet_lines * 10 < 9 * n_lines)
+        AND (ellipsis_lines * 10 < 3 * n_lines)
+        AND (alpha_words * 5 > 4 * wc)
+        AND (stop_hits >= 2)) AS keep
+FROM m ORDER BY doc_id
+"""
+
+
+@register("gopher_quality_panel", _GOPHER_SQL)
+def q_gopher_quality_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Gopher rule metrics + integer-exact keep gate."""
+    return _text.gopher_rules(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# DSIR (operators/dsir.py)
+# ---------------------------------------------------------------------------
+
+_DSIR_COUNTS_SQL = f"""
+WITH tok AS (
+  SELECT lang = 'en' AS is_t,
+         unnest(string_split_regex(trim(text), '\\s+')) AS w
+  FROM documents),
+b AS (SELECT ('0x' || substr(md5(w), 1, 15))::BIGINT % {_dsir.B} AS bucket,
+             is_t
+      FROM tok)
+SELECT bucket,
+       CAST(sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS target_cnt,
+       CAST(count(*) AS BIGINT) AS raw_cnt
+FROM b GROUP BY bucket ORDER BY bucket
+"""
+
+
+@register("dsir_bucket_counts", _DSIR_COUNTS_SQL)
+def q_dsir_bucket_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR sufficient statistics: hashed-unigram bucket counts for
+    the target (en) slice vs the full corpus."""
+    return _dsir.dsir_bucket_counts(_docs(spark, sf_dir))
+
+
+@register("dsir_logweights")  # rows-only: log() is not IEEE-exact
+def q_dsir_logweights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document DSIR importance log-weights + top-25% selection
+    (decimal dot-product over driver-pinned log-ratio literals)."""
+    return _dsir.dsir_logweights(_docs(spark, sf_dir))

@@ -1,0 +1,129 @@
+"""M12 tier: Gopher rule gate on constructed documents (the synthetic
+corpus has no newlines, so the line-shape rules need built cases) and
+a full numpy differential for the DSIR scoring edge — the rows-only
+registry entry's independent check, mirroring the trained-index
+pattern."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from decimal import Decimal
+
+from pyspark.sql import functions as F
+
+from piholelongtermstats_spark.operators import dsir
+from piholelongtermstats_spark.operators.text import GOPHER_STOPS, gopher_rules
+
+SF = "/root/testdata/sf0.001"
+DOC_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
+
+
+def _doc(i, text, lang="en"):
+    return (i, text, lang, "srcT", len(text))
+
+
+def test_gopher_rules_constructed_cases(spark):
+    good = "the quick brown fox jumps over that lazy dog again and " * 6  # 60 words
+    bullets = "\n".join(f"- item {i}" for i in range(10))
+    dots = "\n".join(f"line {i} trails off..." for i in range(10))
+    symbols = ("#tag " * 30) + ("word " * 30)
+    nonalpha = ("123 456 789 " * 20) + "the and"
+    short = "the and of"
+    docs = spark.createDataFrame(
+        [
+            _doc(0, good),
+            _doc(1, bullets),
+            _doc(2, dots),
+            _doc(3, symbols),
+            _doc(4, nonalpha),
+            _doc(5, short),
+        ],
+        DOC_SCHEMA,
+    )
+    got = {r.doc_id: r.asDict() for r in gopher_rules(docs).collect()}
+    assert got[0]["keep"] is True
+    assert got[1]["r_bullets"] is False and got[1]["bullet_lines"] == 10
+    assert got[2]["r_ellipsis"] is False and got[2]["ellipsis_lines"] == 10
+    assert got[3]["r_symbol"] is False and got[3]["symbol_cnt"] == 30
+    assert got[4]["r_alpha"] is False
+    assert got[5]["r_wordcount"] is False and got[5]["word_count"] == 3
+    # stop-hit counting is DISTINCT stop words, not occurrences
+    assert got[0]["stop_hits"] == 3  # the, that, and
+    # mean-length bound is cross-multiplied ints
+    assert got[0]["r_meanlen"] is True
+
+
+def test_gopher_stop_hits_are_distinct_words(spark):
+    docs = spark.createDataFrame(
+        [_doc(0, "the the the the"), _doc(1, "the be to of and that have with")],
+        DOC_SCHEMA,
+    )
+    got = {r.doc_id: r.stop_hits for r in gopher_rules(docs).collect()}
+    assert got == {0: 1, 1: 8}
+
+
+def _py_bucket(word: str) -> int:
+    return int(hashlib.md5(word.encode()).hexdigest()[:15], 16) % dsir.B
+
+
+def test_dsir_logweights_match_numpy_reference(spark):
+    """Exact equality: the Spark decimal dot-product over driver-pinned
+    log-ratio literals must reproduce a pure-Python computation of the
+    same pinned decimals — no tolerance."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    rows = [(r.doc_id, r.text, r.lang) for r in docs.collect()]
+
+    # reference: bucket counts → Laplace log-ratios → per-doc decimal dot
+    tc, rc = [0] * dsir.B, [0] * dsir.B
+    for _, text, lang in rows:
+        for w in text.strip().split():
+            b = _py_bucket(w)
+            rc[b] += 1
+            if lang == "en":
+                tc[b] += 1
+    nt, nr = sum(tc), sum(rc)
+    lrs = [
+        Decimal(
+            f"{math.log((tc[b] + 1) / (nt + dsir.B)) - math.log((rc[b] + 1) / (nr + dsir.B)):.12f}"
+        )
+        for b in range(dsir.B)
+    ]
+    want = {}
+    for doc_id, text, _ in rows:
+        ws = text.strip().split()
+        w_dec = sum(
+            (lrs[_py_bucket(w)] for w in ws), Decimal(0)
+        )
+        want[doc_id] = (len(ws), round(float(w_dec), 6))
+
+    got = {
+        r.doc_id: (r.n_tokens, r.log_weight)
+        for r in dsir.dsir_logweights(docs).collect()
+    }
+    assert got == want
+
+    # selection: exactly ceil(q*N) docs, and they are the argmax set
+    sel = {r.doc_id for r in dsir.dsir_logweights(docs).collect() if r.selected}
+    k = -(-len(rows) * 25 // 100)
+    assert len(sel) == k
+    ranked = sorted(want, key=lambda d: (-want[d][1], d))
+    assert sel == set(ranked[:k])
+
+
+def test_dsir_train_log_ratios_pinned_roundtrip(spark):
+    """train_log_ratios is deterministic and B-long; an explicit
+    log_ratios argument bypasses training (the pinned-replay path)."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    a = dsir.train_log_ratios(docs)
+    b = dsir.train_log_ratios(docs)
+    assert a == b and len(a) == dsir.B
+    out1 = dsir.dsir_logweights(docs, log_ratios=a).collect()
+    out2 = dsir.dsir_logweights(docs).collect()
+    assert out1 == out2
+
+
+def test_stop_word_list_is_the_published_eight():
+    assert GOPHER_STOPS == (
+        "the", "be", "to", "of", "and", "that", "have", "with",
+    )
