@@ -1,0 +1,119 @@
+"""Stream-stream windowed join: conversion attribution between two
+live event streams.
+
+§2.9 depth beyond stream-static enrichment (streaming/enrich.py —
+there the dimension is at rest; here BOTH sides are unbounded). The
+canonical pipeline use is attribution: match every 'view' event to
+the same client's 'purchase' within an attribution window. Structured
+Streaming's state story makes this safe at scale only with BOTH
+ingredients the API forces:
+
+- watermarks on both sides bound how long unmatched rows wait in the
+  join state store (without them state grows forever), and
+- an event-time RANGE condition (purchase.ts in [view.ts, view.ts +
+  window]) lets the engine evict state deterministically: a view older
+  than (right watermark − window) can never match again.
+
+Inner join emits a match as soon as both rows arrive; LEFT OUTER
+additionally emits the NULL-padded view only after the watermark
+proves no purchase can still arrive — the same
+finalization-on-watermark semantics as append-mode windowed aggs
+(streaming/topk.py), which the e2e test pins via the two-run
+availableNow pattern.
+
+At 100 TB/day the join state is hash-partitioned by the equality key
+(client) across executors; each micro-batch shuffles only its own
+rows, and eviction is incremental per the watermark — no state scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from piholelongtermstats_spark.streaming.rollup import STREAM_SCHEMA
+
+
+def _typed_stream(
+    spark: SparkSession,
+    source_dir: str,
+    status: str,
+    alias: str,
+    max_files_per_trigger: int = 16,
+) -> DataFrame:
+    return (
+        spark.readStream.schema(STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_dir)
+        .filter(F.col("status_type") == status)
+        .select(
+            F.col("event_id").alias(f"{alias}_id"),
+            F.col("ts").alias(f"{alias}_ts"),
+            "client",
+            F.col("domain").alias(f"{alias}_domain"),
+        )
+    )
+
+
+def attributed_conversions(
+    spark: SparkSession,
+    views_dir: str,
+    purchases_dir: str,
+    window: str = "30 minutes",
+    watermark: str = "1 hour",
+    how: str = "inner",
+    max_files_per_trigger: int = 16,
+) -> DataFrame:
+    """views ⋈ purchases on client within [view_ts, view_ts + window].
+
+    ``how='left_outer'`` keeps unconverted views (purchase columns
+    NULL), emitted once the GLOBAL watermark — the MIN across both
+    inputs, so both sides must keep moving — passes view_ts + window;
+    the NULL-padded row physically leaves the state store during a
+    SUBSEQUENT micro-batch's eviction pass (standard Structured
+    Streaming outer-join semantics, pinned by the test)."""
+    v = _typed_stream(
+        spark, views_dir, "Allowed", "view", max_files_per_trigger
+    ).withWatermark("view_ts", watermark)
+    p = (
+        _typed_stream(
+            spark, purchases_dir, "Blocked", "purchase", max_files_per_trigger
+        )
+        .withColumnRenamed("client", "p_client")
+        .withWatermark("purchase_ts", watermark)
+    )
+    cond = (
+        (F.col("client") == F.col("p_client"))
+        & (F.col("purchase_ts") >= F.col("view_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("view_ts") + F.expr(f"INTERVAL {window}")
+        )
+    )
+    return v.join(p, cond, how).select(
+        "view_id", "view_ts", "client", "view_domain",
+        "purchase_id", "purchase_ts",
+    )
+
+
+def start_conversions_to_memory(
+    spark: SparkSession,
+    views_dir: str,
+    purchases_dir: str,
+    table_name: str,
+    window: str = "30 minutes",
+    watermark: str = "1 hour",
+    how: str = "inner",
+    max_files_per_trigger: int = 16,
+):
+    return (
+        attributed_conversions(
+            spark, views_dir, purchases_dir, window, watermark, how,
+            max_files_per_trigger,
+        )
+        .writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
