@@ -88,7 +88,7 @@ TOP_50 = [
     "media_pipeline_check",
     "corpus_build",
     "contamination_overlap",
-    "tfidf_top_terms",
+    "gopher_quality_panel",
     "sampling_panel",
     "dedup_scale_2x",
 ]
@@ -139,8 +139,15 @@ TOP_50 = [
 # avg shape stays driver-verified through daily_counts +
 # reply_time_stats' avg legs and daily_avg_reply stays parity-green
 # below the line.
+# r6 swap (2): gopher_quality_panel (the published Gopher heuristic
+# gate — a new data-selection family with an integer-exact keep
+# decision) took tfidf_top_terms' row; the tf-idf explode→partial-agg
+# shape stays driver-verified through bm25-adjacent machinery inside
+# contamination_overlap/corpus_build and tfidf_top_terms stays
+# parity-green below the line.
 _OVERFLOW = [
     "daily_avg_reply",
+    "tfidf_top_terms",
     "hour_spine_zerofill",
     "exact_dedup",
     "simhash",
@@ -178,8 +185,8 @@ _OVERFLOW = [
     "pricing_scale_2x",
     "span_dedup",
     "scd2_history_n",
-    "gopher_quality_panel",
     "dsir_bucket_counts",
+    "jsonl_ingest_check",
     "bucketed_join_revenue",
     "pack_manifest",
     # rows-only by design (sketches, iterative index builds, stubs)

@@ -107,3 +107,74 @@ def q_dsir_logweights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document DSIR importance log-weights + top-25% selection
     (decimal dot-product over driver-pinned log-ratio literals)."""
     return _dsir.dsir_logweights(_docs(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# JSONL ingestion with corrupt-record quarantine (sources/jsonl.py):
+# the session writes documents as JSONL with every doc_id % 97 == 0
+# line deterministically torn, reads it back PERMISSIVE, and audits
+# good/quarantine counts plus a text-fidelity hash sum. The oracle
+# replays the membership algebra and the SAME hash sum directly on
+# the documents table — equality proves the roundtrip lost and
+# mangled nothing.
+# ---------------------------------------------------------------------------
+
+import hashlib as _hashlib  # noqa: E402
+import os as _os  # noqa: E402
+import tempfile as _tempfile  # noqa: E402
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from piholelongtermstats_spark.sources import jsonl as _jsonl  # noqa: E402
+
+_JSONL_MOD = 97
+_JSONL_READY: set = set()
+
+
+def _jsonl_root(spark: SparkSession, sf_dir: str) -> str:
+    digest = _hashlib.md5(_os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    root = _os.path.join(
+        _tempfile.gettempdir(),
+        "phlts_jsonl",
+        f"{spark.sparkContext.applicationId}-{digest}",
+    )
+    key = (spark.sparkContext.applicationId, root)
+    if key not in _JSONL_READY:
+        _jsonl.write_documents_jsonl(
+            _docs(spark, sf_dir), root, corrupt_mod=_JSONL_MOD
+        )
+        _JSONL_READY.add(key)
+    return root
+
+
+_JSONL_SQL = f"""
+SELECT
+  CAST(count(*) FILTER (WHERE doc_id % {_JSONL_MOD} <> 0) AS BIGINT) AS n_good,
+  CAST(count(*) FILTER (WHERE doc_id % {_JSONL_MOD} = 0) AS BIGINT) AS n_quarantined,
+  CAST(sum(doc_id) FILTER (WHERE doc_id % {_JSONL_MOD} <> 0) AS BIGINT) AS good_id_sum,
+  CAST(sum(n_chars) FILTER (WHERE doc_id % {_JSONL_MOD} <> 0) AS BIGINT) AS good_chars,
+  CAST(sum(('0x' || substr(md5(text), 1, 15))::BIGINT % 1000000007)
+       FILTER (WHERE doc_id % {_JSONL_MOD} <> 0) AS BIGINT) AS good_text_hashsum
+FROM documents
+"""
+
+
+@register("jsonl_ingest_check", _JSONL_SQL)
+def q_jsonl_ingest_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Good/quarantine split of the torn-line JSONL export, audited
+    by counts + an order-independent text hash sum."""
+    root = _jsonl_root(spark, sf_dir)
+    good, bad = _jsonl.read_documents_jsonl(spark, root)
+    g = good.agg(
+        F.count(F.lit(1)).alias("n_good"),
+        F.sum("doc_id").alias("good_id_sum"),
+        F.sum("n_chars").alias("good_chars"),
+        F.sum(_text.md5_hash60(F.col("text")) % 1000000007).alias(
+            "good_text_hashsum"
+        ),
+    )
+    b = bad.agg(F.count(F.lit(1)).alias("n_quarantined"))
+    return g.crossJoin(b).select(
+        "n_good", "n_quarantined", "good_id_sum", "good_chars",
+        "good_text_hashsum",
+    )

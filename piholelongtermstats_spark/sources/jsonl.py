@@ -1,0 +1,86 @@
+"""JSONL corpus ingestion with corrupt-record quarantine.
+
+LLM training corpora ARRIVE as JSON-lines (Common Crawl derivatives,
+Dolma, RedPajama all ship .jsonl.gz); the reference's SQLite reader
+covers the dashboard's source axis, this covers the pipeline's. The
+100 TB ingest contract:
+
+- EXPLICIT schema, never inferSchema — inference is a full extra
+  pass over the data and its result depends on which sample Spark
+  reads, so two runs can disagree on types; an ingest must be a
+  function of the declared contract only.
+- PERMISSIVE mode with a corrupt-record column: a malformed line
+  (truncated write, encoding garbage, schema drift) must neither
+  kill the job (FAILFAST) nor vanish silently (DROPMALFORMED) — it
+  lands in quarantine with the raw line preserved for replay after
+  the upstream fix. Quarantine rate is a first-class data-quality
+  metric (the registry entry counts it against an exact oracle).
+- The parsed frame is split good/quarantine ONCE; both sides are
+  plain DataFrames (the quarantine writes to its own sink in a real
+  deployment).
+
+Spark restriction handled here: a query referencing ONLY the
+internal corrupt-record column over a raw JSON scan is disallowed
+(SPARK-21610) — the parsed frame is cached before the split, which
+an ingest edge wants anyway (one parse, two consumers).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+DOC_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]
+)
+
+_CORRUPT = "_corrupt_record"
+
+
+def read_documents_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType = DOC_SCHEMA,
+) -> tuple[DataFrame, DataFrame]:
+    """(good, quarantine): parse ``path`` against the explicit schema.
+
+    ``good`` carries exactly the schema's columns; ``quarantine``
+    carries the raw unparseable line. A line that is valid JSON but
+    type-mismatches the schema also quarantines (the raw line is
+    preserved there), matching the declared-contract rule."""
+    full = T.StructType(list(schema.fields) + [T.StructField(_CORRUPT, T.StringType())])
+    parsed = (
+        spark.read.schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", _CORRUPT)
+        .json(path)
+        .cache()  # SPARK-21610: no corrupt-column-only query on a raw scan
+    )
+    good = parsed.filter(F.col(_CORRUPT).isNull()).drop(_CORRUPT)
+    quarantine = parsed.filter(F.col(_CORRUPT).isNotNull()).select(
+        F.col(_CORRUPT).alias("raw_line")
+    )
+    return good, quarantine
+
+
+def write_documents_jsonl(
+    docs: DataFrame, path: str, corrupt_mod: "int | None" = None
+) -> None:
+    """documents → JSONL text files (one JSON object per line) via
+    to_json — distributed, no driver round-trip. ``corrupt_mod``
+    deterministically truncates every doc_id % corrupt_mod == 0 line
+    to its first 10 bytes (an always-invalid JSON prefix) — the
+    torn-write injector the quarantine tests and oracle replay."""
+    line = F.to_json(F.struct(*[F.col(f.name) for f in DOC_SCHEMA.fields]))
+    if corrupt_mod is not None:
+        line = F.when(
+            F.col("doc_id") % corrupt_mod == 0, F.substring(line, 1, 10)
+        ).otherwise(line)
+    docs.select(line.alias("value")).write.mode("overwrite").text(path)
