@@ -99,6 +99,8 @@ def dsir_logweights(
     to double only at the output edge. The per-doc bucket counting is
     explode → (doc_id, bucket) partial agg — both shuffles carry
     counts, never text."""
+    import math
+
     if log_ratios is None:
         log_ratios = train_log_ratios(docs, target_lang)
     lr_arr = F.array(*[F.lit(x).cast("decimal(20,12)") for x in log_ratios])
@@ -115,26 +117,48 @@ def dsir_logweights(
             ).alias("_w_dec"),
         )
     )
+    # One row per INPUT document: a token-less doc (empty/whitespace/
+    # NULL text) produces no explode rows, so left-join the weights
+    # back to the doc_id spine with weight 0 — log w of an empty doc
+    # is the empty sum, mathematically 0, and it must still compete
+    # in the ⌈q·N⌉ selection it is counted toward (r6 VERDICT #2).
+    full = docs.select("doc_id").join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n_tokens"), F.lit(0)).cast("long").alias("n_tokens"),
+        F.coalesce(
+            F.col("_w_dec"), F.lit(Decimal(0)).cast("decimal(38,12)")
+        ).alias("_w_dec"),
+    )
     n = docs.count()
-    k = max(int(-(-q * n // 1)), 1)  # ceil(q*n), ≥1
+    # ceil(q·n) in EXACT arithmetic (Decimal product, never a double:
+    # 0.07*100 as doubles is 7.000000000000001, whose ceil is 8 — the
+    # same fp-ceil bug exact_group_quantiles pins; r6 ADVICE).
+    k = max(math.ceil(Decimal(str(q)) * n), 1)
     # Selection WITHOUT a global window (row_number over an
     # unpartitioned window is a SinglePartition plan — the exact
     # anti-pattern the scale proofs forbid): find the k-th
     # (weight, doc_id) boundary pair and select by comparison. The
     # boundary probes are two single-scalar collects on the SKINNY
     # (doc_id, weight) relation — the fat text never moves.
-    per_doc = per_doc.persist()
-    kth = per_doc.select("_w_dec", "doc_id").orderBy(
-        F.col("_w_dec").desc(), F.col("doc_id").asc()
-    ).limit(k)
-    thr_w = kth.agg(F.min("_w_dec")).first()[0]
-    thr_id = (
-        kth.filter(F.col("_w_dec") == thr_w).agg(F.max("doc_id")).first()[0]
-    )
+    full = full.persist()
+    try:
+        kth = full.select("_w_dec", "doc_id").orderBy(
+            F.col("_w_dec").desc(), F.col("doc_id").asc()
+        ).limit(k)
+        thr_w = kth.agg(F.min("_w_dec")).first()[0]
+        thr_id = (
+            kth.filter(F.col("_w_dec") == thr_w).agg(F.max("doc_id")).first()[0]
+        )
+    finally:
+        # The probes are done and their scalars extracted; release the
+        # cache before returning so repeated calls (5 bench passes per
+        # round) don't accumulate resident relations (r6 ADVICE). The
+        # returned plan recomputes the skinny agg once at consumption.
+        full.unpersist()
     sel = (F.col("_w_dec") > F.lit(thr_w)) | (
         (F.col("_w_dec") == F.lit(thr_w)) & (F.col("doc_id") <= thr_id)
     )
-    return per_doc.select(
+    return full.select(
         "doc_id",
         "n_tokens",
         F.round(F.col("_w_dec").cast("double"), 6).alias("log_weight"),

@@ -36,8 +36,13 @@ BPE_PATTERN = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
 
 
 def tokens(text: Column) -> Column:
-    r"""Whitespace tokenization: split(trim(text), '\s+')."""
-    return F.split(F.trim(text), r"\s+")
+    r"""Whitespace tokenization: split(trim(text), '\s+') with empty
+    tokens filtered — an empty/whitespace-only document tokenizes to
+    [] (0 tokens), matching Python str.split(). Without the filter,
+    split of an empty trimmed string returns [''] and every empty doc
+    would count one phantom token (r6 ADVICE); the DuckDB oracles
+    apply the same list_filter so the convention is cross-engine."""
+    return F.filter(F.split(F.trim(text), r"\s+"), lambda t: t != "")
 
 
 def md5_hash60(col: Column) -> Column:
@@ -352,8 +357,13 @@ def gopher_rules(docs: DataFrame, text_col: str = "text") -> DataFrame:
     wc = F.size(toks)
     word_chars = F.length(F.regexp_replace(t, r"\s+", ""))
     hash_cnt = F.length(t) - F.length(F.replace(t, F.lit("#")))
-    ell_cnt = F.floor(
-        (F.length(t) - F.length(F.replace(t, F.lit("...")))) / 3
+    # Both ellipsis forms count (r6 VERDICT #4): the ASCII three-dot
+    # run (length-delta / 3) and the single-char Unicode U+2026 "…" —
+    # real corpora are full of the latter. Disjoint characters, so
+    # the two counts never overlap.
+    ell_cnt = (
+        F.floor((F.length(t) - F.length(F.replace(t, F.lit("...")))) / 3)
+        + (F.length(t) - F.length(F.replace(t, F.lit("…"))))
     ).cast("long")
     symbol_cnt = (hash_cnt + ell_cnt).cast("long")
     lines = F.split(t, "\n")
@@ -361,7 +371,9 @@ def gopher_rules(docs: DataFrame, text_col: str = "text") -> DataFrame:
     bullet_lines = F.size(
         F.filter(lines, lambda x: x.rlike(r"^\s*[-*•]"))
     )
-    ellipsis_lines = F.size(F.filter(lines, lambda x: x.rlike(r"\.\.\.\s*$")))
+    ellipsis_lines = F.size(
+        F.filter(lines, lambda x: x.rlike(r"(\.\.\.|…)\s*$"))
+    )
     alpha_words = F.size(F.filter(toks, lambda w: w.rlike("[A-Za-z]")))
     stop_hits = sum(
         F.when(lt.rlike(rf"\b{w}\b"), 1).otherwise(0) for w in GOPHER_STOPS

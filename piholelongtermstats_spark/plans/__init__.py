@@ -51,7 +51,6 @@ TOP_50 = [
     "daily_counts",
     "weekday_avg",
     "hourly_rollup",
-    "rollup_delta",
     "day_hour_heatmap_panel",
     "reply_time_stats",
     "slowest_domains",
@@ -88,6 +87,7 @@ TOP_50 = [
     "media_pipeline_check",
     "corpus_build",
     "contamination_overlap",
+    "semantic_contamination",
     "gopher_quality_panel",
     "sampling_panel",
     "dedup_scale_2x",
@@ -145,7 +145,14 @@ TOP_50 = [
 # shape stays driver-verified through bm25-adjacent machinery inside
 # contamination_overlap/corpus_build and tfidf_top_terms stays
 # parity-green below the line.
+# r7 swap (r6 VERDICT #1): semantic_contamination (benchmark
+# decontamination via the SemDeDup cell-bounded cosine path — a
+# first-class training-data concern) took rollup_delta's row; the
+# A12/A13 incremental-maintenance shapes stay driver-verified through
+# hourly_rollup, client_activity, and daily_counts, and rollup_delta
+# stays parity-green below the line.
 _OVERFLOW = [
+    "rollup_delta",
     "daily_avg_reply",
     "tfidf_top_terms",
     "hour_spine_zerofill",

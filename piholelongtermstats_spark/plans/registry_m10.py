@@ -122,7 +122,7 @@ def q_knn_join_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DATA_CARD_SQL = r"""
 WITH t AS (
   SELECT source, lang, text, n_chars,
-         len(string_split_regex(trim(text), '\s+'))::BIGINT AS n_toks
+         len(list_filter(string_split_regex(trim(text), '\s+'), tk -> tk <> ''))::BIGINT AS n_toks
   FROM documents),
 scal AS (
   SELECT source,
@@ -380,7 +380,7 @@ _BM25_TERMS = "', '".join(_retr.DEFAULT_QUERY)
 
 _BM25_CORE = rf"""
 base AS (
-  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+  SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), tk -> tk <> '') AS toks
   FROM documents {{filter}}),
 d AS (SELECT doc_id, toks, len(toks)::BIGINT AS dl FROM base),
 stats AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS total_dl
@@ -508,7 +508,7 @@ _CHUNK_S = _packing.CHUNK_STRIDE
 
 _CHUNK_SQL = rf"""
 WITH t AS (
-  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+  SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), tk -> tk <> '') AS toks
   FROM documents),
 n AS (
   SELECT doc_id, toks, len(toks)::BIGINT AS n,

@@ -30,16 +30,17 @@ _STOP_HITS_SQL = " + ".join(
 _GOPHER_SQL = f"""
 WITH m AS (
   SELECT doc_id,
-         len(string_split_regex(trim(text), '\\s+')) AS wc,
+         len(list_filter(string_split_regex(trim(text), '\\s+'), tk -> tk <> '')) AS wc,
          length(regexp_replace(text, '\\s+', '', 'g')) AS word_chars,
          (length(text) - length(replace(text, '#', '')))
-           + (length(text) - length(replace(text, '...', ''))) // 3 AS symbol_cnt,
+           + (length(text) - length(replace(text, '...', ''))) // 3
+           + (length(text) - length(replace(text, '…', ''))) AS symbol_cnt,
          len(string_split(text, chr(10))) AS n_lines,
          len(list_filter(string_split(text, chr(10)),
              x -> regexp_matches(x, '^\\s*[-*•]'))) AS bullet_lines,
          len(list_filter(string_split(text, chr(10)),
-             x -> regexp_matches(x, '\\.\\.\\.\\s*$'))) AS ellipsis_lines,
-         len(list_filter(string_split_regex(trim(text), '\\s+'),
+             x -> regexp_matches(x, '(\\.\\.\\.|…)\\s*$'))) AS ellipsis_lines,
+         len(list_filter(list_filter(string_split_regex(trim(text), '\\s+'), tk -> tk <> ''),
              w -> regexp_matches(w, '[A-Za-z]'))) AS alpha_words,
          {_STOP_HITS_SQL} AS stop_hits
   FROM documents)
@@ -83,7 +84,7 @@ def q_gopher_quality_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DSIR_COUNTS_SQL = f"""
 WITH tok AS (
   SELECT lang = 'en' AS is_t,
-         unnest(string_split_regex(trim(text), '\\s+')) AS w
+         unnest(list_filter(string_split_regex(trim(text), '\\s+'), tk -> tk <> '')) AS w
   FROM documents),
 b AS (SELECT ('0x' || substr(md5(w), 1, 15))::BIGINT % {_dsir.B} AS bucket,
              is_t

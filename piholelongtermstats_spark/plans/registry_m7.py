@@ -19,7 +19,7 @@ from piholelongtermstats_spark.session import ensure_session_defaults
 from piholelongtermstats_spark.sources.parquet import load_table
 
 # DuckDB equivalents of the shared building blocks.
-_TOKS = r"string_split_regex(trim(text), '\s+')"
+_TOKS = r"list_filter(string_split_regex(trim(text), '\s+'), tk -> tk <> '')"
 
 _SHINGLE_CTE = rf"""
 WITH tk AS (
@@ -332,7 +332,7 @@ def _lang_oracle() -> str:
     return rf"""
 WITH t AS (
   SELECT doc_id, lang AS actual_lang,
-         string_split_regex(trim(lower(text)), '\s+') AS toks
+         list_filter(string_split_regex(trim(lower(text)), '\s+'), tk -> tk <> '') AS toks
   FROM documents
 ), s AS (
   SELECT doc_id, actual_lang,

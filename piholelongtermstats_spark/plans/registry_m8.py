@@ -112,7 +112,7 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tfidf_top_terms",
     r"""
 WITH tok AS (
-  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+  SELECT doc_id, unnest(list_filter(string_split_regex(trim(text), '\s+'), tk -> tk <> '')) AS term
   FROM documents
 ), tf AS (
   SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2
@@ -199,7 +199,7 @@ def q_corpus_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     "doc_repetition",
     r"""
 WITH t AS (
-  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+  SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), tk -> tk <> '') AS toks
   FROM documents
 ), g AS (
   SELECT doc_id,
@@ -231,8 +231,8 @@ def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     rf"""
 WITH t AS (
   SELECT doc_id, lang, text,
-         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
-         CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+         CAST(len(list_filter(string_split_regex(trim(text), '\s+'), tk -> tk <> '')) AS BIGINT) AS n_tokens,
+         CAST(len(list_filter(list_filter(string_split_regex(trim(text), '\s+'), tk -> tk <> ''),
                               x -> x IN ({_SW_LIST}))) AS BIGINT) AS sw
   FROM documents
 ), gated AS (
@@ -357,7 +357,7 @@ _SPAN_MAX_DF = 2
     "span_dedup",
     rf"""
 WITH tk AS (
-  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
+  SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), tk -> tk <> '') AS toks FROM documents
 ), chunks AS (
   SELECT doc_id, i AS pos,
          array_to_string(toks[(i*{_SPAN}+1):(i*{_SPAN}+{_SPAN})], ' ') AS chunk
@@ -374,10 +374,10 @@ WITH tk AS (
   FROM kept GROUP BY doc_id
 )
 SELECT d.doc_id,
-       CAST(ceil(len(string_split_regex(trim(d.text), '\s+'))/{_SPAN}.0) AS BIGINT)
+       CAST(ceil(len(list_filter(string_split_regex(trim(d.text), '\s+'), tk -> tk <> ''))/{_SPAN}.0) AS BIGINT)
          AS n_spans,
        CAST(coalesce(a.kept_spans, 0) AS BIGINT) AS kept_spans,
-       CAST(ceil(len(string_split_regex(trim(d.text), '\s+'))/{_SPAN}.0) AS BIGINT)
+       CAST(ceil(len(list_filter(string_split_regex(trim(d.text), '\s+'), tk -> tk <> ''))/{_SPAN}.0) AS BIGINT)
          - CAST(coalesce(a.kept_spans, 0) AS BIGINT) AS removed_spans,
        coalesce(a.clean_text, '') AS clean_text
 FROM documents d LEFT JOIN agg a USING (doc_id)
@@ -406,7 +406,7 @@ _SEQ_LEN = 512
     rf"""
 WITH tk AS (
   SELECT doc_id,
-         len(string_split_regex(trim(text), '\s+')) AS n_tok
+         len(list_filter(string_split_regex(trim(text), '\s+'), tk -> tk <> '')) AS n_tok
   FROM documents
 ), c AS (
   SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,

@@ -204,12 +204,12 @@ def q_ann_scale_2x(spark: SparkSession, sf_dir: str) -> DataFrame:
 # both sides so no fp comparison exists to diverge.
 # ---------------------------------------------------------------------------
 
-_QC_W = r"list_transform(string_split_regex(trim(text), '\s+'), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT % 2001 - 1000)"
+_QC_W = r"list_transform(list_filter(string_split_regex(trim(text), '\s+'), tk -> tk <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT % 2001 - 1000)"
 
 _QUALITY_CLASSIFIER_SQL = f"""
 WITH w AS (
   SELECT doc_id,
-         len(string_split_regex(trim(text), '\\s+'))::BIGINT AS n_tokens,
+         len(list_filter(string_split_regex(trim(text), '\\s+'), tk -> tk <> ''))::BIGINT AS n_tokens,
          CAST(list_sum({_QC_W}) AS BIGINT) AS weight_sum
   FROM documents)
 SELECT doc_id, n_tokens, weight_sum,
@@ -232,7 +232,7 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 _VOCAB_TOPK_SQL = r"""
 WITH tk AS (
   SELECT doc_id,
-         unnest(string_split_regex(trim(text), '\s+')) AS token
+         unnest(list_filter(string_split_regex(trim(text), '\s+'), tk -> tk <> '')) AS token
   FROM documents)
 SELECT token,
        count(*)::BIGINT AS tf,
@@ -417,7 +417,7 @@ def q_ivfpq_ann_topk_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
 _EPOCH_PACK_SQL = rf"""
 WITH k AS (
   SELECT doc_id,
-         len(string_split_regex(trim(text), '\s+'))::BIGINT AS n_tok,
+         len(list_filter(string_split_regex(trim(text), '\s+'), tk -> tk <> ''))::BIGINT AS n_tok,
          ('0x' || substr(md5('epoch:{_EPOCH}:' || doc_id), 1, 15))::BIGINT
            AS key
   FROM documents),

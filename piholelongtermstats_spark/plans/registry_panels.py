@@ -130,7 +130,7 @@ def _text_panel_oracle() -> str:
     return rf"""
 WITH t AS (
   SELECT doc_id, lang AS actual_lang, text, {_TOKS} AS toks,
-         string_split_regex(trim(lower(text)), '\s+') AS ltoks
+         list_filter(string_split_regex(trim(lower(text)), '\s+'), tk -> tk <> '') AS ltoks
   FROM documents
 ), m AS (
   SELECT doc_id, actual_lang, text, ltoks,

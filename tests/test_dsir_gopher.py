@@ -127,3 +127,59 @@ def test_stop_word_list_is_the_published_eight():
     assert GOPHER_STOPS == (
         "the", "be", "to", "of", "and", "that", "have", "with",
     )
+
+
+def test_dsir_logweights_one_row_per_doc_including_empty(spark):
+    """r6 VERDICT #2: a token-less document (empty or whitespace-only
+    text) must still emit a row — n_tokens 0, log_weight 0 (the empty
+    sum) — and compete in the ⌈q·N⌉ selection it is counted toward."""
+    docs = spark.createDataFrame(
+        [
+            _doc(0, "the cat sat on the mat"),
+            _doc(1, ""),
+            _doc(2, " \n\t  "),
+            _doc(3, "und der das ist nicht", "de"),
+        ],
+        DOC_SCHEMA,
+    )
+    out = dsir.dsir_logweights(docs, q=0.5).collect()
+    assert [r.doc_id for r in out] == [0, 1, 2, 3]
+    got = {r.doc_id: r for r in out}
+    assert got[1].n_tokens == 0 and got[1].log_weight == 0.0
+    assert got[2].n_tokens == 0 and got[2].log_weight == 0.0
+    assert sum(r.selected for r in out) == 2  # ceil(0.5 * 4)
+
+
+def test_dsir_selection_k_is_exact_ceil(spark):
+    """r6 ADVICE (medium): k = ceil(q·n) in exact arithmetic. As
+    doubles, 0.07*100 = 7.000000000000001 → fp-ceil 8; the correct
+    answer is 7."""
+    docs = spark.createDataFrame(
+        [_doc(i, f"word{i} the and") for i in range(100)], DOC_SCHEMA
+    )
+    out = dsir.dsir_logweights(docs, q=0.07).collect()
+    assert sum(r.selected for r in out) == 7
+
+
+def test_gopher_unicode_ellipsis_counts(spark):
+    """r6 VERDICT #4: the single-char U+2026 '…' counts as an ellipsis
+    in both the symbol ratio and the line-ending rule, same as the
+    ASCII three-dot form."""
+    uni_dots = "\n".join(f"line {i} trails off…" for i in range(10))
+    uni_symbols = ("so… " * 30) + ("word " * 30)
+    docs = spark.createDataFrame(
+        [_doc(0, uni_dots), _doc(1, uni_symbols)], DOC_SCHEMA
+    )
+    got = {r.doc_id: r.asDict() for r in gopher_rules(docs).collect()}
+    assert got[0]["ellipsis_lines"] == 10 and got[0]["r_ellipsis"] is False
+    assert got[1]["symbol_cnt"] == 30 and got[1]["r_symbol"] is False
+
+
+def test_tokens_of_empty_text_is_empty(spark):
+    """r6 ADVICE: tokens('') == [] (0 tokens), matching str.split(),
+    not [''] — pinned through gopher word_count."""
+    docs = spark.createDataFrame(
+        [_doc(0, ""), _doc(1, "   "), _doc(2, "one two")], DOC_SCHEMA
+    )
+    got = {r.doc_id: r.word_count for r in gopher_rules(docs).collect()}
+    assert got == {0: 0, 1: 0, 2: 2}

@@ -73,3 +73,27 @@ def test_good_frame_is_analyzable_without_corrupt_column(spark, tmp_path):
         f.write("broken\n")
     good, bad = read_documents_jsonl(spark, path)
     assert bad.count() == 1 and good.count() == 0
+
+
+def test_repeated_reads_reuse_one_cached_parse(spark, tmp_path):
+    """r6 ADVICE: re-reading the same path (bench runs each registry
+    query 5×) must not accumulate cached relations — the parse is
+    cached once per (app, path, schema) and reused."""
+    from piholelongtermstats_spark.sources.jsonl import (
+        _PARSED_CACHE,
+        release_documents_jsonl,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}", "en", "s", 6) for i in range(10)], DOC_SCHEMA
+    )
+    out = str(tmp_path / "reuse")
+    write_documents_jsonl(docs, out)
+    before = len(_PARSED_CACHE)
+    g1, _ = read_documents_jsonl(spark, out)
+    g2, _ = read_documents_jsonl(spark, out)
+    g3, _ = read_documents_jsonl(spark, out)
+    assert len(_PARSED_CACHE) == before + 1
+    assert g1.count() == g2.count() == g3.count() == 10
+    assert release_documents_jsonl(spark, out) == 1
+    assert len(_PARSED_CACHE) == before
