@@ -196,6 +196,7 @@ _OVERFLOW = [
     "jsonl_ingest_check",
     "bucketed_join_revenue",
     "pack_manifest",
+    "conversion_attribution",
     # rows-only by design (sketches, iterative index builds, stubs)
     "uniques_approx",
     "reply_time_quantiles",

@@ -179,3 +179,41 @@ def q_jsonl_ingest_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_good", "n_quarantined", "good_id_sum", "good_chars",
         "good_text_hashsum",
     )
+
+
+# ---------------------------------------------------------------------------
+# Conversion attribution — the BATCH twin of the stream-stream
+# windowed join (streaming/join.py). The oracle checks the batch
+# definition; tests/test_streaming_join.py pins stream ≡ batch on
+# shared files, so this entry extends driver-grade checking to the
+# streaming join's result contract (r6 VERDICT #3).
+# ---------------------------------------------------------------------------
+
+from piholelongtermstats_spark.sources.events import FACT_CTE as _FACT_CTE  # noqa: E402
+from piholelongtermstats_spark.streaming.join import (  # noqa: E402
+    attributed_conversions_batch as _conv_batch,
+)
+
+_CONV_SQL = _FACT_CTE + """
+SELECT v.event_id AS view_id,
+       v.ts AS view_ts,
+       v.client AS client,
+       v.domain AS view_domain,
+       p.event_id AS purchase_id,
+       p.ts AS purchase_ts
+FROM (SELECT * FROM fact WHERE status_type = 'Allowed') v
+JOIN (SELECT * FROM fact WHERE status_type = 'Blocked') p
+  ON v.client = p.client
+ AND p.ts >= v.ts
+ AND p.ts <= v.ts + INTERVAL 30 MINUTE
+ORDER BY view_id, purchase_id
+"""
+
+
+@register("conversion_attribution", _CONV_SQL)
+def q_conversion_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Views matched to same-client purchases within the 30-minute
+    attribution window — batch twin of the streaming join."""
+    from piholelongtermstats_spark.plans.registry import _fact
+
+    return _conv_batch(_fact(spark, sf_dir))

@@ -96,6 +96,51 @@ def attributed_conversions(
     )
 
 
+def attributed_conversions_batch(
+    fact: DataFrame, window: str = "30 minutes"
+) -> DataFrame:
+    """Batch twin of ``attributed_conversions`` over the same typed
+    mapping (views = Allowed, purchases = Blocked, keyed by client)
+    and the IDENTICAL range condition — the registered, DuckDB-
+    oracle-checked definition of the join's result contract (r6
+    VERDICT #3). tests/test_streaming_join.py pins stream ≡ THIS
+    function on shared files, so the streaming inner join inherits
+    the oracle check through the parity bridge.
+
+    Physical shape: SortMergeJoin on the client equality key with the
+    time-range predicate applied as a post-join filter — at 100 TB
+    the range never degrades to a cartesian because the equality key
+    partitions both sides; a skewed client additionally splits under
+    AQE skew-join (the events tier enables AQE session-wide)."""
+    v = fact.filter(F.col("status_type") == "Allowed").select(
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+        "client",
+        F.col("domain").alias("view_domain"),
+    )
+    p = fact.filter(F.col("status_type") == "Blocked").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("client").alias("p_client"),
+    )
+    cond = (
+        (F.col("client") == F.col("p_client"))
+        & (F.col("purchase_ts") >= F.col("view_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("view_ts") + F.expr(f"INTERVAL {window}")
+        )
+    )
+    return (
+        v.join(p, cond, "inner")
+        .select(
+            "view_id", "view_ts", "client", "view_domain",
+            "purchase_id", "purchase_ts",
+        )
+        .orderBy("view_id", "purchase_id")
+    )
+
+
 def start_conversions_to_memory(
     spark: SparkSession,
     views_dir: str,

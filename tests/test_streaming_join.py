@@ -105,21 +105,18 @@ def test_stream_matches_batch_join(spark, tmp_path):
         (r.view_id, r.purchase_id)
         for r in spark.sql("SELECT * FROM conv_b").collect()
     )
-    v = spark.read.schema(STREAM_SCHEMA).parquet(vdir).filter(
-        F.col("status_type") == "Allowed"
+    # the batch side IS the registered, oracle-checked operator
+    # (conversion_attribution) — this parity is the streaming bridge
+    # that extends its oracle check to the stream-stream join
+    from piholelongtermstats_spark.streaming.join import (
+        attributed_conversions_batch,
     )
-    p = spark.read.schema(STREAM_SCHEMA).parquet(pdir).filter(
-        F.col("status_type") == "Blocked"
+
+    fact = spark.read.schema(STREAM_SCHEMA).parquet(vdir).unionByName(
+        spark.read.schema(STREAM_SCHEMA).parquet(pdir)
     )
     want = sorted(
-        (r.vid, r.pid)
-        for r in v.alias("v").join(
-            p.alias("p"),
-            (F.col("v.client") == F.col("p.client"))
-            & (F.col("p.ts") >= F.col("v.ts"))
-            & (F.col("p.ts") <= F.col("v.ts") + F.expr("INTERVAL 30 minutes")),
-        ).select(
-            F.col("v.event_id").alias("vid"), F.col("p.event_id").alias("pid")
-        ).collect()
+        (r.view_id, r.purchase_id)
+        for r in attributed_conversions_batch(fact).collect()
     )
     assert got == want and len(got) > 0
