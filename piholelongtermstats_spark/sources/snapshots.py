@@ -73,21 +73,61 @@ def versions(root: str) -> list[int]:
     return sorted(out)
 
 
+def _claimed(root: str) -> list[int]:
+    """Every claimed version number (directory exists), committed or
+    not — the claim space two concurrent writers race over."""
+    if not os.path.isdir(root):
+        return []
+    out = []
+    for d in os.listdir(root):
+        if d.startswith("v=") and d[2:].isdigit():
+            out.append(int(d[2:]))
+    return sorted(out)
+
+
 def write_snapshot(df: DataFrame, root: str) -> int:
     """Write ``df`` as the next version; returns the version number.
-    The manifest lands AFTER the parquet write succeeds — a crashed
-    write leaves an uncommitted directory that ``versions`` ignores."""
-    vs = versions(root)
-    version = (vs[-1] + 1) if vs else 0
-    path = os.path.join(root, f"v={version}")
-    df.write.mode("errorifexists").parquet(path)
-    n = df.sparkSession.read.parquet(path).count()
+
+    Concurrent-writer safe (r6 VERDICT #5) via STAGE + RENAME-AS-CLAIM:
+    the parquet is fully written to ``root/_staging/<uuid>`` first,
+    then atomically ``os.rename``d to ``v=N`` — rename onto an
+    existing directory fails, so exactly one writer wins each N and
+    the loser retries at N+1 with its data intact (no rewrite, no
+    orphan: both writers terminate with distinct committed versions).
+    Because a claim implies complete data, ``parent`` is resolved as
+    N-1 whenever that claim exists — deterministic even while the
+    predecessor's manifest write is still in flight. The manifest
+    still lands last (atomic tmp+rename), so a crash leaves either a
+    cleanable ``_staging`` dir or a claimed-but-uncommitted ``v=N``
+    that ``versions`` ignores; its number is burned, which is safe:
+    readers key on COMMITTED versions and scd2_history folds runs by
+    ordinal position in the committed chain, not raw numbering."""
+    import uuid
+
+    staging = os.path.join(root, "_staging", uuid.uuid4().hex)
+    os.makedirs(os.path.dirname(staging), exist_ok=True)
+    df.write.mode("errorifexists").parquet(staging)
+    n = df.sparkSession.read.parquet(staging).count()
+    while True:
+        claimed = _claimed(root)
+        version = (claimed[-1] + 1) if claimed else 0
+        path = os.path.join(root, f"v={version}")
+        try:
+            os.rename(staging, path)
+            break
+        except OSError:
+            continue  # another writer claimed this N — retry at N+1
+    parent = (
+        version - 1
+        if version - 1 in set(_claimed(root))
+        else max((v for v in versions(root) if v < version), default=None)
+    )
     _write_manifest(
         root,
         version,
         {
             "version": version,
-            "parent": vs[-1] if vs else None,
+            "parent": parent,
             "n_rows": n,
             "schema": df.schema.jsonValue(),
         },
@@ -256,25 +296,31 @@ def scd2_history(
     if not vs:
         raise FileNotFoundError(f"no committed snapshots under {root}")
     parts = []
-    for v in vs:
+    for i, v in enumerate(vs):
         df = read_snapshot(spark, root, v)
         if content_cols is None:
             content_cols = tuple(c for c in df.columns if c != key)
         parts.append(
-            content_hash(df, key, content_cols).withColumn("version", F.lit(v))
+            content_hash(df, key, content_cols)
+            .withColumn("version", F.lit(v))
+            # ordinal position in the COMMITTED chain: run-splitting
+            # must key on chain adjacency, not raw numbering — a
+            # burned version number (crashed concurrent claim) is not
+            # an absence and must not split a run
+            .withColumn("vidx", F.lit(i))
         )
     allv = reduce(lambda a, b: a.unionByName(b), parts)
     from pyspark.sql import Window
 
-    w = Window.partitionBy(key).orderBy("version")
+    w = Window.partitionBy(key).orderBy("vidx")
     prev_h = F.lag("_h").over(w)
-    prev_v = F.lag("version").over(w)
+    prev_i = F.lag("vidx").over(w)
     seg = allv.withColumn(
         "_new",
         F.when(
             prev_h.isNull()
             | (prev_h != F.col("_h"))
-            | (prev_v != F.col("version") - 1),
+            | (prev_i != F.col("vidx") - 1),
             1,
         ).otherwise(0),
     ).withColumn(

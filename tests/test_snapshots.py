@@ -38,9 +38,12 @@ def test_uncommitted_directory_is_invisible(spark, tmp_path):
     _df(spark, [(9, "x")]).write.parquet(os.path.join(root, "v=1"))
     assert snap.versions(root) == [0]
     assert snap.read_snapshot(spark, root).first().doc_id == 1
-    # the next commit does NOT reuse the torn directory's number blindly
-    with pytest.raises(Exception):
-        snap.write_snapshot(_df(spark, [(2, "b")]), root)  # v=1 occupied
+    # the next commit does NOT reuse the torn directory's number: the
+    # rename-as-claim skips the burned slot and commits cleanly at 2
+    # (r7: previously this raised; now the writer terminates)
+    assert snap.write_snapshot(_df(spark, [(2, "b")]), root) == 2
+    assert snap.versions(root) == [0, 2]
+    assert snap.read_snapshot(spark, root).first().doc_id == 2
 
 
 def test_diff_algebra(spark, tmp_path):
@@ -212,3 +215,70 @@ def test_compact_layered_lineage(spark, tmp_path):
     assert [e["version"] for e in m["compacted_parents"]] == [0, 1, 2]
     with pytest.raises(ValueError):
         snap.compact(root, keep_last=0)
+
+
+def test_two_concurrent_writers_get_distinct_linear_versions(spark, tmp_path):
+    """r6 VERDICT #5: stage + rename-as-claim — two writers racing the
+    same root both terminate cleanly with distinct committed versions,
+    the parent chain is linear, and nothing is orphaned."""
+    import threading
+
+    root = str(tmp_path / "concurrent")
+    a = spark.range(10).withColumn("val", F.lit("a"))
+    b = spark.range(20).withColumn("val", F.lit("b"))
+    results, errors = {}, []
+    barrier = threading.Barrier(2)
+
+    def writer(name, df):
+        try:
+            barrier.wait(timeout=60)
+            results[name] = snap.write_snapshot(df, root)
+        except Exception as e:  # noqa: BLE001
+            errors.append((name, e))
+
+    threads = [
+        threading.Thread(target=writer, args=("a", a)),
+        threading.Thread(target=writer, args=("b", b)),
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+    assert not errors, errors
+    assert sorted(results.values()) == [0, 1]
+    assert snap.versions(root) == [0, 1]
+    # no orphaned staging dirs or unclaimed version dirs
+    staging = os.path.join(root, "_staging")
+    assert not os.path.isdir(staging) or os.listdir(staging) == []
+    assert sorted(d for d in os.listdir(root) if d.startswith("v=")) == [
+        "v=0", "v=1",
+    ]
+    # linear parent chain regardless of which writer won which slot
+    with open(os.path.join(root, "v=0", "_MANIFEST.json")) as f:
+        m0 = json.load(f)
+    with open(os.path.join(root, "v=1", "_MANIFEST.json")) as f:
+        m1 = json.load(f)
+    assert m0["parent"] is None and m1["parent"] == 0
+    # both snapshots read back whole
+    n_by_version = sorted(
+        snap.read_snapshot(spark, root, v).count() for v in (0, 1)
+    )
+    assert n_by_version == [10, 20]
+
+
+def test_burned_version_number_does_not_split_scd2_runs(spark, tmp_path):
+    """A claimed-but-uncommitted directory (crashed writer) burns its
+    number; scd2_history folds runs by committed-chain adjacency, so
+    the gap must NOT split a constant-content run."""
+    root = str(tmp_path / "burned")
+    df = spark.range(5).withColumn("val", F.lit("x"))
+    assert snap.write_snapshot(df, root) == 0
+    assert snap.write_snapshot(df, root) == 1
+    # simulate a crashed concurrent claim: data dir without manifest
+    os.makedirs(os.path.join(root, "v=2"))
+    assert snap.write_snapshot(df, root) == 3  # number 2 is burned
+    assert snap.versions(root) == [0, 1, 3]
+    hist = snap.scd2_history(spark, root, key="id").collect()
+    # one run per key spanning the whole committed chain
+    assert len(hist) == 5
+    assert all(r.valid_from == 0 and r.valid_to == 3 and r.is_current for r in hist)
