@@ -1,9 +1,13 @@
 """Measured volume-scaling curve: run representative operators over
-events × {1, 2, 4} (time-shifted unions — disjoint day ranges, so
-row volume scales with NO key-collision shortcuts) and print wall
-times. Near-linear growth is the measurable signature that the
-distributed decompositions hold as volume grows — the runtime
-complement to the oracle-checked *_scale_2x doubling identities.
+events × {1, 2, 4, 8} (time-shifted unions — disjoint day ranges, so
+row volume scales with NO key-collision shortcuts) and the LSH dedup
+candidate pass over documents × {1, 2, 4, 8} (salt-prefixed copies —
+disjoint shingle spaces, so candidate volume scales with corpus, not
+k²), and print wall times. Near-linear growth is the measurable
+signature that the distributed decompositions hold as volume grows —
+the runtime complement to the oracle-checked *_scale_2x doubling
+identities; the 8× point (r6 VERDICT #6) shows where the
+fixed-overhead regime ends and the slope takes over.
 
 Usage: python scripts/scaling_curve.py [sf_dir]
 """
@@ -50,8 +54,9 @@ def main() -> int:
 
         return enrich_time(df.drop("date", "hour", "day_name", "day_period"), "ts")
 
+    KS = (1, 2, 4, 8)
     results = {}
-    for k in (1, 2, 4):
+    for k in KS:
         fact = shifted(k).persist()
         n = fact.count()  # materialize outside the timed region
         for name, fn in (
@@ -65,10 +70,47 @@ def main() -> int:
             results[(name, k)] = (n, dt)
         fact.unpersist()
 
+    # dedup candidate tier: minhash → LSH banding over documents × k.
+    # Copies are salt-PREFIXED (distinct doc_ids, disjoint shingle
+    # spaces), so candidate pairs grow with corpus volume — a same-text
+    # copy union would instead grow clusters quadratically in k and
+    # measure the duplicate load, not the engine.
+    from piholelongtermstats_spark.operators.dedup import lsh_candidate_pairs
+
+    docs_base = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+    def salted_docs(k: int):
+        parts = [
+            docs_base.withColumn(
+                "doc_id", F.col("doc_id") + F.lit(i * 10_000_000)
+            ).withColumn(
+                "text", F.concat(F.lit(f"salt{i}x "), F.col("text"))
+            )
+            for i in range(k)
+        ]
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        return df
+
+    for k in KS:
+        docs = salted_docs(k).persist()
+        n = docs.count()
+
+        def run(d=docs):
+            return lsh_candidate_pairs(d).count()
+
+        run()  # warm
+        t0 = time.perf_counter()
+        run()
+        dt = round(time.perf_counter() - t0, 3)
+        results[("lsh_dedup", k)] = (n, dt)
+        docs.unpersist()
+
     print(f"{'op':10s} {'k':>2s} {'rows':>9s} {'sec':>7s} {'vs 1x':>6s}")
-    for name in ("streaks", "rollup"):
+    for name in ("streaks", "rollup", "lsh_dedup"):
         base_t = results[(name, 1)][1]
-        for k in (1, 2, 4):
+        for k in KS:
             n, dt = results[(name, k)]
             print(f"{name:10s} {k:2d} {n:9d} {dt:7.3f} {dt / base_t:6.2f}")
     return 0
