@@ -412,3 +412,192 @@ def gopher_rules(docs: DataFrame, text_col: str = "text") -> DataFrame:
             & r_stops
         ).alias("keep"),
     )
+
+
+def gopher_repetition(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher repetition filters (Rae et al. 2021, arXiv:2112.11446
+    Table A1 — the "repetitious text" half that complements
+    ``gopher_rules``): duplicate-line fraction ≤ 0.30, duplicate-line
+    CHARACTER fraction ≤ 0.20, top-2-gram character fraction ≤ 0.20,
+    duplicate-5-gram character fraction ≤ 0.15.
+
+    Counting conventions (pinned, mirrored in the oracle):
+    - lines = newline-split segments with non-empty trim; a line's
+      duplicates are its occurrences beyond the first, so
+      dup_lines = Σ (cnt−1) and dup_line_chars = Σ (cnt−1)·len over
+      distinct (doc, line) groups; denominators are total line
+      occurrences / their characters.
+    - the top 2-gram is chosen by (count, count·len, gram) descending
+      — a deterministic cross-engine tie-break (distributed argmax
+      has no "first seen"); its character mass is count·len(gram).
+    - duplicate 5-grams count ALL occurrences of grams appearing >1
+      time (cnt·len, the Dolma/RefinedWeb reading of "characters
+      contained in duplicate n-grams"); overlap-aware char coverage
+      is NOT attempted — that requires per-position interval merging
+      and diverges between published implementations. Denominator for
+      both gram rules is length(text).
+
+    Every rule is a cross-multiplied INTEGER comparison (keep when
+    fraction ≤ threshold), so the gate is engine-exact — same policy
+    as gopher_rules. Shape: three doc_id-keyed partial-agg shuffles
+    (lines, 2-grams, 5-grams) + per-doc windows partitioned by doc_id
+    for the gram construction — high-cardinality keys, no skew, no
+    global window; at 100 TB each document folds independently."""
+    from pyspark.sql import Window
+
+    d = docs.select("doc_id", F.col(text_col).alias("text"))
+    base = d.select("doc_id", F.length("text").cast("long").alias("n_chars"))
+
+    lines = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), "\n")).alias("line")
+    ).filter(F.trim(F.col("line")) != "")
+    lc = lines.groupBy("doc_id", "line").agg(F.count("*").alias("cnt"))
+    line_stats = (
+        lc.select("doc_id", "cnt", F.length("line").alias("len"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_lines"),
+            F.sum(F.col("cnt") - 1).cast("long").alias("dup_lines"),
+            F.sum(F.col("cnt") * F.col("len")).cast("long").alias("line_chars"),
+            F.sum((F.col("cnt") - 1) * F.col("len"))
+            .cast("long")
+            .alias("dup_line_chars"),
+        )
+    )
+
+    def gram_counts(n: int) -> DataFrame:
+        tok = d.select(
+            "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "tok")
+        )
+        w = Window.partitionBy("doc_id").orderBy("pos")
+        parts = [F.lead("tok", i).over(w) for i in range(n)]
+        g = tok.select(
+            "doc_id",
+            F.concat_ws(" ", *parts).alias("gram"),
+            parts[-1].alias("_last"),
+        ).filter(F.col("_last").isNotNull())
+        return (
+            g.groupBy("doc_id", "gram")
+            .agg(F.count("*").alias("cnt"))
+            .select(
+                "doc_id", "gram", "cnt", F.length("gram").alias("len")
+            )
+        )
+
+    g2 = gram_counts(2)
+    top2 = (
+        g2.groupBy("doc_id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("cnt").alias("c"),
+                    (F.col("cnt") * F.col("len")).alias("ch"),
+                    F.col("gram").alias("g"),
+                )
+            ).alias("m")
+        )
+        .select(
+            "doc_id",
+            F.col("m.c").cast("long").alias("top2_cnt"),
+            F.col("m.ch").cast("long").alias("top2_chars"),
+        )
+    )
+    g5 = gram_counts(5)
+    dup5 = (
+        g5.filter(F.col("cnt") > 1)
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("cnt") * F.col("len")).cast("long").alias("dup5_chars"))
+    )
+
+    out = (
+        base.join(line_stats, "doc_id", "left")
+        .join(top2, "doc_id", "left")
+        .join(dup5, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_chars",
+            F.coalesce("n_lines", F.lit(0)).cast("long").alias("n_lines"),
+            F.coalesce("dup_lines", F.lit(0)).cast("long").alias("dup_lines"),
+            F.coalesce("line_chars", F.lit(0)).cast("long").alias("line_chars"),
+            F.coalesce("dup_line_chars", F.lit(0))
+            .cast("long")
+            .alias("dup_line_chars"),
+            F.coalesce("top2_cnt", F.lit(0)).cast("long").alias("top2_cnt"),
+            F.coalesce("top2_chars", F.lit(0)).cast("long").alias("top2_chars"),
+            F.coalesce("dup5_chars", F.lit(0)).cast("long").alias("dup5_chars"),
+        )
+    )
+    r_dup_lines = F.col("dup_lines") * 10 <= 3 * F.col("n_lines")
+    r_dup_line_chars = F.col("dup_line_chars") * 5 <= F.col("line_chars")
+    r_top2 = F.col("top2_chars") * 5 <= F.col("n_chars")
+    r_dup5 = F.col("dup5_chars") * 20 <= 3 * F.col("n_chars")
+    return out.select(
+        "*",
+        r_dup_lines.alias("r_dup_lines"),
+        r_dup_line_chars.alias("r_dup_line_chars"),
+        r_top2.alias("r_top2gram"),
+        r_dup5.alias("r_dup5gram"),
+        (r_dup_lines & r_dup_line_chars & r_top2 & r_dup5).alias("keep"),
+    )
+
+
+# Tiny pinned stand-in for C4's blocklist (the published pipeline uses
+# the "List of Dirty, Naughty, Obscene..." list; deterministic subset
+# here, swappable for the full list without changing the plan shape).
+C4_BLOCKLIST = ("badword", "obscene")
+
+C4_TERMINAL = r'[.!?"]\s*$'
+
+
+def c4_rules(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """C4 cleaning pass (Raffel et al. 2020, arXiv:1910.10683 §2.2 —
+    the line/page heuristics behind the C4 corpus):
+
+    - retain only lines ending in a terminal punctuation mark
+      (. ! ? ") AND containing ≥5 words;
+    - drop the page if it contains "lorem ipsum" or a curly brace
+      ("{" — code markup), case-insensitive for the former;
+    - drop the page if any blocklist term appears (tiny pinned
+      stand-in list, see C4_BLOCKLIST);
+    - drop the page if the RETAINED text has <3 sentences (terminal
+      punctuation count).
+
+    Emits the per-page metrics, the cleaned text (retained lines
+    re-joined with newlines), and the integer-exact keep gate. Pure
+    Column expressions — line filtering is a higher-order array
+    filter, no explode, ZERO shuffle: at 100 TB this is one codegen
+    projection fused into the corpus scan beside gopher_rules.
+
+    Sentence counting is the C4 approximation (terminal-punct
+    occurrences in retained text), mirrored exactly in the oracle."""
+    t = F.col(text_col)
+    lines = F.split(t, "\n")
+    kept = F.filter(
+        lines,
+        lambda x: x.rlike(C4_TERMINAL)
+        & (F.size(F.filter(F.split(F.trim(x), r"\s+"), lambda w: w != "")) >= 5),
+    )
+    cleaned = F.array_join(kept, "\n")
+    lt = F.lower(t)
+    has_lorem = lt.contains("lorem ipsum")
+    has_brace = t.contains("{")
+    has_blocked = None
+    for w in C4_BLOCKLIST:
+        cond = lt.rlike(rf"\b{w}\b")
+        has_blocked = cond if has_blocked is None else (has_blocked | cond)
+    n_sentences = F.regexp_count(cleaned, F.lit(r"[.!?]")).cast("long")
+    r_sentences = n_sentences >= 3
+    keep = ~has_lorem & ~has_brace & ~has_blocked & r_sentences
+    return docs.select(
+        "doc_id",
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("kept_lines"),
+        F.length(cleaned).cast("long").alias("cleaned_chars"),
+        n_sentences.alias("n_sentences"),
+        has_lorem.alias("has_lorem"),
+        has_brace.alias("has_brace"),
+        has_blocked.alias("has_blocked"),
+        r_sentences.alias("r_sentences"),
+        keep.alias("keep"),
+        cleaned.alias("cleaned_text"),
+    )

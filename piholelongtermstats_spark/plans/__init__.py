@@ -197,6 +197,8 @@ _OVERFLOW = [
     "bucketed_join_revenue",
     "pack_manifest",
     "conversion_attribution",
+    "gopher_repetition_panel",
+    "c4_rules_panel",
     # rows-only by design (sketches, iterative index builds, stubs)
     "uniques_approx",
     "reply_time_quantiles",

@@ -217,3 +217,137 @@ def q_conversion_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     from piholelongtermstats_spark.plans.registry import _fact
 
     return _conv_batch(_fact(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Gopher repetition filters (operators/text.py:gopher_repetition) —
+# the "repetitious text" half of the published gate. Integer-exact
+# counts and cross-multiplied keep rules; the top-2-gram tie-break is
+# (count, count*len, gram) descending in both engines.
+# ---------------------------------------------------------------------------
+
+_REP_SQL = """
+WITH d AS (SELECT doc_id, text, length(text) AS n_chars FROM documents),
+ln AS (
+  SELECT doc_id, l AS line FROM (
+    SELECT doc_id, unnest(string_split(text, chr(10))) AS l FROM d)
+  WHERE trim(l) <> ''),
+lc AS (SELECT doc_id, line, count(*) AS cnt, length(line) AS len
+       FROM ln GROUP BY doc_id, line),
+line_stats AS (
+  SELECT doc_id, sum(cnt) AS n_lines, sum(cnt - 1) AS dup_lines,
+         sum(cnt * len) AS line_chars,
+         sum((cnt - 1) * len) AS dup_line_chars
+  FROM lc GROUP BY doc_id),
+tok AS (
+  SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS pos
+  FROM (SELECT doc_id,
+               list_filter(string_split_regex(trim(text), '\\s+'),
+                           tk -> tk <> '') AS toks
+        FROM d)),
+g2 AS (
+  SELECT doc_id, gram, count(*) AS cnt, length(gram) AS len FROM (
+    SELECT doc_id,
+           tok || ' ' || lead(tok, 1) OVER w AS gram,
+           lead(tok, 1) OVER w AS lst
+    FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos))
+  WHERE lst IS NOT NULL GROUP BY doc_id, gram),
+top2 AS (
+  SELECT doc_id, cnt AS top2_cnt, cnt * len AS top2_chars FROM (
+    SELECT doc_id, cnt, len, gram,
+           row_number() OVER (PARTITION BY doc_id
+               ORDER BY cnt DESC, cnt * len DESC, gram DESC) AS rn
+    FROM g2) WHERE rn = 1),
+g5 AS (
+  SELECT doc_id, gram, count(*) AS cnt, length(gram) AS len FROM (
+    SELECT doc_id,
+           tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w
+               || ' ' || lead(tok, 3) OVER w || ' ' || lead(tok, 4) OVER w
+               AS gram,
+           lead(tok, 4) OVER w AS lst
+    FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos))
+  WHERE lst IS NOT NULL GROUP BY doc_id, gram),
+dup5 AS (SELECT doc_id, sum(cnt * len) AS dup5_chars
+         FROM g5 WHERE cnt > 1 GROUP BY doc_id),
+m AS (
+  SELECT d.doc_id,
+         d.n_chars,
+         coalesce(line_stats.n_lines, 0) AS n_lines,
+         coalesce(line_stats.dup_lines, 0) AS dup_lines,
+         coalesce(line_stats.line_chars, 0) AS line_chars,
+         coalesce(line_stats.dup_line_chars, 0) AS dup_line_chars,
+         coalesce(top2.top2_cnt, 0) AS top2_cnt,
+         coalesce(top2.top2_chars, 0) AS top2_chars,
+         coalesce(dup5.dup5_chars, 0) AS dup5_chars
+  FROM d
+  LEFT JOIN line_stats USING (doc_id)
+  LEFT JOIN top2 USING (doc_id)
+  LEFT JOIN dup5 USING (doc_id))
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(n_chars AS BIGINT) AS n_chars,
+       CAST(n_lines AS BIGINT) AS n_lines,
+       CAST(dup_lines AS BIGINT) AS dup_lines,
+       CAST(line_chars AS BIGINT) AS line_chars,
+       CAST(dup_line_chars AS BIGINT) AS dup_line_chars,
+       CAST(top2_cnt AS BIGINT) AS top2_cnt,
+       CAST(top2_chars AS BIGINT) AS top2_chars,
+       CAST(dup5_chars AS BIGINT) AS dup5_chars,
+       (dup_lines * 10 <= 3 * n_lines) AS r_dup_lines,
+       (dup_line_chars * 5 <= line_chars) AS r_dup_line_chars,
+       (top2_chars * 5 <= n_chars) AS r_top2gram,
+       (dup5_chars * 20 <= 3 * n_chars) AS r_dup5gram,
+       ((dup_lines * 10 <= 3 * n_lines)
+        AND (dup_line_chars * 5 <= line_chars)
+        AND (top2_chars * 5 <= n_chars)
+        AND (dup5_chars * 20 <= 3 * n_chars)) AS keep
+FROM m ORDER BY doc_id
+"""
+
+
+@register("gopher_repetition_panel", _REP_SQL)
+def q_gopher_repetition_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Gopher repetition metrics + integer-exact gate."""
+    return _text.gopher_repetition(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# C4 cleaning pass (operators/text.py:c4_rules)
+# ---------------------------------------------------------------------------
+
+_C4_BLOCKED_SQL = " OR ".join(
+    f"regexp_matches(lower(text), '\\b{w}\\b')" for w in _text.C4_BLOCKLIST
+)
+
+_C4_SQL = f"""
+WITH m AS (
+  SELECT doc_id,
+         len(string_split(text, chr(10))) AS n_lines,
+         list_filter(string_split(text, chr(10)),
+             x -> regexp_matches(x, '[.!?"]\\s*$')
+                  AND len(list_filter(string_split_regex(trim(x), '\\s+'),
+                          w -> w <> '')) >= 5) AS kept,
+         contains(lower(text), 'lorem ipsum') AS has_lorem,
+         contains(text, '{{') AS has_brace,
+         ({_C4_BLOCKED_SQL}) AS has_blocked
+  FROM documents),
+c AS (SELECT *, coalesce(array_to_string(kept, chr(10)), '') AS cleaned_text FROM m),
+s AS (SELECT *, len(regexp_extract_all(cleaned_text, '[.!?]')) AS n_sentences
+      FROM c)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(n_lines AS BIGINT) AS n_lines,
+       CAST(len(kept) AS BIGINT) AS kept_lines,
+       CAST(length(cleaned_text) AS BIGINT) AS cleaned_chars,
+       CAST(n_sentences AS BIGINT) AS n_sentences,
+       has_lorem, has_brace, has_blocked,
+       (n_sentences >= 3) AS r_sentences,
+       (NOT has_lorem AND NOT has_brace AND NOT has_blocked
+        AND n_sentences >= 3) AS keep,
+       cleaned_text
+FROM s ORDER BY doc_id
+"""
+
+
+@register("c4_rules_panel", _C4_SQL)
+def q_c4_rules_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 line/page cleaning metrics + cleaned text + keep gate."""
+    return _text.c4_rules(_docs(spark, sf_dir)).orderBy("doc_id")

@@ -183,3 +183,91 @@ def test_tokens_of_empty_text_is_empty(spark):
     )
     got = {r.doc_id: r.word_count for r in gopher_rules(docs).collect()}
     assert got == {0: 0, 1: 0, 2: 2}
+
+
+def test_gopher_repetition_constructed_cases(spark):
+    from piholelongtermstats_spark.operators.text import gopher_repetition
+
+    clean = " ".join(f"w{i}" for i in range(60))
+    dup_lines = "\n".join(["same line here"] * 8 + [f"unique {i}" for i in range(2)])
+    top2_heavy = "ab cd " * 40 + " ".join(f"x{i}" for i in range(5))
+    dup5 = ("one two three four five " * 10) + " ".join(f"y{i}" for i in range(5))
+    empty = ""
+    docs = spark.createDataFrame(
+        [
+            _doc(0, clean),
+            _doc(1, dup_lines),
+            _doc(2, top2_heavy),
+            _doc(3, dup5),
+            _doc(4, empty),
+        ],
+        DOC_SCHEMA,
+    )
+    got = {r.doc_id: r.asDict() for r in gopher_repetition(docs).collect()}
+    assert got[0]["keep"] is True and got[0]["dup_lines"] == 0
+    # 8 occurrences of one line → 7 duplicates over 10 lines = 70% > 30%
+    assert got[1]["dup_lines"] == 7 and got[1]["r_dup_lines"] is False
+    assert got[1]["r_dup_line_chars"] is False
+    # 'ab cd' dominates: its char mass exceeds 20% of the doc
+    assert got[2]["r_top2gram"] is False and got[2]["top2_cnt"] >= 40
+    # repeated 5-gram block: duplicate-5-gram chars exceed 15%
+    assert got[3]["r_dup5gram"] is False and got[3]["dup5_chars"] > 0
+    # empty doc: all-zero counts keep trivially (0 <= 0)
+    assert got[4]["keep"] is True and got[4]["n_lines"] == 0
+
+
+def test_gopher_repetition_top2_tiebreak_deterministic(spark):
+    """Two 2-grams with equal count and equal char mass: the (cnt,
+    chars, gram)-descending tie-break must pick the lexicographically
+    larger gram's mass in every engine/partitioning."""
+    from piholelongtermstats_spark.operators.text import gopher_repetition
+
+    # "aa bb" x3 and "cc dd" x3 interleaved with unique separators
+    text = " ".join(
+        f"aa bb u{i} cc dd v{i}" for i in range(3)
+    )
+    docs = spark.createDataFrame([_doc(0, text)], DOC_SCHEMA)
+    one = gopher_repetition(docs).first()
+    assert one.top2_cnt == 3 and one.top2_chars == 15
+    two = gopher_repetition(docs.repartition(8)).first()
+    assert (two.top2_cnt, two.top2_chars) == (one.top2_cnt, one.top2_chars)
+
+
+def test_c4_rules_constructed_cases(spark):
+    """C4 line/page heuristics on built pages (the synthetic corpus
+    has no punctuation or newlines, so the gate is degenerate there —
+    these cases carry the semantics)."""
+    from piholelongtermstats_spark.operators.text import c4_rules
+
+    good = "\n".join(
+        [
+            "This is a perfectly reasonable first sentence.",
+            "Here is another sentence with enough words too!",
+            'And a third one that ends with a quote."',
+            "short line.",            # <5 words → dropped
+            "no terminal punctuation here at all",  # dropped
+        ]
+    )
+    lorem = "Lorem ipsum dolor sit amet, consectetur adipiscing elit."
+    code = "function f() { return 1; } this page has code in it."
+    blocked = "This sentence contains a badword and is long enough to pass."
+    thin = "Only one real sentence lives on this page."
+    docs = spark.createDataFrame(
+        [
+            _doc(0, good),
+            _doc(1, lorem),
+            _doc(2, code),
+            _doc(3, blocked),
+            _doc(4, thin),
+        ],
+        DOC_SCHEMA,
+    )
+    got = {r.doc_id: r.asDict() for r in c4_rules(docs).collect()}
+    assert got[0]["keep"] is True
+    assert got[0]["kept_lines"] == 3 and got[0]["n_lines"] == 5
+    assert got[0]["n_sentences"] == 3
+    assert "short line." not in got[0]["cleaned_text"]
+    assert got[1]["has_lorem"] is True and got[1]["keep"] is False
+    assert got[2]["has_brace"] is True and got[2]["keep"] is False
+    assert got[3]["has_blocked"] is True and got[3]["keep"] is False
+    assert got[4]["r_sentences"] is False and got[4]["keep"] is False
