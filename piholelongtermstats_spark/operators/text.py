@@ -601,3 +601,39 @@ def c4_rules(docs: DataFrame, text_col: str = "text") -> DataFrame:
         keep.alias("keep"),
         cleaned.alias("cleaned_text"),
     )
+
+
+def bpe_pair_counts(docs: DataFrame, k: int = 20) -> DataFrame:
+    """Top-K adjacent character-pair counts weighted by word
+    frequency — the merge-candidate statistic of one BPE training
+    step (Sennrich et al. 2016), formulated for corpus scale: the
+    corpus collapses to the DISTINCT-word frequency table first (one
+    hash shuffle carrying |vocab| rows, not |tokens|), and only
+    distinct words expand to their character pairs — at 100 TB the
+    pair-expansion input is vocabulary-sized (~10⁶ rows) regardless
+    of corpus size. A full BPE trainer iterates this with the winning
+    pair merged into the symbol sequence; the per-iteration plan
+    shape is identical.
+
+    Pairs are taken as substr(word, i, 2) over i ∈ [1, len−1]
+    (character-based in both engines — multi-byte safe); the top-K
+    cut is (count DESC, pair ASC) via TakeOrderedAndProject."""
+    wc = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("wcnt"))
+    )
+    # length ≥ 2 guard: Spark's sequence(1, 0) is DESCENDING ([1, 0]),
+    # so an unguarded 1-char word would fabricate phantom pairs
+    pairs = wc.filter(F.length("w") >= 2).select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substr(w, i, 2))")
+        ).alias("pair"),
+        "wcnt",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("wcnt").cast("long").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("pair").asc())
+        .limit(k)
+    )

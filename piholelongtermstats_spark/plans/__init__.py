@@ -199,6 +199,9 @@ _OVERFLOW = [
     "conversion_attribution",
     "gopher_repetition_panel",
     "c4_rules_panel",
+    "bpe_pair_counts",
+    "order_priority_counts",
+    "supplier_part_counts",
     # rows-only by design (sketches, iterative index builds, stubs)
     "uniques_approx",
     "reply_time_quantiles",

@@ -351,3 +351,30 @@ FROM s ORDER BY doc_id
 def q_c4_rules_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4 line/page cleaning metrics + cleaned text + keep gate."""
     return _text.c4_rules(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# BPE merge-candidate counting (operators/text.py:bpe_pair_counts)
+# ---------------------------------------------------------------------------
+
+_BPE_PAIRS_SQL = """
+WITH wc AS (
+  SELECT w, count(*) AS wcnt FROM (
+    SELECT unnest(list_filter(string_split_regex(trim(text), '\\s+'),
+                              tk -> tk <> '')) AS w
+    FROM documents) GROUP BY w),
+pairs AS (
+  SELECT unnest(list_transform(range(1, length(w)),
+                i -> substr(w, CAST(i AS INTEGER), 2))) AS pair, wcnt
+  FROM wc WHERE length(w) >= 2)
+SELECT pair, CAST(sum(wcnt) AS BIGINT) AS cnt
+FROM pairs GROUP BY pair
+ORDER BY cnt DESC, pair ASC LIMIT 20
+"""
+
+
+@register("bpe_pair_counts", _BPE_PAIRS_SQL)
+def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 BPE merge candidates (adjacent char pairs weighted by
+    word frequency) over the corpus vocabulary."""
+    return _text.bpe_pair_counts(_docs(spark, sf_dir))

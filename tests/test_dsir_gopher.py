@@ -271,3 +271,16 @@ def test_c4_rules_constructed_cases(spark):
     assert got[2]["has_brace"] is True and got[2]["keep"] is False
     assert got[3]["has_blocked"] is True and got[3]["keep"] is False
     assert got[4]["r_sentences"] is False and got[4]["keep"] is False
+
+
+def test_bpe_pair_counts_exact_small_corpus(spark):
+    from piholelongtermstats_spark.operators.text import bpe_pair_counts
+
+    # 'abab' x2 and 'ab' once, plus a 1-char word that must not
+    # fabricate pairs (Spark sequence(1,0) is descending)
+    docs = spark.createDataFrame(
+        [_doc(0, "abab abab ab x")], DOC_SCHEMA
+    )
+    got = {r.pair: r.cnt for r in bpe_pair_counts(docs).collect()}
+    # abab: ab, ba, ab per occurrence (wcnt=2 → ab:4, ba:2); ab: ab:1
+    assert got == {"ab": 5, "ba": 2}
