@@ -277,3 +277,40 @@ def _bucket_pairs_expr(b: DataFrame, threshold: float) -> DataFrame:
         )
     )
     return pairs.filter(F.col("cosine") >= threshold)
+
+
+# Plane-index namespace for random projection (disjoint from the LSH
+# bucketing planes 0..N_PLANES-1 so the two sign families never alias).
+RP_PLANE_BASE = 10_000
+
+
+def random_projection(emb: DataFrame, k: int = 8) -> DataFrame:
+    """Johnson-Lindenstrauss dimensionality reduction with a
+    deterministic ±1 sign matrix (Achlioptas 2003: E[y·y'] preserves
+    dot products at 1/k variance; dense ±1 needs no scaling beyond a
+    constant): y_j = Σ_d s_{j,d}·x_d over the same md5-derived sign
+    machinery as the LSH hyperplanes (disjoint plane namespace).
+
+    Scale path: at 100 TB this is the pre-ANN transform — a 64→8
+    projection cuts vector bytes 8× BEFORE any index is built, and
+    because the signs are literals the whole map is one codegen
+    projection with zero shuffle and nothing trained.
+
+    fp policy: each y_j is a LEFT-FOLD of double products in a fixed
+    order (aggregate over zip_with; init 0.0 + x₁ ≡ x₁), mirrored by
+    list_reduce in the oracle — bit-identical across engines, rounded
+    to 6 digits only at the output edge (same contract as
+    cosine_topk)."""
+    dim = _dim(emb)
+    cols = []
+    for j in range(k):
+        arr = F.array(
+            *[F.lit(s) for s in plane_signs(dim, RP_PLANE_BASE + j)]
+        )
+        y = F.aggregate(
+            F.zip_with(F.col("embedding"), arr, lambda x, s: x * s),
+            F.lit(0.0).cast("double"),
+            lambda acc, v: acc + v,
+        )
+        cols.append(F.round(y, 6).alias(f"p{j}"))
+    return emb.select("vec_id", *cols).orderBy("vec_id")

@@ -202,6 +202,7 @@ _OVERFLOW = [
     "bpe_pair_counts",
     "order_priority_counts",
     "supplier_part_counts",
+    "embedding_random_projection",
     # rows-only by design (sketches, iterative index builds, stubs)
     "uniques_approx",
     "reply_time_quantiles",

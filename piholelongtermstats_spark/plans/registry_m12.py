@@ -378,3 +378,40 @@ def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 BPE merge candidates (adjacent char pairs weighted by
     word frequency) over the corpus vocabulary."""
     return _text.bpe_pair_counts(_docs(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Random projection (operators/similarity.py:random_projection) —
+# JL ±1 sign projection; the identical sign literals are embedded in
+# the oracle and the dot product is the same left-fold on both sides.
+# ---------------------------------------------------------------------------
+
+from piholelongtermstats_spark.operators import similarity as _sim  # noqa: E402
+from piholelongtermstats_spark.plans.registry_m7 import _emb  # noqa: E402
+
+_RP_EMB_DIM = 64  # driver testdata embedding dimensionality (all SFs)
+_RP_K = 8
+
+
+def _rp_col_sql(j: int) -> str:
+    signs = _sim.plane_signs(_RP_EMB_DIM, _sim.RP_PLANE_BASE + j)
+    lit = "[" + ",".join(repr(s) for s in signs) + "]"
+    return (
+        f"round(list_reduce(list_transform(range(1, {_RP_EMB_DIM + 1}), "
+        f"i -> CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE) * "
+        f"(({lit}::DOUBLE[])[CAST(i AS INTEGER)])), "
+        f"(acc, x) -> acc + x), 6) AS p{j}"
+    )
+
+
+_RP_SQL = (
+    "SELECT vec_id, "
+    + ", ".join(_rp_col_sql(j) for j in range(_RP_K))
+    + " FROM embeddings ORDER BY vec_id"
+)
+
+
+@register("embedding_random_projection", _RP_SQL)
+def q_embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64→8 JL sign projection of the embeddings table."""
+    return _sim.random_projection(_emb(spark, sf_dir), k=_RP_K)

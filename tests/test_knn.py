@@ -220,3 +220,40 @@ def test_recall_monotone_in_nprobe(spark, emb):
         assert rec >= prev, (np_, rec, prev)
         prev = rec
     assert prev == 1.0
+
+
+def test_random_projection_preserves_dot_products(spark):
+    """JL property: ±1 sign projection preserves dot products in
+    expectation — over real embeddings the 8-dim projected dot must
+    correlate strongly with the 64-dim original. Also pins
+    partitioning-independence (literal signs, left-fold rounding)."""
+    import numpy as np
+
+    from piholelongtermstats_spark.operators.similarity import random_projection
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    k = 32  # higher k for the statistical check (variance ~ 1/k)
+    proj = random_projection(emb, k=k)
+    rows = {
+        r.vec_id: np.array([r[f"p{j}"] for j in range(k)]) for r in proj.collect()
+    }
+    orig = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in emb.collect()}
+    # norm preservation: E[|y|^2] = k * |x|^2; the per-vector ratio
+    # concentrates and the corpus mean lands near 1
+    ratios = [
+        (rows[v] @ rows[v]) / k / (orig[v] @ orig[v])
+        for v in rows
+        if orig[v] @ orig[v] > 0
+    ]
+    m = float(np.mean(ratios))
+    assert 0.8 < m < 1.2, m
+    # determinism under repartition at the serving k
+    base = {
+        r2.vec_id: tuple(r2[f"p{j}"] for j in range(8))
+        for r2 in random_projection(emb, k=8).collect()
+    }
+    again = {
+        r2.vec_id: tuple(r2[f"p{j}"] for j in range(8))
+        for r2 in random_projection(emb.repartition(16), k=8).collect()
+    }
+    assert base == again
