@@ -81,3 +81,36 @@ def funnel_counts(
             F.count("t3").alias(f"n_{s3}_after_{s2}"),
         )
     )
+
+
+def rolling_active_clients(fact: DataFrame, window_days: int = 7) -> DataFrame:
+    """(date, active_Nd) — distinct clients active in the trailing
+    ``window_days`` ending at each observed date (rolling DAU/WAU).
+
+    A rolling COUNT DISTINCT cannot be a window aggregate (distinct
+    sets don't merge by frame) and must not be a per-date self-join
+    of the fact. Decomposition: collapse to the distinct (date,
+    client) relation first (bounded by dates × clients), then EXPLODE
+    each activity day into the ≤window_days report dates it
+    contributes to (sequence + explode — linear, map-side), and
+    count distinct clients per report date; a final semi-join keeps
+    only observed dates (no phantom trailing dates). At 100 TB the
+    fan-out is `window_days ×` the already-collapsed daily relation,
+    never the fact."""
+    daily = fact.select("date", "client").distinct()
+    dates = fact.select("date").distinct()
+    contrib = daily.select(
+        F.explode(
+            F.expr(
+                f"sequence(date, date + interval {window_days - 1} days, "
+                "interval 1 day)"
+            )
+        ).alias("date"),
+        "client",
+    )
+    return (
+        contrib.join(dates, "date", "left_semi")
+        .groupBy("date")
+        .agg(F.countDistinct("client").alias(f"active_{window_days}d"))
+        .orderBy("date")
+    )

@@ -203,6 +203,7 @@ _OVERFLOW = [
     "order_priority_counts",
     "supplier_part_counts",
     "embedding_random_projection",
+    "rolling_active_clients",
     # rows-only by design (sketches, iterative index builds, stubs)
     "uniques_approx",
     "reply_time_quantiles",

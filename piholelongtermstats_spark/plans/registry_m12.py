@@ -415,3 +415,27 @@ _RP_SQL = (
 def q_embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64→8 JL sign projection of the embeddings table."""
     return _sim.random_projection(_emb(spark, sf_dir), k=_RP_K)
+
+
+# ---------------------------------------------------------------------------
+# Rolling distinct actives (operators/cohort.py:rolling_active_clients)
+# ---------------------------------------------------------------------------
+
+from piholelongtermstats_spark.operators import cohort as _cohort  # noqa: E402
+
+_ROLLING_SQL = _FACT_CTE + """
+, daily AS (SELECT DISTINCT date, client FROM fact),
+dates AS (SELECT DISTINCT date FROM fact)
+SELECT d.date, CAST(count(DISTINCT c.client) AS BIGINT) AS active_7d
+FROM dates d
+JOIN daily c ON c.date BETWEEN d.date - INTERVAL 6 DAY AND d.date
+GROUP BY d.date ORDER BY d.date
+"""
+
+
+@register("rolling_active_clients", _ROLLING_SQL)
+def q_rolling_active_clients(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day rolling distinct active clients per observed date."""
+    from piholelongtermstats_spark.plans.registry import _fact
+
+    return _cohort.rolling_active_clients(_fact(spark, sf_dir))

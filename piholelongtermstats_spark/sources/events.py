@@ -157,3 +157,4 @@ WITH fact AS (
   FROM events
 )
 """
+

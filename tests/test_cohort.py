@@ -95,3 +95,24 @@ def test_m11_plan_shapes(spark):
         assert p2.count("PushedFilters: [IsNotNull(ts)") >= 2 or p2.count(
             "GreaterThanOrEqual(ts"
         ) + p2.count("LessThan(ts") >= 2, p2
+
+
+def test_rolling_active_clients_constructed(spark):
+    """Hand-checked rolling distinct: client overlap across the
+    window must not double-count, and only observed dates report."""
+    from piholelongtermstats_spark.operators.cohort import rolling_active_clients
+
+    rows = [
+        # (date, client): c1 active d1 and d3; c2 active d1; c3 d10
+        ("2024-01-01", "c1"), ("2024-01-01", "c2"),
+        ("2024-01-03", "c1"),
+        ("2024-01-10", "c3"),
+    ]
+    fact = spark.createDataFrame(rows, "d string, client string").selectExpr(
+        "CAST(d AS TIMESTAMP) AS date", "client"
+    )
+    got = {r.date.strftime("%m-%d"): r.active_7d
+           for r in rolling_active_clients(fact).collect()}
+    # 01-01: {c1,c2}=2; 01-03: window [12-28..01-03] → {c1,c2}=2;
+    # 01-10: window [01-04..01-10] → {c3}=1 (c1's 01-03 is outside)
+    assert got == {"01-01": 2, "01-03": 2, "01-10": 1}
