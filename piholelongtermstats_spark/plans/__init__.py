@@ -204,6 +204,7 @@ _OVERFLOW = [
     "supplier_part_counts",
     "embedding_random_projection",
     "rolling_active_clients",
+    "merge_upsert_audit",
     # rows-only by design (sketches, iterative index builds, stubs)
     "uniques_approx",
     "reply_time_quantiles",

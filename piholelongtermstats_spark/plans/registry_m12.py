@@ -439,3 +439,90 @@ def q_rolling_active_clients(spark: SparkSession, sf_dir: str) -> DataFrame:
     from piholelongtermstats_spark.plans.registry import _fact
 
     return _cohort.rolling_active_clients(_fact(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# MERGE INTO the snapshot chain (sources/snapshots.py:merge_upsert):
+# the session snapshots `documents` as v0, applies a deterministic
+# change set (delete doc_id%17==0; modify text of doc_id%10==0 among
+# the survivors; insert three new docs), and audits the merged head.
+# The oracle replays the same membership algebra directly on the
+# documents table — equality proves MERGE applied exactly the
+# declared changes and nothing else.
+# ---------------------------------------------------------------------------
+
+from piholelongtermstats_spark.sources import snapshots as _snap  # noqa: E402
+
+_MERGE_READY: set = set()
+_MERGE_INS = [(9_000_001 + i, f"new doc {i}", "en", "merge") for i in range(3)]
+
+
+def _merge_root(spark: SparkSession, sf_dir: str) -> str:
+    digest = _hashlib.md5(_os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    root = _os.path.join(
+        _tempfile.gettempdir(),
+        "phlts_merge",
+        f"{spark.sparkContext.applicationId}-{digest}",
+    )
+    key = (spark.sparkContext.applicationId, root)
+    if key not in _MERGE_READY:
+        docs = _docs(spark, sf_dir)
+        _snap.write_snapshot(docs, root)
+        k = F.col("doc_id")
+        mod = (
+            docs.filter((k % 10 == 0) & (k % 17 != 0))
+            .withColumn("text", F.concat(F.lit("MOD "), F.col("text")))
+            .withColumn("n_chars", F.length("text").cast("long"))
+            .withColumn("_op", F.lit("upsert"))
+        )
+        ins = spark.createDataFrame(
+            [
+                (i, t, lang, src, len(t), "upsert")
+                for i, t, lang, src in _MERGE_INS
+            ],
+            "doc_id long, text string, lang string, source string, "
+            "n_chars long, _op string",
+        )
+        dels = docs.filter(k % 17 == 0).withColumn("_op", F.lit("delete"))
+        _snap.merge_upsert(
+            spark, root, mod.unionByName(ins).unionByName(dels)
+        )
+        _MERGE_READY.add(key)
+    return root
+
+
+_MERGE_SQL = """
+WITH ins(doc_id, text) AS (VALUES {ins_values}),
+merged AS (
+  SELECT doc_id, text FROM documents
+  WHERE doc_id % 17 <> 0 AND doc_id % 10 <> 0
+  UNION ALL
+  SELECT doc_id, 'MOD ' || text FROM documents
+  WHERE doc_id % 10 = 0 AND doc_id % 17 <> 0
+  UNION ALL
+  SELECT doc_id, text FROM ins)
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(doc_id) AS BIGINT) AS id_sum,
+       CAST(sum(length(text)) AS BIGINT) AS chars_sum,
+       CAST(sum(('0x' || substr(md5(text), 1, 15))::BIGINT % 1000000007)
+            AS BIGINT) AS text_hashsum
+FROM merged
+""".format(
+    ins_values=", ".join(f"({i}, '{t}')" for i, t, _, _ in _MERGE_INS)
+)
+
+
+@register("merge_upsert_audit", _MERGE_SQL)
+def q_merge_upsert_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Head-of-chain audit after MERGE (delete/modify/insert) over the
+    snapshotted documents table."""
+    root = _merge_root(spark, sf_dir)
+    head = _snap.read_snapshot(spark, root)
+    return head.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("doc_id").alias("id_sum"),
+        F.sum(F.length("text")).alias("chars_sum"),
+        F.sum(_text.md5_hash60(F.col("text")) % 1000000007).alias(
+            "text_hashsum"
+        ),
+    )

@@ -343,3 +343,40 @@ def scd2_history(
         )
         .orderBy(key, "valid_from")
     )
+
+
+def merge_upsert(
+    spark: SparkSession,
+    root: str,
+    changes: DataFrame,
+    key: str = "doc_id",
+    op_col: str = "_op",
+) -> int:
+    """MERGE INTO the snapshot chain: apply ``changes`` (op ∈
+    'upsert' | 'delete' in ``op_col``) to the current head and commit
+    the result as the next version. Returns the new version number.
+
+    Semantics (Delta/Iceberg MERGE with matched-update /
+    not-matched-insert / matched-delete):
+    - 'upsert' rows REPLACE a matching key in the head, or insert;
+    - 'delete' rows remove a matching key (absent key: no-op);
+    - keys untouched by ``changes`` carry over unchanged.
+
+    Plan shape: one LEFT ANTI join of the head against the change
+    keys (carry-over side) + the upsert slice unioned in — the head
+    never shuffles more than once on the key, the change set is the
+    small side (AQE broadcasts it when it fits), and the write is the
+    standard stage+rename-claim commit, so MERGE inherits the
+    concurrent-writer safety and immutable history: the pre-merge
+    version remains readable, and snapshot_diff(v, v+1) audits
+    exactly the applied changes."""
+    cur = read_snapshot(spark, root)
+    ops = {r[0] for r in changes.select(op_col).distinct().collect()}
+    bad = ops - {"upsert", "delete"}
+    if bad:
+        raise ValueError(f"unknown {op_col} values: {sorted(bad)}")
+    carry = cur.join(changes.select(key), key, "left_anti")
+    ins = changes.filter(F.col(op_col) == "upsert").drop(op_col).select(
+        *cur.columns
+    )
+    return write_snapshot(carry.unionByName(ins), root)

@@ -282,3 +282,41 @@ def test_burned_version_number_does_not_split_scd2_runs(spark, tmp_path):
     # one run per key spanning the whole committed chain
     assert len(hist) == 5
     assert all(r.valid_from == 0 and r.valid_to == 3 and r.is_current for r in hist)
+
+
+def test_merge_upsert_semantics_and_diff_audit(spark, tmp_path):
+    """MERGE: matched-update, not-matched-insert, matched-delete,
+    untouched carry-over; pre-merge version still readable and
+    snapshot_diff(v0, v1) reports exactly the applied changes."""
+    root = str(tmp_path / "merge")
+    base = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(6)], "doc_id long, text string"
+    )
+    assert snap.write_snapshot(base, root) == 0
+    changes = spark.createDataFrame(
+        [
+            (1, "text 1 v2", "upsert"),   # update
+            (9, "brand new", "upsert"),   # insert
+            (2, None, "delete"),          # delete
+            (7, None, "delete"),          # delete of absent key: no-op
+        ],
+        "doc_id long, text string, _op string",
+    )
+    v1 = snap.merge_upsert(spark, root, changes)
+    assert v1 == 1
+    head = {r.doc_id: r.text for r in snap.read_snapshot(spark, root).collect()}
+    assert head == {0: "text 0", 1: "text 1 v2", 3: "text 3",
+                    4: "text 4", 5: "text 5", 9: "brand new"}
+    # immutable history
+    v0 = {r.doc_id for r in snap.read_snapshot(spark, root, 0).collect()}
+    assert v0 == set(range(6))
+    diff = {(r.change_type, r.doc_id)
+            for r in snap.snapshot_diff(spark, root, 0, 1).collect()}
+    assert diff == {("changed", 1), ("added", 9), ("removed", 2)}
+    # invalid op rejected
+    import pytest as _pytest
+
+    bad = spark.createDataFrame([(1, "x", "replace")],
+                                "doc_id long, text string, _op string")
+    with _pytest.raises(ValueError):
+        snap.merge_upsert(spark, root, bad)
