@@ -106,8 +106,17 @@ def q_dsir_bucket_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("dsir_logweights")  # rows-only: log() is not IEEE-exact
 def q_dsir_logweights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document DSIR importance log-weights + top-25% selection
-    (decimal dot-product over driver-pinned log-ratio literals)."""
-    return _dsir.dsir_logweights(_docs(spark, sf_dir))
+    (decimal dot-product over driver-pinned log-ratio literals). The
+    skinny weight relation lives in the managed session cache (one
+    resident copy per sf_dir, plans/cache.py) so the boundary probe
+    and the output share it — no per-call persist (r6 ADVICE)."""
+    from piholelongtermstats_spark.plans.cache import shared_input
+
+    docs = _docs(spark, sf_dir)
+    w = shared_input(
+        spark, "dsir_weights", sf_dir, lambda: _dsir.dsir_doc_weights(docs)
+    )
+    return _dsir.dsir_logweights(docs, weights=w)
 
 
 # ---------------------------------------------------------------------------

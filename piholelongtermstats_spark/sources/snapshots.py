@@ -380,3 +380,49 @@ def merge_upsert(
         *cur.columns
     )
     return write_snapshot(carry.unionByName(ins), root)
+
+
+def applied_batch_id(root: str) -> "int | None":
+    """Largest ``batch_id`` recorded in any committed manifest (None
+    if no batch-tagged version exists) — the replay watermark for the
+    streaming CDC merge sink."""
+    ids = []
+    for v in versions(root):
+        with open(_manifest_path(root, v)) as f:
+            b = json.load(f).get("batch_id")
+        if b is not None:
+            ids.append(int(b))
+    return max(ids) if ids else None
+
+
+def merge_upsert_once(
+    spark: SparkSession,
+    root: str,
+    changes: DataFrame,
+    batch_id: int,
+    key: str = "doc_id",
+    op_col: str = "_op",
+) -> "int | None":
+    """Idempotent, batch-tagged MERGE for streaming CDC: apply
+    ``changes`` as ``merge_upsert`` and record ``batch_id`` in the new
+    version's manifest; a REPLAYED batch (batch_id ≤ the chain's
+    applied watermark) is a no-op returning None. Structured
+    Streaming's batchIds are strictly increasing and a failed batch
+    replays with the SAME id, so the watermark comparison is the
+    whole effectively-once story — same contract as commit_version,
+    lifted from append-only to MERGE. An empty chain bootstraps from
+    the batch's upsert slice (nothing to carry over or delete)."""
+    applied = applied_batch_id(root)
+    if applied is not None and int(batch_id) <= applied:
+        return None
+    if not versions(root):
+        ins = changes.filter(F.col(op_col) == "upsert").drop(op_col)
+        v = write_snapshot(ins, root)
+    else:
+        v = merge_upsert(spark, root, changes, key, op_col)
+    mpath = _manifest_path(root, v)
+    with open(mpath) as f:
+        m = json.load(f)
+    m["batch_id"] = int(batch_id)
+    _write_manifest(root, v, m)
+    return v

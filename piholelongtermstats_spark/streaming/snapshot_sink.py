@@ -37,3 +37,30 @@ def start_snapshot_sink(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def start_merge_sink(
+    stream: DataFrame,
+    root: str,
+    checkpoint: str,
+    key: str = "doc_id",
+    op_col: str = "_op",
+) -> StreamingQuery:
+    """CDC apply: each micro-batch is a CHANGE SET (rows carrying
+    ``op_col`` ∈ upsert|delete) MERGED into the snapshot chain —
+    the streaming half of sources/snapshots.merge_upsert. Replay
+    safety comes from the batch-id watermark in the manifests
+    (merge_upsert_once), not from the changes being idempotent: a
+    replayed batch no-ops instead of minting a duplicate version."""
+
+    def _apply(batch: DataFrame, batch_id: int) -> None:
+        snapshots.merge_upsert_once(
+            batch.sparkSession, root, batch, int(batch_id), key, op_col
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -215,3 +215,31 @@ def test_hash_sample_is_pure_filter(spark):
     plan = _plan(spark, "hash_sample")
     assert "Exchange" not in plan, plan
     assert "Aggregate" not in plan, plan
+
+
+def test_r7_panels_plan_shapes(spark):
+    """r7 operators hold their claimed shapes: the C4 pass and the JL
+    projection are pure projections (no window, no join); the Gopher
+    repetition panel's windows are all doc_id-partitioned (never a
+    global window); BPE pair counting aggregates the vocabulary, with
+    its top-K as TakeOrdered."""
+    c4 = _plan(spark, "c4_rules_panel")
+    assert "Window" not in c4 and "Join" not in c4
+    rp = _plan(spark, "embedding_random_projection")
+    assert "Window" not in rp and "Join" not in rp
+    rep = _plan(spark, "gopher_repetition_panel")
+    for ln in rep.splitlines():
+        if "windowspecdefinition" in ln.lower():
+            assert "doc_id" in ln, ln
+    bpe = _plan(spark, "bpe_pair_counts")
+    assert "TakeOrderedAndProject" in bpe
+    assert "Window" not in bpe
+
+
+def test_rolling_active_clients_no_fact_window(spark):
+    """The rolling distinct is the explode-contribution plan: no
+    window anywhere, and the only join is the broadcast semi against
+    the tiny observed-dates relation."""
+    plan = _plan(spark, "rolling_active_clients")
+    assert "Window" not in plan
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan

@@ -320,3 +320,59 @@ def test_merge_upsert_semantics_and_diff_audit(spark, tmp_path):
                                 "doc_id long, text string, _op string")
     with _pytest.raises(ValueError):
         snap.merge_upsert(spark, root, bad)
+
+
+def test_streaming_merge_sink_cdc_apply_and_replay(spark, tmp_path):
+    """CDC merge sink: micro-batches of change rows MERGE into the
+    chain; replaying the stream from a fresh checkpoint (same
+    batchIds) no-ops via the batch-id watermark instead of minting
+    duplicate versions."""
+    from piholelongtermstats_spark.streaming.snapshot_sink import (
+        start_merge_sink,
+    )
+
+    CDC_SCHEMA = "doc_id long, text string, _op string"
+    src = str(tmp_path / "cdc_src")
+    root = str(tmp_path / "cdc_root")
+    # batch 0: initial inserts (one file => one availableNow batch)
+    spark.createDataFrame(
+        [(1, "a", "upsert"), (2, "b", "upsert")], CDC_SCHEMA
+    ).coalesce(1).write.mode("append").parquet(src)
+    q = start_merge_sink(
+        spark.readStream.schema(CDC_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src),
+        root,
+        str(tmp_path / "ck1"),
+    )
+    q.awaitTermination(120)
+    assert snap.versions(root) == [0]
+    # batch 1: update 1, delete 2, insert 3
+    spark.createDataFrame(
+        [(1, "a2", "upsert"), (2, None, "delete"), (3, "c", "upsert")],
+        CDC_SCHEMA,
+    ).coalesce(1).write.mode("append").parquet(src)
+    q2 = start_merge_sink(
+        spark.readStream.schema(CDC_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src),
+        root,
+        str(tmp_path / "ck1"),  # same checkpoint: continues at batch 1
+    )
+    q2.awaitTermination(120)
+    head = {r.doc_id: r.text for r in snap.read_snapshot(spark, root).collect()}
+    assert head == {1: "a2", 3: "c"}
+    n_versions = len(snap.versions(root))
+    assert snap.applied_batch_id(root) == 1
+    # fresh checkpoint: batches 0 and 1 REPLAY; watermark no-ops both
+    q3 = start_merge_sink(
+        spark.readStream.schema(CDC_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src),
+        root,
+        str(tmp_path / "ck2"),
+    )
+    q3.awaitTermination(120)
+    assert len(snap.versions(root)) == n_versions
+    head2 = {r.doc_id: r.text for r in snap.read_snapshot(spark, root).collect()}
+    assert head2 == head
