@@ -314,3 +314,63 @@ def random_projection(emb: DataFrame, k: int = 8) -> DataFrame:
         )
         cols.append(F.round(y, 6).alias(f"p{j}"))
     return emb.select("vec_id", *cols).orderBy("vec_id")
+
+
+def rp_prefilter_topk(
+    emb: DataFrame,
+    query_vec_id: int = 0,
+    k: int = 10,
+    rp_k: int = 8,
+    prefilter: int = 50,
+) -> DataFrame:
+    """Two-stage retrieval: JL-PROJECTED dot-product candidate cut,
+    then exact cosine re-rank over the surviving ``prefilter`` rows —
+    the classic coarse-then-exact pattern with random projection as
+    the coarse stage (instead of IVF cells or LSH buckets).
+
+    At 100 TB the first stage scans only the 8-double projected table
+    (8× fewer bytes than the 64-dim corpus, computable once by
+    ``random_projection`` and stored), and the exact stage touches
+    ``prefilter`` full vectors fetched by a keyed join. Both stages
+    are deterministic (rounded scores, vec_id tie-breaks) and both
+    replay exactly in SQL, so unlike the LSH/IVF tiers the FULL
+    two-stage pipeline is oracle-checkable. At prefilter ≥ corpus the
+    result equals cosine_topk verbatim (test-pinned); recall at small
+    prefilter is measured, trading scan bytes for candidates."""
+    proj = random_projection(emb, k=rp_k)
+    parr = F.array(*[F.col(f"p{j}") for j in range(rp_k)])
+    p = proj.select("vec_id", parr.alias("pv"))
+    qp = p.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("pv").alias("qpv")
+    )
+    cands = (
+        p.filter(F.col("vec_id") != query_vec_id)
+        .crossJoin(F.broadcast(qp))
+        .select(
+            "vec_id",
+            F.round(_dot(F.col("pv"), F.col("qpv")), 6).alias("rp_score"),
+        )
+        .orderBy(F.col("rp_score").desc(), F.col("vec_id").asc())
+        .limit(prefilter)
+    )
+    v = F.col("embedding").cast("array<double>")
+    base = emb.select("vec_id", "label", v.alias("v"))
+    qv = base.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("v").alias("qv")
+    )
+    return (
+        base.join(cands, "vec_id")
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "vec_id",
+            "label",
+            F.round(
+                _dot(F.col("v"), F.col("qv"))
+                / (_norm(F.col("v")) * _norm(F.col("qv"))),
+                6,
+            ).alias("cosine"),
+            "rp_score",
+        )
+        .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+        .limit(k)
+    )

@@ -205,6 +205,7 @@ _OVERFLOW = [
     "embedding_random_projection",
     "rolling_active_clients",
     "merge_upsert_audit",
+    "rp_prefilter_topk",
     # rows-only by design (sketches, iterative index builds, stubs)
     "uniques_approx",
     "reply_time_quantiles",

@@ -535,3 +535,48 @@ def q_merge_upsert_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "text_hashsum"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# RP-prefilter two-stage k-NN (similarity.rp_prefilter_topk): unlike
+# the LSH/IVF tiers, BOTH stages replay exactly in SQL (the coarse
+# stage is the deterministic JL projection above), so the full
+# two-stage pipeline is oracle-checked end to end.
+# ---------------------------------------------------------------------------
+
+_RP_PRE_Q = 0
+_RP_PRE_CUT = 100
+# The serving prefilter uses a WIDER projection than the 8-dim
+# reduction entry: rp_k=32 halves scan bytes vs the 64-dim corpus and
+# measures recall 0.6 at cut 100 on the near-isotropic synthetic
+# embeddings (clustered real embeddings project far better; the
+# pattern, parameters, and trade are what this entry pins).
+_RP_PRE_K = 32
+
+_RP_DOT_SQL = " + ".join(f"p.p{j} * q.p{j}" for j in range(_RP_PRE_K))
+
+_RP_PRE_SQL = f"""
+WITH proj AS (
+  SELECT vec_id, {", ".join(_rp_col_sql(j) for j in range(_RP_PRE_K))}
+  FROM embeddings),
+q AS (SELECT * FROM proj WHERE vec_id = {_RP_PRE_Q}),
+cands AS (
+  SELECT p.vec_id, round({_RP_DOT_SQL}, 6) AS rp_score
+  FROM proj p, q WHERE p.vec_id <> {_RP_PRE_Q}
+  ORDER BY rp_score DESC, p.vec_id LIMIT {_RP_PRE_CUT}),
+qv AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings
+       WHERE vec_id = {_RP_PRE_Q})
+SELECT b.vec_id, b.label,
+       round(list_cosine_similarity(b.embedding::DOUBLE[], qe), 6) AS cosine,
+       c.rp_score
+FROM embeddings b JOIN cands c USING (vec_id), qv
+ORDER BY cosine DESC, b.vec_id LIMIT 10
+"""
+
+
+@register("rp_prefilter_topk", _RP_PRE_SQL)
+def q_rp_prefilter_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projected-dot candidate cut (50) + exact cosine re-rank (10)."""
+    return _sim.rp_prefilter_topk(
+        _emb(spark, sf_dir), _RP_PRE_Q, 10, _RP_PRE_K, _RP_PRE_CUT
+    )

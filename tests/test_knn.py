@@ -257,3 +257,35 @@ def test_random_projection_preserves_dot_products(spark):
         for r2 in random_projection(emb.repartition(16), k=8).collect()
     }
     assert base == again
+
+
+def test_rp_prefilter_exact_in_the_full_candidate_limit(spark):
+    """At prefilter >= corpus the two-stage result equals the exact
+    cosine_topk verbatim; at small prefilter recall is measured and
+    non-trivial."""
+    from piholelongtermstats_spark.operators.similarity import (
+        cosine_topk,
+        rp_prefilter_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    n = emb.count()
+    exact = [(r.vec_id, r.cosine) for r in cosine_topk(emb, 0, 10).collect()]
+    full = [
+        (r.vec_id, r.cosine)
+        for r in rp_prefilter_topk(emb, 0, 10, prefilter=n).collect()
+    ]
+    assert full == exact
+    # serving parameters (rp_k=32, cut 100): recall measured 0.6 on
+    # the near-isotropic synthetic corpus, and recall is monotone in
+    # the prefilter width (the IVFPQ nprobe-curve pattern)
+    ex_ids = {v for v, _ in exact}
+    rec = {}
+    for pre in (25, 100, n):
+        got = {
+            r.vec_id
+            for r in rp_prefilter_topk(emb, 0, 10, rp_k=32, prefilter=pre).collect()
+        }
+        rec[pre] = len(got & ex_ids) / 10
+    assert rec[100] >= 0.4, rec
+    assert rec[25] <= rec[100] <= rec[n] == 1.0, rec
