@@ -175,10 +175,13 @@ def dsir_logweights(
         .limit(1)
         .first()
     )
-    thr_w, thr_id = boundary[0], boundary[1]
-    sel = (F.col("_w_dec") > F.lit(thr_w)) | (
-        (F.col("_w_dec") == F.lit(thr_w)) & (F.col("doc_id") <= thr_id)
-    )
+    if boundary is None:  # empty corpus: nothing to select
+        sel = F.lit(False)
+    else:
+        thr_w, thr_id = boundary[0], boundary[1]
+        sel = (F.col("_w_dec") > F.lit(thr_w)) | (
+            (F.col("_w_dec") == F.lit(thr_w)) & (F.col("doc_id") <= thr_id)
+        )
     return full.select(
         "doc_id",
         "n_tokens",

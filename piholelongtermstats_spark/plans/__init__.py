@@ -215,6 +215,7 @@ _OVERFLOW = [
     "media_resize",
     "media_frames",
     "dsir_logweights",
+    "pagerank_top",
 ]
 
 

@@ -580,3 +580,21 @@ def q_rp_prefilter_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sim.rp_prefilter_topk(
         _emb(spark, sf_dir), _RP_PRE_Q, 10, _RP_PRE_K, _RP_PRE_CUT
     )
+
+
+# ---------------------------------------------------------------------------
+# PageRank (operators/graph.py) — rows-only: float mass accumulation
+# is partition-order-dependent (the trained-index pattern); the numpy
+# differential test is the independent check.
+# ---------------------------------------------------------------------------
+
+from piholelongtermstats_spark.operators import graph as _graph  # noqa: E402
+
+
+@register("pagerank_top")  # rows-only: fp accumulation order
+def q_pagerank_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 client/domain nodes by bipartite PageRank (10 power
+    iterations, damping 0.85)."""
+    from piholelongtermstats_spark.plans.registry import _fact
+
+    return _graph.pagerank(_fact(spark, sf_dir))

@@ -1,0 +1,73 @@
+"""PageRank (operators/graph.py): numpy differential, mass
+conservation, and determinism under repartitioning."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from piholelongtermstats_spark.operators import graph
+from piholelongtermstats_spark.sources.events import dns_fact
+
+SF = "/root/testdata/sf0.001"
+
+
+def _numpy_pagerank(edges, n_iter=graph.N_ITER, d=graph.DAMPING):
+    nodes = sorted({s for s, _ in edges} | {t for _, t in edges})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    outdeg = np.zeros(n)
+    for s, _ in edges:
+        outdeg[idx[s]] += 1
+    r = np.full(n, 1.0 / n)
+    for _ in range(n_iter):
+        nxt = np.full(n, (1 - d) / n)
+        contrib = r / outdeg
+        for s, t in edges:
+            nxt[idx[t]] += d * contrib[idx[s]]
+        r = nxt
+    return {v: r[idx[v]] for v in nodes}
+
+
+def test_pagerank_matches_numpy_reference(spark):
+    fact = dns_fact(spark, SF)
+    edges = [
+        (r.src, r.dst) for r in graph.bipartite_edges(fact).collect()
+    ]
+    want = _numpy_pagerank(edges)
+    got = {r.node: r.rank for r in graph.pagerank(fact, top=None).collect()}
+    assert set(got) == set(want)
+    # Spark serves round(rank, 8): agreement bound = half-ulp of the
+    # 8th digit (5e-9) + fp accumulation slack
+    for v, rv in got.items():
+        assert abs(rv - want[v]) < 6e-9, (v, rv, want[v])
+    # mass conservation: ranks sum to 1 (symmetric bipartite graph
+    # has no sinks by construction)
+    assert abs(sum(got.values()) - 1.0) < 1e-6
+
+
+def test_pagerank_deterministic_under_repartition(spark):
+    fact = dns_fact(spark, SF)
+    a = [(r.node, r.rank) for r in graph.pagerank(fact).collect()]
+    b = [
+        (r.node, r.rank)
+        for r in graph.pagerank(fact.repartition(17)).collect()
+    ]
+    # rounded serving edge + pinned tie-break: identical top-20
+    assert a == b and len(a) == 20
+
+
+def test_pagerank_empty_graph(spark):
+    empty = spark.createDataFrame([], "client string, domain string")
+    assert graph.pagerank(empty).count() == 0
+
+
+def test_bipartite_edges_symmetric(spark):
+    fact = spark.createDataFrame(
+        [("c1", "d1"), ("c1", "d1"), ("c2", "d1")], "client string, domain string"
+    )
+    e = {(r.src, r.dst) for r in graph.bipartite_edges(fact).collect()}
+    assert e == {
+        ("c:c1", "d:d1"), ("c:c2", "d:d1"),
+        ("d:d1", "c:c1"), ("d:d1", "c:c2"),
+    }
