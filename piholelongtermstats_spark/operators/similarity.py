@@ -21,6 +21,8 @@ from __future__ import annotations
 import hashlib
 import math
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -296,24 +298,41 @@ def random_projection(emb: DataFrame, k: int = 8) -> DataFrame:
     because the signs are literals the whole map is one codegen
     projection with zero shuffle and nothing trained.
 
-    fp policy: each y_j is a LEFT-FOLD of double products in a fixed
-    order (aggregate over zip_with; init 0.0 + x₁ ≡ x₁), mirrored by
-    list_reduce in the oracle — bit-identical across engines, rounded
-    to 6 digits only at the output edge (same contract as
-    cosine_topk)."""
+    fp policy: each y_j is the LEFT-ASSOCIATIVE fold of double terms
+    in index order, mirrored by list_reduce in the oracle. Three
+    formulations produce that bit pattern; performance differs 10×+:
+    aggregate/zip_with HOF lambdas evaluate interpreted per element
+    (the SimHash lesson — 2.5 s exec at rp_k=32/sf0.1), a flat
+    ±x₁±x₂… codegen sum is runtime-fast but its 2048-node expression
+    tree costs ~8 s of Catalyst analysis on EVERY query build, and
+    the Arrow-batched numpy form used here — (X·s).cumsum(axis=1)
+    last column, cumsum being sequential left-assoc by definition,
+    ·(±1.0) an exact sign flip, float32→float64 exact — is both
+    plan-small and vectorized (the IVF-assignment pattern: the
+    deliberate pandas_udf exception). Rounded to 6 digits only at
+    the output edge (same contract as cosine_topk)."""
     dim = _dim(emb)
-    cols = []
-    for j in range(k):
-        arr = F.array(
-            *[F.lit(s) for s in plane_signs(dim, RP_PLANE_BASE + j)]
-        )
-        y = F.aggregate(
-            F.zip_with(F.col("embedding"), arr, lambda x, s: x * s),
-            F.lit(0.0).cast("double"),
-            lambda acc, v: acc + v,
-        )
-        cols.append(F.round(y, 6).alias(f"p{j}"))
-    return emb.select("vec_id", *cols).orderBy("vec_id")
+    sign_rows = [plane_signs(dim, RP_PLANE_BASE + j) for j in range(k)]
+    S = np.asarray(sign_rows, dtype=np.float64)  # (k, dim)
+
+    @F.pandas_udf("array<double>")
+    def _proj(embs: pd.Series) -> pd.Series:
+        X = np.array(embs.tolist(), dtype=np.float64)  # (n, dim)
+        if X.size == 0:
+            return pd.Series([], dtype=object)
+        out = np.empty((X.shape[0], S.shape[0]))
+        for j in range(S.shape[0]):
+            out[:, j] = np.cumsum(X * S[j], axis=1)[:, -1]
+        return pd.Series(list(out))
+
+    arr = _proj(F.col("embedding"))
+    return emb.select(
+        "vec_id",
+        *[
+            F.round(F.element_at(arr, j + 1), 6).alias(f"p{j}")
+            for j in range(k)
+        ],
+    ).orderBy("vec_id")
 
 
 def rp_prefilter_topk(
