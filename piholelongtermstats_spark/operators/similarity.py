@@ -393,3 +393,76 @@ def rp_prefilter_topk(
         .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
         .limit(k)
     )
+
+
+def scalar_quantize(
+    emb: DataFrame, lo: float = -4.0, hi: float = 4.0, bits: int = 8
+) -> DataFrame:
+    """Symmetric scalar quantization of the embedding column to
+    ``bits``-bit codes over the fixed range [lo, hi] — the 4×
+    compression tier between raw float32 and PQ's 64× (what FAISS
+    calls SQ8): at 100 TB the stored corpus is int8 codes + nothing
+    trained, decode is a multiply-add, and range-clipping is explicit
+    policy, not data-dependent (a per-batch min/max would make codes
+    incomparable across files).
+
+    code_i = clamp(round((x_i − lo) / step), 0, 2^bits − 1) with
+    step = (hi − lo)/(2^bits − 1); every step of the arithmetic is a
+    correctly-rounded double op on both engines (subtraction,
+    division by an exact-ratio step, round-half-up on an exact
+    scaled value, clamp), so codes — and therefore the reconstruction
+    and its error stats — replay EXACTLY in SQL. Emits per-vector
+    code array, max absolute reconstruction error (×1e6, rounded),
+    and the clipped-dimension count (the audit a deployment watches:
+    clipping ⇒ widen the range)."""
+    levels = (1 << bits) - 1
+    step = (hi - lo) / levels
+    codes = F.transform(
+        F.col("embedding").cast("array<double>"),
+        lambda x: F.least(
+            F.greatest(F.round((x - F.lit(lo)) / F.lit(step), 0), F.lit(0.0)),
+            F.lit(float(levels)),
+        ).cast("int"),
+    )
+    recon = F.transform(
+        F.col("codes"), lambda c: c.cast("double") * F.lit(step) + F.lit(lo)
+    )
+    err = F.zip_with(
+        F.col("embedding").cast("array<double>"),
+        F.col("recon"),
+        lambda a, b: F.abs(a - b),
+    )
+    clipped = F.size(
+        F.filter(
+            F.col("codes"),
+            lambda c: (c == 0) | (c == levels),
+        )
+    )
+    # The code array is audited through two exact integers instead of
+    # the raw list (the harness' value-hash compares scalar columns):
+    # the plain sum and the POSITION-WEIGHTED sum Σ (i+1)·code_i —
+    # together order- and value-sensitive.
+    code_sum = F.aggregate(
+        F.col("codes"), F.lit(0).cast("long"), lambda a, c: a + c
+    )
+    code_possum = F.aggregate(
+        F.zip_with(
+            F.col("codes"),
+            F.sequence(F.lit(1), F.size(F.col("codes"))),
+            lambda c, i: c.cast("long") * i,
+        ),
+        F.lit(0).cast("long"),
+        lambda a, v: a + v,
+    )
+    return (
+        emb.select("vec_id", "embedding", codes.alias("codes"))
+        .select("vec_id", "embedding", "codes", recon.alias("recon"))
+        .select(
+            "vec_id",
+            code_sum.alias("code_sum"),
+            code_possum.alias("code_possum"),
+            F.round(F.array_max(err) * 1e6, 3).alias("max_err_1e6"),
+            clipped.cast("long").alias("n_clipped"),
+        )
+        .orderBy("vec_id")
+    )

@@ -206,6 +206,7 @@ _OVERFLOW = [
     "rolling_active_clients",
     "merge_upsert_audit",
     "rp_prefilter_topk",
+    "scalar_quantize_audit",
     # rows-only by design (sketches, iterative index builds, stubs)
     "uniques_approx",
     "reply_time_quantiles",

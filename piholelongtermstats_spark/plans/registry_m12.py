@@ -598,3 +598,44 @@ def q_pagerank_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     from piholelongtermstats_spark.plans.registry import _fact
 
     return _graph.pagerank(_fact(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Scalar quantization SQ8 (similarity.scalar_quantize): every step of
+# the code arithmetic is a correctly-rounded double op, so codes and
+# error stats replay exactly in SQL.
+# ---------------------------------------------------------------------------
+
+_SQ_LO, _SQ_HI, _SQ_LEVELS = -4.0, 4.0, 255
+_SQ_STEP = (_SQ_HI - _SQ_LO) / _SQ_LEVELS
+
+_SQ_SQL = f"""
+WITH q AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         list_transform(embedding::DOUBLE[],
+           x -> CAST(least(greatest(round((x - ({_SQ_LO!r})) / {_SQ_STEP!r}, 0),
+                                    0.0), {float(_SQ_LEVELS)!r}) AS INTEGER)) AS codes
+  FROM embeddings),
+r AS (
+  SELECT vec_id, v, codes,
+         list_transform(codes,
+           c -> CAST(c AS DOUBLE) * {_SQ_STEP!r} + ({_SQ_LO!r})) AS recon
+  FROM q)
+SELECT vec_id,
+       CAST(list_sum(codes) AS BIGINT) AS code_sum,
+       CAST(list_sum(list_transform(range(1, len(codes) + 1),
+            i -> CAST(codes[CAST(i AS INTEGER)] AS BIGINT) * i)) AS BIGINT)
+         AS code_possum,
+       round(list_max(list_transform(range(1, len(v) + 1),
+            i -> abs(v[CAST(i AS INTEGER)] - recon[CAST(i AS INTEGER)])))
+         * 1e6, 3) AS max_err_1e6,
+       CAST(len(list_filter(codes, c -> c = 0 OR c = {_SQ_LEVELS}))
+         AS BIGINT) AS n_clipped
+FROM r ORDER BY vec_id
+"""
+
+
+@register("scalar_quantize_audit", _SQ_SQL)
+def q_scalar_quantize_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 code + reconstruction-error audit over the embeddings."""
+    return _sim.scalar_quantize(_emb(spark, sf_dir), _SQ_LO, _SQ_HI, 8)

@@ -289,3 +289,26 @@ def test_rp_prefilter_exact_in_the_full_candidate_limit(spark):
         rec[pre] = len(got & ex_ids) / 10
     assert rec[100] >= 0.4, rec
     assert rec[25] <= rec[100] <= rec[n] == 1.0, rec
+
+
+def test_scalar_quantize_roundtrip_bounds(spark):
+    """SQ8: reconstruction error bounded by step/2 for in-range dims;
+    out-of-range values clip to the boundary codes."""
+    from piholelongtermstats_spark.operators.similarity import scalar_quantize
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    rows = scalar_quantize(emb).collect()
+    step = 8.0 / 255
+    assert len(rows) == emb.count()
+    for r in rows:
+        if r.n_clipped == 0:
+            assert r.max_err_1e6 <= step / 2 * 1e6 + 0.001, r
+    # constructed clipping case
+    extreme = spark.createDataFrame(
+        [(0, [10.0, -10.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    e = scalar_quantize(extreme).first()
+    assert e.n_clipped == 2
+    # codes 255, 0, 128 → sums pin the exact code assignment
+    assert e.code_sum == 255 + 0 + 128
+    assert e.code_possum == 255 * 1 + 0 * 2 + 128 * 3
