@@ -91,3 +91,37 @@ def client_degree_histogram(fact: DataFrame) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_clients"))
         .orderBy("degree")
     )
+
+
+def kanon_domain_daily(fact, k: int = 5):
+    """k-anonymous export of the (domain, date) activity table:
+    groups with fewer than ``k`` events are SUPPRESSED from the
+    release, and every released row carries the suppression audit
+    (how many groups / rows were withheld) — the minimum-cell-size
+    rule telemetry exports apply before data leaves the trust
+    boundary (beyond-reference: the dashboard shows raw counts to an
+    authenticated admin; an EXPORT cannot).
+
+    Plan: one (domain, date) partial-agg shuffle; the audit is a
+    two-scalar aggregate of the same counts relation broadcast back
+    onto the released rows — no second pass over the fact."""
+    from pyspark.sql import functions as F
+
+    counts = fact.groupBy("domain", "date").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    audit = counts.agg(
+        F.sum(F.when(F.col("cnt") < k, 1).otherwise(0))
+        .cast("long")
+        .alias("suppressed_groups"),
+        F.coalesce(
+            F.sum(F.when(F.col("cnt") < k, F.col("cnt"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("suppressed_rows"),
+    )
+    return (
+        counts.filter(F.col("cnt") >= k)
+        .crossJoin(F.broadcast(audit))
+        .orderBy("domain", "date")
+    )

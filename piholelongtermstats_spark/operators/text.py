@@ -637,3 +637,77 @@ def bpe_pair_counts(docs: DataFrame, k: int = 20) -> DataFrame:
         .orderBy(F.col("cnt").desc(), F.col("pair").asc())
         .limit(k)
     )
+
+
+# Pinned demonstration merge list for the registry entry (real
+# deployments feed the top pairs from bpe_pair_counts back in; the
+# list is a constant so the DuckDB oracle can replay the identical
+# cascade). Later merges consume earlier outputs ("ta"+"b", "qu"+"e")
+# to exercise multi-level composition.
+BPE_MERGES: tuple = (
+    ("t", "a"), ("a", "r"), ("u", "e"), ("r", "o"), ("q", "u"),
+    ("ta", "b"), ("qu", "e"),
+)
+
+
+def bpe_encode_vocab(
+    docs: DataFrame, merges: "list[tuple[str, str]]", top_words: int = 50
+) -> DataFrame:
+    """Apply a FIXED, ordered BPE merge list to the corpus vocabulary
+    — the encode half of the tokenizer whose training statistic is
+    ``bpe_pair_counts``: each word starts as space-joined characters
+    and each merge (a, b) → ab is applied EXHAUSTIVELY (regexp-style
+    all-occurrences, leftmost-first — the standard BPE convention)
+    before the next merge, in list order.
+
+    Scale shape: identical to bpe_pair_counts — the corpus collapses
+    to the distinct-word frequency table first, so the merge cascade
+    (|merges| chained replace calls, pure codegen string ops, zero
+    shuffle) runs over vocabulary-sized data no matter the corpus;
+    real encoders join the encoded vocab back to tokens by word.
+    Emits the ``top_words`` most frequent words (count DESC, word
+    ASC) with their symbol sequence and symbol count."""
+    wc = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("wcnt"))
+    )
+    # Symbols are \x1f-separated WITH sentinel separators at both
+    # ends, and each merge pattern is separator-ANCHORED on all sides
+    # (sep+a+sep+b+sep): a bare 'a<sep>b' replace would match symbol
+    # PREFIXES — e.g. merge (q,u) rewriting 'q<sep>ue' into 'que',
+    # gluing onto the multi-char symbol 'ue'. Each merge runs TWICE:
+    # a non-overlapping left-to-right scan consumes the trailing
+    # separator of every match, skipping the immediately following
+    # occurrence in an a·b chain (merging 1st, 3rd, …); the skipped
+    # occurrences are then pairwise non-adjacent, so the second pass
+    # closes them all.
+    sep = "\x1f"
+    sym = F.concat(
+        F.lit(sep),
+        F.concat_ws(
+            sep, F.expr("transform(sequence(1, length(w)), i -> substr(w, i, 1))")
+        ),
+        F.lit(sep),
+    )
+    for a, b in merges:
+        pat = F.lit(f"{sep}{a}{sep}{b}{sep}")
+        rep = F.lit(f"{sep}{a}{b}{sep}")
+        sym = F.replace(F.replace(sym, pat, rep), pat, rep)
+    return (
+        wc.select(
+            "w",
+            "wcnt",
+            F.btrim(F.replace(sym, F.lit(sep), F.lit(" "))).alias("symbols"),
+        )
+        .select(
+            "w",
+            "wcnt",
+            "symbols",
+            (F.length("symbols") - F.length(F.replace(F.col("symbols"), F.lit(" "))) + 1)
+            .cast("long")
+            .alias("n_symbols"),
+        )
+        .orderBy(F.col("wcnt").desc(), F.col("w").asc())
+        .limit(top_words)
+    )

@@ -207,6 +207,8 @@ _OVERFLOW = [
     "merge_upsert_audit",
     "rp_prefilter_topk",
     "scalar_quantize_audit",
+    "bpe_encode_vocab",
+    "kanon_domain_daily",
     # rows-only by design (sketches, iterative index builds, stubs)
     "uniques_approx",
     "reply_time_quantiles",

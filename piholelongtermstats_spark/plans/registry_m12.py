@@ -639,3 +639,67 @@ FROM r ORDER BY vec_id
 def q_scalar_quantize_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQ8 code + reconstruction-error audit over the embeddings."""
     return _sim.scalar_quantize(_emb(spark, sf_dir), _SQ_LO, _SQ_HI, 8)
+
+
+# ---------------------------------------------------------------------------
+# BPE vocabulary encoding (text.bpe_encode_vocab): the pinned merge
+# cascade replayed replace-for-replace in SQL.
+# ---------------------------------------------------------------------------
+
+# Separator-anchored (sentinels at both ends), two passes per merge —
+# mirrors the engine exactly (see text.bpe_encode_vocab).
+_BPE_SYM = "chr(31) || array_to_string(string_split(w, ''), chr(31)) || chr(31)"
+for _a, _b in _text.BPE_MERGES:
+    _pat = f"chr(31) || '{_a}' || chr(31) || '{_b}' || chr(31)"
+    _rep = f"chr(31) || '{_a}{_b}' || chr(31)"
+    _BPE_SYM = f"replace(replace({_BPE_SYM}, {_pat}, {_rep}), {_pat}, {_rep})"
+
+_BPE_ENC_SQL = f"""
+WITH wc AS (
+  SELECT w, count(*) AS wcnt FROM (
+    SELECT unnest(list_filter(string_split_regex(trim(text), '\\s+'),
+                              tk -> tk <> '')) AS w
+    FROM documents) GROUP BY w),
+enc AS (SELECT w, wcnt, trim(replace({_BPE_SYM}, chr(31), ' ')) AS symbols FROM wc)
+SELECT w, CAST(wcnt AS BIGINT) AS wcnt, symbols,
+       CAST(length(symbols) - length(replace(symbols, ' ', '')) + 1
+            AS BIGINT) AS n_symbols
+FROM enc ORDER BY wcnt DESC, w ASC LIMIT 50
+"""
+
+
+@register("bpe_encode_vocab", _BPE_ENC_SQL)
+def q_bpe_encode_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 vocabulary words encoded through the pinned BPE merge
+    cascade (symbol sequences + counts)."""
+    return _text.bpe_encode_vocab(_docs(spark, sf_dir), list(_text.BPE_MERGES))
+
+
+# ---------------------------------------------------------------------------
+# k-anonymous export gate (operators/counts.py:kanon_domain_daily)
+# ---------------------------------------------------------------------------
+
+from piholelongtermstats_spark.operators import counts as _counts  # noqa: E402
+
+_KANON_K = 5
+
+_KANON_SQL = _FACT_CTE + f"""
+, c AS (SELECT domain, date, count(*) AS cnt FROM fact GROUP BY domain, date),
+a AS (SELECT CAST(sum(CASE WHEN cnt < {_KANON_K} THEN 1 ELSE 0 END) AS BIGINT)
+               AS suppressed_groups,
+             CAST(coalesce(sum(CASE WHEN cnt < {_KANON_K} THEN cnt END), 0)
+               AS BIGINT) AS suppressed_rows
+      FROM c)
+SELECT domain, date, CAST(cnt AS BIGINT) AS cnt,
+       suppressed_groups, suppressed_rows
+FROM c, a WHERE cnt >= {_KANON_K}
+ORDER BY domain, date
+"""
+
+
+@register("kanon_domain_daily", _KANON_SQL)
+def q_kanon_domain_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymous (domain, date) export with suppression audit."""
+    from piholelongtermstats_spark.plans.registry import _fact
+
+    return _counts.kanon_domain_daily(_fact(spark, sf_dir), _KANON_K)

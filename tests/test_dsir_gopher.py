@@ -284,3 +284,36 @@ def test_bpe_pair_counts_exact_small_corpus(spark):
     got = {r.pair: r.cnt for r in bpe_pair_counts(docs).collect()}
     # abab: ab, ba, ab per occurrence (wcnt=2 → ab:4, ba:2); ab: ab:1
     assert got == {"ab": 5, "ba": 2}
+
+
+def test_bpe_encode_cascade_composes(spark):
+    """Merge cascade: exhaustive per-merge application in list order,
+    later merges consuming earlier outputs ('t'+'a' -> 'ta', then
+    'ta'+'b' -> 'tab')."""
+    from piholelongtermstats_spark.operators.text import bpe_encode_vocab
+
+    docs = spark.createDataFrame([_doc(0, "table table queue xz")], DOC_SCHEMA)
+    merges = [("t", "a"), ("u", "e"), ("q", "u"), ("ta", "b"), ("qu", "e")]
+    got = {r.w: (r.symbols, r.n_symbols) for r in
+           bpe_encode_vocab(docs, merges).collect()}
+    # table: t a b l e -> ta b l e -> tab l e
+    assert got["table"] == ("tab l e", 3)
+    # queue: q u e u e -> [ue] q ue ue -> [qu? 'q u' gone after ue]
+    # q u e u e --ue--> q ue ue --qu: no 'q u' pair left--> q ue ue
+    # --que: 'qu e' not present--> q ue ue
+    assert got["queue"] == ("q ue ue", 3)
+    assert got["xz"] == ("x z", 2)
+
+
+def test_bpe_merge_exhaustive_on_repeat_chains(spark):
+    """'ababab' under merge (a,b): the two-pass anchored replace must
+    merge EVERY occurrence (a single non-overlapping pass would skip
+    alternating ones), and prefix-gluing must not occur."""
+    from piholelongtermstats_spark.operators.text import bpe_encode_vocab
+
+    docs = spark.createDataFrame([_doc(0, "ababab abab qux")], DOC_SCHEMA)
+    got = {r.w: r.symbols for r in
+           bpe_encode_vocab(docs, [("a", "b"), ("q", "u")]).collect()}
+    assert got["ababab"] == "ab ab ab"
+    assert got["abab"] == "ab ab"
+    assert got["qux"] == "qu x"

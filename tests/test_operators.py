@@ -430,3 +430,19 @@ def test_range_join_binned_vs_theta(spark):
         ).collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_kanon_suppresses_small_groups(spark):
+    from piholelongtermstats_spark.operators.counts import kanon_domain_daily
+
+    rows = [("d1", "2024-01-01")] * 6 + [("d2", "2024-01-01")] * 2 + [
+        ("d1", "2024-01-02")
+    ] * 5
+    fact = spark.createDataFrame(rows, "domain string, d string").selectExpr(
+        "domain", "CAST(d AS TIMESTAMP) AS date"
+    )
+    out = kanon_domain_daily(fact, k=5).collect()
+    released = {(r.domain, r.date.day, r.cnt) for r in out}
+    assert released == {("d1", 1, 6), ("d1", 2, 5)}
+    # every released row carries the audit of what was withheld
+    assert all(r.suppressed_groups == 1 and r.suppressed_rows == 2 for r in out)
