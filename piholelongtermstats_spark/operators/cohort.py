@@ -114,3 +114,47 @@ def rolling_active_clients(fact: DataFrame, window_days: int = 7) -> DataFrame:
         .agg(F.countDistinct("client").alias(f"active_{window_days}d"))
         .orderBy("date")
     )
+
+
+def rolling_active_clients_approx(
+    fact: DataFrame, window_days: int = 7, lg_k: int = 12
+) -> DataFrame:
+    """The SKETCH-MERGE scale path for ``rolling_active_clients``:
+    one Apache DataSketches HLL sketch per (date) over clients
+    (``hll_sketch_agg``), the per-day sketches fanned to their ≤
+    ``window_days`` report dates and UNIONED (``hll_union_agg``), the
+    estimate taken at the serving edge.
+
+    Why this wins at 100 TB: the exact operator's explode fan carries
+    the distinct (date, client) relation window_days× — fine while
+    clients × dates fits a shuffle, but the sketch path's fan carries
+    ONE ~2^lg_k-byte sketch per day regardless of client cardinality,
+    and sketches merge associatively under any partitioning. Registered
+    rows-only (sketch internals aren't portable SQL); the error bound
+    vs the exact operator is test-asserted — the honest check for
+    approximate operators (same policy as uniques_approx)."""
+    daily = fact.groupBy("date").agg(
+        F.hll_sketch_agg("client", F.lit(lg_k)).alias("sk")
+    )
+    contrib = daily.select(
+        F.explode(
+            F.expr(
+                f"sequence(date, date + interval {window_days - 1} days, "
+                "interval 1 day)"
+            )
+        ).alias("date"),
+        "sk",
+    )
+    dates = fact.select("date").distinct()
+    return (
+        contrib.join(dates, "date", "left_semi")
+        .groupBy("date")
+        .agg(F.hll_union_agg("sk").alias("u"))
+        .select(
+            "date",
+            F.hll_sketch_estimate("u")
+            .cast("long")
+            .alias(f"active_{window_days}d_approx"),
+        )
+        .orderBy("date")
+    )

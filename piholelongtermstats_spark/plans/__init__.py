@@ -219,6 +219,7 @@ _OVERFLOW = [
     "media_frames",
     "dsir_logweights",
     "pagerank_top",
+    "rolling_active_approx",
 ]
 
 

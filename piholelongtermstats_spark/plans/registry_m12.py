@@ -703,3 +703,13 @@ def q_kanon_domain_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     from piholelongtermstats_spark.plans.registry import _fact
 
     return _counts.kanon_domain_daily(_fact(spark, sf_dir), _KANON_K)
+
+
+@register("rolling_active_approx")  # rows-only: sketch internals
+def q_rolling_active_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-merge (DataSketches HLL) rolling 7-day distinct actives
+    — the constant-width scale path of rolling_active_clients; error
+    bound vs exact test-asserted."""
+    from piholelongtermstats_spark.plans.registry import _fact
+
+    return _cohort.rolling_active_clients_approx(_fact(spark, sf_dir))

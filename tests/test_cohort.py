@@ -116,3 +116,24 @@ def test_rolling_active_clients_constructed(spark):
     # 01-01: {c1,c2}=2; 01-03: window [12-28..01-03] → {c1,c2}=2;
     # 01-10: window [01-04..01-10] → {c3}=1 (c1's 01-03 is outside)
     assert got == {"01-01": 2, "01-03": 2, "01-10": 1}
+
+
+def test_rolling_active_approx_within_hll_error(spark):
+    """Sketch-merge rolling actives vs the exact operator: every date
+    within the HLL error band (lg_k=12 → rse ~1.6%; assert 5% with
+    headroom at small counts)."""
+    from piholelongtermstats_spark.operators.cohort import (
+        rolling_active_clients,
+        rolling_active_clients_approx,
+    )
+    from piholelongtermstats_spark.sources.events import dns_fact
+
+    fact = dns_fact(spark, "/root/testdata/sf0.01")
+    exact = {r.date: r.active_7d for r in rolling_active_clients(fact).collect()}
+    approx = {
+        r.date: r.active_7d_approx
+        for r in rolling_active_clients_approx(fact).collect()
+    }
+    assert set(exact) == set(approx)
+    for d, n in exact.items():
+        assert abs(approx[d] - n) <= max(0.05 * n, 2), (d, n, approx[d])
