@@ -137,3 +137,46 @@ def hybrid_rrf_topk(
         F.coalesce("r_cos", F.lit(0)).alias("r_cos"),
     )
     return fused.orderBy(F.col("rrf").desc(), F.col("doc_id").asc()).limit(k)
+
+
+def inverted_postings_audit(docs: DataFrame, top_terms: int = 100) -> DataFrame:
+    """Inverted-index build audit: for the ``top_terms`` terms by
+    document frequency (df DESC, term ASC), the per-term posting-list
+    summary — df, total term frequency, doc-id range, and an md5 of
+    the FULL doc-ordered "doc:tf" posting string, which pins every
+    (doc_id, tf) pair byte-for-byte without shipping list columns
+    through the comparison harness.
+
+    This is the search-serving materialization BM25 implies: explode →
+    (term, doc) tf partial-agg → per-term fold. The posting string is
+    built from the doc_id-sorted pairs (array_sort on zero-padded
+    fixed-width keys — lexicographic == numeric, both engines), so the
+    hash is partitioning-independent. At 100 TB postings are written
+    bucketed by term; the audit costs the same two keyed shuffles as
+    the build."""
+    from piholelongtermstats_spark.operators.text import tokens
+
+    tf = (
+        docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    entry = F.concat(
+        F.lpad(F.col("doc_id").cast("string"), 12, "0"),
+        F.lit(":"),
+        F.col("tf").cast("string"),
+    )
+    return (
+        tf.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("df"),
+            F.sum("tf").cast("long").alias("total_tf"),
+            F.min("doc_id").cast("long").alias("min_doc"),
+            F.max("doc_id").cast("long").alias("max_doc"),
+            F.md5(
+                F.concat_ws(",", F.array_sort(F.collect_list(entry)))
+            ).alias("postings_md5"),
+        )
+        .orderBy(F.col("df").desc(), F.col("term").asc())
+        .limit(top_terms)
+    )

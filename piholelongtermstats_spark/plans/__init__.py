@@ -209,6 +209,7 @@ _OVERFLOW = [
     "scalar_quantize_audit",
     "bpe_encode_vocab",
     "kanon_domain_daily",
+    "inverted_postings_audit",
     # rows-only by design (sketches, iterative index builds, stubs)
     "uniques_approx",
     "reply_time_quantiles",

@@ -713,3 +713,37 @@ def q_rolling_active_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     from piholelongtermstats_spark.plans.registry import _fact
 
     return _cohort.rolling_active_clients_approx(_fact(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Inverted-index postings audit (retrieval.inverted_postings_audit)
+# ---------------------------------------------------------------------------
+
+from piholelongtermstats_spark.operators import retrieval as _retr  # noqa: E402
+
+_POSTINGS_SQL = """
+WITH tf AS (
+  SELECT term, doc_id, count(*) AS tf FROM (
+    SELECT doc_id,
+           unnest(list_filter(string_split_regex(trim(text), '\\s+'),
+                              tk -> tk <> '')) AS term
+    FROM documents)
+  GROUP BY term, doc_id)
+SELECT term,
+       CAST(count(*) AS BIGINT) AS df,
+       CAST(sum(tf) AS BIGINT) AS total_tf,
+       CAST(min(doc_id) AS BIGINT) AS min_doc,
+       CAST(max(doc_id) AS BIGINT) AS max_doc,
+       md5(array_to_string(list_sort(list(
+           lpad(CAST(doc_id AS VARCHAR), 12, '0') || ':' ||
+           CAST(tf AS VARCHAR))), ',')) AS postings_md5
+FROM tf GROUP BY term
+ORDER BY df DESC, term ASC LIMIT 100
+"""
+
+
+@register("inverted_postings_audit", _POSTINGS_SQL)
+def q_inverted_postings_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Posting-list summaries (df, tf totals, doc range, full-list
+    md5) for the top-100 terms by document frequency."""
+    return _retr.inverted_postings_audit(_docs(spark, sf_dir))

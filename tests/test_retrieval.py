@@ -82,3 +82,29 @@ def test_bm25_topk_is_take_ordered(spark):
 def test_empty_corpus(spark):
     empty = _docs(spark, [])
     assert retrieval.bm25_topk(empty).count() == 0
+
+
+def test_inverted_postings_partitioning_independent(spark):
+    """The posting md5 folds doc-ordered pairs, so any partitioning
+    yields identical hashes; tf/df audited on a constructed corpus."""
+    from piholelongtermstats_spark.operators.retrieval import (
+        inverted_postings_audit,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a", "en", "s", 5),
+            (2, "b b c", "en", "s", 5),
+            (3, "a", "en", "s", 1),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    got = {r.term: r for r in inverted_postings_audit(docs).collect()}
+    assert (got["a"].df, got["a"].total_tf) == (2, 3)
+    assert (got["b"].df, got["b"].total_tf) == (2, 3)
+    assert (got["c"].df, got["c"].total_tf) == (1, 1)
+    again = {
+        r.term: r.postings_md5
+        for r in inverted_postings_audit(docs.repartition(7)).collect()
+    }
+    assert {t: r.postings_md5 for t, r in got.items()} == again
