@@ -1,0 +1,109 @@
+"""Two-pass EXACT heavy hitters at unbounded key cardinality.
+
+The naive plan — ``groupBy(key).count().filter(cnt*k > N)`` — shuffles
+one row per DISTINCT key. At 100 TB with billions of distinct keys
+(URLs, client IPs, full query strings) that shuffle IS the job, even
+though the answer has at most k-1 rows.
+
+The scalable shape is the classic two-pass frequent-items scheme
+(Misra–Gries 1982; mergeable-summaries form: Agarwal et al., PODS
+2012):
+
+1. **Candidate pass** — every partition keeps a Misra–Gries summary of
+   at most ``k`` counters (an Arrow ``mapInPandas`` stage; the merge
+   step is vectorized ``value_counts`` + threshold subtraction, no
+   per-row Python). MG invariant per partition p: the summary
+   undercounts any item by at most N_p/(k+1), so any item with local
+   frequency f_p > N_p/k survives. By averaging, an item with GLOBAL
+   frequency f > N/k must have f_p > N_p/k in at least one partition —
+   so the union of summaries (≤ k · #partitions rows, i.e. kilobytes)
+   is a provably complete candidate superset.
+2. **Exact pass** — recount ONLY the candidates: broadcast the tiny
+   candidate set, map every row to its key if it is a candidate else
+   NULL, and aggregate. Map-side partial aggregation collapses each
+   partition to ≤ k+1 rows before the shuffle; the NULL bucket carries
+   the non-candidate total so N comes out of the SAME single
+   aggregation (no second scan job for the denominator).
+
+The final gate is integer cross-multiplication ``cnt * k > N`` — no
+division, no fp. The candidate set depends on partitioning; the OUTPUT
+does not (false candidates are eliminated by the exact gate), so the
+result is deterministic and oracle-checkable against plain SQL.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _mg_summaries(df: DataFrame, col: str, k: int) -> DataFrame:
+    """Per-partition Misra–Gries(k) survivors as a (col) DataFrame.
+
+    Keys must be (castable to) strings. Batches are folded with the
+    mergeable-summaries rule: exact ``value_counts`` per Arrow batch,
+    add into the running summary, and when more than k counters are
+    live subtract the (k+1)-th largest count from ALL of them and drop
+    the non-positive ones. Each prune removes at least (k+1)·thresh
+    total mass, so the sum of all thresholds — the worst-case
+    undercount of any single item — is at most N_p/(k+1). (Pruning by
+    filtering WITHOUT subtracting would break this bound: an item
+    arriving once per batch could be evicted every prune and never
+    accumulate, even with f_p > N_p/k.)
+    """
+
+    def part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        acc = _mg_fold(batches, col, k)
+        yield pd.DataFrame({col: acc.index.astype(object)})
+
+    return df.select(col).mapInPandas(part, schema=f"{col} string")
+
+
+def _mg_fold(batches: Iterator[pd.DataFrame], col: str, k: int) -> pd.Series:
+    """The per-partition Misra–Gries fold (exposed for direct testing
+    of the subtraction invariant)."""
+    acc = pd.Series(dtype="int64")
+    for pdf in batches:
+        vc = pdf[col].dropna().value_counts()
+        acc = vc if acc.empty else acc.add(vc, fill_value=0)
+        if len(acc) > k:
+            thresh = acc.nlargest(k + 1).iloc[-1]
+            acc = acc - thresh
+            acc = acc[acc > 0]
+    return acc
+
+
+def heavy_hitters_exact(df: DataFrame, col: str, k: int) -> DataFrame:
+    """All values of string column ``col`` with count*k > N — exact.
+
+    Returns (item, cnt, n_total) ordered by (cnt desc, item). The
+    single-partition window that totals N runs over the post-aggregate
+    relation, which is bounded by #candidates+1 ≤ k·P+1 rows — a
+    kilobyte-scale relation at ANY input volume, so the SinglePartition
+    exchange is safe by construction (same rationale as the ≤30-row
+    stats serving edge).
+    """
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    cands = _mg_summaries(df, col, k).distinct()
+
+    # Single aggregation pass: candidate rows keep their key, the rest
+    # fold into one NULL bucket, so SUM(cnt) over the result == N and
+    # no separate count() job is needed.
+    flagged = df.select(col).join(
+        F.broadcast(cands.withColumn("_cand", F.lit(True))), col, "left"
+    )
+    counts = flagged.groupBy(
+        F.when(F.col("_cand"), F.col(col)).alias("item")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+
+    total = F.sum("cnt").over(Window.partitionBy())
+    return (
+        counts.withColumn("n_total", total.cast("long"))
+        .filter(F.col("item").isNotNull() & (F.col("cnt") * k > F.col("n_total")))
+        .select("item", "cnt", "n_total")
+        .orderBy(F.desc("cnt"), "item")
+    )

@@ -189,3 +189,41 @@ def knn_join_ivf(
         "query_id", "vec_id", "label", _cosine(F.col("v"), F.col("qv")).alias("cosine")
     )
     return _ranked_topk(scored, k)
+
+
+def knn_label_vote(
+    emb: DataFrame, n_queries: int = N_QUERIES, k: int = K
+) -> DataFrame:
+    """kNN classification by retrieval: each query vector takes the
+    majority label among its k exact nearest corpus neighbors.
+
+    The data-curation use is quality-label transfer — score a small
+    hand-labeled seed set, then label the rest of a 100 TB corpus by
+    nearest-neighbor vote. Ties are fully pinned: most votes, then the
+    label holding the NEAREST neighbor (min rank), then the smaller
+    label — every tie-break an integer comparison, so the prediction
+    is deterministic and oracle-checkable.
+
+    Plan shape: knn_join's WindowGroupLimit rank cut (map-side top-k
+    per query; the exchange carries k·tasks rows per query, never the
+    corpus) followed by aggregation and a rank-1 cut over the
+    (queries × labels)-sized vote relation — both tiny.
+    """
+    nn = knn_join(emb, n_queries, k)
+    votes = nn.groupBy("query_id", "label").agg(
+        F.count(F.lit(1)).alias("votes"), F.min("rank").alias("best_rank")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("votes"), F.asc("best_rank"), F.asc("label")
+    )
+    return (
+        votes.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") == 1)
+        .select(
+            "query_id",
+            F.col("label").alias("pred_label"),
+            "votes",
+            "best_rank",
+        )
+        .orderBy("query_id")
+    )

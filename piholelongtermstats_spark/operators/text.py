@@ -15,7 +15,7 @@ diverge.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Deliberately tiny fixed stopword lists (deterministic, mirrored in
@@ -711,3 +711,62 @@ def bpe_encode_vocab(
         .orderBy(F.col("wcnt").desc(), F.col("w").asc())
         .limit(top_words)
     )
+
+
+def percentile_blend(docs: DataFrame, top_n: int = 20) -> DataFrame:
+    """Rank-normalized quality-signal blending: each document's word
+    count and character count are mapped to their global ECDF
+    percentile and averaged, and the top ``top_n`` documents by the
+    blended score are returned.
+
+    Why this shape: blending heterogeneous quality signals (a length
+    prior, a classifier logit, a perplexity) needs them on a common
+    scale; percentile (rank) normalization is the standard recipe. The
+    naive plan — ``percent_rank()`` over all documents — is a GLOBAL
+    SORT of the corpus per signal. Here the ECDF is computed on the
+    VALUE HISTOGRAM instead (same trick as
+    approx.exact_group_quantiles): groupBy(value) → running sum over
+    the distinct-value relation → join back. The only ordered window
+    runs over #distinct values (≤ max word count — thousands), never
+    corpus rows, so nothing global-sorts raw data at 100 TB; the final
+    top-n is a TakeOrderedAndProject.
+
+    Determinism: ECDF = cume/N is one correctly-rounded division of
+    exact integers; the blend is the same fixed expression tree in the
+    DuckDB oracle, and selection orders by the ROUNDED blend with a
+    doc_id tie-break.
+    """
+    m = docs.select(
+        "doc_id", "n_chars", F.size(tokens(F.col("text"))).alias("wc")
+    )
+
+    def ecdf(col: str) -> DataFrame:
+        hist = m.groupBy(col).agg(F.count(F.lit(1)).alias("c"))
+        # Running sum over the tiny distinct-value relation; the
+        # unpartitioned window is safe by construction (rows = number
+        # of distinct values, not corpus rows).
+        w = Window.orderBy(col)
+        tot = Window.partitionBy()
+        return hist.select(
+            col,
+            (
+                F.sum("c").over(w).cast("double")
+                / F.sum("c").over(tot).cast("double")
+            ).alias(f"pct_{col}"),
+        )
+
+    scored = (
+        m.join(F.broadcast(ecdf("wc")), "wc")
+        .join(F.broadcast(ecdf("n_chars")), "n_chars")
+        .select(
+            "doc_id",
+            "wc",
+            "n_chars",
+            F.round("pct_wc", 6).alias("pct_wc"),
+            F.round("pct_n_chars", 6).alias("pct_chars"),
+            F.round((F.col("pct_wc") + F.col("pct_n_chars")) / 2, 6).alias(
+                "blend"
+            ),
+        )
+    )
+    return scored.orderBy(F.desc("blend"), "doc_id").limit(top_n)

@@ -1,0 +1,204 @@
+"""M13 — exact-at-scale retrieval/analytics tier: prefix-filtered
+set-similarity join (AllPairs/PPJoin family), two-pass exact heavy
+hitters (Misra–Gries candidates + exact recount), first-seen novelty
+series, and integer-exact per-client volume-spike detection.
+
+Every entry is DuckDB-oracle-checked; each decision path (pair accept,
+heavy-hitter gate, spike gate) is integer/decimal cross-multiplication,
+never fp.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from piholelongtermstats_spark.operators import anomaly, freq, knn, setsim, text
+from piholelongtermstats_spark.plans.registry import FACT_CTE, _fact, register
+from piholelongtermstats_spark.plans.registry_m7 import (
+    _JACCARD_ORACLE,
+    _docs,
+    _emb,
+    _shingles,
+)
+
+# ---------------------------------------------------------------------------
+# Prefix-filtered exact set-similarity self-join (operators/setsim.py).
+# Same brute-force exact-Jaccard oracle as ngram_jaccard_pairs /
+# ngram_jaccard_capped: the driver proves that the prefix-filtered
+# plan — whose candidate generation touches ONLY each document's
+# rarest n-⌈t·n⌉+1 shingles — returns the identical pair set, with no
+# stop-heavy fallback cliff and no eager probe job (the trade vs
+# df_cap is documented at operators/setsim.py / dedup.py:123-131).
+# ---------------------------------------------------------------------------
+
+
+@register("setsim_prefix_pairs", _JACCARD_ORACLE)
+def q_setsim_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return setsim.prefix_filter_pairs(_shingles(spark, sf_dir), 4, 5)
+
+
+# ---------------------------------------------------------------------------
+# Two-pass exact heavy hitters (operators/freq.py). k=100 == "domains
+# above the uniform share"; the MG candidate pass bounds the shuffle
+# at k·P rows regardless of key cardinality, the exact pass restores
+# determinism, and the oracle is the plain GROUP BY ... HAVING answer.
+# ---------------------------------------------------------------------------
+
+_HH_K = 100
+
+_HH_SQL = (
+    FACT_CTE
+    + f"""
+SELECT domain AS item, count(*) AS cnt,
+       (SELECT count(*) FROM fact) AS n_total
+FROM fact GROUP BY domain
+HAVING count(*) * {_HH_K} > (SELECT count(*) FROM fact)
+ORDER BY cnt DESC, item
+"""
+)
+
+
+@register("heavy_hitters_exact", _HH_SQL)
+def q_heavy_hitters_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return freq.heavy_hitters_exact(_fact(spark, sf_dir), "domain", _HH_K)
+
+
+# ---------------------------------------------------------------------------
+# First-seen novelty series (operators/anomaly.py).
+# ---------------------------------------------------------------------------
+
+_FIRST_SEEN_SQL = (
+    FACT_CTE
+    + """
+SELECT first_date AS date, count(*) AS new_domains
+FROM (SELECT domain, min(date) AS first_date FROM fact GROUP BY domain)
+GROUP BY first_date ORDER BY date
+"""
+)
+
+
+@register("first_seen_domains", _FIRST_SEEN_SQL)
+def q_first_seen_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return anomaly.first_seen_domains(_fact(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Per-client daily volume spikes, z>3 against the client's own history.
+# The DuckDB twin carries the identical cross-multiplied gate in
+# HUGEINT (DuckDB's sum(BIGINT) is already HUGEINT); Spark carries it
+# in DECIMAL — both exact, so the qualifying row set cannot drift.
+# ---------------------------------------------------------------------------
+
+_SPIKES_SQL = (
+    FACT_CTE
+    + """
+, daily AS (SELECT client, date, count(*) AS cnt FROM fact GROUP BY 1, 2),
+st AS (
+  SELECT client, date, cnt,
+         count(*) OVER w AS n, sum(cnt) OVER w AS s1, sum(cnt*cnt) OVER w AS s2
+  FROM daily WINDOW w AS (PARTITION BY client))
+SELECT client, date, cnt, CAST(n AS BIGINT) AS n_days,
+       round(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE), 6) AS avg_cnt
+FROM st
+WHERE n >= 3 AND n * cnt > s1
+  AND CAST(n*cnt - s1 AS HUGEINT) * CAST(n*cnt - s1 AS HUGEINT) * (n - 1)
+      > 9 * CAST(n*s2 - s1*s1 AS HUGEINT) * n
+ORDER BY client, date
+"""
+)
+
+
+@register("client_daily_spikes", _SPIKES_SQL)
+def q_client_daily_spikes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return anomaly.client_daily_spikes(_fact(spark, sf_dir), z=3, min_days=3)
+
+
+# ---------------------------------------------------------------------------
+# Heavy-hitters doubling proof: the identical query over fact ∪ fact.
+# Same hitters, doubled counts, doubled N — the candidate bound (k·P
+# rows) and the single-aggregation recount are volume-independent.
+# ---------------------------------------------------------------------------
+
+_HH_2X_SQL = (
+    FACT_CTE
+    + f"""
+, f2 AS (SELECT * FROM fact UNION ALL SELECT * FROM fact)
+SELECT domain AS item, count(*) AS cnt,
+       (SELECT count(*) FROM f2) AS n_total
+FROM f2 GROUP BY domain
+HAVING count(*) * {_HH_K} > (SELECT count(*) FROM f2)
+ORDER BY cnt DESC, item
+"""
+)
+
+
+@register("hh_scale_2x", _HH_2X_SQL)
+def q_hh_scale_2x(spark: SparkSession, sf_dir: str) -> DataFrame:
+    f = _fact(spark, sf_dir)
+    return freq.heavy_hitters_exact(f.unionByName(f), "domain", _HH_K)
+
+
+# ---------------------------------------------------------------------------
+# kNN label voting (operators/knn.py:knn_label_vote) — quality-label
+# transfer by retrieval. The oracle replays the exact kNN join
+# (identical to the knn_join oracle) and the fully-pinned vote
+# tie-break: votes desc, best (min) rank, smaller label.
+# ---------------------------------------------------------------------------
+
+_VOTE_SQL = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id < {knn.N_QUERIES}),
+c AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+      FROM embeddings WHERE vec_id >= {knn.N_QUERIES}),
+s AS (SELECT query_id, vec_id, label,
+             round(list_cosine_similarity(v, qv), 6) AS cosine
+      FROM c CROSS JOIN q),
+nn AS (SELECT query_id, label, rank FROM (
+         SELECT *, row_number() OVER (
+           PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+         FROM s) t
+       WHERE rank <= {knn.K}),
+v AS (SELECT query_id, label, count(*) AS votes, min(rank) AS best_rank
+      FROM nn GROUP BY 1, 2)
+SELECT query_id, label AS pred_label,
+       CAST(votes AS BIGINT) AS votes, CAST(best_rank AS BIGINT) AS best_rank
+FROM (SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY votes DESC, best_rank, label) AS r
+      FROM v) t
+WHERE r = 1 ORDER BY query_id
+"""
+
+
+@register("knn_label_vote", _VOTE_SQL)
+def q_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return knn.knn_label_vote(_emb(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Rank-normalized quality blending (operators/text.py:percentile_blend)
+# — the ECDF runs over value histograms, never a corpus-row sort.
+# ---------------------------------------------------------------------------
+
+_TOKS13 = r"list_filter(string_split_regex(trim(text), '\s+'), tk -> tk <> '')"
+
+_BLEND_SQL = f"""
+WITH m AS (SELECT doc_id, n_chars, len({_TOKS13}) AS wc FROM documents),
+hw AS (SELECT wc, count(*) AS c FROM m GROUP BY wc),
+ew AS (SELECT wc, CAST(sum(c) OVER (ORDER BY wc) AS DOUBLE)
+                / CAST((SELECT count(*) FROM m) AS DOUBLE) AS pct_wc FROM hw),
+hc AS (SELECT n_chars, count(*) AS c FROM m GROUP BY n_chars),
+ec AS (SELECT n_chars, CAST(sum(c) OVER (ORDER BY n_chars) AS DOUBLE)
+                     / CAST((SELECT count(*) FROM m) AS DOUBLE) AS pct_chars FROM hc)
+SELECT doc_id, CAST(wc AS BIGINT) AS wc, n_chars,
+       round(pct_wc, 6) AS pct_wc,
+       round(pct_chars, 6) AS pct_chars,
+       round((pct_wc + pct_chars) / 2, 6) AS blend
+FROM m JOIN ew USING (wc) JOIN ec USING (n_chars)
+ORDER BY round((pct_wc + pct_chars) / 2, 6) DESC, doc_id
+LIMIT 20
+"""
+
+
+@register("quality_percentile_blend", _BLEND_SQL)
+def q_quality_percentile_blend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.percentile_blend(_docs(spark, sf_dir), top_n=20)
