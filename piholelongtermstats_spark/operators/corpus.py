@@ -608,3 +608,114 @@ def source_data_card(docs: DataFrame) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+def source_token_caps(
+    docs: DataFrame, budget: int = 800, n_buckets: int = 64
+) -> DataFrame:
+    """Per-source token-budget enforcement: within every source, keep
+    documents in deterministic hash order until the source's token
+    budget is exhausted (the "cap each domain at X tokens" step of a
+    data-mixing recipe — caps boilerplate-heavy sources without
+    favoring any document ordering bias).
+
+    Order within a source is (md5-hash, doc_id) — stable, uniform, and
+    reproducible across engines. The running token total is a
+    TWO-LEVEL prefix sum (the packing.concat_chunk_manifest shape):
+    documents are range-bucketed by the hash's top bits, the
+    within-bucket window is partitioned by (source, bucket), and only
+    the ≤ ``n_buckets``-row per-source bucket summary sees an ordered
+    window — no per-source window ever orders a whole source's
+    documents, so a source with billions of documents cannot pin a
+    single task at 100 TB.
+
+    Returns one row per document: (doc_id, source, n_tok, cum_tok,
+    kept) with kept ⇔ cum_tok ≤ budget — integer comparison, exact.
+    """
+    if n_buckets < 1 or n_buckets & (n_buckets - 1):
+        raise ValueError("n_buckets must be a power of two")
+    h = md5_hash60(F.col("doc_id").cast("string"))
+    m = docs.select(
+        "doc_id",
+        "source",
+        F.size(tokens(F.col("text"))).cast("long").alias("n_tok"),
+        h.alias("_h"),
+    ).withColumn(
+        # top bits of the 60-bit hash -> n_buckets ordered ranges
+        "_b",
+        F.shiftright(F.col("_h"), 60 - n_buckets.bit_length() + 1),
+    )
+    w_in = (
+        Window.partitionBy("source", "_b")
+        .orderBy("_h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    within = m.withColumn("_cum_in", F.sum("n_tok").over(w_in))
+    totals = m.groupBy("source", "_b").agg(F.sum("n_tok").alias("_tot"))
+    w_b = (
+        Window.partitionBy("source")
+        .orderBy("_b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.withColumn(
+        "_off", F.coalesce(F.sum("_tot").over(w_b), F.lit(0))
+    ).select("source", "_b", "_off")
+    return (
+        within.join(offsets, ["source", "_b"])
+        .select(
+            "doc_id",
+            "source",
+            "n_tok",
+            (F.col("_cum_in") + F.col("_off")).alias("cum_tok"),
+            ((F.col("_cum_in") + F.col("_off")) <= budget).alias("kept"),
+        )
+        .orderBy("source", "cum_tok", "doc_id")
+    )
+
+
+def leakage_safe_split(
+    docs: DataFrame, clusters: DataFrame, train_pct: int = 90
+) -> DataFrame:
+    """Group-aware train/test split: the split is assigned per
+    NEAR-DUP CLUSTER, not per document, so two near-duplicate
+    documents can never land on opposite sides (the eval-leakage
+    failure mode of naive per-document splits).
+
+    ``clusters``: (doc_id, cluster_id) from the dedup tier (LSH pairs
+    → connected components); documents absent from it are singletons
+    and become their own cluster. Assignment is the shared 60-bit md5
+    hash of the cluster id mod 100 < train_pct — deterministic,
+    engine-portable, and independent of data order.
+
+    Returns one audit row per split: (split, n_docs, n_clusters,
+    leaked_clusters) where leaked_clusters counts clusters observed in
+    BOTH splits — structurally zero, and COMPUTED (not asserted) so
+    the oracle proves the no-leak property rather than trusting it.
+    """
+    lab = (
+        docs.select("doc_id")
+        .join(clusters, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
+        )
+    )
+    bucket = md5_hash60(F.col("cluster_id").cast("string")) % 100
+    assig = lab.withColumn(
+        "split", F.when(bucket < train_pct, F.lit("train")).otherwise(F.lit("test"))
+    )
+    per_cluster = assig.groupBy("cluster_id").agg(
+        F.countDistinct("split").alias("_ns")
+    )
+    leaks = per_cluster.agg(
+        F.sum((F.col("_ns") > 1).cast("long")).alias("leaked_clusters")
+    )
+    return (
+        assig.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("cluster_id").alias("n_clusters"),
+        )
+        .crossJoin(F.broadcast(leaks))
+        .orderBy("split")
+    )

@@ -1,24 +1,31 @@
-"""M13 — exact-at-scale retrieval/analytics tier: prefix-filtered
-set-similarity join (AllPairs/PPJoin family), two-pass exact heavy
-hitters (Misra–Gries candidates + exact recount), first-seen novelty
-series, and integer-exact per-client volume-spike detection.
+"""M13 — exact-at-scale retrieval/analytics/curation tier:
+prefix-filtered set-similarity join (AllPairs/PPJoin family), two-pass
+exact heavy hitters (Misra–Gries candidates + exact recount, plus a 2×
+doubling proof), first-seen novelty series, integer-exact per-client
+volume-spike detection, kNN label voting, rank-normalized quality
+blending (histogram ECDF — no corpus-row sort), per-source
+token-budget capping (two-level prefix sum), and the leakage-safe
+cluster-aware train/test split.
 
 Every entry is DuckDB-oracle-checked; each decision path (pair accept,
-heavy-hitter gate, spike gate) is integer/decimal cross-multiplication,
-never fp.
+heavy-hitter gate, spike gate, vote tie-break, budget cut, split
+assignment) is integer/decimal arithmetic or a pinned rounded
+comparison — never free-floating fp.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from piholelongtermstats_spark.operators import anomaly, freq, knn, setsim, text
+from piholelongtermstats_spark.operators import anomaly, corpus, freq, knn, setsim, text
 from piholelongtermstats_spark.plans.registry import FACT_CTE, _fact, register
 from piholelongtermstats_spark.plans.registry_m7 import (
+    _CLUSTERS_ORACLE,
     _JACCARD_ORACLE,
     _docs,
     _emb,
     _shingles,
+    _star_clusters,
 )
 
 # ---------------------------------------------------------------------------
@@ -202,3 +209,78 @@ LIMIT 20
 @register("quality_percentile_blend", _BLEND_SQL)
 def q_quality_percentile_blend(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.percentile_blend(_docs(spark, sf_dir), top_n=20)
+
+
+# ---------------------------------------------------------------------------
+# Per-source token-budget capping (operators/corpus.py:
+# source_token_caps). The oracle computes the SAME deterministic
+# (md5, doc_id)-ordered running sum with one window per source —
+# identical math; the engine's two-level prefix sum is the 100 TB
+# formulation of it.
+# ---------------------------------------------------------------------------
+
+_CAPS_BUDGET = 800
+
+_CAPS_SQL = rf"""
+WITH m AS (
+  SELECT doc_id, source,
+         len(list_filter(string_split_regex(trim(text), '\s+'),
+             tk -> tk <> '')) AS n_tok,
+         ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT AS h
+  FROM documents),
+c AS (
+  SELECT doc_id, source, n_tok,
+         sum(n_tok) OVER (PARTITION BY source ORDER BY h, doc_id) AS cum
+  FROM m)
+SELECT doc_id, source, CAST(n_tok AS BIGINT) AS n_tok,
+       CAST(cum AS BIGINT) AS cum_tok, cum <= {_CAPS_BUDGET} AS kept
+FROM c ORDER BY source, cum_tok, doc_id
+"""
+
+
+@register("source_token_caps", _CAPS_SQL)
+def q_source_token_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return corpus.source_token_caps(_docs(spark, sf_dir), budget=_CAPS_BUDGET)
+
+
+# ---------------------------------------------------------------------------
+# Leakage-safe train/test split (operators/corpus.py:
+# leakage_safe_split): split assigned per NEAR-DUP CLUSTER (the dedup
+# tier's connected components), so near-duplicates never straddle
+# train/test. The oracle rebuilds the full chain — shingles → minhash
+# → LSH bands → recursive-CTE components → md5 split — and counts
+# leaked clusters (must be 0) instead of asserting it.
+# ---------------------------------------------------------------------------
+
+assert _CLUSTERS_ORACLE.count("SELECT src AS doc_id") == 1
+_SPLIT_SQL = (
+    _CLUSTERS_ORACLE.split("SELECT src AS doc_id")[0]
+    + """
+, comp AS (
+  SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+  FROM reach GROUP BY src),
+lab AS (
+  SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN comp c USING (doc_id)),
+assig AS (
+  SELECT doc_id, cluster_id,
+         CASE WHEN ('0x' || substr(md5(cluster_id::VARCHAR), 1, 15))::BIGINT
+                   % 100 < 90
+              THEN 'train' ELSE 'test' END AS split
+  FROM lab),
+leak AS (
+  SELECT CAST(count(*) FILTER (WHERE ns > 1) AS BIGINT) AS leaked_clusters
+  FROM (SELECT cluster_id, count(DISTINCT split) AS ns
+        FROM assig GROUP BY cluster_id))
+SELECT split, count(*) AS n_docs, count(DISTINCT cluster_id) AS n_clusters,
+       (SELECT leaked_clusters FROM leak) AS leaked_clusters
+FROM assig GROUP BY split ORDER BY split
+"""
+)
+
+
+@register("leakage_safe_split", _SPLIT_SQL)
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return corpus.leakage_safe_split(
+        _docs(spark, sf_dir), _star_clusters(spark, sf_dir), train_pct=90
+    )
