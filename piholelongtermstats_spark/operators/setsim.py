@@ -102,29 +102,40 @@ def prefix_filter_pairs(
     )
 
     # 3. Candidate generation: self-join on PREFIX shingles only, with
-    #    the length filter min*den >= num*max (J >= t implies
-    #    min/max >= t). Prefix shingles are the rarest by construction,
-    #    so per-key fan-out is minimal; completeness is the prefix-
-    #    filter theorem, not a heuristic.
+    #    two lossless pruning filters.
+    #    - length filter: min*den >= num*max (J >= t implies
+    #      min/max >= t);
+    #    - POSITIONAL filter (PPJoin, Xiao et al. 2008): a match on a
+    #      shingle at sorted position i of a and j of b can witness an
+    #      overlap of at most 1 + min(n_a - i, n_b - j) (everything
+    #      before the match in either list is non-shared for the FIRST
+    #      common element). J >= t needs overlap >= t/(1+t)·(n_a+n_b),
+    #      so rows with a smaller upper bound are dropped. Safe: a
+    #      qualifying pair's first common element lies in BOTH prefixes
+    #      (else the prefix theorem is violated) and its row always
+    #      passes the bound — cross-multiplied to stay in integers.
+    #    Prefix shingles are the rarest by construction, so per-key
+    #    fan-out is minimal; completeness is the prefix-filter theorem
+    #    plus the first-common-element argument, not a heuristic.
     pref = per_doc.select(
-        "doc_id", "n_sh", F.explode("prefix").alias("shingle")
-    )
+        "doc_id", "n_sh", F.posexplode("prefix").alias("pos0", "shingle")
+    ).select("doc_id", "n_sh", (F.col("pos0") + 1).alias("pos"), "shingle")
     a, b = pref.alias("a"), pref.alias("b")
+    na, nb = F.col("a.n_sh"), F.col("b.n_sh")
+    ubound = F.lit(1) + F.least(na - F.col("a.pos"), nb - F.col("b.pos"))
     cands = (
         a.join(
             b,
             (F.col("a.shingle") == F.col("b.shingle"))
             & (F.col("a.doc_id") < F.col("b.doc_id"))
-            & (
-                F.least(F.col("a.n_sh"), F.col("b.n_sh")) * tden
-                >= F.greatest(F.col("a.n_sh"), F.col("b.n_sh")) * tnum
-            ),
+            & (F.least(na, nb) * tden >= F.greatest(na, nb) * tnum)
+            & (ubound * (tnum + tden) >= tnum * (na + nb)),
         )
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.n_sh").alias("n_a"),
-            F.col("b.n_sh").alias("n_b"),
+            na.alias("n_a"),
+            nb.alias("n_b"),
         )
         .distinct()
     )

@@ -82,7 +82,7 @@ TOP_50 = [
     "text_panel",
     "knn_join",
     "ann_scale_2x",
-    "ivf_ann_topk",
+    "heavy_hitters_exact",
     "ivfpq_ann_topk",
     "embedding_near_dup",
     "media_pipeline_check",
@@ -152,7 +152,14 @@ TOP_50 = [
 # A12/A13 incremental-maintenance shapes stay driver-verified through
 # hourly_rollup, client_activity, and daily_counts, and rollup_delta
 # stays parity-green below the line.
+# r7 swap (2): heavy_hitters_exact (two-pass Misra–Gries + exact
+# recount — the unbounded-key-cardinality aggregation family, new in
+# M13) took ivf_ann_topk's row. The IVF cell-routed ANN shape stays
+# driver-verified through ivfpq_ann_topk (ADC over the same pinned
+# IVF cells) and knn_join's family evidence; ivf_ann_topk stays
+# parity-green below the line with its trained twin.
 _OVERFLOW = [
+    "ivf_ann_topk",
     "rollup_delta",
     "daily_avg_reply",
     "tfidf_top_terms",

@@ -59,9 +59,16 @@ def main() -> int:
     for k in KS:
         fact = shifted(k).persist()
         n = fact.count()  # materialize outside the timed region
+        from piholelongtermstats_spark.operators.freq import heavy_hitters_exact
+
         for name, fn in (
             ("streaks", lambda f: longest_streaks_stitched(f)),
             ("rollup", lambda f: hourly_rollup(f)),
+            # heavy hitters against the k-shifted union: domains keep
+            # their relative shares, so the answer set is stable while
+            # N scales — the MG candidate pass and the broadcast
+            # recount are what is being timed.
+            ("heavy_hit", lambda f: heavy_hitters_exact(f, "domain", 100)),
         ):
             fn(fact).collect()  # warm codegen/plan
             t0 = time.perf_counter()
@@ -80,11 +87,18 @@ def main() -> int:
     docs_base = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
 
     def salted_docs(k: int):
+        # Salt EVERY token (not just a prefix token): a prefix-only
+        # salt leaves all shingles beyond position 2 identical across
+        # copies, so the k copies are true near-duplicates of each
+        # other and any pairwise operator's OUTPUT grows k² — the
+        # curve would measure the duplicate load, not the engine
+        # (observed: prefix-salted setsim read 27.7× at 8×; per-token
+        # salting makes shingle spaces actually disjoint).
         parts = [
             docs_base.withColumn(
                 "doc_id", F.col("doc_id") + F.lit(i * 10_000_000)
             ).withColumn(
-                "text", F.concat(F.lit(f"salt{i}x "), F.col("text"))
+                "text", F.regexp_replace(F.col("text"), r"(\S+)", f"s{i}_$1")
             )
             for i in range(k)
         ]
@@ -107,8 +121,27 @@ def main() -> int:
         results[("lsh_dedup", k)] = (n, dt)
         docs.unpersist()
 
+    # prefix-filter set-similarity join over the same salted copies:
+    # disjoint shingle spaces, so candidate volume scales with corpus.
+    from piholelongtermstats_spark.operators.dedup import shingles
+    from piholelongtermstats_spark.operators.setsim import prefix_filter_pairs
+
+    for k in KS:
+        sh = shingles(salted_docs(k)).persist()
+        n = sh.count()
+
+        def run_ss(s=sh):
+            return prefix_filter_pairs(s, 4, 5).count()
+
+        run_ss()  # warm
+        t0 = time.perf_counter()
+        run_ss()
+        dt = round(time.perf_counter() - t0, 3)
+        results[("setsim", k)] = (n, dt)
+        sh.unpersist()
+
     print(f"{'op':10s} {'k':>2s} {'rows':>9s} {'sec':>7s} {'vs 1x':>6s}")
-    for name in ("streaks", "rollup", "lsh_dedup"):
+    for name in ("streaks", "rollup", "heavy_hit", "lsh_dedup", "setsim"):
         base_t = results[(name, 1)][1]
         for k in KS:
             n, dt = results[(name, k)]

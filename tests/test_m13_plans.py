@@ -5,7 +5,12 @@ from __future__ import annotations
 
 import __spark_entry__ as se
 
-SF = "/root/testdata/sf0.01"
+# sf0.001, NOT sf0.01: these tests prime the shared fact cache for
+# whatever sf_dir they touch, and test_plan_properties asserts column
+# pruning on a FRESH sf0.01 scan — a pre-existing sf0.01 cache would
+# substitute itself into that plan and widen its ReadSchema. The plan
+# shapes asserted here are scale-independent.
+SF = "/root/testdata/sf0.001"
 
 
 def _plan(spark, name: str) -> str:
