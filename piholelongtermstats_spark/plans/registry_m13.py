@@ -284,3 +284,43 @@ def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.leakage_safe_split(
         _docs(spark, sf_dir), _star_clusters(spark, sf_dir), train_pct=90
     )
+
+
+# ---------------------------------------------------------------------------
+# Set-similarity doubling proof: corpus ∪ per-token-salted copy
+# (disjoint shingle spaces — copies share NO shingles, so the true
+# pair set is exactly the per-copy pairs twice, id-shifted). Checked
+# against the brute-force Jaccard oracle over the doubled corpus: the
+# prefix+positional candidate rules stay lossless while candidate
+# volume and df relations double.
+# ---------------------------------------------------------------------------
+
+_SS2X_SHIFT = 10_000_000
+
+_SS2X_SQL = (
+    _JACCARD_ORACLE.replace(
+        "FROM documents",
+        f"""FROM (SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + {_SS2X_SHIFT},
+             regexp_replace(text, '(\\S+)', 's1_\\1', 'g')
+      FROM documents)""",
+        1,
+    )
+)
+
+
+@register("setsim_scale_2x", _SS2X_SQL)
+def q_setsim_scale_2x(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from piholelongtermstats_spark.operators import dedup
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    salted = d.select(
+        (F.col("doc_id") + F.lit(_SS2X_SHIFT)).alias("doc_id"),
+        F.regexp_replace("text", r"(\S+)", "s1_$1").alias("text"),
+    )
+    return setsim.prefix_filter_pairs(
+        dedup.shingles(d.unionByName(salted)), 4, 5
+    )
