@@ -22,6 +22,7 @@ from piholelongtermstats_spark.plans.registry import FACT_CTE, _fact, register
 from piholelongtermstats_spark.plans.registry_m7 import (
     _CLUSTERS_ORACLE,
     _JACCARD_ORACLE,
+    _SHINGLE_CTE,
     _docs,
     _emb,
     _shingles,
@@ -323,4 +324,53 @@ def q_setsim_scale_2x(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return setsim.prefix_filter_pairs(
         dedup.shingles(d.unionByName(salted)), 4, 5
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental ingest dedup (operators/setsim.py:incremental_new_docs):
+# the asymmetric batch⋈corpus prefix-filter join — every 5th document
+# plays the "incoming batch", the rest the standing corpus. The
+# oracle brute-forces the full cross Jaccard with the same integer
+# accept gate and the same one-row-per-batch-doc contract (shingleless
+# docs are trivially new).
+# ---------------------------------------------------------------------------
+
+_INGEST_SQL = (
+    _SHINGLE_CTE
+    + """
+, shb AS (SELECT * FROM sh WHERE doc_id % 5 = 0),
+shc AS (SELECT * FROM sh WHERE doc_id % 5 <> 0),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT b.doc_id AS doc_a, c.doc_id AS doc_b, count(*) AS i
+  FROM shb b JOIN shc c ON b.shingle = c.shingle GROUP BY 1, 2),
+m AS (
+  SELECT doc_a, count(*) AS n_matches
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE i * 5 >= 4 * (sa.n + sb.n - i)
+  GROUP BY doc_a)
+SELECT d.doc_id,
+       CAST(coalesce(m.n_matches, 0) AS BIGINT) AS n_matches,
+       coalesce(m.n_matches, 0) = 0 AS is_new
+FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 0) d
+LEFT JOIN m ON m.doc_a = d.doc_id
+ORDER BY doc_id
+"""
+)
+
+
+@register("incremental_dedup_ingest", _INGEST_SQL)
+def q_incremental_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from piholelongtermstats_spark.operators import dedup
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    batch = d.filter(F.col("doc_id") % 5 == 0)
+    corp = d.filter(F.col("doc_id") % 5 != 0)
+    return setsim.incremental_new_docs(
+        dedup.shingles(batch), dedup.shingles(corp), 4, 5, batch_ids=batch
     )

@@ -97,3 +97,45 @@ def test_prefix_is_rarest_tokens(spark):
     got = _pairs(setsim.prefix_filter_pairs(_sh(spark, docs), 4, 5))
     assert ("ra", "rb") in got
     assert got == _brute(docs, 0.8)
+
+
+def _brute_cross(a_docs: dict, b_docs: dict, t: float) -> set[tuple]:
+    out = set()
+    for a, ta in a_docs.items():
+        for b, tb in b_docs.items():
+            sa, sb = set(ta), set(tb)
+            inter = len(sa & sb)
+            if inter and inter / len(sa | sb) >= t:
+                out.add((a, b))
+    return out
+
+
+def test_prefix_filter_join_matches_bruteforce(spark):
+    rng = random.Random(29)
+    vocab = [f"w{i}" for i in range(30)]
+    batch = {f"b{i:02d}": rng.sample(vocab, rng.randint(4, 10)) for i in range(20)}
+    corpus = {f"c{i:02d}": rng.sample(vocab, rng.randint(4, 10)) for i in range(40)}
+    # plant cross-corpus near-dups
+    for i in range(6):
+        corpus[f"cdup{i}"] = list(batch[f"b{i:02d}"])
+    got = _pairs(setsim.prefix_filter_join(_sh(spark, batch), _sh(spark, corpus), 4, 5))
+    assert got == _brute_cross(batch, corpus, 0.8)
+    assert got, "fixture must plant at least one cross pair"
+    # the join is strictly cross-corpus: no batch-batch or corpus-corpus pair
+    for a, b in got:
+        assert a.startswith("b") and (a not in corpus) and (b in corpus)
+
+
+def test_incremental_new_docs_audit(spark):
+    batch = {"b1": ["x", "y", "z", "w"], "b2": ["p", "q", "r", "s"]}
+    corpus = {"c1": ["x", "y", "z", "w"], "c2": ["m", "n", "o"]}
+    ids = spark.createDataFrame([("b1",), ("b2",), ("b3",)], "doc_id string")
+    out = {
+        r.doc_id: (r.n_matches, r.is_new)
+        for r in setsim.incremental_new_docs(
+            _sh(spark, batch), _sh(spark, corpus), 4, 5, batch_ids=ids
+        ).collect()
+    }
+    # b1 duplicates c1; b2 matches nothing; b3 has no shingles at all
+    # (absent from sh_batch) and must still appear, trivially new.
+    assert out == {"b1": (1, False), "b2": (0, True), "b3": (0, True)}
