@@ -374,3 +374,184 @@ def q_incremental_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return setsim.incremental_new_docs(
         dedup.shingles(batch), dedup.shingles(corp), 4, 5, batch_ids=batch
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q7-shaped volume shipping: revenue flowing between two nations
+# by ship year — a 5-way join tree (lineitem ⋈ orders ⋈ customer ⋈
+# supplier ⋈ nation ×2) with the nation pair filtered on the broadcast
+# dims and both fact edges left to Catalyst/AQE (the Q5 lesson: never
+# pin a broadcast on an orders-derived relation).
+# ---------------------------------------------------------------------------
+
+_Q7_SQL = """
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS BIGINT) AS l_year,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+WHERE (sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+   OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1')
+GROUP BY 1, 2, 3
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+@register("nation_volume_shipping", _Q7_SQL)
+def q_nation_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from piholelongtermstats_spark.plans.registry import _DEC
+    from piholelongtermstats_spark.session import ensure_session_defaults
+    from piholelongtermstats_spark.sources.parquet import load_table
+
+    ensure_session_defaults(spark)
+    nation = load_table(spark, sf_dir, "nation")
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(nation.withColumnRenamed("n_name", "cust_nation")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .filter(F.col("cust_nation").isin("NATION_1", "NATION_2"))
+        .select("c_custkey", "cust_nation")
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                nation.withColumnRenamed("n_name", "supp_nation").withColumnRenamed(
+                    "n_nationkey", "sn_key"
+                )
+            ),
+            F.col("s_nationkey") == F.col("sn_key"),
+        )
+        .filter(F.col("supp_nation").isin("NATION_1", "NATION_2"))
+        .select("s_suppkey", "supp_nation")
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem")
+    revenue = F.col("l_extendedprice").cast(_DEC) * (
+        F.lit(1) - F.col("l_discount").cast(_DEC)
+    )
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(
+            F.sum(revenue).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q8-shaped market share: NATION_1's share of PROMO-part revenue
+# in the ASIA customer market by order year — an 8-relation join tree.
+# Only true dims (nation, region) are broadcast-hinted; part, supplier,
+# orders, customer edges are left to Catalyst/AQE (part and supplier
+# scale with the corpus). The share is one division of two exact
+# DECIMAL sums, rounded to 6 in both engines.
+# ---------------------------------------------------------------------------
+
+_Q8_SQL = """
+WITH flows AS (
+  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         CAST(l_extendedprice AS DECIMAL(18,2))
+           * (1 - CAST(l_discount AS DECIMAL(18,2))) AS vol,
+         sn.n_name AS supp_nation
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation cn ON c_nationkey = cn.n_nationkey
+  JOIN region ON cn.n_regionkey = r_regionkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation sn ON s_nationkey = sn.n_nationkey
+  WHERE r_name = 'ASIA' AND p_type = 'PROMO')
+SELECT o_year,
+  CAST(sum(CASE WHEN supp_nation = 'NATION_1' THEN vol ELSE 0 END) AS DOUBLE)
+    AS nation_rev,
+  CAST(sum(vol) AS DOUBLE) AS total_rev,
+  round(CAST(sum(CASE WHEN supp_nation = 'NATION_1' THEN vol ELSE 0 END) AS DOUBLE)
+        / CAST(sum(vol) AS DOUBLE), 6) AS mkt_share
+FROM flows GROUP BY o_year ORDER BY o_year
+"""
+
+
+@register("market_share_by_year", _Q8_SQL)
+def q_market_share_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from piholelongtermstats_spark.plans.registry import _DEC
+    from piholelongtermstats_spark.session import ensure_session_defaults
+    from piholelongtermstats_spark.sources.parquet import load_table
+
+    ensure_session_defaults(spark)
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("c_custkey")
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                nation.select(
+                    F.col("n_nationkey").alias("sn_key"),
+                    F.col("n_name").alias("supp_nation"),
+                )
+            ),
+            F.col("s_nationkey") == F.col("sn_key"),
+        )
+        .select("s_suppkey", "supp_nation")
+    )
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_type") == "PROMO"
+    ).select("p_partkey")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    vol = F.col("l_extendedprice").cast(_DEC) * (
+        F.lit(1) - F.col("l_discount").cast(_DEC)
+    )
+    zero = F.lit(0).cast(_DEC)
+    flows = (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            vol.alias("vol"),
+            "supp_nation",
+        )
+    )
+    nat = F.sum(F.when(F.col("supp_nation") == "NATION_1", F.col("vol")).otherwise(zero))
+    tot = F.sum("vol")
+    return (
+        flows.groupBy("o_year")
+        .agg(
+            nat.cast("double").alias("nation_rev"),
+            tot.cast("double").alias("total_rev"),
+            F.round(nat.cast("double") / tot.cast("double"), 6).alias("mkt_share"),
+        )
+        .orderBy("o_year")
+    )
