@@ -56,3 +56,42 @@ def salted_avg(
     return partial.groupBy(key).agg(
         (F.sum("_s") / F.sum("_n")).alias("avg_val")
     )
+
+
+def key_skew_report(df: DataFrame, col: str, top_k: int = 10) -> DataFrame:
+    """One-row skew diagnostic for a grouping key: total rows, distinct
+    keys, the hottest key's count and share, and the top-``top_k``
+    concentration — the measurement that decides whether a key needs
+    salting / AQE skew handling before it burns a 100 TB job.
+
+    Shape: one map-side-combined groupBy over the key (the same
+    aggregation any query on this key would run), then everything else
+    operates on the KEY HISTOGRAM (|distinct keys| rows): the top-k is
+    TakeOrderedAndProject with a (cnt desc, key) deterministic
+    tie-break, the totals a single aggregate. Shares are one division
+    each, rounded to 6 — the integer counts are the contract, the
+    shares the display.
+    """
+    counts = df.groupBy(col).agg(F.count(F.lit(1)).alias("cnt"))
+    totals = counts.agg(
+        F.sum("cnt").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("cnt").alias("max_cnt"),
+    )
+    topk = (
+        counts.orderBy(F.desc("cnt"), F.asc(col))
+        .limit(top_k)
+        .agg(F.sum("cnt").alias("topk_cnt"))
+    )
+    return totals.crossJoin(F.broadcast(topk)).select(
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("n_keys").cast("long").alias("n_keys"),
+        F.col("max_cnt").cast("long").alias("max_cnt"),
+        F.round(
+            F.col("max_cnt").cast("double") / F.col("n_rows").cast("double"), 6
+        ).alias("max_share"),
+        F.col("topk_cnt").cast("long").alias("topk_cnt"),
+        F.round(
+            F.col("topk_cnt").cast("double") / F.col("n_rows").cast("double"), 6
+        ).alias("topk_share"),
+    )

@@ -555,3 +555,33 @@ def q_market_share_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_year")
     )
+
+
+# ---------------------------------------------------------------------------
+# Key-skew diagnostic (operators/skew.py:key_skew_report) — the
+# measurement behind every salting/AQE decision, over the domain key.
+# ---------------------------------------------------------------------------
+
+_SKEW_REPORT_SQL = (
+    FACT_CTE
+    + """
+, c AS (SELECT domain, count(*) AS cnt FROM fact GROUP BY domain),
+tk AS (SELECT CAST(sum(cnt) AS BIGINT) AS topk_cnt
+       FROM (SELECT cnt FROM c ORDER BY cnt DESC, domain LIMIT 10))
+SELECT CAST(sum(cnt) AS BIGINT) AS n_rows,
+       count(*) AS n_keys,
+       CAST(max(cnt) AS BIGINT) AS max_cnt,
+       round(CAST(max(cnt) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE), 6) AS max_share,
+       (SELECT topk_cnt FROM tk) AS topk_cnt,
+       round(CAST((SELECT topk_cnt FROM tk) AS DOUBLE)
+             / CAST(sum(cnt) AS DOUBLE), 6) AS topk_share
+FROM c
+"""
+)
+
+
+@register("domain_skew_report", _SKEW_REPORT_SQL)
+def q_domain_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from piholelongtermstats_spark.operators import skew
+
+    return skew.key_skew_report(_fact(spark, sf_dir), "domain", top_k=10)
