@@ -454,3 +454,67 @@ def q_inactive_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation")
     )
+
+
+# ---------------------------------------------------------------------------
+# Binary (sign-bit) quantization ANN (operators/binquant.py) — 1-bit
+# codes, integer hamming candidate cut, exact rounded-cosine rerank.
+# The oracle replays the identical packing (32-bit words in BIGINTs),
+# the identical integer hamming rank, and the house rerank policy.
+# ---------------------------------------------------------------------------
+
+from piholelongtermstats_spark.operators import binquant  # noqa: E402
+from piholelongtermstats_spark.plans.cache import shared_input  # noqa: E402
+
+_BQ_Q = binquant.N_QUERIES
+_BQ_K = binquant.K
+_BQ_C = binquant.N_CANDIDATES
+
+_BINQUANT_SQL = f"""
+WITH codes AS (
+  SELECT vec_id,
+         CAST(sum(CASE WHEN i <= 32 AND e > 0
+                       THEN 1::BIGINT << (i - 1) ELSE 0 END) AS BIGINT) AS c0,
+         CAST(sum(CASE WHEN i > 32 AND e > 0
+                       THEN 1::BIGINT << (i - 33) ELSE 0 END) AS BIGINT) AS c1
+  FROM (SELECT vec_id, unnest(embedding) AS e,
+               generate_subscripts(embedding, 1) AS i FROM embeddings)
+  GROUP BY vec_id),
+q AS (SELECT e.vec_id AS query_id, e.embedding::DOUBLE[] AS qv, c0 AS q0, c1 AS q1
+      FROM embeddings e JOIN codes USING (vec_id) WHERE vec_id < {_BQ_Q}),
+c AS (SELECT e.vec_id, e.label, e.embedding::DOUBLE[] AS v, c0, c1
+      FROM embeddings e JOIN codes USING (vec_id) WHERE vec_id >= {_BQ_Q}),
+h AS (SELECT query_id, vec_id, label, v, qv,
+             CAST(bit_count(xor(c0, q0)) + bit_count(xor(c1, q1)) AS BIGINT)
+               AS hamming
+      FROM c CROSS JOIN q),
+cand AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY hamming, vec_id) AS cand_rank
+    FROM h) t
+  WHERE cand_rank <= {_BQ_C})
+SELECT query_id, rank, vec_id, label, hamming, cosine FROM (
+  SELECT query_id, vec_id, label, hamming,
+         round(list_cosine_similarity(v, qv), 6) AS cosine,
+         row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY round(list_cosine_similarity(v, qv), 6) DESC, vec_id) AS rank
+  FROM cand) t
+WHERE rank <= {_BQ_K}
+ORDER BY query_id, rank
+"""
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session_defaults(spark)
+    return shared_input(
+        spark, "embeddings", sf_dir, lambda: load_table(spark, sf_dir, "embeddings")
+    )
+
+
+@register("binary_quant_ann", _BINQUANT_SQL)
+def q_binary_quant_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-bit ANN: 32× smaller candidate state, integer-exact
+    candidate decisions, exact rerank (operators/binquant.py)."""
+    return binquant.binary_quant_ann(_emb(spark, sf_dir))
