@@ -1,0 +1,152 @@
+r"""CCNet-style n-gram LM perplexity scoring (arXiv:1911.00359 §4.3
+uses a 5-gram KenLM; the distributed shape is identical at order 2).
+
+Real pipelines score every document with a language model and keep /
+bucket by perplexity. This module trains the LM **on the corpus
+itself, inside the engine** (bigram + unigram counts — two
+map-side-combined groupBys) and scores every document with add-1
+smoothing:
+
+    logP(doc) = Σ_i ln( (c(w_{i-1}, w_i) + 1) / (c(w_{i-1}) + V) )
+
+Split of responsibilities (the DSIR precedent, operators/dsir.py):
+
+- the **sufficient statistics** (bigram counts, the model relation's
+  integer fields) are exact BIGINT arithmetic → DuckDB-oracle-checked
+  (`lm_bigram_topk`);
+- the **log-prob edge** is irreducibly fp (ln), so `doc_logprob` is
+  registered rows-only and pinned instead by a pure-Python
+  differential test (tests/test_lm.py) plus the one-row-per-document
+  contract (empty docs emit n_bigrams=0, sum 0 — the r6 DSIR
+  empty-document lesson applied from day one).
+
+Scale shape (100 TB): the model relation is |vocab²-observed| rows —
+orders of magnitude smaller than the corpus — built by joining
+bigram counts to unigram counts on w1 (counts-sized shuffle). Scoring
+is ONE shuffle join of the exploded bigram stream against the model
+(both sides partitioned by (w1, w2)), then a per-doc partial+final
+aggregation. Nothing global-sorts; nothing collects; the V scalar
+arrives via a 1-row broadcast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from piholelongtermstats_spark.operators.text import tokens
+
+
+def _bigram_structs(toks: Column) -> Column:
+    """array<struct<w1,w2>> of adjacent token pairs; [] for docs with
+    fewer than 2 tokens (guarded — Spark's sequence(1, 0) would count
+    DOWN, not produce an empty array)."""
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 1),
+        lambda i: F.struct(
+            F.element_at(toks, i).alias("w1"),
+            F.element_at(toks, i + 1).alias("w2"),
+        ),
+    )
+    return F.when(F.size(toks) >= 2, pairs).otherwise(
+        F.array().cast("array<struct<w1:string,w2:string>>")
+    )
+
+
+def bigram_stream(docs: DataFrame) -> DataFrame:
+    """(doc_id, w1, w2) — one row per adjacent token pair."""
+    return docs.select(
+        "doc_id", F.explode(_bigram_structs(tokens(F.col("text")))).alias("b")
+    ).select("doc_id", "b.w1", "b.w2")
+
+
+def bigram_counts(docs: DataFrame) -> DataFrame:
+    """(w1, w2, cnt) — exact corpus bigram counts."""
+    return bigram_stream(docs).groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+def unigram_counts(docs: DataFrame) -> DataFrame:
+    """(w, cnt) — exact corpus unigram counts."""
+    return (
+        docs.select(F.explode(tokens(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def lm_model(docs: DataFrame) -> DataFrame:
+    """The add-1-smoothed bigram model relation:
+    (w1, w2, c12, c1, logp) with logp = ln(c12+1) − ln(c1+V).
+
+    Counts-sized (≪ corpus); built from two groupBys and one
+    counts-side join; V is a 1-row broadcast scalar."""
+    uni = unigram_counts(docs).select(
+        F.col("w").alias("w1"), F.col("cnt").alias("c1")
+    )
+    v = uni.agg(F.count(F.lit(1)).alias("v"))
+    return (
+        bigram_counts(docs)
+        .withColumnRenamed("cnt", "c12")
+        .join(uni, "w1")
+        .join(F.broadcast(v))
+        .select(
+            "w1",
+            "w2",
+            "c12",
+            "c1",
+            (F.log(F.col("c12") + 1) - F.log(F.col("c1") + F.col("v"))).alias(
+                "logp"
+            ),
+        )
+    )
+
+
+def doc_logprob(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_bigrams, logprob_sum, avg_logprob) — one row per
+    input document, including token-poor ones (n_bigrams=0, sums 0).
+
+    Every observed pair exists in the model (trained on the same
+    corpus), so the scoring join is inner with no coverage loss; the
+    doc-id spine left join restores pairless documents."""
+    spine = docs.select("doc_id")
+    scored = (
+        bigram_stream(docs)
+        .join(lm_model(docs).select("w1", "w2", "logp"), ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("logp").alias("logprob_sum"),
+        )
+    )
+    return spine.join(scored, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n_bigrams"), F.lit(0)).alias("n_bigrams"),
+        F.coalesce(F.col("logprob_sum"), F.lit(0.0)).alias("logprob_sum"),
+        F.when(
+            F.coalesce(F.col("n_bigrams"), F.lit(0)) > 0,
+            F.col("logprob_sum") / F.col("n_bigrams"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("avg_logprob"),
+    )
+
+
+def bigram_topk(docs: DataFrame, k: int = 50) -> DataFrame:
+    """Top-k bigrams by exact count, (cnt desc, w1, w2) pinned order —
+    the oracle-checked integer face of the model
+    (TakeOrderedAndProject, never a global sort)."""
+    return (
+        bigram_counts(docs)
+        .orderBy(F.col("cnt").desc(), F.col("w1").asc(), F.col("w2").asc())
+        .limit(k)
+    )
+
+
+# CCNet's head/middle/tail perplexity split deliberately has no
+# ntile-over-all-docs helper here: a global ntile is a SinglePartition
+# window over the whole corpus. Bucketing composes instead with the
+# histogram-ECDF rank machinery (operators/corpus.py,
+# quality_percentile_blend) — thresholds from exact value counts, then
+# a threshold cut, never a total order.

@@ -219,6 +219,16 @@ _OVERFLOW = [
     "bpe_encode_vocab",
     "kanon_domain_daily",
     "inverted_postings_audit",
+    # r7 M14: TPC-H completion wave + binary-quant ANN + LM counts
+    "product_profit_by_nation",
+    "late_shipment_priority",
+    "promo_revenue_share",
+    "top_revenue_supplier",
+    "large_volume_customers",
+    "brand_disjunction_revenue",
+    "inactive_customer_balance",
+    "binary_quant_ann",
+    "lm_bigram_topk",
     # rows-only by design (sketches, iterative index builds, stubs)
     "uniques_approx",
     "reply_time_quantiles",
@@ -230,6 +240,7 @@ _OVERFLOW = [
     "dsir_logweights",
     "pagerank_top",
     "rolling_active_approx",
+    "lm_doc_logprob",
 ]
 
 

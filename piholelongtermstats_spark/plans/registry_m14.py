@@ -518,3 +518,47 @@ def q_binary_quant_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sign-bit ANN: 32× smaller candidate state, integer-exact
     candidate decisions, exact rerank (operators/binquant.py)."""
     return binquant.binary_quant_ann(_emb(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style bigram LM (operators/lm.py) — the model's integer face
+# (exact bigram counts, pinned top-k order) is oracle-checked; the
+# per-document log-prob edge is rows-only by the fp policy and pinned
+# by the pure-Python differential in tests/test_lm.py (the DSIR
+# split, applied to the LM-quality family).
+# ---------------------------------------------------------------------------
+
+from piholelongtermstats_spark.operators import lm  # noqa: E402
+from piholelongtermstats_spark.plans.registry_m9 import _docs  # noqa: E402
+
+_LM_TOPK_SQL = r"""
+WITH tk AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')
+           AS toks
+  FROM documents),
+bg AS (
+  SELECT unnest(list_transform(
+           generate_series(1, len(toks) - 1),
+           i -> {'w1': toks[i], 'w2': toks[i + 1]})) AS b
+  FROM tk WHERE len(toks) >= 2)
+SELECT b.w1 AS w1, b.w2 AS w2, CAST(count(*) AS BIGINT) AS cnt
+FROM bg
+GROUP BY 1, 2
+ORDER BY cnt DESC, w1, w2
+LIMIT 50
+"""
+
+
+@register("lm_bigram_topk", _LM_TOPK_SQL)
+def q_lm_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact corpus bigram counts, top-50 by (cnt desc, w1, w2) —
+    the oracle-checked sufficient statistics of the LM."""
+    return lm.bigram_topk(_docs(spark, sf_dir))
+
+
+@register("lm_doc_logprob")  # rows-only: ln() edge, numpy-differential-pinned
+def q_lm_doc_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document add-1-smoothed bigram log-prob — one row per input
+    document (empty docs: n_bigrams 0, sums 0)."""
+    return lm.doc_logprob(_docs(spark, sf_dir))
