@@ -81,7 +81,7 @@ TOP_50 = [
     "dedup_clusters_star",
     "doc_chunks",
     "text_panel",
-    "knn_join",
+    "binary_quant_ann",
     "ann_scale_2x",
     "heavy_hitters_exact",
     "ivfpq_ann_topk",
@@ -219,7 +219,14 @@ _OVERFLOW = [
     "bpe_encode_vocab",
     "kanon_domain_daily",
     "inverted_postings_audit",
-    # r7 M14: TPC-H completion wave + binary-quant ANN + LM counts
+    # r7 swap (3): binary_quant_ann (sign-bit codes, integer-exact
+    # hamming candidate cut, house rerank) took knn_join's row —
+    # test_binquant pins that binary_quant_ann with the candidate
+    # budget opened to the whole corpus reproduces knn_join row for
+    # row, so the slot now verifies the exact-knn machinery PLUS the
+    # packing and the integer cut; knn_join stays parity-green here.
+    "knn_join",
+    # r7 M14: TPC-H completion wave + LM counts
     "product_profit_by_nation",
     "late_shipment_priority",
     "promo_revenue_share",
