@@ -550,15 +550,27 @@ LIMIT 50
 """
 
 
+def _lm_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared persisted (doc_id, w1, w2) bigram stream — built once,
+    consumed by both the counts face and the scoring pass (the
+    shingle-set convention, registry_m7._shingles)."""
+    return shared_input(
+        spark,
+        "lm_bigrams",
+        sf_dir,
+        lambda: lm.bigram_stream(_docs(spark, sf_dir)),
+    )
+
+
 @register("lm_bigram_topk", _LM_TOPK_SQL)
 def q_lm_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact corpus bigram counts, top-50 by (cnt desc, w1, w2) —
     the oracle-checked sufficient statistics of the LM."""
-    return lm.bigram_topk(_docs(spark, sf_dir))
+    return lm.bigram_topk(_docs(spark, sf_dir), bg=_lm_bigrams(spark, sf_dir))
 
 
 @register("lm_doc_logprob")  # rows-only: ln() edge, numpy-differential-pinned
 def q_lm_doc_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document add-1-smoothed bigram log-prob — one row per input
     document (empty docs: n_bigrams 0, sums 0)."""
-    return lm.doc_logprob(_docs(spark, sf_dir))
+    return lm.doc_logprob(_docs(spark, sf_dir), bg=_lm_bigrams(spark, sf_dir))
