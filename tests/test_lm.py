@@ -87,6 +87,28 @@ def test_bigram_counts_exact_on_fixture(spark):
     assert got == {("a", "b"): 3, ("b", "a"): 1, ("b", "c"): 1}
 
 
+def test_bigram_counts_double_on_doubled_corpus(spark):
+    """Doubling invariant: on corpus ∪ id-shifted copy every bigram
+    count exactly doubles and the vocabulary (V) is unchanged — the
+    scale proof's algebraic form for the counting tier."""
+    docs = _docs(spark).select("doc_id", "text")
+    shift = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+    doubled = docs.unionAll(
+        docs.select((F.col("doc_id") + shift).alias("doc_id"), "text")
+    )
+    base = {
+        (r["w1"], r["w2"]): r["cnt"] for r in lm.bigram_counts(docs).collect()
+    }
+    twice = {
+        (r["w1"], r["w2"]): r["cnt"]
+        for r in lm.bigram_counts(doubled).collect()
+    }
+    assert twice == {k: 2 * v for k, v in base.items()}
+    v1 = lm.unigram_counts(docs).count()
+    v2 = lm.unigram_counts(doubled).count()
+    assert v1 == v2
+
+
 def test_plans_have_no_window_and_topk_is_take_ordered(spark):
     """Neither the scoring join nor the model build may introduce a
     window (the corpus is never totally ordered); the top-k face must
