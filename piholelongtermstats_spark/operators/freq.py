@@ -36,7 +36,7 @@ from __future__ import annotations
 from typing import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -107,3 +107,85 @@ def heavy_hitters_exact(df: DataFrame, col: str, k: int) -> DataFrame:
         .select("item", "cnt", "n_total")
         .orderBy(F.desc("cnt"), "item")
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (Cormode & Muthukrishnan 2005) — the mergeable
+# frequency summary for when even the Misra-Gries candidate pass is
+# too much state: the sketch is a FIXED d x w counter grid regardless
+# of key cardinality, built in one map-side-combined aggregation, and
+# every point estimate is an upper bound (min over d rows).
+#
+# Hashing is the portable md5-chunk convention (text.md5_hash60):
+# row r's bucket is the r-th disjoint 8-hex-char chunk of md5(key)
+# mod w. md5's 32 hex chars give four independent 32-bit chunks, so
+# d <= 4. Identical in DuckDB as
+# ('0x' || substr(md5(key), 1 + 8*r, 8))::BIGINT % w — the estimate
+# is deterministic and oracle-checkable, unlike seeded murmur.
+# ---------------------------------------------------------------------------
+
+CMS_D = 4
+CMS_W = 1024
+
+
+def _cms_bucket(col: str | Column, r: int, w: int) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return (
+        F.conv(F.substring(F.md5(c), 1 + 8 * r, 8), 16, 10).cast("long") % w
+    )
+
+
+def cms_sketch(df: DataFrame, col: str, d: int = CMS_D, w: int = CMS_W) -> DataFrame:
+    """Build the d x w Count-Min grid over string column ``col``.
+
+    Returns (r, b, cnt). The explode multiplies rows by d BEFORE the
+    aggregation, but partial (map-side) aggregation collapses each
+    task to <= d*w rows, so the shuffle is bounded by d*w*P counters —
+    kilobytes at any input volume. No Python stages: bucket indexes
+    are md5/conv JVM expressions inside whole-stage codegen.
+    """
+    if not 1 <= d <= 4:
+        raise ValueError("d must be in 1..4 (md5 has four 32-bit chunks)")
+    contribs = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r"), _cms_bucket(col, r, w).alias("b")
+                    )
+                    for r in range(d)
+                ]
+            )
+        ).alias("rb")
+    )
+    return (
+        contribs.select("rb.r", "rb.b")
+        .groupBy("r", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame, probes: DataFrame, col: str, d: int = CMS_D, w: int = CMS_W
+) -> DataFrame:
+    """Point estimates for ``probes[col]``: min over the d rows.
+
+    The sketch (<= d*w rows) is broadcast; probes fan out to d
+    (key, r, b) rows, join the grid, and fold back with min(). Adds a
+    ``cms_cnt`` column to the probe relation.
+    """
+    fan = probes.select(
+        col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r"), _cms_bucket(col, r, w).alias("b")
+                    )
+                    for r in range(d)
+                ]
+            )
+        ).alias("rb"),
+    ).select(col, "rb.r", "rb.b")
+    hit = fan.join(F.broadcast(sketch), ["r", "b"], "inner")
+    return hit.groupBy(col).agg(F.min("cnt").cast("long").alias("cms_cnt"))

@@ -170,3 +170,56 @@ def bigram_topk(
 # histogram-ECDF rank machinery (operators/corpus.py,
 # quality_percentile_blend) — thresholds from exact value counts, then
 # a threshold cut, never a total order.
+
+
+def kneser_ney_continuations(
+    docs: DataFrame, bg: DataFrame | None = None, top_k: int = 50
+) -> DataFrame:
+    """Kneser-Ney continuation statistics (Kneser & Ney 1995; the
+    modified-KN form of Chen & Goodman 1999) — the sufficient
+    statistics a KN-smoothed n-gram LM needs beyond raw counts:
+
+    - ``cont_left(w)  = N1+(. w)`` — distinct left contexts of w,
+    - ``cont_right(w) = N1+(w .)`` — distinct right continuations,
+    - ``cnt(w)`` — the raw unigram count,
+    - ``p_cont(w) = N1+(. w) / N1+(..)`` — the KN lower-order
+      probability (the one fp division, from exact integers).
+
+    Everything is integer aggregation over the distinct-bigram
+    relation: distinct() then two groupBys (map-side combined), a
+    full-outer stitch on the word, and the distinct-bigram total
+    carried by a broadcast 1-row relation — no window over the vocab,
+    no driver loop. Top-k by (cont_left desc, w asc) pins the order.
+    """
+    bg = bg if bg is not None else bigram_stream(docs)
+    pairs = bg.select("w1", "w2").distinct()
+
+    left = pairs.groupBy(F.col("w2").alias("w")).agg(
+        F.count(F.lit(1)).cast("long").alias("cont_left")
+    )
+    right = pairs.groupBy(F.col("w1").alias("w")).agg(
+        F.count(F.lit(1)).cast("long").alias("cont_right")
+    )
+    uni = unigram_counts(docs).select("w", F.col("cnt").cast("long").alias("cnt"))
+
+    stitched = (
+        uni.join(left, "w", "left")
+        .join(right, "w", "left")
+        .select(
+            "w",
+            "cnt",
+            F.coalesce("cont_left", F.lit(0)).cast("long").alias("cont_left"),
+            F.coalesce("cont_right", F.lit(0)).cast("long").alias("cont_right"),
+        )
+    )
+    total = pairs.agg(F.count(F.lit(1)).cast("long").alias("n_bigram_types"))
+    return (
+        stitched.join(F.broadcast(total))
+        .withColumn(
+            "p_cont",
+            F.col("cont_left").cast("double") / F.col("n_bigram_types").cast("double"),
+        )
+        .select("w", "cnt", "cont_left", "cont_right", "p_cont")
+        .orderBy(F.desc("cont_left"), "w")
+        .limit(top_k)
+    )

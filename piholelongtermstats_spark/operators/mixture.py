@@ -1,0 +1,138 @@
+"""UniMax language-balanced sampling allocation (Chung et al. 2023,
+arXiv:2304.09151) — the data-mixture operator that completes the
+selection tier next to temperature sampling (corpus.mix_sample),
+per-source token caps (corpus.source_token_caps) and DSIR.
+
+Given per-language token counts ``c_l``, a total token budget ``B``
+and an epoch cap ``E``, UniMax allocates the budget as uniformly as
+possible across languages while never using more than ``E`` epochs of
+any language's data. The classic waterfill: sort languages ascending
+by usable supply ``s_l = E * c_l``; a language is *capped* (gets all
+of ``s_l``) while the equal share of the remaining budget still
+exceeds its supply; all uncapped languages split the leftover evenly.
+
+Scale shape: the per-language token count is ONE map-side-combined
+aggregation over the corpus (the only pass that touches data); the
+waterfill itself runs on the ≤ #languages-row aggregate, so the single
+global window orders a handful of rows — the streaks policy (only
+global windows over provably tiny relations).
+
+Exactness: the capped test is the prefix-sum inequality
+``s_i * (n - i + 1) <= B - P_{i-1}`` — all BIGINT, no division. The
+waterfill lemma makes it monotone (once false it stays false for every
+larger supply), so the capped set needs no iterative driver loop and
+the identical window-function SQL runs in DuckDB. The only fp in the
+result is the final equal-share division, emitted once with the same
+expression shape on both sides (registry fp policy).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from piholelongtermstats_spark.operators.text import tokens
+
+
+def lang_token_counts(docs: DataFrame) -> DataFrame:
+    """Exact whitespace-token counts per language — the corpus pass.
+
+    ``size(tokens(text))`` is a zero-shuffle JVM projection; the
+    groupBy collapses map-side to one row per language per partition.
+    """
+    return (
+        docs.select("lang", F.size(tokens(F.col("text"))).alias("n_toks"))
+        .groupBy("lang")
+        .agg(F.sum("n_toks").cast("long").alias("n_tokens"))
+    )
+
+
+def unimax_allocation(
+    docs: DataFrame,
+    budget_ratio: tuple[int, int] = (3, 4),
+    max_epochs: int = 1,
+) -> DataFrame:
+    """Per-language UniMax budget allocation.
+
+    Returns one row per language: ``lang, n_tokens, supply, capped,
+    alloc_tokens`` ordered by lang. ``supply = max_epochs * n_tokens``
+    is each language's usable ceiling; ``capped`` languages contribute
+    their whole supply; the rest split the leftover evenly
+    (``alloc_tokens`` is the one fp division). If the budget covers
+    every language's supply, everyone is capped and the leftover goes
+    unallocated (UniMax never over-epochs a language).
+
+    The budget is data-derived — ``B = (num * total_tokens) DIV den``
+    (exact BIGINT floor-division) — so the operator is scale-invariant:
+    the same query text exercises a non-trivial capped/uncapped mix at
+    every SF instead of pinning an absolute token count that goes
+    degenerate when the corpus grows.
+    """
+    num, den = budget_ratio
+    if num <= 0 or den <= 0:
+        raise ValueError("budget_ratio must be positive")
+    counts = lang_token_counts(docs).withColumn(
+        "supply", (F.lit(int(max_epochs)) * F.col("n_tokens")).cast("long")
+    )
+    total = counts.agg(F.sum("n_tokens").cast("long").alias("_total"))
+    counts = counts.join(F.broadcast(total)).withColumn(
+        "_b", F.expr(f"CAST(({int(num)} * _total) DIV {int(den)} AS BIGINT)")
+    )
+
+    # The waterfill runs over ≤ #languages rows: the global window is
+    # bounded by construction (same policy as W3's ≤2 rows/month).
+    order = Window.orderBy(F.col("supply").asc(), F.col("lang").asc())
+    ranked = counts.select(
+        "lang",
+        "n_tokens",
+        "supply",
+        "_b",
+        F.row_number().over(order).alias("i"),
+        F.sum("supply").over(order).alias("p_i"),  # inclusive prefix sum
+        F.count(F.lit(1)).over(
+            Window.orderBy(F.lit(1)).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("n"),
+    )
+
+    b = F.col("_b")
+    # capped_i  <=>  s_i * (n - i + 1) <= B - P_{i-1}   (all BIGINT)
+    capped = (
+        F.col("supply") * (F.col("n") - F.col("i") + F.lit(1))
+        <= b - (F.col("p_i") - F.col("supply"))
+    )
+    flagged = ranked.withColumn("capped", capped)
+
+    # k = #capped, P_k = capped supply mass — scalars of the tiny
+    # relation, carried by a second unbounded window (still ≤ n rows).
+    whole = Window.orderBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    shared = flagged.select(
+        "lang",
+        "n_tokens",
+        "supply",
+        "capped",
+        "n",
+        "_b",
+        F.sum(F.when(F.col("capped"), F.lit(1)).otherwise(F.lit(0)))
+        .over(whole)
+        .alias("k"),
+        F.sum(F.when(F.col("capped"), F.col("supply")).otherwise(F.lit(0)))
+        .over(whole)
+        .alias("p_k"),
+    )
+
+    return shared.select(
+        "lang",
+        "n_tokens",
+        "supply",
+        "capped",
+        F.when(F.col("capped"), F.col("supply").cast("double"))
+        .otherwise(
+            (b - F.col("p_k")).cast("double")
+            / (F.col("n") - F.col("k")).cast("double")
+        )
+        .alias("alloc_tokens"),
+    ).orderBy("lang")

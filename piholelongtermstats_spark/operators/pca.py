@@ -1,0 +1,158 @@
+"""Embedding feature statistics and PCA — the whitening /
+dimensionality-reduction half of the vector tier (complements the JL
+random projection in operators/similarity.py, which is data-blind;
+PCA is the data-dependent counterpart).
+
+Two faces, split along the engine's fp policy (the DSIR/LM split):
+
+- ``embedding_dim_stats`` — per-dimension n / quantized sums /
+  quantized sums of squares. Each element is quantized ONCE
+  (round(x * 1e6) → BIGINT, deterministic per element since x is a
+  stored float32 widened to double identically everywhere) and then
+  only integer-summed, so cross-row accumulation order cannot change
+  the answer and the relation is DuckDB-oracle-checkable. The means
+  are ONE final division from the exact integers.
+- ``pca_project`` — covariance eigendecomposition + projection. The
+  d x d Gramian is accumulated per Arrow batch with BLAS (X^T X),
+  reduced as (i, j) partial sums (map-side combined: d^2 rows per
+  task, never per input row), eigendecomposed on the driver (d x d is
+  tiny — the quantizer-training pattern), and projected back with one
+  vectorized pandas_udf. Rows-only by the fp policy; pinned by the
+  numpy differential in tests (same protocol as lm_doc_logprob).
+
+Scale shape at 100 TB: both passes stream the embeddings once. The
+stats pass explodes d rows per vector but partial aggregation caps the
+shuffle at d rows per task; the Gramian pass ships d^2 floats per
+task. The driver ever holds only the d x d matrix.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+Q_SCALE = 1_000_000  # per-element quantizer: round(x * 1e6)
+
+
+def embedding_dim_stats(emb: DataFrame, dim: int = 64) -> DataFrame:
+    """Per-dimension (dim, n, sum_q, sumsq_q, mean_q) over quantized
+    elements; ``mean_q`` (in 1e-6 units) is the one fp division.
+
+    BIGINT headroom: |x| <= ~10 for unit-ish embeddings → xq <= 1e7,
+    xq^2 <= 1e14; sums overflow int64 only past ~9e4 billion rows per
+    dimension — at that volume widen sumsq_q to DECIMAL(38,0) (the
+    M14 decimal policy); the expression shape is unchanged.
+    """
+    el = emb.select(F.posexplode("embedding").alias("dim", "x")).select(
+        "dim",
+        F.round(F.col("x").cast("double") * Q_SCALE, 0).cast("long").alias("xq"),
+    )
+    return (
+        el.groupBy("dim")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("xq").cast("long").alias("sum_q"),
+            F.sum(F.col("xq") * F.col("xq")).cast("long").alias("sumsq_q"),
+        )
+        .withColumn("mean_q", F.col("sum_q").cast("double") / F.col("n").cast("double"))
+        .orderBy("dim")
+    )
+
+
+def _gramian_partials(dim: int):
+    """mapInPandas stage: per batch emit the flattened upper triangle
+    of X^T X plus the column sums and the row count."""
+
+    def part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            g = x.T @ x
+            iu, ju = np.triu_indices(dim)
+            yield pd.DataFrame(
+                {
+                    "i": np.concatenate([iu, np.arange(dim), [dim]]),
+                    "j": np.concatenate([ju, np.full(dim, dim), [dim]]),
+                    "v": np.concatenate([g[iu, ju], x.sum(axis=0), [float(len(x))]]),
+                }
+            )
+
+    return part
+
+
+def covariance_matrix(emb: DataFrame, dim: int = 64) -> np.ndarray:
+    """The d x d covariance, accumulated distributed, finished on the
+    driver. (i, j) < (d, d) carry Gramian entries, (i, d) the column
+    sums, (d, d) the row count — one groupBy reduces all partials."""
+    parts = emb.select("embedding").mapInPandas(
+        _gramian_partials(dim), schema="i int, j int, v double"
+    )
+    rows = parts.groupBy("i", "j").agg(F.sum("v").alias("v")).collect()
+    g = np.zeros((dim, dim))
+    s = np.zeros(dim)
+    n = 0.0
+    for r in rows:
+        if r["i"] == dim and r["j"] == dim:
+            n = r["v"]
+        elif r["j"] == dim:
+            s[r["i"]] = r["v"]
+        else:
+            g[r["i"], r["j"]] = r["v"]
+            g[r["j"], r["i"]] = r["v"]
+    if n < 2:
+        raise ValueError("need at least 2 vectors")
+    mu = s / n
+    return (g - n * np.outer(mu, mu)) / (n - 1)
+
+
+def principal_components(cov: np.ndarray, k: int) -> np.ndarray:
+    """Top-k eigenvectors (d x k), deterministic sign: each column's
+    largest-|.| entry is made positive (ties broken by lowest index,
+    which argmax already pins)."""
+    vals, vecs = np.linalg.eigh(cov)
+    top = vecs[:, np.argsort(vals)[::-1][:k]]
+    for c in range(top.shape[1]):
+        lead = np.argmax(np.abs(top[:, c]))
+        if top[lead, c] < 0:
+            top[:, c] = -top[:, c]
+    return top
+
+
+def pca_project(emb: DataFrame, k: int = 2, dim: int = 64) -> DataFrame:
+    """(vec_id, pc1..pck) — corpus projected onto its own top-k
+    principal axes (components from covariance_matrix, applied with
+    one Arrow-vectorized stage; the components are a broadcast-sized
+    d x k literal, the quantizer-replay pattern)."""
+    comps = principal_components(covariance_matrix(emb, dim), k)
+
+    # Recompute the mean from the stats pass (exact integers → one
+    # division) so projection centering matches the covariance.
+    stats = embedding_dim_stats(emb, dim).select("dim", "mean_q").collect()
+    mu = np.zeros(dim)
+    for r in stats:
+        mu[r["dim"]] = r["mean_q"] / Q_SCALE
+
+    comps_b = comps.copy()
+
+    def project(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64) - mu
+            p = x @ comps_b
+            out = {"vec_id": pdf["vec_id"].to_numpy()}
+            for c in range(k):
+                out[f"pc{c + 1}"] = np.round(p[:, c], 6)
+            yield pd.DataFrame(out)
+
+    schema = "vec_id long, " + ", ".join(f"pc{c + 1} double" for c in range(k))
+    return (
+        emb.select("vec_id", "embedding")
+        .mapInPandas(project, schema=schema)
+        .orderBy("vec_id")
+    )

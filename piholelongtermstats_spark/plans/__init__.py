@@ -34,6 +34,7 @@ from piholelongtermstats_spark.plans import registry_m11  # noqa: F401  (registe
 from piholelongtermstats_spark.plans import registry_m12  # noqa: F401  (registers M12 queries)
 from piholelongtermstats_spark.plans import registry_m13  # noqa: F401  (registers M13 queries)
 from piholelongtermstats_spark.plans import registry_m14  # noqa: F401  (registers M14 queries)
+from piholelongtermstats_spark.plans import registry_m15  # noqa: F401  (registers M15 queries)
 from piholelongtermstats_spark.plans import registry_panels  # noqa: F401  (fused panels)
 from piholelongtermstats_spark.plans.registry import ORACLE, QUERIES  # noqa: F401
 
