@@ -128,3 +128,65 @@ def exact_group_quantiles(
             ).alias(tag)
         )
     return h.groupBy(group_col).agg(*aggs).orderBy(group_col)
+
+
+def range_boundaries(
+    df: DataFrame, value_col: str, n_buckets: int, quantize_to: "float | None" = None
+) -> DataFrame:
+    """Balanced range-partitioner boundaries — the engine-facing twin
+    of Spark's RangePartitioner sampling (core/Partitioner.scala
+    sketches; this computes boundaries EXACTLY from the value
+    histogram instead of reservoir-sampling them).
+
+    boundary_i (i = 1..n_buckets-1) is the smallest value whose
+    cumulative count satisfies ``cum * n_buckets >= i * n`` — pure
+    BIGINT cross-multiplication over the distinct-value histogram, so
+    the result is deterministic and oracle-checkable. Writing data
+    range-partitioned on these boundaries gives each bucket at most
+    one distinct value's worth of imbalance — the input a sorted /
+    z-ordered layout writer (sources/zorder.py) needs to avoid
+    straggler files at 100 TB.
+
+    One partial-agg shuffle builds the histogram; the cumulative
+    window orders DISTINCT values (bounded by ``quantize_to`` for
+    quasi-continuous metrics — exact_group_quantiles' enforcement
+    applies); the boundary pick is a bucket-id cross join against the
+    tiny histogram, grouped back to n_buckets-1 rows.
+    """
+    from pyspark.sql import Window
+
+    if n_buckets < 2:
+        raise ValueError("n_buckets must be >= 2")
+    v = F.col(value_col)
+    if quantize_to is not None:
+        if quantize_to <= 0:
+            raise ValueError(f"quantize_to must be > 0, got {quantize_to}")
+        step = F.lit(str(quantize_to)).cast("decimal(20,10)")
+        v = (F.floor(v.cast("decimal(28,10)") / step) * step).cast(
+            dict(df.dtypes)[value_col]
+        )
+    hist = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(v.alias("val"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    wc = Window.orderBy("val").rowsBetween(Window.unboundedPreceding, 0)
+    h = hist.select(
+        "val",
+        F.sum("cnt").over(wc).alias("cum"),
+        F.sum("cnt").over(Window.rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )).alias("n"),
+    )
+    buckets = df.sparkSession.range(1, n_buckets).select(
+        F.col("id").cast("long").alias("bucket")
+    )
+    return (
+        h.join(
+            F.broadcast(buckets),
+            F.col("cum") * n_buckets >= F.col("bucket") * F.col("n"),
+        )
+        .groupBy("bucket")
+        .agg(F.min("val").alias("boundary"))
+        .orderBy("bucket")
+    )

@@ -719,3 +719,68 @@ def leakage_safe_split(
         .crossJoin(F.broadcast(leaks))
         .orderBy("split")
     )
+
+
+def contrastive_negatives(
+    docs: DataFrame, k: int = 4, pool_mod: int = 5
+) -> DataFrame:
+    """Deterministic sampled-negative pairs for contrastive training
+    (the sampled-softmax / in-batch-negatives data prep: every anchor
+    document gets k pseudo-random negatives).
+
+    The scale path mirrors how production pipelines actually do this:
+    negatives are drawn from a small broadcast POOL, not from the
+    full corpus (a corpus-wide uniform draw would need a dense-id
+    spine — a global window). The pool is a deterministic hash sample
+    (md5(doc_id) % pool_mod == 0 — the hash_sample convention), its
+    dense index comes from a row_number over pool-sized input (the
+    documented tiny-window exemption), and each anchor picks its j-th
+    negative as md5(doc_id:j) % pool_size — a broadcast join, zero
+    corpus shuffle. Self-pairs are dropped (an anchor that hash-lands
+    on itself yields k-1 negatives — deterministic, documented).
+
+    Returns (doc_id, j, neg_doc_id) ordered by (doc_id, j).
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    pool = docs.filter(
+        md5_hash60(F.col("doc_id").cast("string")) % pool_mod == 0
+    ).select(F.col("doc_id").alias("neg_doc_id"))
+    # pool is ~|docs|/pool_mod rows; the dense index is a window over
+    # that tiny relation only (never the corpus).
+    pool_idx = pool.select(
+        "neg_doc_id",
+        (
+            F.row_number().over(Window.orderBy("neg_doc_id")) - 1
+        ).alias("_idx"),
+    )
+    pool_n = pool_idx.agg(F.count(F.lit(1)).alias("_pn"))
+
+    picks = (
+        docs.select("doc_id")
+        .crossJoin(F.broadcast(pool_n))
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.lit(int(k))),
+                    lambda j: F.struct(
+                        j.alias("j"),
+                        (
+                            md5_hash60(
+                                F.concat_ws(":", F.col("doc_id"), j)
+                            )
+                            % F.col("_pn")
+                        ).alias("_idx"),
+                    ),
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", "p.j", "p._idx")
+    )
+    return (
+        picks.join(F.broadcast(pool_idx), "_idx")
+        .filter(F.col("neg_doc_id") != F.col("doc_id"))
+        .select("doc_id", "j", "neg_doc_id")
+        .orderBy("doc_id", "j")
+    )

@@ -31,7 +31,7 @@ arrives via a 1-row broadcast.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from piholelongtermstats_spark.operators.text import tokens
@@ -166,10 +166,10 @@ def bigram_topk(
 
 # CCNet's head/middle/tail perplexity split deliberately has no
 # ntile-over-all-docs helper here: a global ntile is a SinglePartition
-# window over the whole corpus. Bucketing composes instead with the
-# histogram-ECDF rank machinery (operators/corpus.py,
-# quality_percentile_blend) — thresholds from exact value counts, then
-# a threshold cut, never a total order.
+# window over the whole corpus. `ppl_buckets` below does it the
+# engine's way — thresholds from exact value counts (histogram-ECDF
+# nearest rank, the quality_percentile_blend machinery), then a
+# threshold cut, never a total order.
 
 
 def kneser_ney_continuations(
@@ -222,4 +222,65 @@ def kneser_ney_continuations(
         .select("w", "cnt", "cont_left", "cont_right", "p_cont")
         .orderBy(F.desc("cont_left"), "w")
         .limit(top_k)
+    )
+
+
+def ppl_buckets(docs: DataFrame, bg: DataFrame | None = None) -> DataFrame:
+    """CCNet head/middle/tail perplexity split (Wenzek et al. 2020,
+    arXiv:1911.00359), per language: each document's per-bigram
+    negative log-prob (the monotone perplexity proxy — no exp needed
+    for ordering) is bucketed at its language's exact 1/3 and 2/3
+    cut points.
+
+    This is the composition the module note above promises: NO global
+    ntile. The proxy is quantized once (round(x * 1e6) → BIGINT, the
+    dim-stats trick), the per-language cut points come from the
+    histogram-ECDF nearest-rank rule over DISTINCT quantized values
+    (cum * 3 >= i * n — integer cross-multiplication), and the bucket
+    label is two integer comparisons. The per-language windows order
+    distinct proxy values, never documents.
+
+    Returns (doc_id, lang, ppl_q, bucket); bucket ∈ head/middle/tail,
+    or 'empty' for documents with no bigrams (CCNet has no score for
+    them — they are excluded from the cut-point histogram). Rows-only
+    by the fp policy (ln() inside the proxy); pinned by the numpy
+    differential in tests/test_m16.py.
+    """
+    lp = doc_logprob(docs, bg=bg).join(docs.select("doc_id", "lang"), "doc_id")
+    scored = lp.select(
+        "doc_id",
+        "lang",
+        "n_bigrams",
+        F.when(
+            F.col("n_bigrams") > 0,
+            F.round(-F.col("avg_logprob") * 1_000_000, 0).cast("long"),
+        ).alias("ppl_q"),
+    )
+
+    hist = (
+        scored.filter(F.col("ppl_q").isNotNull())
+        .groupBy("lang", "ppl_q")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    ws = Window.partitionBy("lang")
+    wc = ws.orderBy("ppl_q").rowsBetween(Window.unboundedPreceding, 0)
+    h = hist.withColumn("cum", F.sum("cnt").over(wc)).withColumn(
+        "n", F.sum("cnt").over(ws)
+    )
+    cuts = h.groupBy("lang").agg(
+        F.min(F.when(F.col("cum") * 3 >= F.col("n"), F.col("ppl_q"))).alias("t1"),
+        F.min(F.when(F.col("cum") * 3 >= 2 * F.col("n"), F.col("ppl_q"))).alias(
+            "t2"
+        ),
+    )
+
+    return scored.join(F.broadcast(cuts), "lang", "left").select(
+        "doc_id",
+        "lang",
+        "ppl_q",
+        F.when(F.col("ppl_q").isNull(), F.lit("empty"))
+        .when(F.col("ppl_q") <= F.col("t1"), F.lit("head"))
+        .when(F.col("ppl_q") <= F.col("t2"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
     )

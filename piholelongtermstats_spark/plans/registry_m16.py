@@ -1,0 +1,137 @@
+"""M16 — SQL-surface + layout-infrastructure + training-pairs wave:
+
+- ``status_hour_cube``       CUBE multi-granularity aggregate with
+  grouping-id disambiguation — the one canonical grouping surface
+  (ROLLUP landed in registry.py as activity_rollup_hierarchy) the
+  suite had not yet covered.
+- ``reply_range_boundaries`` balanced range-partitioner boundaries
+  from the exact value histogram (the input a sorted/z-ordered
+  layout writer needs; integer cross-multiplied rank rule).
+- ``contrastive_negatives``  deterministic sampled-negative pairs for
+  contrastive training — broadcast pool, md5 picks, zero corpus
+  shuffle.
+- ``ppl_bucket_split``       CCNet head/middle/tail perplexity split
+  per language (arXiv:1911.00359) — rows-only by the fp policy
+  (ln inside the proxy), numpy-differential-pinned in
+  tests/test_m16.py; the cut points use the exact histogram-ECDF
+  rank rule, never a global ntile.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from piholelongtermstats_spark.operators import approx, corpus, lm
+from piholelongtermstats_spark.plans.registry import FACT_CTE, _fact, register
+from piholelongtermstats_spark.plans.registry_m9 import _docs
+from piholelongtermstats_spark.plans.registry_m14 import _lm_bigrams
+
+# ---------------------------------------------------------------------------
+# CUBE (status_type, hour): all four granularities in ONE pass with
+# partial aggregation (Spark expands the grouping sets before the
+# exchange, so the shuffle carries <= 4x the distinct-group rows —
+# grand totals included — never 4 scans). gid is composed explicitly
+# as grouping(a)*2 + grouping(b) so the bit order is pinned
+# cross-engine rather than relying on each engine's grouping_id
+# convention.
+# ---------------------------------------------------------------------------
+
+_CUBE_SQL = (
+    FACT_CTE
+    + """
+SELECT status_type, CAST(hour AS BIGINT) AS hour,
+       CAST(count(*) AS BIGINT) AS cnt,
+       CAST(grouping(status_type) * 2 + grouping(hour) AS BIGINT) AS gid
+FROM fact
+GROUP BY CUBE (status_type, hour)
+"""
+)
+
+
+@register("status_hour_cube", _CUBE_SQL)
+def q_status_hour_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fact = _fact(spark, sf_dir)
+    return fact.cube("status_type", "hour").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        (F.grouping("status_type") * 2 + F.grouping("hour"))
+        .cast("long")
+        .alias("gid"),
+    ).select("status_type", F.col("hour").cast("long").alias("hour"), "cnt", "gid")
+
+
+# ---------------------------------------------------------------------------
+# Balanced range boundaries over reply_time (operators/approx.py).
+# 8 buckets → 7 boundaries; reply_time repeats heavily (the
+# data-card-measured 5.6x histogram compression), so quantize_to is
+# not needed here — the enforcement parameter exists for
+# quasi-continuous metrics.
+# ---------------------------------------------------------------------------
+
+_BOUNDS_SQL = (
+    FACT_CTE
+    + """
+, h AS (
+  SELECT reply_time AS val, count(*) AS cnt
+  FROM fact WHERE reply_time IS NOT NULL GROUP BY 1),
+c AS (
+  SELECT val,
+         CAST(sum(cnt) OVER (ORDER BY val) AS BIGINT) AS cum,
+         CAST(sum(cnt) OVER () AS BIGINT) AS n
+  FROM h),
+b AS (SELECT unnest(generate_series(1, 7)) AS bucket)
+SELECT CAST(b.bucket AS BIGINT) AS bucket, min(val) AS boundary
+FROM c JOIN b ON c.cum * 8 >= b.bucket * c.n
+GROUP BY 1 ORDER BY bucket
+"""
+)
+
+
+@register("reply_range_boundaries", _BOUNDS_SQL)
+def q_reply_range_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return approx.range_boundaries(_fact(spark, sf_dir), "reply_time", 8)
+
+
+# ---------------------------------------------------------------------------
+# Contrastive negative sampling (operators/corpus.py).
+# ---------------------------------------------------------------------------
+
+_NEG_SQL = """
+WITH pool AS (
+  SELECT doc_id AS neg_doc_id,
+         row_number() OVER (ORDER BY doc_id) - 1 AS idx
+  FROM documents
+  WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 5 = 0),
+pn AS (SELECT count(*) AS pn FROM pool),
+js AS (SELECT unnest(generate_series(1, 4)) AS j),
+picks AS (
+  SELECT d.doc_id, j.j,
+         ('0x' || substr(md5(d.doc_id::VARCHAR || ':' || j.j::VARCHAR),
+                         1, 15))::BIGINT % (SELECT pn FROM pn) AS idx
+  FROM documents d, js j)
+SELECT p.doc_id, CAST(p.j AS BIGINT) AS j, pool.neg_doc_id
+FROM picks p JOIN pool USING (idx)
+WHERE pool.neg_doc_id <> p.doc_id
+ORDER BY doc_id, j
+"""
+
+
+@register("contrastive_negatives", _NEG_SQL)
+def q_contrastive_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return corpus.contrastive_negatives(_docs(spark, sf_dir), k=4, pool_mod=5).select(
+        "doc_id", F.col("j").cast("long").alias("j"), "neg_doc_id"
+    )
+
+
+# ---------------------------------------------------------------------------
+# CCNet perplexity buckets (operators/lm.py) — rows-only: the proxy
+# contains ln(); the bucket DECISION is integer-exact once the proxy
+# is quantized, and tests/test_m16.py pins the whole path against a
+# pure-numpy reference.
+# ---------------------------------------------------------------------------
+
+
+@register("ppl_bucket_split")  # rows-only: ln() edge, numpy-pinned
+def q_ppl_bucket_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return lm.ppl_buckets(docs, bg=_lm_bigrams(spark, sf_dir)).orderBy("doc_id")

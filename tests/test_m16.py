@@ -1,0 +1,191 @@
+"""M16: range boundaries, contrastive negatives, CCNet ppl buckets."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from piholelongtermstats_spark.operators import approx, corpus, lm
+
+
+def _h60(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+# ---------------------------------------------------------------------------
+# range_boundaries
+# ---------------------------------------------------------------------------
+
+
+def test_range_boundaries_hand_computed(spark):
+    df = spark.createDataFrame([(float(v),) for v in range(1, 9)], "x double")
+    got = {r["bucket"]: r["boundary"] for r in approx.range_boundaries(df, "x", 4).collect()}
+    # n=8, nb=4: boundary_i = smallest v with cum*4 >= i*8 → 2, 4, 6
+    assert got == {1: 2.0, 2: 4.0, 3: 6.0}
+
+
+def test_range_boundaries_skew_and_nulls(spark):
+    rows = [(5.0,)] * 10 + [(None,)] * 3
+    df = spark.createDataFrame(rows, "x double")
+    got = approx.range_boundaries(df, "x", 3).collect()
+    assert [r["boundary"] for r in got] == [5.0, 5.0]  # all mass on one value
+
+
+def test_range_boundaries_balance_property(spark):
+    rng = np.random.default_rng(13)
+    vals = rng.integers(0, 1000, size=5000).astype(float)
+    df = spark.createDataFrame([(float(v),) for v in vals], "x double")
+    nb = 8
+    bounds = [r["boundary"] for r in approx.range_boundaries(df, "x", nb).collect()]
+    assert bounds == sorted(bounds)
+    # each bucket holds at most ceil(n/nb) + max-multiplicity rows
+    s = np.sort(vals)
+    edges = [-math.inf] + bounds + [math.inf]
+    sizes = [
+        int(((s > edges[i]) & (s <= edges[i + 1])).sum()) if i > 0
+        else int((s <= edges[1]).sum())
+        for i in range(nb)
+    ]
+    assert sum(sizes) == len(vals)
+    _, counts = np.unique(vals, return_counts=True)
+    assert max(sizes) <= math.ceil(len(vals) / nb) + int(counts.max())
+
+
+def test_range_boundaries_validation(spark):
+    df = spark.createDataFrame([(1.0,)], "x double")
+    with pytest.raises(ValueError):
+        approx.range_boundaries(df, "x", 1)
+    with pytest.raises(ValueError):
+        approx.range_boundaries(df, "x", 4, quantize_to=-1.0)
+
+
+# ---------------------------------------------------------------------------
+# contrastive_negatives
+# ---------------------------------------------------------------------------
+
+
+def test_contrastive_negatives_differential(spark):
+    n, k, pool_mod = 60, 3, 4
+    docs = spark.createDataFrame(
+        [(i, f"text {i}", "en") for i in range(n)],
+        "doc_id long, text string, lang string",
+    )
+    got = [
+        (r["doc_id"], r["j"], r["neg_doc_id"])
+        for r in corpus.contrastive_negatives(docs, k=k, pool_mod=pool_mod).collect()
+    ]
+
+    pool = sorted(i for i in range(n) if _h60(str(i)) % pool_mod == 0)
+    expect = []
+    for d in range(n):
+        for j in range(1, k + 1):
+            neg = pool[_h60(f"{d}:{j}") % len(pool)]
+            if neg != d:
+                expect.append((d, j, neg))
+    assert got == expect
+    assert all(neg in pool for _, _, neg in got)
+    assert all(d != neg for d, _, neg in got)
+
+
+def test_contrastive_negatives_validation(spark):
+    docs = spark.createDataFrame([(1, "t", "en")], "doc_id long, text string, lang string")
+    with pytest.raises(ValueError):
+        corpus.contrastive_negatives(docs, k=0)
+
+
+# ---------------------------------------------------------------------------
+# ppl_buckets (CCNet head/middle/tail)
+# ---------------------------------------------------------------------------
+
+
+def _ref_ppl_buckets(rows):
+    """Pure-Python reference: add-1 bigram LM trained on the corpus,
+    per-language histogram nearest-rank thirds."""
+    toks = {d: t.split() for d, t, _ in rows}
+    lang = {d: lg for d, _, lg in rows}
+    uni, big = {}, {}
+    for t in toks.values():
+        for w in t:
+            uni[w] = uni.get(w, 0) + 1
+        for a, b in zip(t, t[1:]):
+            big[(a, b)] = big.get((a, b), 0) + 1
+    v = len(uni)
+    q = {}
+    for d, t in toks.items():
+        pairs = list(zip(t, t[1:]))
+        if not pairs:
+            q[d] = None
+            continue
+        lp = sum(
+            math.log((big[p] + 1) / (uni[p[0]] + v)) for p in pairs
+        ) / len(pairs)
+        q[d] = int(np.round(-lp * 1_000_000))
+    buckets = {}
+    for lg in set(lang.values()):
+        vals = sorted(q[d] for d in q if lang[d] == lg and q[d] is not None)
+        if not vals:
+            continue
+        n = len(vals)
+        # nearest-rank over the distinct-value histogram
+        distinct = sorted(set(vals))
+        cum, c = {}, 0
+        for dv in distinct:
+            c += vals.count(dv)
+            cum[dv] = c
+        t1 = min(dv for dv in distinct if cum[dv] * 3 >= n)
+        t2 = min(dv for dv in distinct if cum[dv] * 3 >= 2 * n)
+        for d in q:
+            if lang[d] != lg:
+                continue
+            if q[d] is None:
+                buckets[d] = "empty"
+            elif q[d] <= t1:
+                buckets[d] = "head"
+            elif q[d] <= t2:
+                buckets[d] = "middle"
+            else:
+                buckets[d] = "tail"
+    for d in q:
+        if q[d] is None:
+            buckets[d] = "empty"
+    return q, buckets
+
+
+def test_ppl_buckets_differential(spark):
+    rng = np.random.default_rng(17)
+    vocab = [f"w{i}" for i in range(30)]
+    rows = []
+    for d in range(40):
+        n = int(rng.integers(0, 25))
+        text = " ".join(rng.choice(vocab, size=n)) if n else ""
+        rows.append((d, text, "en" if d % 2 == 0 else "fr"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+    got = {r["doc_id"]: r for r in lm.ppl_buckets(docs).collect()}
+    q_ref, b_ref = _ref_ppl_buckets(rows)
+    assert len(got) == 40
+    for d in range(40):
+        assert got[d]["ppl_q"] == q_ref[d], d
+        assert got[d]["bucket"] == b_ref[d], d
+
+
+def test_ppl_buckets_thirds_are_balanced(spark):
+    # each doc mixes a frequent bigram (the,the) with one rare tail
+    # bigram in a different ratio → 12 distinct scores, thirds 4/4/4
+    rows = [(d, " ".join(["the"] * (d + 1)) + f" z{d}", "en") for d in range(12)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    counts = (
+        lm.ppl_buckets(docs)
+        .groupBy("bucket")
+        .count()
+        .toPandas()
+        .set_index("bucket")["count"]
+        .to_dict()
+    )
+    assert counts.get("empty", 0) == 0
+    vals = [counts.get(b, 0) for b in ("head", "middle", "tail")]
+    assert sum(vals) == 12 and max(vals) - min(vals) <= 1
