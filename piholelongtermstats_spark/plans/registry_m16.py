@@ -135,3 +135,78 @@ def q_contrastive_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ppl_bucket_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     return lm.ppl_buckets(docs, bg=_lm_bigrams(spark, sf_dir)).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Expression-level JSON extraction — the semi-structured SQL surface
+# (the props column is a JSON object; jsonl.py covers file-level JSON
+# ingestion, this covers in-row path extraction). get_json_object is
+# a JVM expression (no Python); the DuckDB twin is the ->> path
+# operator. Aggregates stay integer-exact.
+# ---------------------------------------------------------------------------
+
+_JSON_SQL = """
+WITH ev AS (
+  SELECT event_type, CAST(props->>'$.k' AS BIGINT) AS k
+  FROM events)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(count(k) AS BIGINT) AS n_parsed,
+       CAST(sum(k) AS BIGINT) AS sum_k,
+       CAST(count(DISTINCT k) AS BIGINT) AS n_distinct_k,
+       CAST(min(k) AS BIGINT) AS min_k,
+       CAST(max(k) AS BIGINT) AS max_k
+FROM ev GROUP BY event_type ORDER BY event_type
+"""
+
+
+@register("json_props_stats", _JSON_SQL)
+def q_json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from piholelongtermstats_spark.session import ensure_session_defaults
+    from piholelongtermstats_spark.sources.parquet import load_table
+
+    ensure_session_defaults(spark)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.get_json_object("props", "$.k").cast("long").alias("k"),
+    )
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.count("k").cast("long").alias("n_parsed"),
+            F.sum("k").cast("long").alias("sum_k"),
+            F.countDistinct("k").cast("long").alias("n_distinct_k"),
+            F.min("k").cast("long").alias("min_k"),
+            F.max("k").cast("long").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Language-ID confusion matrix — the in-engine EVALUATION of the
+# lang_id classifier against the table's ground-truth labels (the
+# audit discipline applied to a classifier: its quality is a query,
+# not a claim). Reuses lang_id's oracle as a derived table.
+# ---------------------------------------------------------------------------
+
+from piholelongtermstats_spark.operators import text as _text  # noqa: E402
+from piholelongtermstats_spark.plans.registry_m7 import _lang_oracle  # noqa: E402
+
+_CONFUSION_SQL = f"""
+SELECT actual_lang, pred_lang, CAST(count(*) AS BIGINT) AS n_docs
+FROM ({_lang_oracle()}) q
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+@register("langid_confusion", _CONFUSION_SQL)
+def q_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _text.lang_id(_docs(spark, sf_dir))
+        .groupBy("actual_lang", "pred_lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .orderBy("actual_lang", "pred_lang")
+    )
