@@ -284,3 +284,90 @@ def ppl_buckets(docs: DataFrame, bg: DataFrame | None = None) -> DataFrame:
         .otherwise(F.lit("tail"))
         .alias("bucket"),
     )
+
+
+def pmi_top_bigrams(
+    docs: DataFrame, bg: DataFrame | None = None, min_count: int = 5, top_k: int = 50
+) -> DataFrame:
+    """Collocation extraction by pointwise mutual information (Church
+    & Hanks 1990): top-k bigrams by association lift
+    ``c12 * N / (c1 * c2)``.
+
+    PMI = log2(lift) is monotone in lift, so the RANKING needs no
+    logarithm: both products are exact BIGINT, the division is the
+    single fp step, rounded to 6 decimals with the identical
+    expression on both engines (the cosine round(...,6) convention),
+    and (lift desc, w1, w2) pins ties. ``min_count`` drops the
+    classic PMI pathology (hapax pairs score highest).
+
+    Scale shape: three counts-sized relations (bigram, unigram twice)
+    joined on their words — counts-sized shuffles, a 1-row broadcast
+    for N, and TakeOrderedAndProject for the top-k. The corpus is
+    touched only by the two counting passes.
+    """
+    uni = unigram_counts(docs)
+    n_tok = uni.agg(F.sum("cnt").cast("long").alias("n_total"))
+    c1 = uni.select(F.col("w").alias("w1"), F.col("cnt").cast("long").alias("c1"))
+    c2 = uni.select(F.col("w").alias("w2"), F.col("cnt").cast("long").alias("c2"))
+    big = (
+        bigram_counts(docs, bg=bg)
+        .withColumnRenamed("cnt", "c12")
+        .filter(F.col("c12") >= int(min_count))
+    )
+    return (
+        big.join(c1, "w1")
+        .join(c2, "w2")
+        .join(F.broadcast(n_tok))
+        .select(
+            "w1",
+            "w2",
+            F.col("c12").cast("long").alias("c12"),
+            "c1",
+            "c2",
+            F.round(
+                (F.col("c12") * F.col("n_total")).cast("double")
+                / (F.col("c1") * F.col("c2")).cast("double"),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), "w1", "w2")
+        .limit(top_k)
+    )
+
+
+def oov_rate(docs: DataFrame, vocab_size: int = 1000) -> DataFrame:
+    """Per-language out-of-vocabulary rate against the corpus's own
+    top-``vocab_size`` unigram vocabulary — the tokenizer-coverage
+    evaluation a vocab/tokenizer choice is judged by.
+
+    The vocabulary is deterministic (cnt desc, w — a
+    TakeOrderedAndProject, never a vocab sort) and broadcast; the
+    token stream left-joins it and aggregates per language —
+    integer counts, ONE final division.
+    """
+    vocab = (
+        unigram_counts(docs)
+        .orderBy(F.desc("cnt"), "w")
+        .limit(int(vocab_size))
+        .select("w", F.lit(True).alias("_in_vocab"))
+    )
+    fan = docs.sparkSession.sparkContext.defaultParallelism
+    toks = (
+        docs.repartition(fan, "doc_id")
+        .select("lang", F.explode(tokens(F.col("text"))).alias("w"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "w", "left")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum(F.when(F.col("_in_vocab").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_oov"),
+        )
+        .withColumn(
+            "oov_rate",
+            F.col("n_oov").cast("double") / F.col("n_tokens").cast("double"),
+        )
+        .orderBy("lang")
+    )

@@ -210,3 +210,78 @@ def q_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
         .orderBy("actual_lang", "pred_lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# PMI collocations (operators/lm.py): ranking is by exact-integer
+# lift products with ONE rounded division — no logarithm needed for
+# the order, so the classic "collocation extraction" op stays fully
+# oracle-checkable.
+# ---------------------------------------------------------------------------
+
+_PMI_SQL = r"""
+WITH tk AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')
+           AS toks
+  FROM documents),
+uni AS (SELECT unnest(toks) AS w FROM tk),
+uc AS (SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM uni GROUP BY 1),
+nt AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total FROM uc),
+bg AS (
+  SELECT unnest(list_transform(
+           generate_series(1, len(toks) - 1),
+           i -> {'w1': toks[i], 'w2': toks[i + 1]})) AS b
+  FROM tk WHERE len(toks) >= 2),
+bc AS (
+  SELECT b.w1 AS w1, b.w2 AS w2, CAST(count(*) AS BIGINT) AS c12
+  FROM bg GROUP BY 1, 2 HAVING count(*) >= 5)
+SELECT bc.w1, bc.w2, bc.c12, u1.cnt AS c1, u2.cnt AS c2,
+       round(CAST(bc.c12 * nt.n_total AS DOUBLE)
+             / CAST(u1.cnt * u2.cnt AS DOUBLE), 6) AS lift
+FROM bc
+JOIN uc u1 ON bc.w1 = u1.w
+JOIN uc u2 ON bc.w2 = u2.w
+CROSS JOIN nt
+ORDER BY lift DESC, w1, w2
+LIMIT 50
+"""
+
+
+@register("pmi_top_bigrams", _PMI_SQL)
+def q_pmi_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lm.pmi_top_bigrams(
+        _docs(spark, sf_dir), bg=_lm_bigrams(spark, sf_dir), min_count=5, top_k=50
+    )
+
+
+# ---------------------------------------------------------------------------
+# OOV rate (operators/lm.py): vocab_size=10 against the 31-word
+# synthetic vocabulary so the rates are non-degenerate at every SF
+# (a 1000-word vocab would swallow the whole corpus and report 0.0
+# everywhere — the same non-degeneracy reasoning as UniMax's
+# data-derived budget).
+# ---------------------------------------------------------------------------
+
+_OOV_SQL = r"""
+WITH tk AS (
+  SELECT lang,
+         list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')
+           AS toks
+  FROM documents),
+uni AS (SELECT lang, unnest(toks) AS w FROM tk),
+uc AS (SELECT w, count(*) AS cnt FROM uni GROUP BY 1),
+vocab AS (SELECT w FROM uc ORDER BY cnt DESC, w LIMIT 10)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(CASE WHEN w IN (SELECT w FROM vocab) THEN 0 ELSE 1 END)
+            AS BIGINT) AS n_oov,
+       CAST(sum(CASE WHEN w IN (SELECT w FROM vocab) THEN 0 ELSE 1 END)
+            AS DOUBLE) / CAST(count(*) AS DOUBLE) AS oov_rate
+FROM uni GROUP BY lang ORDER BY lang
+"""
+
+
+@register("oov_rate", _OOV_SQL)
+def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lm.oov_rate(_docs(spark, sf_dir), vocab_size=10)

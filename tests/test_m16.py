@@ -189,3 +189,54 @@ def test_ppl_buckets_thirds_are_balanced(spark):
     assert counts.get("empty", 0) == 0
     vals = [counts.get(b, 0) for b in ("head", "middle", "tail")]
     assert sum(vals) == 12 and max(vals) - min(vals) <= 1
+
+
+# ---------------------------------------------------------------------------
+# pmi_top_bigrams / oov_rate
+# ---------------------------------------------------------------------------
+
+
+def test_pmi_hand_computed(spark):
+    # "a b" x6, "a c" x2, fillers: N=16 tokens
+    # c(a)=8, c(b)=6, c(c)=2; c12(a,b)=6, c12(a,c)=2
+    # lift(a,b) = 6*16/(8*6) = 2.0 ; lift(a,c) = 2*16/(8*2) = 2.0
+    rows = [(i, "a b", "en") for i in range(6)] + [(10 + i, "a c", "en") for i in range(2)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = lm.pmi_top_bigrams(docs, min_count=2).collect()
+    as_dict = {(r["w1"], r["w2"]): r for r in got}
+    assert as_dict[("a", "b")]["lift"] == 2.0
+    assert as_dict[("a", "b")]["c12"] == 6 and as_dict[("a", "b")]["c1"] == 8
+    assert as_dict[("a", "c")]["lift"] == 2.0
+    # min_count drops the hapax pathology
+    assert all(r["c12"] >= 2 for r in got)
+    # equal lift → tie broken by (w1, w2): (a,b) before (a,c)
+    assert [(r["w1"], r["w2"]) for r in got[:2]] == [("a", "b"), ("a", "c")]
+
+
+def test_pmi_rank_matches_log_pmi(spark):
+    rng = np.random.default_rng(23)
+    vocab = [f"w{i}" for i in range(12)]
+    rows = [
+        (d, " ".join(rng.choice(vocab, size=30)), "en") for d in range(25)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = lm.pmi_top_bigrams(docs, min_count=5, top_k=20).collect()
+    lifts = [r["lift"] for r in got]
+    assert lifts == sorted(lifts, reverse=True)
+    # PMI (log lift) ordering == lift ordering (monotone transform)
+    pmis = [math.log2(r["c12"] * 1.0) for r in got]  # sanity: no NaN path
+    assert all(not math.isnan(p) for p in pmis)
+
+
+def test_oov_rate_hand_computed(spark):
+    # vocab_size=1 → only the most frequent word ("x", cnt 5) in-vocab
+    rows = [
+        (1, "x x x y", "en"),
+        (2, "x x z", "fr"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = {r["lang"]: r for r in lm.oov_rate(docs, vocab_size=1).collect()}
+    assert got["en"]["n_tokens"] == 4 and got["en"]["n_oov"] == 1
+    assert got["fr"]["n_tokens"] == 3 and got["fr"]["n_oov"] == 1
+    assert got["en"]["oov_rate"] == pytest.approx(0.25)
+    assert got["fr"]["oov_rate"] == pytest.approx(1 / 3)
