@@ -86,14 +86,14 @@ TOP_50 = [
     "binary_quant_ann",
     "ann_scale_2x",
     "heavy_hitters_exact",
-    "ivfpq_ann_topk",
+    "incremental_dedup_ingest",
     "embedding_near_dup",
     "media_pipeline_check",
     "corpus_build",
     "contamination_overlap",
     "semantic_contamination",
     "gopher_quality_panel",
-    "sampling_panel",
+    "bloom_contamination",
     "dedup_scale_2x",
 ]
 
@@ -161,7 +161,24 @@ TOP_50 = [
 # driver-verified through ivfpq_ann_topk (ADC over the same pinned
 # IVF cells) and knn_join's family evidence; ivf_ann_topk stays
 # parity-green below the line with its trained twin.
+# r7 swap (3): incremental_dedup_ingest — the end-to-end ingest-dedup
+# pipeline (asymmetric batch-vs-corpus prefix-filter join with a
+# per-document accept/reject audit; the suite's most comprehensive
+# single plan, 14 exchanges) — took ivfpq_ann_topk's row. The ANN
+# tier keeps four driver rows (binary_quant_ann, ann_scale_2x,
+# embedding_near_dup, semantic_dedup) and IVFPQ keeps its trained
+# twin, the measured recall curve (tests/test_ivfpq.py), and
+# parity-green status below the line.
+# r7 swap (4): bloom_contamination — Bloom-filter decontamination
+# with BOTH sketch-error classes carried by real mass in the audit
+# row (n_flagged == n_exact_dup + n_false_pos; M15) — took
+# sampling_panel's row. Each of the panel's constituents keeps its
+# own oracle-checked entry below the line (stratified_sample,
+# hash_sample, mix_sample), so sampling evidence stays triple-covered
+# in parity while the slot verifies a new one-sided-error contract.
 _OVERFLOW = [
+    "sampling_panel",
+    "ivfpq_ann_topk",
     "ivf_ann_topk",
     "rollup_delta",
     "daily_avg_reply",
