@@ -784,3 +784,93 @@ def contrastive_negatives(
         .select("doc_id", "j", "neg_doc_id")
         .orderBy("doc_id", "j")
     )
+
+
+def exact_substring_dedup(
+    docs: DataFrame, k: int = 8, min_df: int = 2
+) -> DataFrame:
+    """Exact duplicated-substring removal over OVERLAPPING k-token
+    windows (stride 1) — the alignment-free strengthening of
+    ``span_dedup`` (which chunks at fixed offsets and therefore
+    misses a shared passage that starts mid-chunk in one document).
+    Semantics follow Lee et al. 2021 (arXiv:2107.06499 — suffix-array
+    exact-substring dedup at fixed minimum length) with span_dedup's
+    remove-everywhere policy: a window whose text occurs in >=
+    ``min_df`` DISTINCT documents marks every token position it
+    covers, in every document, for removal (Lee et al. keep one
+    occurrence; the one-copy-keeping variant is a policy layer over
+    the same covered-position relation).
+
+    Returns one row per input document:
+      (doc_id, n_tokens, kept_tokens, removed_tokens, clean_text).
+
+    Scale shape (native expressions only):
+      1. window explode — one row per token position (stride 1), so
+         |rows| == |corpus tokens|: linear, the bigram-stream bound;
+      2. window-df: one hash shuffle keyed on window text;
+      3. duplicated windows → covered positions via a k-wide
+         sequence explode (≤ k× the duplicated-window rows — the
+         boilerplate tail, not the corpus);
+      4. distinct (doc, pos) anti-joins the token stream; per-doc
+         reassembly sorts each document's own surviving tokens (the
+         max-doc-length bound every per-doc operator assumes).
+    """
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    toks = tokens(F.col("text"))
+    fan = docs.sparkSession.sparkContext.defaultParallelism
+    fanned = docs.repartition(fan, "doc_id")
+
+    wins = fanned.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size(toks) >= k,
+                F.transform(
+                    F.sequence(F.lit(0), F.size(toks) - k),
+                    lambda p: F.struct(
+                        p.alias("p"),
+                        F.array_join(F.slice(toks, p + 1, k), " ").alias("win"),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<p:int,win:string>>"))
+        ).alias("w"),
+    ).select("doc_id", "w.p", "w.win")
+
+    dup = (
+        wins.groupBy("win")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") >= int(min_df))
+        .select("win")
+    )
+    covered = (
+        wins.join(dup, "win")
+        .select("doc_id", F.explode(F.sequence(F.col("p"), F.col("p") + k - 1)).alias("pos"))
+        .distinct()
+    )
+
+    toku = fanned.select("doc_id", F.posexplode(toks).alias("pos", "w"))
+    kept = toku.join(covered, ["doc_id", "pos"], "left_anti")
+    reassembled = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("kept_tokens"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                lambda s: s["w"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+    return (
+        docs.select("doc_id", F.size(tokens(F.col("text"))).cast("long").alias("n_tokens"))
+        .join(reassembled, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce(F.col("kept_tokens"), F.lit(0)).cast("long").alias("kept_tokens"),
+            (F.col("n_tokens") - F.coalesce(F.col("kept_tokens"), F.lit(0)))
+            .cast("long")
+            .alias("removed_tokens"),
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        )
+    )

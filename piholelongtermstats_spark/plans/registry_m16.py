@@ -285,3 +285,68 @@ FROM uni GROUP BY lang ORDER BY lang
 @register("oov_rate", _OOV_SQL)
 def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lm.oov_rate(_docs(spark, sf_dir), vocab_size=10)
+
+
+# ---------------------------------------------------------------------------
+# Exact duplicated-substring dedup over overlapping windows
+# (operators/corpus.py, Lee et al. 2021) — the alignment-free
+# strengthening of span_dedup; k=8 carries real duplicate mass at
+# every SF (47 docs hit at sf0.01).
+# ---------------------------------------------------------------------------
+
+_ESD_K = 8
+
+_ESD_SQL = rf"""
+WITH tk AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')
+           AS toks
+  FROM documents),
+ws AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           generate_series(0, len(toks) - {_ESD_K}),
+           i -> {{'p': i,
+                  'win': array_to_string(
+                           list_slice(toks, i + 1, i + {_ESD_K}), ' ')}})) AS s
+  FROM tk WHERE len(toks) >= {_ESD_K}),
+w AS (SELECT doc_id, s.p AS p, s.win AS win FROM ws),
+dup AS (
+  SELECT win FROM w GROUP BY win HAVING count(DISTINCT doc_id) >= 2),
+cov AS (
+  SELECT DISTINCT w.doc_id, unnest(generate_series(w.p, w.p + {_ESD_K} - 1))
+           AS pos
+  FROM w JOIN dup USING (win)),
+tks AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           generate_series(1, len(toks)),
+           i -> {{'pos': i - 1, 'wd': toks[i]}})) AS s
+  FROM tk),
+toku AS (SELECT doc_id, s.pos AS pos, s.wd AS wd FROM tks),
+kept AS (
+  SELECT t.doc_id, t.pos, t.wd
+  FROM toku t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.pos = c.pos
+  WHERE c.doc_id IS NULL),
+re AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS kept_tokens,
+         string_agg(wd, ' ' ORDER BY pos) AS clean_text
+  FROM kept GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(len(list_filter(string_split_regex(trim(d.text), '\s+'),
+                            t -> t <> '')) AS BIGINT) AS n_tokens,
+       CAST(coalesce(re.kept_tokens, 0) AS BIGINT) AS kept_tokens,
+       CAST(len(list_filter(string_split_regex(trim(d.text), '\s+'),
+                            t -> t <> ''))
+            - coalesce(re.kept_tokens, 0) AS BIGINT) AS removed_tokens,
+       coalesce(re.clean_text, '') AS clean_text
+FROM documents d LEFT JOIN re ON d.doc_id = re.doc_id
+ORDER BY d.doc_id
+"""
+
+
+@register("exact_substring_dedup", _ESD_SQL)
+def q_exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return corpus.exact_substring_dedup(_docs(spark, sf_dir), k=_ESD_K).orderBy(
+        "doc_id"
+    )

@@ -240,3 +240,68 @@ def test_oov_rate_hand_computed(spark):
     assert got["fr"]["n_tokens"] == 3 and got["fr"]["n_oov"] == 1
     assert got["en"]["oov_rate"] == pytest.approx(0.25)
     assert got["fr"]["oov_rate"] == pytest.approx(1 / 3)
+
+
+# ---------------------------------------------------------------------------
+# exact_substring_dedup
+# ---------------------------------------------------------------------------
+
+
+def test_exact_substring_dedup_catches_shifted_passages(spark):
+    # the same 6-token passage starts at offset 0 in doc 1 and offset
+    # 3 in doc 2: fixed-offset span_dedup (span=6) sees two DIFFERENT
+    # chunkings and misses it; overlapping windows (k=6) catch it.
+    passage = "p1 p2 p3 p4 p5 p6"
+    rows = [
+        (1, passage + " a1 a2 a3", "en"),
+        (2, "b1 b2 b3 " + passage, "en"),
+        (3, "c1 c2 c3 c4 c5 c6 c7 c8 c9", "en"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+    fixed = {
+        r["doc_id"]: r
+        for r in corpus.span_dedup(docs, span=6, max_df=1).collect()
+    }
+    assert fixed[1]["removed_spans"] == 0 and fixed[2]["removed_spans"] == 0
+
+    got = {
+        r["doc_id"]: r
+        for r in corpus.exact_substring_dedup(docs, k=6, min_df=2).collect()
+    }
+    assert got[1]["removed_tokens"] == 6 and got[1]["clean_text"] == "a1 a2 a3"
+    assert got[2]["removed_tokens"] == 6 and got[2]["clean_text"] == "b1 b2 b3"
+    assert got[3]["removed_tokens"] == 0 and got[3]["kept_tokens"] == 9
+
+
+def test_exact_substring_dedup_coverage_union(spark):
+    # overlapping duplicated windows cover the UNION of positions:
+    # docs share an 8-token passage, k=5 → windows at offsets 0..3
+    # all duplicated → all 8 tokens removed (not just the first 5)
+    passage = " ".join(f"s{i}" for i in range(8))
+    docs = spark.createDataFrame(
+        [(1, passage + " tail1", "en"), (2, "head1 " + passage, "en")],
+        "doc_id long, text string, lang string",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in corpus.exact_substring_dedup(docs, k=5, min_df=2).collect()
+    }
+    assert got[1]["clean_text"] == "tail1" and got[1]["removed_tokens"] == 8
+    assert got[2]["clean_text"] == "head1" and got[2]["removed_tokens"] == 8
+
+
+def test_exact_substring_dedup_short_and_empty_docs(spark):
+    docs = spark.createDataFrame(
+        [(1, "", "en"), (2, "one two", "en"), (3, "one two", "en")],
+        "doc_id long, text string, lang string",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in corpus.exact_substring_dedup(docs, k=5, min_df=2).collect()
+    }
+    # docs shorter than k produce no windows → nothing removed
+    assert got[1]["n_tokens"] == 0 and got[1]["clean_text"] == ""
+    assert got[2]["removed_tokens"] == 0 and got[2]["clean_text"] == "one two"
+    with pytest.raises(ValueError):
+        corpus.exact_substring_dedup(docs, k=1)
