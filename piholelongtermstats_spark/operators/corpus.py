@@ -787,7 +787,7 @@ def contrastive_negatives(
 
 
 def exact_substring_dedup(
-    docs: DataFrame, k: int = 8, min_df: int = 2
+    docs: DataFrame, k: int = 8, min_df: int = 2, policy: str = "remove_all"
 ) -> DataFrame:
     """Exact duplicated-substring removal over OVERLAPPING k-token
     windows (stride 1) — the alignment-free strengthening of
@@ -797,9 +797,12 @@ def exact_substring_dedup(
     exact-substring dedup at fixed minimum length) with span_dedup's
     remove-everywhere policy: a window whose text occurs in >=
     ``min_df`` DISTINCT documents marks every token position it
-    covers, in every document, for removal (Lee et al. keep one
-    occurrence; the one-copy-keeping variant is a policy layer over
-    the same covered-position relation).
+    covers, in every document, for removal. ``policy='keep_first'``
+    is Lee et al.'s actual rule as a layer over the same relation:
+    the lowest-doc_id holder of each duplicated window is its
+    canonical owner and keeps its text; only non-owners lose the
+    covered positions (owner chosen at doc granularity — repeats
+    inside the owner are the doc_repetition operator's concern).
 
     Returns one row per input document:
       (doc_id, n_tokens, kept_tokens, removed_tokens, clean_text).
@@ -837,17 +840,23 @@ def exact_substring_dedup(
         ).alias("w"),
     ).select("doc_id", "w.p", "w.win")
 
+    if policy not in ("remove_all", "keep_first"):
+        raise ValueError(f"unknown policy: {policy!r}")
     dup = (
         wins.groupBy("win")
-        .agg(F.countDistinct("doc_id").alias("df"))
+        .agg(
+            F.countDistinct("doc_id").alias("df"),
+            F.min("doc_id").alias("owner"),
+        )
         .filter(F.col("df") >= int(min_df))
-        .select("win")
+        .select("win", "owner")
     )
-    covered = (
-        wins.join(dup, "win")
-        .select("doc_id", F.explode(F.sequence(F.col("p"), F.col("p") + k - 1)).alias("pos"))
-        .distinct()
-    )
+    hits = wins.join(dup, "win")
+    if policy == "keep_first":
+        hits = hits.filter(F.col("doc_id") != F.col("owner"))
+    covered = hits.select(
+        "doc_id", F.explode(F.sequence(F.col("p"), F.col("p") + k - 1)).alias("pos")
+    ).distinct()
 
     toku = fanned.select("doc_id", F.posexplode(toks).alias("pos", "w"))
     kept = toku.join(covered, ["doc_id", "pos"], "left_anti")

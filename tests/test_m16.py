@@ -305,3 +305,27 @@ def test_exact_substring_dedup_short_and_empty_docs(spark):
     assert got[2]["removed_tokens"] == 0 and got[2]["clean_text"] == "one two"
     with pytest.raises(ValueError):
         corpus.exact_substring_dedup(docs, k=1)
+
+
+def test_exact_substring_dedup_keep_first_policy(spark):
+    passage = "p1 p2 p3 p4 p5 p6"
+    docs = spark.createDataFrame(
+        [
+            (1, passage + " a1 a2 a3", "en"),
+            (2, "b1 b2 b3 " + passage, "en"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in corpus.exact_substring_dedup(
+            docs, k=6, min_df=2, policy="keep_first"
+        ).collect()
+    }
+    # doc 1 (lowest id) owns the passage and keeps everything
+    assert got[1]["removed_tokens"] == 0
+    assert got[1]["clean_text"] == passage + " a1 a2 a3"
+    # doc 2 loses only the duplicated span
+    assert got[2]["removed_tokens"] == 6 and got[2]["clean_text"] == "b1 b2 b3"
+    with pytest.raises(ValueError):
+        corpus.exact_substring_dedup(docs, k=6, policy="nope")
