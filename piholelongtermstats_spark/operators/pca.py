@@ -127,8 +127,16 @@ def pca_project(emb: DataFrame, k: int = 2, dim: int = 64) -> DataFrame:
     """(vec_id, pc1..pck) — corpus projected onto its own top-k
     principal axes (components from covariance_matrix, applied with
     one Arrow-vectorized stage; the components are a broadcast-sized
-    d x k literal, the quantizer-replay pattern)."""
-    comps = principal_components(covariance_matrix(emb, dim), k)
+    d x k literal, the quantizer-replay pattern).
+
+    Degenerate inputs (< 2 vectors) have no covariance — the result
+    is the empty projection with the advertised schema, never a
+    raise (the registry-wide empty-input contract)."""
+    schema = "vec_id long, " + ", ".join(f"pc{c + 1} double" for c in range(k))
+    try:
+        comps = principal_components(covariance_matrix(emb, dim), k)
+    except ValueError:
+        return emb.sparkSession.createDataFrame([], schema)
 
     # Recompute the mean from the stats pass (exact integers → one
     # division) so projection centering matches the covariance.
@@ -150,7 +158,6 @@ def pca_project(emb: DataFrame, k: int = 2, dim: int = 64) -> DataFrame:
                 out[f"pc{c + 1}"] = np.round(p[:, c], 6)
             yield pd.DataFrame(out)
 
-    schema = "vec_id long, " + ", ".join(f"pc{c + 1} double" for c in range(k))
     return (
         emb.select("vec_id", "embedding")
         .mapInPandas(project, schema=schema)
