@@ -282,3 +282,100 @@ def longest_streaks_stitched(fact: DataFrame) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("status_type", "streak_len", "start_ts")
     )
+
+
+def status_transitions(fact: DataFrame) -> DataFrame:
+    """First-order Markov transition matrix over each client's status
+    sequence: (prev_status, status, cnt, pct) for every consecutive
+    pair in per-client (ts, event_id) order.
+
+    Distributed the same way as ``consecutive_gaps``: lag within
+    (client, date) partitions — parallel, since date order refines the
+    client's global order — plus cross-midnight pairs stitched from a
+    per-(client, date) first/last summary (one row per client-day,
+    tiny). No window ever spans a full client history in one task.
+
+    pct is row-normalized (out of each prev_status) as one double
+    division of exact integer counts, rounded to 6 identically in both
+    engines.
+    """
+    ev = fact.select(
+        "client", F.col("date").alias("_d"), "ts", "event_id", "status_type"
+    )
+    w_day = Window.partitionBy("client", "_d").orderBy("ts", "event_id")
+    within = (
+        ev.withColumn("prev_status", F.lag("status_type").over(w_day))
+        .filter(F.col("prev_status").isNotNull())
+        .select("prev_status", "status_type")
+    )
+    order_key = F.struct("ts", "event_id")
+    day_sum = ev.groupBy("client", "_d").agg(
+        F.min_by("status_type", order_key).alias("first_status"),
+        F.max_by("status_type", order_key).alias("last_status"),
+    )
+    w_cli = Window.partitionBy("client").orderBy("_d")
+    cross = (
+        day_sum.withColumn("prev_status", F.lag("last_status").over(w_cli))
+        .filter(F.col("prev_status").isNotNull())
+        .select("prev_status", F.col("first_status").alias("status_type"))
+    )
+    mat = (
+        within.unionByName(cross)
+        .groupBy("prev_status", F.col("status_type").alias("status"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    tot = mat.groupBy("prev_status").agg(F.sum("cnt").alias("total"))
+    return (
+        mat.join(F.broadcast(tot), "prev_status")
+        .select(
+            "prev_status",
+            "status",
+            "cnt",
+            F.round(
+                F.col("cnt").cast("double") * 100.0
+                / F.col("total").cast("double"),
+                6,
+            ).alias("pct"),
+        )
+        .orderBy("prev_status", "status")
+    )
+
+
+def debounce_summary(fact: DataFrame, gap: str = "10 minutes") -> DataFrame:
+    """Burst-collapse suppression audit: collapse each client's events
+    that arrive within ``gap`` of the previous event in the burst
+    (chain rule — a burst extends while consecutive gaps stay <= gap)
+    and report per client how many events a keep-first-of-burst
+    debounce policy retains.
+
+    Implementation is native ``session_window`` with the debounce gap
+    — burst merging runs inside the JVM aggregation machinery (the
+    scale path; no per-client ordered window at all). The oracle
+    proves the semantics equivalence against the classic lag → gap
+    flag → running-sum gaps-and-islands formulation.
+
+    Output: (client, n_events, n_kept, kept_pct) — kept_pct one double
+    division of exact integers, rounded to 6.
+    """
+    bursts = (
+        fact.groupBy(F.session_window("ts", gap).alias("w"), "client")
+        .agg(F.count(F.lit(1)).alias("n_in_burst"))
+    )
+    return (
+        bursts.groupBy("client")
+        .agg(
+            F.sum("n_in_burst").alias("n_events"),
+            F.count(F.lit(1)).alias("n_kept"),
+        )
+        .select(
+            "client",
+            "n_events",
+            "n_kept",
+            F.round(
+                F.col("n_kept").cast("double") * 100.0
+                / F.col("n_events").cast("double"),
+                6,
+            ).alias("kept_pct"),
+        )
+        .orderBy("client")
+    )

@@ -770,3 +770,70 @@ def percentile_blend(docs: DataFrame, top_n: int = 20) -> DataFrame:
         )
     )
     return scored.orderBy(F.desc("blend"), "doc_id").limit(top_n)
+
+
+def winnowing_fingerprints(
+    docs: DataFrame, k: int = 3, w: int = 8
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD 2003 — the MOSS algorithm): hash every token k-gram, slide
+    a window of ``w`` consecutive k-gram hashes, select the minimum
+    hash per window breaking ties by the RIGHTMOST position (the
+    paper's rule — it guarantees selection density 2/(w+1)), and emit
+    the distinct selected (position, hash) pairs per document.
+
+    Guarantee (the reason winnowing beats "every i-th k-gram"
+    sampling): any shared substring of length >= w + k - 1 between two
+    documents produces at least one IDENTICAL selected fingerprint in
+    both — local plagiarism/copy detection with a bounded sketch.
+
+    Engine-exact trick: min-with-rightmost-tie is ONE integer min over
+    the encoded key ``h40 * 2^20 + (2^20 - 1 - pos)`` — the 40-bit md5
+    prefix hash ordered first, then the NEGATED position, so the
+    smallest key is the smallest hash at its rightmost occurrence.
+    Both engines compute the identical BIGINT (docs are capped far
+    below 2^20 grams; hash < 2^40 keeps the key under 2^60).
+
+    Documents shorter than one full window (but with >= 1 k-gram)
+    contribute their single global minimum — every non-empty doc gets
+    at least one fingerprint, the winnowing convention.
+
+    Scale shape at 100 TB: tokenize/gram/hash are per-row codegen
+    expressions; the only window partitions BY DOCUMENT and orders the
+    doc's own grams — embarrassingly parallel across docs, no global
+    window, no shuffle beyond the doc repartition.
+    """
+    toks = tokens(F.col("text"))
+    n_grams = F.greatest(F.size(toks) - (k - 1), F.lit(0))
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(toks, i + j + 1) for j in range(k)]
+    )
+    idx = F.when(
+        F.size(toks) >= k, F.sequence(F.lit(0), F.size(toks) - k)
+    ).otherwise(F.array().cast("array<int>"))
+    grams = docs.select(
+        "doc_id",
+        n_grams.alias("n_grams"),
+        F.explode(
+            F.transform(idx, lambda i: F.struct(i.alias("pos"), gram(i).alias("g")))
+        ).alias("pg"),
+    ).select("doc_id", "n_grams", F.col("pg.pos").alias("pos"), F.col("pg.g").alias("g"))
+    h40 = F.conv(F.substring(F.md5(F.col("g")), 1, 10), 16, 10).cast("long")
+    key = h40 * F.lit(1 << 20) + (F.lit((1 << 20) - 1) - F.col("pos"))
+    win = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
+    selected = (
+        grams.withColumn("key", key)
+        .withColumn("wmin", F.min("key").over(win))
+        # full windows only — except short docs (< w grams), whose
+        # single pos=0 frame IS the global min (>= 1 fp per doc)
+        .filter(F.col("pos") <= F.greatest(F.col("n_grams") - w, F.lit(0)))
+    )
+    return (
+        selected.select(
+            "doc_id",
+            (F.lit((1 << 20) - 1) - F.col("wmin") % F.lit(1 << 20)).alias("fp_pos"),
+            F.expr(f"wmin DIV {1 << 20}").alias("fp_hash"),
+        )
+        .distinct()
+        .orderBy("doc_id", "fp_pos", "fp_hash")
+    )
