@@ -248,3 +248,32 @@ def ffill_client_hourly(
         F.coalesce("n_obs", F.lit(0)).alias("n_obs"),
         F.last("avg_reply", ignorenulls=True).over(w).alias("avg_reply_ffill"),
     ).orderBy("client", "hour_bucket")
+
+
+def hourly_ohlc_reply(fact: DataFrame) -> DataFrame:
+    """OHLC resampling of reply_time into hourly bars: (hour_ts, n,
+    open, high, low, close) — the financial-bars shape (first / max /
+    min / last per bucket) over the event stream.
+
+    open/close are argmin/argmax by the canonical (ts, event_id)
+    total order via min_by/max_by — NO window function and therefore
+    no per-bucket sort: one partial-aggregable shuffle on the hour
+    key computes all four legs (min_by/max_by combine by comparing
+    carried keys, so map-side partial aggregation applies). The
+    oracle derives the same bars from row_number windows — two
+    formulations, one relation. Values are carried raw doubles (no
+    arithmetic), so the hash comparison is exact.
+    """
+    key = F.struct("ts", "event_id")
+    return (
+        fact.filter(F.col("reply_time").isNotNull())
+        .groupBy(F.date_trunc("hour", "ts").alias("hour_ts"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min_by("reply_time", key).alias("open"),
+            F.max("reply_time").alias("high"),
+            F.min("reply_time").alias("low"),
+            F.max_by("reply_time", key).alias("close"),
+        )
+        .orderBy("hour_ts")
+    )
