@@ -93,10 +93,12 @@ def q_forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q11-shaped: important parts by shipped value. partsupp/ps_supplycost
 # does not exist in the testdata, so "stock value" is the shipped
 # value sum(extendedprice * quantity) per part, restricted to ASIA
-# suppliers — the Q11 shape is the group agg gated by a fraction of
-# the GLOBAL total (a scalar aggregate reused against its own input).
-# The 0.1% membership gate is cross-multiplied (value * 1000 > total)
-# on exact decimals so no double division decides the boundary.
+# suppliers — the Q11 shape is the group agg gated against a GLOBAL
+# scalar aggregate reused over its own input. TPC-H's fixed fraction
+# must shrink 1/SF to stay non-trivial (the spec scales it by hand);
+# this gate is SF-free instead — parts worth more than 2x the MEAN
+# part value — cross-multiplied (value · n_parts > 2 · total) on
+# exact decimals so no double division decides the boundary.
 # ---------------------------------------------------------------------------
 
 _Q11_SQL = """
@@ -112,11 +114,13 @@ WITH val AS (
   WHERE r_name = 'ASIA'
   GROUP BY 1
 ), tot AS (
-  SELECT CAST(sum(part_value) AS DECIMAL(32,4)) AS total FROM val
+  SELECT CAST(sum(part_value) AS DECIMAL(32,4)) AS total,
+         count(*) AS n_parts
+  FROM val
 )
 SELECT partkey, CAST(part_value AS DOUBLE) AS part_value
 FROM val, tot
-WHERE part_value * 1000 > total
+WHERE part_value * n_parts > 2 * total
 ORDER BY part_value DESC, partkey
 """
 
@@ -153,10 +157,13 @@ def q_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("part_value")
         )
     )
-    tot = val.agg(F.sum("part_value").cast("decimal(32,4)").alias("total"))
+    tot = val.agg(
+        F.sum("part_value").cast("decimal(32,4)").alias("total"),
+        F.count(F.lit(1)).alias("n_parts"),
+    )
     return (
         val.join(F.broadcast(tot))
-        .filter(F.col("part_value") * 1000 > F.col("total"))
+        .filter(F.col("part_value") * F.col("n_parts") > 2 * F.col("total"))
         .select("partkey", F.col("part_value").cast("double").alias("part_value"))
         .orderBy(F.desc("part_value"), "partkey")
     )
