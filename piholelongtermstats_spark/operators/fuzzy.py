@@ -1,0 +1,66 @@
+"""Fuzzy string matching — the entity-resolution / typo-detection
+tier (typosquatting domains, near-identical names), built on the
+SymSpell deletion-neighborhood blocking scheme (Garbe 2012; the
+FastSS family): two strings within Levenshtein distance 1 ALWAYS
+share a member of {self} ∪ {one-char deletions}, so candidate
+generation is a key-equality join on deletion variants — never an
+all-pairs cross — followed by an exact Levenshtein re-score that
+removes the scheme's false positives (e.g. "ab"/"ba" share variants
+at distance 2).
+
+Why this is the 100 TB shape: per string of length L the variant set
+is L+1 keys (linear blow-up), the join is a plain hash join on the
+variant key, and the re-score touches only candidates. Brute force is
+O(|domains|²) Levenshtein calls — the oracle does exactly that at
+test scale, which VERIFIES the blocking loses nothing (the guarantee
+above is checked, not argued).
+
+fp policy: distances are exact integers on both engines (classic
+Wagner–Fischer); nothing here floats.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def typo_pairs(fact: DataFrame, col: str = "domain") -> DataFrame:
+    """Distinct unordered pairs of ``col`` values within Levenshtein
+    distance 1: (domain_a < domain_b, dist), pinned order.
+
+    Candidates via SymSpell 1-deletion blocking; exact re-score.
+    """
+    doms = fact.select(F.col(col).alias("domain")).distinct()
+    d = F.col("domain")
+    L = F.length(d)
+    one_dels = F.when(
+        L >= 1,
+        F.transform(
+            F.sequence(F.lit(1), L),
+            lambda i: F.concat(
+                d.substr(F.lit(1), i - 1), d.substr(i + 1, L)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    variants = doms.select(
+        "domain",
+        F.explode(
+            F.array_distinct(F.array_union(F.array(d), one_dels))
+        ).alias("v"),
+    )
+    a = variants.select(F.col("domain").alias("domain_a"), "v")
+    b = variants.select(F.col("domain").alias("domain_b"), "v")
+    cands = (
+        a.join(b, "v")
+        .filter(F.col("domain_a") < F.col("domain_b"))
+        .select("domain_a", "domain_b")
+        .distinct()
+    )
+    return (
+        cands.withColumn(
+            "dist", F.levenshtein("domain_a", "domain_b").cast("long")
+        )
+        .filter(F.col("dist") <= 1)
+        .orderBy("domain_a", "domain_b")
+    )

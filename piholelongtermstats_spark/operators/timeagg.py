@@ -277,3 +277,57 @@ def hourly_ohlc_reply(fact: DataFrame) -> DataFrame:
         )
         .orderBy("hour_ts")
     )
+
+
+def daily_trend(fact: DataFrame) -> DataFrame:
+    """OLS trend of the daily query-count series: one row of
+    (n_days, slope, intercept, r2) — regression via exact-integer
+    sufficient statistics.
+
+    x = days since the first active date (BIGINT), y = that day's
+    count (BIGINT). n, Σx, Σy, Σxy, Σx², Σy² are exact integer sums,
+    so slope / intercept / r² are each ONE double division of exact
+    BIGINTs (closed forms: (nΣxy−ΣxΣy)/(nΣx²−(Σx)²),
+    (ΣyΣx²−ΣxΣxy)/(nΣx²−(Σx)²), num²/(denx·deny)) rounded to 6 —
+    deterministic across engines, same policy as client_daily_spikes.
+
+    Scale: the fact collapses to one row per day first (partial-agg
+    shuffle), the min-date is a 1-row broadcast, and the six sums are
+    one more partial agg over the tiny daily relation. BIGINT
+    headroom: |n·Σxy| < 2^63 up to ~10¹² events/day over 10⁴ days;
+    past that widen the sums to DECIMAL(38,0) — expression shape
+    unchanged (the embedding_dim_stats convention).
+    """
+    daily = fact.groupBy("date").agg(F.count(F.lit(1)).alias("y"))
+    d0 = daily.agg(F.min("date").alias("d0"))
+    xy = daily.join(F.broadcast(d0)).select(
+        F.datediff("date", "d0").cast("long").alias("x"),
+        F.col("y").cast("long").alias("y"),
+    )
+    s = xy.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    denx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    deny = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+
+    def _ratio(numer, denom):
+        # degenerate series (n < 2, or zero variance) has no defined
+        # slope/r² — NULL, via a NULLIF-shaped guard mirrored in the
+        # oracle (ANSI Spark raises on /0 where DuckDB returns inf)
+        d = F.when(denom != 0, denom.cast("double"))
+        return F.round(numer.cast("double") / d, 6)
+
+    return s.select(
+        F.col("n").alias("n_days"),
+        _ratio(num, denx).alias("slope"),
+        _ratio(
+            F.col("sy") * F.col("sxx") - F.col("sx") * F.col("sxy"), denx
+        ).alias("intercept"),
+        _ratio(num * num, denx * deny).alias("r2"),
+    )
