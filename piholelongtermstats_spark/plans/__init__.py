@@ -78,7 +78,7 @@ TOP_50 = [
     # --- TPC-H-shaped join suite ---
     "pricing_summary",
     "top_unshipped_orders",
-    "returned_item_customers",
+    "waiting_suppliers",
     "region_nation_revenue",
     # --- LLM-training-data pipeline tier ---
     "pii_scrub_panel",
@@ -94,7 +94,7 @@ TOP_50 = [
     "embedding_near_dup",
     "media_pipeline_check",
     "corpus_build",
-    "contamination_overlap",
+    "winnowing_fingerprints",
     "semantic_contamination",
     "gopher_quality_panel",
     "bloom_contamination",
@@ -165,6 +165,21 @@ TOP_50 = [
 # driver-verified through ivfpq_ann_topk (ADC over the same pinned
 # IVF cells) and knn_join's family evidence; ivf_ann_topk stays
 # parity-green below the line with its trained twin.
+# r7 swap (4): waiting_suppliers (Q21 — the EXISTS/NOT-EXISTS pair
+# reformulated as ONE per-order aggregate, turning three fact-sized
+# shuffles into one; with M17 the registry carries all 22 TPC-H
+# shapes) took returned_item_customers' row. The Q10 join-agg-topK
+# shape stays driver-verified through top_unshipped_orders and
+# region_nation_revenue; returned_item_customers stays parity-green
+# below the line.
+# r7 swap (5): winnowing_fingerprints (MOSS winnowing — window-min
+# fingerprint selection with the rightmost-tie rule; the driver row
+# hash-verifies a published algorithm's output, and the local-copy-
+# detection family previously had no row) took contamination_overlap's
+# slot. Shingle-containment decontamination stays driver-verified
+# through bloom_contamination (same shingle machinery behind the Bloom
+# gate) and semantic_contamination; contamination_overlap stays
+# parity-green below the line.
 # r7 swap (3): incremental_dedup_ingest — the end-to-end ingest-dedup
 # pipeline (asymmetric batch-vs-corpus prefix-filter join with a
 # per-document accept/reject audit; the suite's most comprehensive
