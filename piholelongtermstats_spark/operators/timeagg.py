@@ -331,3 +331,88 @@ def daily_trend(fact: DataFrame) -> DataFrame:
         ).alias("intercept"),
         _ratio(num * num, denx * deny).alias("r2"),
     )
+
+
+def cusum_changepoint(fact: DataFrame) -> DataFrame:
+    """One-sided upward CUSUM change-point scan over the daily count
+    series: one row of (n_days, max_cusum, cusum_norm, peak_date).
+
+    CUSUM with reset, s_i = max(0, s_{i-1} + (y_i - mean)), is not a
+    prefix sum — but it has a windows-only identity: with
+    P_i = Σ_{t<=i}(n·y_t − Σy)  (n-scaled so the mean never divides),
+    s_i = P_i − min(0, min_{j<=i} P_j). Two running windows (sum +
+    min) over the per-date summary replace the sequential fold.
+    Everything is exact BIGINT; cusum_norm = max_cusum / n is the one
+    double division (Σ(y−ȳ) units), rounded to 6. peak_date is the
+    EARLIEST date attaining the max (min_by on exact integers).
+
+    Scale: the fact collapses to one row per day first; the
+    unpartitioned windows order only the tiny daily relation (rows =
+    #dates — the documented-safe window class, cf. longest_streaks).
+    BIGINT headroom: |P| <= n·Σy, safe past 10⁹ events over 10⁴ days.
+    """
+    daily = fact.groupBy("date").agg(F.count(F.lit(1)).alias("y"))
+    tot = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("sy"),
+    )
+    w = Window.orderBy("date").rowsBetween(Window.unboundedPreceding, 0)
+    scanned = (
+        daily.join(F.broadcast(tot))
+        .withColumn("p", F.sum(F.col("n") * F.col("y") - F.col("sy")).over(w))
+        .withColumn("minp", F.least(F.lit(0), F.min("p").over(w)))
+        .withColumn("s", F.col("p") - F.col("minp"))
+    )
+    return scanned.agg(
+        F.max("n").alias("n_days"),
+        F.max("s").alias("max_cusum"),
+        F.round(
+            F.max("s").cast("double")
+            / F.when(F.max("n") != 0, F.max("n").cast("double")),
+            6,
+        ).alias("cusum_norm"),
+        F.min_by("date", F.struct(-F.col("s"), F.col("date"))).alias(
+            "peak_date"
+        ),
+    )
+
+
+def weekday_chi2(fact: DataFrame) -> DataFrame:
+    """Chi-square goodness-of-fit of query volume against a uniform
+    day-of-week model: (n, chi2_num, chi2, dof).
+
+    χ² = Σ_{i=1..7} (O_i − n/7)² / (n/7) = Σ(7·O_i − n)² / (7·n) —
+    the numerator Σ(7·O_i − n)² is EXACT BIGINT (all seven categories
+    included, absent weekdays zero-filled via the fixed spine), and
+    χ² is the one double division, rounded to 6. dof = 6.
+
+    Scale: one partial-agg shuffle to 7 rows, then a 7-row broadcast
+    join against the spine. BIGINT headroom: (7·O)² safe to ~4·10⁸
+    events per weekday; widen to DECIMAL(38,0) past that.
+    """
+    spine = fact.sparkSession.createDataFrame(
+        [("Monday",), ("Tuesday",), ("Wednesday",), ("Thursday",),
+         ("Friday",), ("Saturday",), ("Sunday",)],
+        "day_name string",
+    )
+    obs = fact.groupBy("day_name").agg(F.count(F.lit(1)).alias("o"))
+    filled = spine.join(F.broadcast(obs), "day_name", "left").select(
+        F.coalesce(F.col("o"), F.lit(0)).cast("long").alias("o")
+    )
+    tot = filled.agg(F.sum("o").alias("n"))
+    dev = (F.lit(7) * F.col("o") - F.col("n"))
+    return (
+        filled.join(F.broadcast(tot))
+        .agg(
+            F.max("n").alias("n"),
+            F.sum(dev * dev).alias("chi2_num"),
+            F.round(
+                F.sum(dev * dev).cast("double")
+                / F.when(
+                    F.max("n") != 0, (F.lit(7) * F.max("n")).cast("double")
+                ),
+                6,
+            ).alias("chi2"),
+        )
+        .withColumn("dof", F.lit(6).cast("long"))
+    )

@@ -61,6 +61,10 @@ def main() -> int:
         n = fact.count()  # materialize outside the timed region
         from piholelongtermstats_spark.operators.freq import heavy_hitters_exact
 
+        from piholelongtermstats_spark.operators.basket import (
+            domain_association_rules,
+        )
+
         for name, fn in (
             ("streaks", lambda f: longest_streaks_stitched(f)),
             ("rollup", lambda f: hourly_rollup(f)),
@@ -69,7 +73,19 @@ def main() -> int:
             # N scales — the MG candidate pass and the broadcast
             # recount are what is being timed.
             ("heavy_hit", lambda f: heavy_hitters_exact(f, "domain", 100)),
+            # association rules: the 64-day shifts make every copy's
+            # (client, date) baskets disjoint, so basket count scales
+            # ×k while per-basket size is constant — the pair
+            # self-join (the riskiest quadratic in the suite) should
+            # scale linearly in k; supports scale ×k so min_support
+            # is scaled alongside (relative support, the
+            # basket_scale_2x lesson).
+            ("basket", None),  # bound below with k in scope
         ):
+            if name == "basket":
+                fn = lambda f, _k=k: domain_association_rules(  # noqa: E731
+                    f, min_support=3 * _k, top_k=25, basket_cap=64
+                )
             fn(fact).collect()  # warm codegen/plan
             t0 = time.perf_counter()
             fn(fact).collect()
@@ -141,7 +157,9 @@ def main() -> int:
         sh.unpersist()
 
     print(f"{'op':10s} {'k':>2s} {'rows':>9s} {'sec':>7s} {'vs 1x':>6s}")
-    for name in ("streaks", "rollup", "heavy_hit", "lsh_dedup", "setsim"):
+    for name in (
+        "streaks", "rollup", "heavy_hit", "basket", "lsh_dedup", "setsim"
+    ):
         base_t = results[(name, 1)][1]
         for k in KS:
             n, dt = results[(name, k)]
