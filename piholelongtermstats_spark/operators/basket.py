@@ -41,13 +41,18 @@ def domain_association_rules(
     excluded from items, pairs, and the basket total alike) so
     support/confidence/lift stay mutually consistent.
     """
+    from pyspark.sql import Window
+
     baskets = fact.select("client", "date", "domain").distinct()
-    sizes = baskets.groupBy("client", "date").agg(
-        F.count(F.lit(1)).alias("basket_size")
-    )
-    kept = baskets.join(
-        sizes.filter(F.col("basket_size") <= basket_cap).select("client", "date"),
-        ["client", "date"],
+    # basket size as a window over the basket key: no groupBy +
+    # join-back recompute — the four consumers of `kept` (items,
+    # pairs a/b, basket total) all hang off ONE (client, date)
+    # partitioning, which AQE then serves via ReusedExchange.
+    w = Window.partitionBy("client", "date")
+    kept = (
+        baskets.withColumn("basket_size", F.count(F.lit(1)).over(w))
+        .filter(F.col("basket_size") <= basket_cap)
+        .drop("basket_size")
     )
     n_baskets = (
         kept.select("client", "date")
