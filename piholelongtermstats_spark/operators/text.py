@@ -811,6 +811,14 @@ def winnowing_fingerprints(
     idx = F.when(
         F.size(toks) >= k, F.sequence(F.lit(0), F.size(toks) - k)
     ).otherwise(F.array().cast("array<int>"))
+    # Fan out by doc_id BEFORE the gram explode + per-gram md5: a
+    # single-file documents table scans as one partition, and the
+    # hash work would otherwise run on one task (measured 14 s → ~1 s
+    # at sf0.1; the lm.bigram_stream lesson). The doc_id partitioning
+    # also satisfies the window's required distribution — no second
+    # shuffle.
+    fan = docs.sparkSession.sparkContext.defaultParallelism
+    docs = docs.repartition(fan, "doc_id")
     grams = docs.select(
         "doc_id",
         n_grams.alias("n_grams"),
