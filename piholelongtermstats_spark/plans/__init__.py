@@ -1,7 +1,7 @@
-"""Aggregated query registry (core + M7 dedup/similarity + M8 corpus
-+ fused panels).
+"""Aggregated query registry (core + the M7–M22 wave modules + fused
+panels).
 
-Importing the four modules registers every query; the public
+Importing the wave modules below registers every query; the public
 ``QUERIES`` / ``ORACLE`` dicts are then re-ordered so the curated
 TOP-50 list comes first, in its listed order.
 
