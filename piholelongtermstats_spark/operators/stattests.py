@@ -126,3 +126,251 @@ def ks_day_night(fact: DataFrame) -> DataFrame:
             6,
         ).alias("d_stat"),
     )
+
+
+# ---------------------------------------------------------------------------
+# M23 — parametric / correlation tier (same exact-sufficient-statistic
+# policy: integer or DECIMAL(38,0) moments, a fixed handful of IEEE
+# double ops — each correctly rounded, identical expression tree on
+# both engines — produce the reported statistic).
+# ---------------------------------------------------------------------------
+
+def _reply_q(col: str = "reply_time") -> F.Column:
+    """reply_time quantized ONCE to the exact integer µ-grid
+    (round(x·1000) → BIGINT, the embedding_dim_stats convention):
+    every downstream moment is then exact integer arithmetic."""
+    return F.round(F.col(col) * 1000).cast("long")
+
+
+def welch_day_night(fact: DataFrame) -> DataFrame:
+    """One row: Welch's unequal-variance t-test between Day and Night
+    reply times (reference scope: the day/night split the reference
+    plots, promoted to an inference question — did latency shift?).
+
+    Sufficient statistics per group — n (BIGINT), Σr (BIGINT),
+    Σr² (DECIMAL(38,0); r² ≤ ~10¹¹ so the long per-row product is
+    exact and the decimal sum never overflows at any volume) — come
+    from ONE map-side-combined aggregation over the fact. t and the
+    Welch–Satterthwaite df are then a fixed scalar expression of the
+    six exact moments (sample variance v = (Σr² − (Σr)²/n)/(n−1),
+    t = (m₁−m₂)/√(v₁/n₁+v₂/n₂)); every fp step is correctly rounded
+    IEEE arithmetic over identical operand trees, so the rounded
+    values are engine-identical. t is computed on the quantized
+    grid — t is scale-invariant, so the grid choice only fixes the
+    (documented) tie behavior, not the statistic.
+    """
+    r = _reply_q()
+    day = F.col("day_period") == "Day"
+    night = F.col("day_period") == "Night"
+    m = fact.filter(F.col("reply_time").isNotNull())
+    agg = m.agg(
+        F.count(F.when(day, 1)).cast("long").alias("n1"),
+        F.sum(F.when(day, r)).cast("long").alias("s1"),
+        F.sum(F.when(day, (r * r).cast("decimal(38,0)"))).alias("q1"),
+        F.count(F.when(night, 1)).cast("long").alias("n2"),
+        F.sum(F.when(night, r)).cast("long").alias("s2"),
+        F.sum(F.when(night, (r * r).cast("decimal(38,0)"))).alias("q2"),
+    )
+    n1d, n2d = F.col("n1").cast("double"), F.col("n2").cast("double")
+    s1d, s2d = F.col("s1").cast("double"), F.col("s2").cast("double")
+    q1d, q2d = F.col("q1").cast("double"), F.col("q2").cast("double")
+    v1 = (q1d - s1d * s1d / n1d) / (n1d - 1.0)
+    v2 = (q2d - s2d * s2d / n2d) / (n2d - 1.0)
+    a1, a2 = v1 / n1d, v2 / n2d
+    se2 = a1 + a2
+    t = (s1d / n1d - s2d / n2d) / F.sqrt(se2)
+    df = (se2 * se2) / (a1 * a1 / (n1d - 1.0) + a2 * a2 / (n2d - 1.0))
+    ok = (F.col("n1") > 1) & (F.col("n2") > 1)
+    return agg.select(
+        "n1", "s1", "q1", "n2", "s2", "q2",
+        F.round(F.when(ok, t), 6).alias("t_stat"),
+        F.round(F.when(ok, df), 6).alias("df"),
+    )
+
+
+def spearman_volume_reply(fact: DataFrame) -> DataFrame:
+    """One row: Spearman rank correlation between daily query volume
+    and daily total (quantized) reply time — "do busy days run slow?"
+
+    Tie-aware ranks without any float: for a value with min-rank p
+    (rank()) and tie-count t (count() over the value partition),
+    2·avgrank = 2p + t − 1 — an integer. Pearson over the doubled
+    ranks (u, v) then has all-BIGINT sufficient statistics; ρ's
+    numerator n·Σuv − Σu·Σv and the two denominator factors are
+    exact, and ρ itself is one division and one IEEE sqrt.
+
+    Scale: events collapse to one row per day first; the rank windows
+    order the tiny daily relation (the histogram-window class — days,
+    never events).
+    """
+    from pyspark.sql import Window as W
+
+    daily = (
+        fact.groupBy("date")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("x"),
+            F.coalesce(
+                F.sum(F.when(F.col("reply_time").isNotNull(), _reply_q())),
+                F.lit(0),
+            ).cast("long").alias("y"),
+        )
+    )
+    u = (2 * F.rank().over(W.orderBy("x"))
+         + F.count(F.lit(1)).over(W.partitionBy("x")) - 1).cast("long")
+    v = (2 * F.rank().over(W.orderBy("y"))
+         + F.count(F.lit(1)).over(W.partitionBy("y")) - 1).cast("long")
+    ranked = daily.select(u.alias("u"), v.alias("v"))
+    s = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("u").alias("su"),
+        F.sum("v").alias("sv"),
+        F.sum(F.col("u") * F.col("v")).alias("suv"),
+        F.sum(F.col("u") * F.col("u")).alias("suu"),
+        F.sum(F.col("v") * F.col("v")).alias("svv"),
+    )
+    num = F.col("n") * F.col("suv") - F.col("su") * F.col("sv")
+    denu = F.col("n") * F.col("suu") - F.col("su") * F.col("su")
+    denv = F.col("n") * F.col("svv") - F.col("sv") * F.col("sv")
+    rho = F.when(
+        (denu > 0) & (denv > 0),
+        num.cast("double")
+        / F.sqrt(denu.cast("double") * denv.cast("double")),
+    )
+    return s.select(
+        F.col("n").alias("n_days"),
+        num.alias("rho_num"),
+        denu.alias("den_u"),
+        denv.alias("den_v"),
+        F.round(rho, 6).alias("rho"),
+    )
+
+
+def acf_daily_counts(fact: DataFrame, max_lag: int = 7) -> DataFrame:
+    """Autocorrelation of the daily count series at lags 1..max_lag —
+    one row per lag (lag, n_days, acf_num, acf_den, rho), the
+    weekly-seasonality probe (ρ₇ high ⇒ weekday cycle).
+
+    n²-cleared form: with S = Σx over all n days, the standard biased
+    ACF estimator ρ_k = Σ_t(x_t−x̄)(x_{t+k}−x̄) / Σ_t(x_t−x̄)²
+    equals Σ(n·x_t−S)(n·x_{t+k}−S) / Σ(n·x_t−S)² exactly — both
+    sides pure BIGINT (|n·x| < 2⁶³ up to ~10¹⁴ events/day·10⁴ days;
+    widen to DECIMAL(38,0) past that). One division per lag.
+
+    Scale: one partial agg collapses events to days; days map to an
+    integer index (datediff from the broadcast min date) so the lag
+    pairing is a plain integer EQUI-join of the daily relation — at
+    most n·max_lag pair rows of DAYS, hashable, no interval math.
+    """
+    daily = fact.groupBy("date").agg(
+        F.count(F.lit(1)).cast("long").alias("x")
+    )
+    tot = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").alias("s"),
+        F.min("date").alias("d0"),
+    )
+    d = daily.join(F.broadcast(tot)).select(
+        F.datediff("date", "d0").cast("long").alias("idx"),
+        (F.col("n") * F.col("x") - F.col("s")).alias("c"),
+        "n",
+    )
+    lags = d.sparkSession.range(1, max_lag + 1).select(
+        F.col("id").cast("int").alias("lag")
+    )
+    a = d.select(F.col("idx").alias("i1"), F.col("c").alias("c1"), "n")
+    b = d.select(F.col("idx").alias("i2"), F.col("c").alias("c2"))
+    pairs = (
+        a.crossJoin(F.broadcast(lags))
+        .join(b, F.col("i2") == F.col("i1") + F.col("lag"))
+    )
+    den = d.agg(F.sum(F.col("c") * F.col("c")).alias("acf_den"))
+    out = (
+        pairs.groupBy("lag")
+        .agg(
+            F.max("n").alias("n_days"),
+            F.sum(F.col("c1") * F.col("c2")).alias("acf_num"),
+        )
+        .join(F.broadcast(den))
+    )
+    return out.select(
+        F.col("lag").alias("lag_k"),
+        "n_days",
+        "acf_num",
+        "acf_den",
+        F.round(
+            F.when(
+                F.col("acf_den") > 0,
+                F.col("acf_num").cast("double")
+                / F.col("acf_den").cast("double"),
+            ),
+            6,
+        ).alias("rho"),
+    ).orderBy("lag_k")
+
+
+# Benford expected first-digit proportions log10(1+1/d), d=1..9, in
+# parts-per-billion — pinned integer literals (derived once from
+# correctly-rounded log10; pinning beats recomputing because the
+# oracle then shares the exact constants by construction).
+BENFORD_PPB = {
+    1: 301029996,
+    2: 176091259,
+    3: 124938737,
+    4: 96910013,
+    5: 79181246,
+    6: 66946790,
+    7: 57991947,
+    8: 51152522,
+    9: 45757491,
+}
+
+
+def benford_reply_digits(fact: DataFrame) -> DataFrame:
+    """First-significant-digit audit of the (quantized) reply-time
+    metric against Benford's law — 9 rows (digit, cnt, obs_ppb,
+    expected_ppb, dev_ppb), the classic synthetic-data / telemetry
+    forensics screen.
+
+    Exactness: the digit is the first character of the BIGINT's
+    decimal string (identical cross-engine; no float log10), observed
+    proportion is integer parts-per-billion (cnt·10⁹ DIV total), and
+    the expected proportions are pinned integer literals — the whole
+    result is integer-exact, no fp anywhere.
+
+    Scale: one map-side-combined 9-group aggregation; the total is a
+    window-free broadcast join of the 9-row relation.
+    """
+    r = _reply_q()
+    digits = (
+        fact.filter(F.col("reply_time").isNotNull())
+        .select(r.alias("r"))
+        .filter(F.col("r") > 0)
+        .select(
+            F.substring(F.col("r").cast("string"), 1, 1)
+            .cast("int")
+            .alias("digit")
+        )
+    )
+    cnts = digits.groupBy("digit").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    tot = cnts.agg(F.sum("cnt").cast("long").alias("total"))
+    exp = F.create_map(
+        *[x for dd, p in BENFORD_PPB.items() for x in (F.lit(dd), F.lit(p))]
+    )
+    return (
+        cnts.join(F.broadcast(tot))
+        .select(
+            "digit",
+            "cnt",
+            F.expr("CAST(cnt * 1000000000 AS BIGINT) DIV total").alias(
+                "obs_ppb"
+            ),
+            exp[F.col("digit")].cast("long").alias("expected_ppb"),
+            (
+                F.expr("CAST(cnt * 1000000000 AS BIGINT) DIV total")
+                - exp[F.col("digit")].cast("long")
+            ).alias("dev_ppb"),
+        )
+        .orderBy("digit")
+    )
