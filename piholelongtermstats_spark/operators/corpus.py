@@ -883,3 +883,46 @@ def exact_substring_dedup(
             F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
         )
     )
+
+
+def weighted_sample_wor(docs: DataFrame, k: int = 25) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement: the k
+    documents with the smallest integer priority h₃₂·10⁹ DIV w, where
+    h₃₂ is the first 32-bit md5 chunk of the salted doc key and
+    w = max(n_chars, 1) is the weight.
+
+    This is priority sampling (Duffield, Lund, Thorup, JACM 2007) with
+    the uniform u = h₃₂/2³² made explicit and the u/w key carried in
+    exact integer arithmetic ((h·10⁹) DIV w < 2⁶³ since h < 2³²):
+    P(selected) grows with w, no row is picked twice, and — like
+    hash_sample — the draw is a pure function of the data, so it is
+    rerunnable, engine-portable (the oracle reproduces it verbatim),
+    and consistent across cluster layouts. RNG-free is the property
+    that makes a 100 TB sample auditable: membership can be re-checked
+    per row without replaying any stream.
+
+    Scale: priorities are map-side md5/conv expressions inside
+    codegen; the global bottom-k is TakeOrderedAndProject (per-
+    partition heaps, one k-row driver merge) — never a full sort.
+    """
+    h32 = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":ws"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    w = F.greatest(F.col("n_chars").cast("long"), F.lit(1))
+    pri = F.expr("_h * 1000000000 DIV _w")
+    return (
+        docs.select("doc_id", h32.alias("_h"), w.alias("_w"))
+        .select(
+            "doc_id",
+            F.col("_w").alias("weight"),
+            pri.alias("priority"),
+        )
+        .orderBy("priority", "doc_id")
+        .limit(k)
+    )

@@ -89,3 +89,114 @@ def pagerank(
     # top=None returns the full ranking (a huge literal limit would
     # make TakeOrdered allocate a k-sized heap per partition)
     return out if top is None else out.limit(top)
+
+
+def domain_cograph_triangles(fact: DataFrame) -> DataFrame:
+    """One row (n_pairs, co_thr, n_edges, wedges2, n_triangles,
+    clustering) — triangle census of the domain co-occurrence graph.
+
+    Graph construction: domains are nodes; (d1 < d2) is an edge when
+    the pair co-occurs in at least `co_thr` (client, day) baskets,
+    with co_thr the TOP-DECILE support cut — the smallest co value
+    whose descending cumulative pair count stays within 10% of all
+    pairs (ties push the set under, never over, 10%; degenerate
+    all-equal histograms fall back to the max co). A relative cut is
+    the scale-invariant notion (the basket_scale_2x lesson): absolute
+    thresholds saturate or empty the graph as volume grows.
+
+    Census: triangles by the ordered node-iterator join — e₁(a,b) ⋈
+    e₂(b,c) ⋈ e₃(a,c) with a<b<c by construction, each triangle
+    enumerated exactly once (Suri & Vassilvitskii, WWW'11 shape);
+    wedges2 = Σ_v deg_v·(deg_v−1) (= 2× the wedge count, exact
+    BIGINT); global clustering = 6·triangles / wedges2 with the one
+    division at the edge.
+
+    Scale: the basket self-join is basket-local (quadratic only in
+    the per-(client,day) distinct-domain count, bounded by a session's
+    breadth, never by corpus size); the threshold window orders the
+    tiny distinct-co histogram; the triangle joins run over the
+    decile-pruned edge relation, shuffled on single node keys.
+    """
+    b = fact.select("client", "date", "domain").distinct()
+    a1 = b
+    a2 = b.select(
+        F.col("client").alias("client"),
+        F.col("date").alias("date"),
+        F.col("domain").alias("domain2"),
+    )
+    pairs = (
+        a1.join(a2, ["client", "date"])
+        .filter(F.col("domain") < F.col("domain2"))
+        .groupBy(F.col("domain").alias("d1"), F.col("domain2").alias("d2"))
+        .agg(F.count(F.lit(1)).cast("long").alias("co"))
+        # The pair relation fans out into histogram, threshold, edge,
+        # degree, and three triangle legs — materialize ONCE (eager
+        # localCheckpoint, the pagerank convention: lineage truncated,
+        # storage reclaimed by the ContextCleaner when the frame goes
+        # out of scope) so the basket self-join never re-executes.
+        .localCheckpoint(eager=True)
+    )
+    hist = pairs.groupBy("co").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    tot = hist.agg(F.sum("cnt").cast("long").alias("n_pairs"))
+    from pyspark.sql import Window as W
+
+    cum = hist.join(F.broadcast(tot)).withColumn(
+        "cum",
+        F.sum("cnt").over(
+            W.orderBy(F.col("co").desc()).rowsBetween(
+                W.unboundedPreceding, 0
+            )
+        ),
+    )
+    thr = cum.agg(
+        F.coalesce(
+            F.min(F.when(F.col("cum") * 10 <= F.col("n_pairs"), F.col("co"))),
+            F.max("co"),
+        ).alias("co_thr"),
+        F.max("n_pairs").alias("n_pairs"),
+    )
+    edges = (
+        pairs.join(F.broadcast(thr))
+        .filter(F.col("co") >= F.col("co_thr"))
+        .select("d1", "d2")
+        .localCheckpoint(eager=True)  # 5 downstream consumers
+    )
+    deg = (
+        edges.select(F.col("d1").alias("v"))
+        .unionAll(edges.select(F.col("d2").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    )
+    wedges = deg.agg(
+        F.sum(F.col("deg") * (F.col("deg") - 1)).alias("wedges2")
+    )
+    e1 = edges.select(F.col("d1").alias("a"), F.col("d2").alias("b"))
+    e2 = edges.select(F.col("d1").alias("b"), F.col("d2").alias("c"))
+    e3 = edges.select(F.col("d1").alias("a"), F.col("d2").alias("c"))
+    tri = (
+        e1.join(e2, "b")
+        .join(e3, ["a", "c"])
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    )
+    ecnt = edges.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    return (
+        thr.select("n_pairs", "co_thr")
+        .join(F.broadcast(ecnt))
+        .join(F.broadcast(wedges))
+        .join(F.broadcast(tri))
+        .select(
+            "n_pairs",
+            "co_thr",
+            "n_edges",
+            F.coalesce(F.col("wedges2"), F.lit(0)).alias("wedges2"),
+            "n_triangles",
+            F.round(
+                F.when(
+                    F.coalesce(F.col("wedges2"), F.lit(0)) > 0,
+                    (6.0 * F.col("n_triangles").cast("double"))
+                    / F.col("wedges2").cast("double"),
+                ),
+                6,
+            ).alias("clustering"),
+        )
+    )
