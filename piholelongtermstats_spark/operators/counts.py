@@ -125,3 +125,44 @@ def kanon_domain_daily(fact, k: int = 5):
         .crossJoin(F.broadcast(audit))
         .orderBy("domain", "date")
     )
+
+
+def client_concentration_hhi(fact: DataFrame, k: int = 10) -> DataFrame:
+    """Top-k most domain-concentrated clients by the Herfindahl–
+    Hirschman index: HHI = Σ_d (cnt_d / total)² — 1.0 is a
+    single-domain client, 1/|domains| is perfectly spread traffic.
+    The anomaly screen for beaconing/C2-style fixation.
+
+    Exactness: hhi_num = Σ cnt_d² and hhi_den = total² are exact
+    BIGINTs (per-client counts; widen to DECIMAL(38,0) beyond ~3·10⁹
+    events per client); HHI itself is the one final division, rounded
+    to 6 — engine-identical.
+
+    Scale: two stacked partial aggregations on the same client key
+    (domain-level then client-level — the second reuses the first's
+    hash partitioning, no extra shuffle) and a TakeOrdered top-k over
+    (ROUNDED hhi DESC, client ASC) — ordering on the rounded output
+    column keeps the cut identical cross-engine.
+    """
+    per_dom = fact.groupBy("client", "domain").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    per_client = per_dom.groupBy("client").agg(
+        F.sum(F.col("c") * F.col("c")).alias("hhi_num"),
+        F.sum("c").alias("tot"),
+        F.count(F.lit(1)).cast("long").alias("n_domains"),
+    )
+    out = per_client.select(
+        "client",
+        "n_domains",
+        "hhi_num",
+        (F.col("tot") * F.col("tot")).alias("hhi_den"),
+        F.round(
+            F.col("hhi_num").cast("double")
+            / (F.col("tot") * F.col("tot")).cast("double"),
+            6,
+        ).alias("hhi"),
+    )
+    return out.orderBy(
+        F.col("hhi").desc(), F.col("client").asc()
+    ).limit(k)

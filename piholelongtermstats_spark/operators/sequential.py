@@ -379,3 +379,92 @@ def debounce_summary(fact: DataFrame, gap: str = "10 minutes") -> DataFrame:
         )
         .orderBy("client")
     )
+
+
+def sliding_peak_30min(fact: DataFrame, k: int = 10) -> DataFrame:
+    """Top-k clients by PEAK 30-minute load: for every event, the
+    count of that client's events in the trailing 30-minute window
+    (event-time RANGE frame over epoch microseconds — exact BIGINT
+    bounds, ties at the same instant are frame-peers on both
+    engines); per client, the max such count with the EARLIEST
+    achieving instant pinned as the tie-break; top-k by
+    (peak DESC, client ASC).
+
+    This is the burst-detection primitive (rate limiting, abuse
+    scoring) expressed as a declarative window — no sessionization
+    state, no driver loop.
+
+    Scale: the RANGE window partitions by client — each client's
+    events sort locally within its shuffle partition; nothing global.
+    The per-client argmax is a second window over the SAME partition
+    key (no extra shuffle — Catalyst reuses the hash partitioning),
+    and the final top-k is TakeOrderedAndProject.
+    """
+    from pyspark.sql import Window as W
+
+    us = F.unix_micros(F.col("ts"))
+    win = (
+        W.partitionBy("client")
+        .orderBy(us.cast("long"))
+        .rangeBetween(-(30 * 60 * 1_000_000 - 1), 0)
+    )
+    cnts = fact.select(
+        "client", "ts", F.count(F.lit(1)).over(win).cast("long").alias("win_cnt")
+    )
+    pick = W.partitionBy("client").orderBy(
+        F.col("win_cnt").desc(), F.col("ts").asc()
+    )
+    peaks = (
+        cnts.withColumn("rn", F.row_number().over(pick))
+        .filter(F.col("rn") == 1)
+        .select("client", F.col("win_cnt").alias("peak"), F.col("ts").alias("peak_at"))
+    )
+    return peaks.orderBy(F.col("peak").desc(), F.col("client").asc()).limit(k)
+
+
+def interarrival_burstiness(fact: DataFrame, k: int = 10) -> DataFrame:
+    """Top-k burstiest clients by the coefficient of variation of
+    inter-arrival gaps (CV = σ/μ; CV ≈ 1 is Poisson, ≫1 is bursty) —
+    plus the exact gap moments that define it.
+
+    Gaps are epoch-microsecond BIGINT lags per client (ordered by
+    (ts, event_id) — the consecutive_gaps total-order convention);
+    n/Σg are BIGINT and Σg² DECIMAL(38,0) (a month-long gap squared
+    is ~7·10²⁴ — past BIGINT by itself), so CV's inputs are exact.
+    Population form: σ/μ = √(n·Σg² − (Σg)²) / Σg — one IEEE sqrt and
+    one division over exact moments, engine-identical. Clients need
+    ≥ 2 gaps and a positive gap total.
+
+    Scale: one client-partitioned lag window, one map-side-combined
+    aggregation, TakeOrdered top-k.
+    """
+    from pyspark.sql import Window as W
+
+    us = F.unix_micros(F.col("ts")).cast("long")
+    w = W.partitionBy("client").orderBy("ts", "event_id")
+    gaps = (
+        fact.select("client", "ts", "event_id")
+        .withColumn("g", us - F.lag(us).over(w))
+        .filter(F.col("g").isNotNull())
+    )
+    m = gaps.groupBy("client").agg(
+        F.count(F.lit(1)).cast("long").alias("n_gaps"),
+        F.sum("g").cast("long").alias("sum_g"),
+        F.sum(
+            F.col("g").cast("decimal(19,0)") * F.col("g").cast("decimal(19,0)")
+        ).cast("decimal(38,0)").alias("ssq_g"),
+    )
+    nd = F.col("n_gaps").cast("double")
+    sd = F.col("sum_g").cast("double")
+    qd = F.col("ssq_g").cast("double")
+    cv = F.sqrt(nd * qd - sd * sd) / sd
+    out = m.filter((F.col("n_gaps") >= 2) & (F.col("sum_g") > 0)).select(
+        "client",
+        "n_gaps",
+        "sum_g",
+        # Σg² exceeds 2⁵³ routinely; emit the exact DECIMAL as its
+        # decimal STRING so no engine/pandas bridge can round it.
+        F.col("ssq_g").cast("string").alias("ssq_g"),
+        F.round(cv, 6).alias("cv"),
+    )
+    return out.orderBy(F.col("cv").desc(), F.col("client").asc()).limit(k)
