@@ -45,6 +45,7 @@ from piholelongtermstats_spark.plans import registry_m22  # noqa: F401  (registe
 from piholelongtermstats_spark.plans import registry_m23  # noqa: F401  (registers M23 queries)
 from piholelongtermstats_spark.plans import registry_m24  # noqa: F401  (registers M24 queries)
 from piholelongtermstats_spark.plans import registry_m25  # noqa: F401  (registers M25 queries)
+from piholelongtermstats_spark.plans import registry_m26  # noqa: F401  (registers M26 queries)
 from piholelongtermstats_spark.plans import registry_panels  # noqa: F401  (fused panels)
 from piholelongtermstats_spark.plans.registry import ORACLE, QUERIES  # noqa: F401
 
@@ -70,7 +71,7 @@ TOP_50 = [
     "idle_gaps_top",
     "longest_streaks",
     "streaks_scale_2x",
-    "avg_gap_per_status",
+    "welch_day_night",
     "source_pipeline",
     "client_activity",
     "filtered_timeseries_client",
@@ -92,7 +93,7 @@ TOP_50 = [
     "dedup_clusters_star",
     "doc_chunks",
     "text_panel",
-    "binary_quant_ann",
+    "domain_cograph_triangles",
     "ann_scale_2x",
     "heavy_hitters_exact",
     "incremental_dedup_ingest",
@@ -200,7 +201,23 @@ TOP_50 = [
 # own oracle-checked entry below the line (stratified_sample,
 # hash_sample, mix_sample), so sampling evidence stays triple-covered
 # in parity while the slot verifies a new one-sided-error contract.
+# r8 swap (1): welch_day_night — the M23 inference tier's
+# representative (exact BIGINT/DECIMAL moments + one fixed IEEE
+# expression; the policy every M21-M23 statistic shares) — took
+# avg_gap_per_status's row. The stream-keyed consecutive-gap kernel
+# stays driver-verified through idle_gaps_top (same consecutive_gaps
+# decomposition, same boundary stitch) and avg_gap_per_status stays
+# parity-green below the line.
+# r8 swap (2): domain_cograph_triangles — the graph-census family's
+# first oracle-checked driver row (top-decile support cut + ordered
+# node-iterator triangle join; pagerank is rows-only by fp-policy) —
+# took binary_quant_ann's row. The ANN tier keeps three driver rows
+# (ann_scale_2x, embedding_near_dup, semantic_dedup) and binary
+# quantization keeps its integer-exact hamming differential
+# (tests) and parity-green status below the line.
 _OVERFLOW = [
+    "avg_gap_per_status",
+    "binary_quant_ann",
     "sampling_panel",
     "ivfpq_ann_topk",
     "ivf_ann_topk",
