@@ -1,0 +1,230 @@
+"""Robust time-series / anomaly-detection tier over the daily event
+series — the monitoring questions a telemetry warehouse asks after
+the M21–M23 tests say "something shifted": WHICH days are anomalous
+(median/MAD robust z), what's the robust trend (Theil–Sen), what does
+the smoothed series look like (EWMA), and how strong is the weekly
+seasonality (multiplicative seasonal index).
+
+Same engine-wide fp policy as stattests.py: every decision (outlier
+gate, median selection) is exact integer arithmetic; reported fp
+values are a single fixed IEEE expression over exact sufficient
+statistics, identical operand tree on both engines.
+
+Reference scope: the reference plots the daily time series
+(plotting.py daily panels); this tier promotes it to the anomaly /
+trend / seasonality questions. All operators aggregate the fact to
+the per-day relation FIRST — every window below orders days (or
+day-pairs), never event rows.
+
+Exact-median convention (used twice here): the DOUBLED median of an
+integer column is itself an integer for both parities —
+med2 = x_(⌈n/2⌉) + x_(⌊n/2⌋+1) — so medians join the exact-integer
+expression tree without ever dividing by 2.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _daily(fact: DataFrame) -> DataFrame:
+    """Per-day event counts — the tiny relation everything here
+    operates on (one map-side-combined shuffle of the fact)."""
+    return fact.groupBy("date").agg(F.count(F.lit(1)).cast("long").alias("y"))
+
+
+def _med2(df: DataFrame, col: str) -> DataFrame:
+    """One-row frame (n, med2) with med2 = doubled exact median of
+    ``df[col]`` (BIGINT). row_number orders the DAYS relation —
+    thousands of rows at any fact volume."""
+    w = Window.orderBy(F.col(col), *[c for c in df.columns if c != col])
+    ranked = df.select(
+        F.col(col).alias("_v"), F.row_number().over(w).alias("_r")
+    )
+    n = df.count()  # tiny relation; the count is its own partial agg
+    r1, r2 = (n + 1) // 2, n // 2 + 1
+    return ranked.filter(F.col("_r").isin(r1, r2)).agg(
+        F.lit(n).cast("long").alias("n"),
+        F.when(F.lit(r1) == F.lit(r2), F.sum("_v") * 2)
+        .otherwise(F.sum("_v"))
+        .cast("long")
+        .alias("med2"),
+    )
+
+
+def mad_outlier_days(
+    fact: DataFrame, k_num: int = 7, k_den: int = 2
+) -> DataFrame:
+    """Per-day robust outlier audit: flag days whose count deviates
+    from the median by more than (k_num/k_den)·MAD (default 3.5 —
+    Iglewicz & Hoaglin's conventional cut).
+
+    Exactness: med2 = 2·median(y) and mad4 = 2·median(|2y − med2|)
+    = 4·MAD are BIGINTs; the gate
+        |y − med| > k·MAD  ⟺  2·k_den·|2y − med2| > k_num·mad4
+    is a pure integer comparison. robust_z =
+    (2·dev2)/(1.4826·mad4) — two IEEE multiplies and one division —
+    is reporting only, never a decision. mad4 = 0 (≥half the days
+    identical) flags any deviating day and NULLs the z-score.
+
+    Scale: two day-relation order statistics (row_number over days)
+    + two broadcast joins of one-row frames; the fact is touched once.
+    """
+    daily = _daily(fact)
+    m = _med2(daily, "y").select(
+        F.col("n").alias("n_days"), F.col("med2")
+    )
+    dev = daily.join(F.broadcast(m)).withColumn(
+        "u", F.abs(2 * F.col("y") - F.col("med2"))
+    )
+    mm = _med2(dev.select("u"), "u").select(F.col("med2").alias("mad4"))
+    out = dev.join(F.broadcast(mm))
+    dev2 = 2 * F.col("y") - F.col("med2")
+    z = (2.0 * dev2.cast("double")) / (1.4826 * F.col("mad4").cast("double"))
+    return out.select(
+        "date",
+        "y",
+        "med2",
+        "mad4",
+        dev2.alias("dev2"),
+        F.round(F.when(F.col("mad4") > 0, z), 6).alias("robust_z"),
+        (2 * k_den * F.col("u") > k_num * F.col("mad4"))
+        .cast("int")
+        .alias("is_outlier"),
+    )
+
+
+def theil_sen_daily_trend(fact: DataFrame) -> DataFrame:
+    """One row: Theil–Sen robust trend of the daily count series —
+    the median of all pairwise slopes (y_j − y_i)/(idx_j − idx_i)
+    (Theil 1950; Sen 1968). Breakdown point 29%: a week of outage
+    days barely moves it where OLS (daily_trend_slope) swings.
+
+    Median selection is EXACT: pairwise slopes are rationals
+    (num, den both BIGINT); they are ordered by the double quotient
+    with (num, den) as deterministic tie-breakers — two unequal
+    rationals that collide in double ULPs order identically in both
+    engines, so both select the same element(s). The reported slope
+    is then (v1 + v2)/2 over the selected quotients — fixed IEEE.
+
+    Scale: the pairwise relation is DAYS², not events (the
+    mann_kendall convention — ~5·10⁵ pairs for a 3-year series);
+    one row_number window over it selects both order statistics.
+    """
+    daily = _daily(fact)
+    first = daily.agg(F.min("date").alias("d0"))
+    idx = daily.join(F.broadcast(first)).select(
+        F.datediff(F.col("date"), F.col("d0")).cast("long").alias("i"),
+        "y",
+    )
+    a = idx.select(F.col("i").alias("i1"), F.col("y").alias("y1"))
+    b = idx.select(F.col("i").alias("i2"), F.col("y").alias("y2"))
+    pairs = a.join(b, F.col("i1") < F.col("i2")).select(
+        (F.col("y2") - F.col("y1")).alias("num"),
+        (F.col("i2") - F.col("i1")).alias("den"),
+    )
+    slope = F.col("num").cast("double") / F.col("den").cast("double")
+    w = Window.orderBy(slope, "num", "den")
+    ranked = pairs.select(
+        slope.alias("v"), F.row_number().over(w).alias("_r")
+    )
+    n_pairs = pairs.count()
+    r1, r2 = (n_pairs + 1) // 2, n_pairs // 2 + 1
+    med = ranked.filter(F.col("_r").isin(r1, r2)).agg(
+        F.when(F.lit(r1) == F.lit(r2), F.sum("v"))
+        .otherwise(F.sum("v") / 2.0)
+        .alias("slope")
+    )
+    n_days = daily.agg(F.count(F.lit(1)).cast("long").alias("n_days"))
+    return (
+        med.join(F.broadcast(n_days))
+        .select(
+            "n_days",
+            F.lit(n_pairs).cast("long").alias("n_pairs"),
+            F.round("slope", 6).alias("slope_per_day"),
+        )
+    )
+
+
+def ewma_daily_counts(fact: DataFrame, alpha: float = 0.3) -> DataFrame:
+    """Per-day exponentially weighted moving average of the count
+    series: e_1 = y_1, e_t = α·y_t + (1−α)·e_{t−1}.
+
+    The recurrence is inherently sequential, so it folds ONCE over
+    the date-sorted daily array with F.aggregate — a JVM catalyst
+    fold whose per-step expression (α·y + (1−α)·prev: two multiplies
+    + one add, all correctly rounded) the DuckDB oracle replays in a
+    recursive CTE with the identical operand tree ⇒ bit-identical
+    doubles, rounded to 6 for serving.
+
+    Scale: the folded array is the DAILY relation (≤ a few thousand
+    structs for years of data) living in one task after a ≤days-row
+    shuffle; the fact itself is reduced map-side. Were the series
+    itself huge, the linear recurrence is an associative-scan
+    (a,b)∘(c,d) = (ac, bc+d) and would take the packing.py two-level
+    prefix-scan route — at daily grain the single fold is the right
+    plan at any fact volume.
+    """
+    daily = _daily(fact)
+    xs = daily.agg(
+        F.array_sort(F.collect_list(F.struct("date", "y"))).alias("xs")
+    )
+    acc0 = F.expr(
+        "CAST(array() AS array<struct<date:timestamp,y:bigint,ewma:double>>)"
+    )
+    step = lambda acc, x: F.concat(  # noqa: E731
+        acc,
+        F.array(
+            F.struct(
+                x["date"].alias("date"),
+                x["y"].alias("y"),
+                F.when(F.size(acc) == 0, x["y"].cast("double"))
+                .otherwise(
+                    F.lit(alpha) * x["y"].cast("double")
+                    + F.lit(1.0 - alpha) * F.element_at(acc, -1)["ewma"]
+                )
+                .alias("ewma"),
+            )
+        ),
+    )
+    return (
+        xs.select(F.explode(F.aggregate("xs", acc0, step)).alias("e"))
+        .select("e.date", "e.y", F.round("e.ewma", 6).alias("ewma"))
+    )
+
+
+def weekday_seasonal_index(fact: DataFrame) -> DataFrame:
+    """Per-weekday multiplicative seasonal index: mean daily count of
+    that weekday over the overall mean daily count — the classical
+    ratio-to-moving-average seasonality estimator at weekly period
+    (with the full-series mean as the base, exact at any volume).
+
+    index_w = (S_w/n_w)/(S/n) = (S_w·n)/(n_w·S): numerator and
+    denominator are exact BIGINT cross-products; the index is their
+    single division, rounded to 6.
+    """
+    daily = fact.groupBy("date", "day_name").agg(
+        F.count(F.lit(1)).cast("long").alias("y")
+    )
+    per_wd = daily.groupBy("day_name").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("y").cast("long").alias("day_total"),
+    )
+    tot = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("n_all"),
+        F.sum("y").cast("long").alias("s_all"),
+    )
+    j = per_wd.join(F.broadcast(tot))
+    num = F.col("day_total") * F.col("n_all")
+    den = F.col("n_days") * F.col("s_all")
+    return j.select(
+        "day_name",
+        "n_days",
+        "day_total",
+        num.alias("idx_num"),
+        den.alias("idx_den"),
+        F.round(num.cast("double") / den.cast("double"), 6).alias(
+            "seasonal_index"
+        ),
+    )
