@@ -1,0 +1,150 @@
+"""Data-profiling tier — the audits a warehouse runs BEFORE trusting
+a table: functional-dependency violation counts (does domain really
+determine status?), per-column null/distinct/extrema profiles, and
+the vocabulary-growth (Heaps-law) curve that sizes dictionaries and
+dedup structures.
+
+All exact-integer: FD violations use the g3 error (Kivinen &
+Mannila 1995 — minimum rows to delete for the FD to hold), column
+profiles are plain counts, the growth curve is a first-seen
+cumulative sum. ppm shares are integer parts-per-million floor
+divisions (the Benford convention).
+
+Scale: every operator is one or two map-side-combined aggregations
+of the fact; the only window orders the per-day relation (growth
+curve cumulative sum). Nothing global-sorts events; the FD audit's
+per-LHS max is a two-level groupBy, never a window over the fact.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# Candidate dependencies a DNS-style fact plausibly satisfies (or
+# interestingly fails): checked left-to-right as lhs -> rhs.
+FD_CANDIDATES = [
+    ("domain", "status_type"),
+    ("client", "day_period"),
+    ("domain", "client"),
+    ("client", "status_type"),
+]
+
+
+def fd_violation_profile(
+    fact: DataFrame,
+    candidates: "list[tuple[str, str]] | None" = None,
+) -> DataFrame:
+    """One row per candidate FD lhs→rhs: group count, g3 violation
+    count (rows that must be deleted for the FD to hold exactly:
+    Σ_lhs [n_lhs − max_rhs n_(lhs,rhs)]), and the integer ppm rate.
+
+    Per candidate: groupBy(lhs, rhs) partial-agg → groupBy(lhs)
+    (sum, max) → one global sum. Both shuffles carry (lhs) or
+    (lhs, rhs) count rows — cardinality of the VALUE domain, not the
+    fact. The candidate list is a constant; the union is linear.
+    """
+    cands = FD_CANDIDATES if candidates is None else candidates
+    legs = []
+    for lhs, rhs in cands:
+        pair = fact.groupBy(lhs, rhs).agg(
+            F.count(F.lit(1)).cast("long").alias("cnt")
+        )
+        per_lhs = pair.groupBy(lhs).agg(
+            F.sum("cnt").alias("tot"), F.max("cnt").alias("mx")
+        )
+        legs.append(
+            per_lhs.agg(
+                F.lit(lhs).alias("lhs"),
+                F.lit(rhs).alias("rhs"),
+                F.count(F.lit(1)).cast("long").alias("n_groups"),
+                F.sum("tot").cast("long").alias("n_rows"),
+                F.sum(F.col("tot") - F.col("mx")).cast("long").alias(
+                    "violations"
+                ),
+            )
+        )
+    out = reduce(DataFrame.unionAll, legs)
+    return out.select(
+        "lhs",
+        "rhs",
+        "n_groups",
+        "n_rows",
+        "violations",
+        # integer floor-division — a double quotient loses exactness
+        # once violations·10⁶ passes 2⁵³ (trillions of rows)
+        F.expr("violations * 1000000 DIV n_rows").alias("violation_ppm"),
+        (F.col("violations") == 0).cast("int").alias("holds"),
+    )
+
+
+# Low-cardinality / key-like string columns worth profiling on the
+# enriched fact (reply_time is profiled by reply_time_stats; ts by
+# the date-range operators).
+PROFILE_COLS = ["domain", "client", "status_type", "day_name", "day_period"]
+
+
+def column_profile(
+    fact: DataFrame, cols: "list[str] | None" = None
+) -> DataFrame:
+    """One row per profiled column: n_rows, n_null, exact n_distinct,
+    min/max (string order) — the dataset-card table.
+
+    ONE pass over the fact: all per-column aggregates live in a
+    single agg (Catalyst plans the multi-distinct via Expand — still
+    one scan), then the 1×(5·k) row is unpivoted with stack, which
+    is a zero-shuffle projection of one row.
+    """
+    cs = PROFILE_COLS if cols is None else cols
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_rows")]
+    for c in cs:
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).cast("long").alias(f"{c}__null"),
+            F.count_distinct(F.col(c)).cast("long").alias(f"{c}__dist"),
+            F.min(c).alias(f"{c}__min"),
+            F.max(c).alias(f"{c}__max"),
+        ]
+    one = fact.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__null, {c}__dist, {c}__min, {c}__max" for c in cs
+    )
+    return one.select(
+        "n_rows",
+        F.expr(
+            f"stack({len(cs)}, {stack_args}) AS "
+            "(column_name, n_null, n_distinct, min_value, max_value)"
+        ),
+    ).select(
+        "column_name", "n_rows", "n_null", "n_distinct",
+        "min_value", "max_value",
+    )
+
+
+def vocab_growth_curve(fact: DataFrame) -> DataFrame:
+    """Per day: new domains first seen that day and the cumulative
+    distinct-domain count — the Heaps-law curve that sizes dedup
+    structures and dictionaries.
+
+    first_seen = min(date) per domain (one map-side-combined
+    shuffle on domain), reduced to per-day new counts; the cumulative
+    sum is a window over the per-day relation zero-filled on the
+    observed-date spine. Exact at any volume; no event-row windows.
+    """
+    first_seen = fact.groupBy("domain").agg(F.min("date").alias("d"))
+    new_per_day = first_seen.groupBy("d").agg(
+        F.count(F.lit(1)).cast("long").alias("new_domains")
+    )
+    spine = fact.select("date").distinct()
+    filled = spine.join(
+        new_per_day, spine["date"] == new_per_day["d"], "left"
+    ).select(
+        "date", F.coalesce("new_domains", F.lit(0)).cast("long").alias("new_domains")
+    )
+    w = Window.orderBy("date").rowsBetween(Window.unboundedPreceding, 0)
+    return filled.select(
+        "date",
+        "new_domains",
+        F.sum("new_domains").over(w).cast("long").alias("cum_domains"),
+    )
