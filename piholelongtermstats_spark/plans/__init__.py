@@ -64,7 +64,6 @@ TOP_50 = [
     "most_persistent_client",
     "most_diverse_client",
     "top_clients_stacked",
-    "client_domain_scatter",
     "daily_counts",
     "weekday_avg",
     "hourly_rollup",
@@ -77,8 +76,9 @@ TOP_50 = [
     "welch_day_night",
     "source_pipeline",
     "client_activity",
-    "filtered_timeseries_client",
+    "mmr_rerank",
     "session_summary",
+    "mad_outlier_days",
     # --- beyond-reference scale operators ---
     "salted_top_domains",
     "asof_rollup_enrich",
@@ -218,7 +218,23 @@ TOP_50 = [
 # (ann_scale_2x, embedding_near_dup, semantic_dedup) and binary
 # quantization keeps its integer-exact hamming differential
 # (tests) and parity-green status below the line.
+# r8 swap (3): mad_outlier_days — the M28 robust-anomaly family's
+# representative (integer-exact doubled-median/MAD gate, the
+# operational "which days are broken" audit) — took
+# client_domain_scatter's row. The J1/A14 multi-key count + semi-join
+# shape stays driver-verified through top_clients_stacked (same
+# operator file, same broadcast left-semi plan) and
+# client_domain_scatter stays parity-green below the line.
+# r8 swap (4): mmr_rerank — retrieval SERVING gets its first driver
+# row (the Carbonell–Goldstein diversity greedy as a pure catalyst
+# fold; the registry's retrieval rows were all index-side until now)
+# — took filtered_timeseries_client's row. The J3 spine zero-fill /
+# A13 rollup re-aggregation shapes stay driver-verified through
+# client_activity (the same per-client spine plan), and
+# filtered_timeseries_client stays parity-green below the line.
 _OVERFLOW = [
+    "client_domain_scatter",
+    "filtered_timeseries_client",
     "avg_gap_per_status",
     "binary_quant_ann",
     "sampling_panel",
