@@ -227,3 +227,56 @@ def knn_label_vote(
         )
         .orderBy("query_id")
     )
+
+
+def ann_eval_metrics(
+    emb: DataFrame,
+    centroids: "list[list[float]] | None" = None,
+    n_queries: int = N_QUERIES,
+    k: int = K,
+    nprobe: int = N_PROBE,
+) -> DataFrame:
+    """Per-query retrieval-quality audit of the cell-routed ANN
+    against the exact k-NN join — the recall@k / MRR report an index
+    deployment watches (recall@k per Jégou et al., TPAMI 2011 §V).
+
+    One full-outer join of the two (query_id, vec_id, rank) relations
+    (both already k-row-per-query tiny), then one aggregate:
+    hits = |exact ∩ approx|, recall_ppm = hits·10⁶ DIV k (integer),
+    nn_rank = the approx rank of the TRUE nearest neighbor (NULL if
+    the index missed it), rr = 1/nn_rank — MRR's one division.
+
+    Exactness: every metric except rr is BIGINT; both input legs are
+    the independently oracle-checked knn_join / knn_join_ivf plans,
+    so this audit is itself SQL-replayable decision-for-decision.
+    """
+    exact = knn_join(emb, n_queries, k).select(
+        F.col("query_id").alias("eq"), F.col("vec_id").alias("ev"),
+        F.col("rank").alias("e_rank"),
+    )
+    approx = knn_join_ivf(emb, n_queries, k, centroids, nprobe).select(
+        F.col("query_id").alias("aq"), F.col("vec_id").alias("av"),
+        F.col("rank").alias("a_rank"),
+    )
+    j = exact.join(
+        approx,
+        (F.col("eq") == F.col("aq")) & (F.col("ev") == F.col("av")),
+        "full_outer",
+    ).select(
+        F.coalesce("eq", "aq").alias("query_id"), "e_rank", "a_rank"
+    )
+    hits = F.count(
+        F.when(F.col("e_rank").isNotNull() & F.col("a_rank").isNotNull(), 1)
+    ).cast("long")
+    nn_rank = F.max(F.when(F.col("e_rank") == 1, F.col("a_rank")))
+    return (
+        j.groupBy("query_id")
+        .agg(
+            F.lit(k).cast("long").alias("k"),
+            hits.alias("hits"),
+            (hits * 1000000 / F.lit(k)).cast("long").alias("recall_ppm"),
+            nn_rank.alias("nn_rank"),
+            F.round(1.0 / nn_rank.cast("double"), 6).alias("rr"),
+        )
+        .orderBy("query_id")
+    )

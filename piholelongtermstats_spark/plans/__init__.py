@@ -49,6 +49,7 @@ from piholelongtermstats_spark.plans import registry_m26  # noqa: F401  (registe
 from piholelongtermstats_spark.plans import registry_m27  # noqa: F401  (registers M27 queries)
 from piholelongtermstats_spark.plans import registry_m28  # noqa: F401  (registers M28 queries)
 from piholelongtermstats_spark.plans import registry_m29  # noqa: F401  (registers M29 queries)
+from piholelongtermstats_spark.plans import registry_m30  # noqa: F401  (registers M30 queries)
 from piholelongtermstats_spark.plans import registry_panels  # noqa: F401  (fused panels)
 from piholelongtermstats_spark.plans.registry import ORACLE, QUERIES  # noqa: F401
 
