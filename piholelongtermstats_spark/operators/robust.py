@@ -228,3 +228,66 @@ def weekday_seasonal_index(fact: DataFrame) -> DataFrame:
             "seasonal_index"
         ),
     )
+
+
+def client_mad_outliers(
+    fact: DataFrame, k_num: int = 7, k_den: int = 2
+) -> DataFrame:
+    """Per-(client, day) robust outlier audit — mad_outlier_days
+    generalized per key. Same integer-exact doubled-median/MAD gate,
+    but every window is PARTITIONED BY client over the (client, day)
+    relation: per-key medians come from two partitioned order
+    statistics, so nothing funnels through a single partition no
+    matter how many clients exist. Skewed clients cost only their own
+    day-count (≤ #days rows per partition — bounded by calendar time,
+    not volume).
+    """
+    daily = fact.groupBy("client", "date").agg(
+        F.count(F.lit(1)).cast("long").alias("y")
+    )
+    wp = Window.partitionBy("client")
+
+    def _med2_by_client(df: DataFrame, col: str, out: str) -> DataFrame:
+        w = Window.partitionBy("client").orderBy(
+            F.col(col), *[c for c in df.columns if c not in ("client", col)]
+        )
+        ranked = df.select(
+            "client",
+            F.col(col).alias("_v"),
+            F.row_number().over(w).alias("_r"),
+            F.count(F.lit(1)).over(wp).alias("_n"),
+        )
+        return (
+            ranked.filter(  # integer DIV: `/` would make (n+1)/2 = 2.5
+                (F.col("_r") == F.expr("(_n + 1) DIV 2"))
+                | (F.col("_r") == F.expr("_n DIV 2 + 1"))
+            )
+            .groupBy("client")
+            .agg(
+                F.when(F.max("_n") % 2 == 1, 2 * F.sum("_v"))
+                .otherwise(F.sum("_v"))
+                .cast("long")
+                .alias(out)
+            )
+        )
+
+    med = _med2_by_client(daily, "y", "med2")
+    dev = daily.join(med, "client").withColumn(
+        "u", F.abs(2 * F.col("y") - F.col("med2"))
+    )
+    mad = _med2_by_client(dev.select("client", "u"), "u", "mad4")
+    out = dev.join(mad, "client")
+    dev2 = 2 * F.col("y") - F.col("med2")
+    z = (2.0 * dev2.cast("double")) / (1.4826 * F.col("mad4").cast("double"))
+    return out.select(
+        "client",
+        "date",
+        "y",
+        "med2",
+        "mad4",
+        dev2.alias("dev2"),
+        F.round(F.when(F.col("mad4") > 0, z), 6).alias("robust_z"),
+        (2 * k_den * F.col("u") > k_num * F.col("mad4"))
+        .cast("int")
+        .alias("is_outlier"),
+    )
