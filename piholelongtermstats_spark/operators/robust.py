@@ -170,6 +170,18 @@ def ewma_daily_counts(fact: DataFrame, alpha: float = 0.3) -> DataFrame:
     xs = daily.agg(
         F.array_sort(F.collect_list(F.struct("date", "y"))).alias("xs")
     )
+    return (
+        xs.select(F.explode(_ewma_fold(alpha)).alias("e"))
+        .select("e.date", "e.y", F.round("e.ewma", 6).alias("ewma"))
+    )
+
+
+def _ewma_fold(alpha: float) -> F.Column:
+    """Catalyst fold of the EWMA recurrence over a date-sorted ``xs``
+    array column of (date, y) structs → (date, y, ewma) structs. The
+    per-step expression α·y + (1−α)·prev is the ONE operand tree the
+    DuckDB recursive-CTE oracle and the streaming state processor
+    (streaming/ewma.py) both replay verbatim."""
     acc0 = F.expr(
         "CAST(array() AS array<struct<date:timestamp,y:bigint,ewma:double>>)"
     )
@@ -188,9 +200,25 @@ def ewma_daily_counts(fact: DataFrame, alpha: float = 0.3) -> DataFrame:
             )
         ),
     )
+    return F.aggregate("xs", acc0, step)
+
+
+def ewma_by_client(daily: DataFrame, alpha: float = 0.3) -> DataFrame:
+    """Per-client EWMA over a (client, date, y) daily relation — the
+    BATCH twin of streaming/ewma.streaming_client_ewma (stream ≡
+    batch pinned on shared files in tests/test_streaming_ewma.py).
+
+    One grouped fold per client: collect_list shuffles the per-client
+    day structs (≤ #days each — calendar-bounded), the fold itself is
+    the shared catalyst expression. No global windows, no driver."""
+    xs = daily.groupBy("client").agg(
+        F.array_sort(F.collect_list(F.struct("date", "y"))).alias("xs")
+    )
     return (
-        xs.select(F.explode(F.aggregate("xs", acc0, step)).alias("e"))
-        .select("e.date", "e.y", F.round("e.ewma", 6).alias("ewma"))
+        xs.select("client", F.explode(_ewma_fold(alpha)).alias("e"))
+        .select(
+            "client", "e.date", "e.y", F.round("e.ewma", 6).alias("ewma")
+        )
     )
 
 
