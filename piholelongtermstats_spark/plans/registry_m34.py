@@ -1,0 +1,94 @@
+"""M34 — dedup-index quality eval: ``lsh_dedup_eval`` measures the
+MinHash-LSH banding stage against exact ground truth INSIDE the
+engine — the same audit ann_eval_metrics gives the vector index, for
+the dedup tier.
+
+Ground truth = the prefix-filtered EXACT Jaccard ≥ 0.8 pair set
+(setsim.prefix_filter_pairs — oracle-proven identical to brute
+force); candidates = the shared banded self-join pair frame
+(registry_m7._pairs). One row: candidate precision and truth recall
+as integer ppm — the measured version of the 1−(1−j⁴)⁴ banding
+curve the dedup tier's docstrings argue analytically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from piholelongtermstats_spark.operators import setsim
+from piholelongtermstats_spark.plans.registry import register
+from piholelongtermstats_spark.plans.registry_m7 import (
+    _SHINGLE_CTE,
+    _SIG_CTE,
+    _pairs,
+    _shingles,
+)
+
+_LSH_EVAL_SQL = (
+    _SHINGLE_CTE
+    + _SIG_CTE
+    + """
+, sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id)
+, inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+, truth AS (
+  SELECT doc_a, doc_b FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE round(CAST(i AS DOUBLE) / (sa.n_sh + sb.n_sh - i), 6) >= 0.8
+)
+, keys AS (
+  SELECT doc_id, perm // 4 AS band,
+         string_agg(minhash::VARCHAR, ',' ORDER BY perm) AS band_key
+  FROM sig GROUP BY doc_id, band
+)
+, cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM keys a
+  JOIN keys b ON a.band = b.band AND a.band_key = b.band_key
+             AND a.doc_id < b.doc_id
+)
+, m AS (
+  SELECT
+    (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_true,
+    (SELECT CAST(count(*) AS BIGINT) FROM cand) AS n_cand,
+    (SELECT CAST(count(*) AS BIGINT)
+     FROM truth JOIN cand USING (doc_a, doc_b)) AS n_hit
+)
+SELECT n_true, n_cand, n_hit,
+       CAST(n_hit * 1000000 // n_cand AS BIGINT) AS precision_ppm,
+       CAST(n_hit * 1000000 // n_true AS BIGINT) AS recall_ppm
+FROM m
+"""
+)
+
+
+@register("lsh_dedup_eval", _LSH_EVAL_SQL)
+def q_lsh_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banding precision/recall vs exact Jaccard≥0.8 truth, integer
+    ppm (operators/setsim.py + operators/dedup.py legs, both shared
+    persisted frames — the eval adds two tiny-relation joins)."""
+    truth = setsim.prefix_filter_pairs(_shingles(spark, sf_dir), 4, 5).select(
+        "doc_a", "doc_b"
+    )
+    cand = _pairs(spark, sf_dir)
+    t = truth.agg(F.count(F.lit(1)).cast("long").alias("n_true"))
+    c = cand.agg(F.count(F.lit(1)).cast("long").alias("n_cand"))
+    h = truth.join(cand, ["doc_a", "doc_b"]).agg(
+        F.count(F.lit(1)).cast("long").alias("n_hit")
+    )
+    return (
+        t.crossJoin(c)
+        .crossJoin(h)
+        .select(
+            "n_true",
+            "n_cand",
+            "n_hit",
+            F.expr("n_hit * 1000000 DIV n_cand").alias("precision_ppm"),
+            F.expr("n_hit * 1000000 DIV n_true").alias("recall_ppm"),
+        )
+    )
