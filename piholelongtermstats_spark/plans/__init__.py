@@ -1,4 +1,4 @@
-"""Aggregated query registry (core + the M7–M22 wave modules + fused
+"""Aggregated query registry (core + the M7–M34 wave modules + fused
 panels).
 
 Importing the wave modules below registers every query; the public
