@@ -319,3 +319,145 @@ def client_mad_outliers(
         .cast("int")
         .alias("is_outlier"),
     )
+
+
+def holt_linear_daily(
+    fact: DataFrame, alpha: float = 0.3, beta: float = 0.2
+) -> DataFrame:
+    """Per-day Holt double exponential smoothing (level + trend) of
+    the daily count series (Holt 1957):
+        l_1 = y_1, b_1 = 0;
+        l_t = α·y_t + (1−α)·(l_{t−1} + b_{t−1})
+        b_t = β·(l_t − l_{t−1}) + (1−β)·b_{t−1}
+    Output per day: (date, y, level, trend, forecast_next = l + b).
+
+    The TWO-state recurrence folds exactly like the one-state EWMA:
+    one catalyst fold over the date-sorted daily array; the oracle's
+    recursive CTE carries (l, b) through the identical IEEE operand
+    trees (compute l_new first, then b_new FROM l_new — order pinned
+    on both engines), so values match bit-for-bit before the shared
+    round-to-6. Same day-grain scale shape as ewma_daily_counts.
+    """
+    daily = _daily(fact)
+    xs = daily.agg(
+        F.array_sort(F.collect_list(F.struct("date", "y"))).alias("xs")
+    )
+    acc0 = F.expr(
+        "CAST(array() AS array<struct<"
+        "date:timestamp,y:bigint,l:double,b:double>>)"
+    )
+
+    def step(acc, x):
+        prev = F.element_at(acc, -1)
+        yv = x["y"].cast("double")
+        l_new = F.when(F.size(acc) == 0, yv).otherwise(
+            F.lit(alpha) * yv
+            + F.lit(1.0 - alpha) * (prev["l"] + prev["b"])
+        )
+        b_new = F.when(F.size(acc) == 0, F.lit(0.0)).otherwise(
+            F.lit(beta) * (l_new - prev["l"])
+            + F.lit(1.0 - beta) * prev["b"]
+        )
+        return F.concat(
+            acc,
+            F.array(
+                F.struct(
+                    x["date"].alias("date"),
+                    x["y"].alias("y"),
+                    l_new.alias("l"),
+                    b_new.alias("b"),
+                )
+            ),
+        )
+
+    return (
+        xs.select(F.explode(F.aggregate("xs", acc0, step)).alias("e"))
+        .select(
+            "e.date",
+            "e.y",
+            F.round("e.l", 6).alias("level"),
+            F.round("e.b", 6).alias("trend"),
+            F.round(F.col("e.l") + F.col("e.b"), 6).alias("forecast_next"),
+        )
+    )
+
+
+def forecast_error_panel(fact: DataFrame) -> DataFrame:
+    """One row: in-engine evaluation of the two classical zero-
+    parameter forecasters over the daily series — persistence
+    (ŷ_t = y_{t−1}) and seasonal-naive (ŷ_t = y_{t−7}) — scored on
+    the days where BOTH are defined (t > 7), so the comparison and
+    the MASE-style ratio share one denominator set.
+
+    mae_*_num = Σ|y_t − ŷ_t| and n_scored are exact BIGINTs; each MAE
+    is one division; mase_persistence = mae_p_num/mae_s_num (the
+    Hyndman & Koehler 2006 scaled-error shape with the seasonal-naive
+    as the scale) is a division of the two exact numerators — < 1
+    means persistence beats the weekly pattern. Day-grain lags over
+    the day relation; nothing touches event rows after the first agg.
+    """
+    daily = _daily(fact)
+    w = Window.orderBy("date")
+    lagged = daily.select(
+        "date",
+        "y",
+        F.lag("y", 1).over(w).alias("p1"),
+        F.lag("y", 7).over(w).alias("p7"),
+    ).filter(F.col("p7").isNotNull())
+    agg = lagged.agg(
+        F.count(F.lit(1)).cast("long").alias("n_scored"),
+        F.sum(F.abs(F.col("y") - F.col("p1"))).cast("long").alias("mae_p_num"),
+        F.sum(F.abs(F.col("y") - F.col("p7"))).cast("long").alias("mae_s_num"),
+    )
+    return agg.select(
+        "n_scored",
+        "mae_p_num",
+        "mae_s_num",
+        F.round(
+            F.col("mae_p_num").cast("double") / F.col("n_scored").cast("double"), 6
+        ).alias("mae_persistence"),
+        F.round(
+            F.col("mae_s_num").cast("double") / F.col("n_scored").cast("double"), 6
+        ).alias("mae_seasonal"),
+        F.round(
+            F.when(
+                F.col("mae_s_num") > 0,
+                F.col("mae_p_num").cast("double")
+                / F.col("mae_s_num").cast("double"),
+            ),
+            6,
+        ).alias("mase_persistence"),
+    )
+
+
+def tukey_fence_days(fact: DataFrame) -> DataFrame:
+    """Per-day boxplot (Tukey fence) outlier audit — the quartile
+    complement of the MAD gate: flag days outside
+    [Q1 − 1.5·IQR, Q3 + 1.5·IQR].
+
+    Quartiles are type-1 nearest-rank (the exact_group_quantiles
+    convention): Q1 = smallest y with rank ≥ ⌈n/4⌉, Q3 at ⌈3n/4⌉ —
+    single BIGINT values, no interpolation. The fences become pure
+    integer comparisons in doubled units:
+        y < Q1 − 1.5·IQR  ⟺  2y < 5·Q1 − 3·Q3
+        y > Q3 + 1.5·IQR  ⟺  2y > 5·Q3 − 3·Q1.
+    Same two-order-statistic day-relation plan as mad_outlier_days.
+    """
+    daily = _daily(fact)
+    w = Window.orderBy("y", "date")
+    ranked = daily.select("y", F.row_number().over(w).alias("_r"))
+    n = daily.count()
+    r1, r3 = (n + 3) // 4, (3 * n + 3) // 4  # ceil(n/4), ceil(3n/4)
+    qs = ranked.filter(F.col("_r").isin(r1, r3)).agg(
+        F.min(F.when(F.col("_r") == r1, F.col("y"))).alias("q1"),
+        F.min(F.when(F.col("_r") == r3, F.col("y"))).alias("q3"),
+    )
+    out = daily.join(F.broadcast(qs))
+    lo = (2 * F.col("y") < 5 * F.col("q1") - 3 * F.col("q3")).cast("int")
+    hi = (2 * F.col("y") > 5 * F.col("q3") - 3 * F.col("q1")).cast("int")
+    return out.select(
+        "date", "y", "q1", "q3",
+        (F.col("q3") - F.col("q1")).alias("iqr"),
+        lo.alias("below_fence"),
+        hi.alias("above_fence"),
+    )

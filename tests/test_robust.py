@@ -133,3 +133,51 @@ def test_mad_plan_windows_are_daily_only(spark):
     # without an intervening HashAggregate (date grouping first)
     assert plan.count("Window") >= 1
     assert "HashAggregate" in plan
+
+
+def test_holt_matches_python_fold(spark):
+    counts = {f"2024-05-{d:02d}": (d * 5) % 11 + 2 for d in range(1, 13)}
+    fact = _fact_days(spark, counts)
+    got = {
+        r.date.day: (r.level, r.trend, r.forecast_next)
+        for r in robust.holt_linear_daily(fact, 0.3, 0.2).collect()
+    }
+    l = b = None
+    for d in range(1, 13):
+        y = float((d * 5) % 11 + 2)
+        if l is None:
+            l, b = y, 0.0
+        else:
+            l_new = 0.3 * y + 0.7 * (l + b)
+            b = 0.2 * (l_new - l) + 0.8 * b
+            l = l_new
+        assert got[d] == (round(l, 6), round(b, 6), round(l + b, 6)), d
+
+
+def test_forecast_error_panel_exact(spark):
+    """10 days: scored days are t=8..10; hand-check both numerators."""
+    ys = [5, 7, 6, 9, 4, 8, 10, 6, 7, 12]
+    counts = {f"2024-06-{d:02d}": ys[d - 1] for d in range(1, 11)}
+    row = robust.forecast_error_panel(_fact_days(spark, counts)).collect()[0]
+    p_num = sum(abs(ys[t] - ys[t - 1]) for t in range(7, 10))
+    s_num = sum(abs(ys[t] - ys[t - 7]) for t in range(7, 10))
+    assert row.n_scored == 3
+    assert row.mae_p_num == p_num and row.mae_s_num == s_num
+    assert row.mase_persistence == round(p_num / s_num, 6)
+
+
+def test_tukey_fences_flag_extremes(spark):
+    """8 days sorted 1,10,11,12,13,14,15,60: type-1 ranks are
+    ceil(8/4)=2 and ceil(24/4)=6 -> Q1=10, Q3=14, IQR 4; fences
+    [4, 20]: 1 below, 60 above."""
+    ys = [12, 10, 1, 14, 13, 11, 60, 15]
+    counts = {f"2024-07-{d:02d}": ys[d - 1] for d in range(1, 9)}
+    rows = {r.y: r for r in robust.tukey_fence_days(_fact_days(spark, counts)).collect()}
+    assert rows[12].q1 == 10 and rows[12].q3 == 14 and rows[12].iqr == 4
+    assert rows[1].below_fence == 1 and rows[1].above_fence == 0
+    assert rows[60].above_fence == 1 and rows[60].below_fence == 0
+    assert all(
+        r.below_fence == 0 and r.above_fence == 0
+        for y, r in rows.items()
+        if y not in (1, 60)
+    )
