@@ -60,8 +60,8 @@ _LSH_EVAL_SQL = (
      FROM truth JOIN cand USING (doc_a, doc_b)) AS n_hit
 )
 SELECT n_true, n_cand, n_hit,
-       CAST(n_hit * 1000000 // n_cand AS BIGINT) AS precision_ppm,
-       CAST(n_hit * 1000000 // n_true AS BIGINT) AS recall_ppm
+       CAST(n_hit * 1000000 // nullif(n_cand, 0) AS BIGINT) AS precision_ppm,
+       CAST(n_hit * 1000000 // nullif(n_true, 0) AS BIGINT) AS recall_ppm
 FROM m
 """
 )
@@ -88,7 +88,13 @@ def q_lsh_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_true",
             "n_cand",
             "n_hit",
-            F.expr("n_hit * 1000000 DIV n_cand").alias("precision_ppm"),
-            F.expr("n_hit * 1000000 DIV n_true").alias("recall_ppm"),
+            # nullif: an empty corpus has 0 candidates/truth pairs and
+            # integral DIV by zero THROWS (the empty-input contract)
+            F.expr("n_hit * 1000000 DIV nullif(n_cand, 0)").alias(
+                "precision_ppm"
+            ),
+            F.expr("n_hit * 1000000 DIV nullif(n_true, 0)").alias(
+                "recall_ppm"
+            ),
         )
     )
