@@ -374,3 +374,138 @@ def benford_reply_digits(fact: DataFrame) -> DataFrame:
         )
         .orderBy("digit")
     )
+
+
+def mann_whitney_day_night(fact: DataFrame) -> DataFrame:
+    """One row: the Mann–Whitney U (Wilcoxon rank-sum) test between
+    Day and Night reply times — the NONPARAMETRIC shift complement
+    to welch_day_night (Mann & Whitney 1947): did the latency
+    DISTRIBUTION move, with no normality assumption?
+
+    Histogram formulation (the ks_day_night convention): per distinct
+    quantized value, per-sample counts; the doubled midrank of value
+    v is dr_v = 2·cum_before(v) + t_v + 1 — an integer. Then
+    2R₁ = Σ ca_v·dr_v and 2U₁ = 2R₁ − n₁(n₁+1) are exact
+    (DECIMAL(38,0): at 10¹² events the rank products pass 2⁶³), and
+    the tie-corrected normal approximation
+        z = (2U₁ − n₁n₂) / (2·√(n₁n₂·((N³−N) − Σ(t³−t)) / (12·N·(N−1))))
+    has an exact DECIMAL bracket with fixed IEEE steps after the
+    casts (each correctly rounded ⇒ engine-identical).
+
+    Scale: one histogram shuffle; the cum window orders DISTINCT
+    metric values only.
+    """
+    m = fact.filter(F.col("reply_time").isNotNull()).select(
+        _reply_q().alias("r"), "day_period"
+    )
+    hist = m.groupBy("r").agg(
+        F.count(F.when(F.col("day_period") == "Day", 1)).cast("long").alias("ca"),
+        F.count(F.when(F.col("day_period") == "Night", 1)).cast("long").alias("cb"),
+    )
+    w = Window.orderBy("r").rowsBetween(Window.unboundedPreceding, -1)
+    t_v = (F.col("ca") + F.col("cb")).cast("long")
+    scanned = hist.select(
+        "ca",
+        t_v.alias("t"),
+        F.coalesce(
+            F.sum(F.col("ca") + F.col("cb")).over(w), F.lit(0)
+        ).cast("long").alias("cum_before"),
+    )
+    dec = "decimal(38,0)"
+    agg = scanned.agg(
+        F.sum("ca").cast("long").alias("n1"),
+        F.sum(F.col("t") - F.col("ca")).cast("long").alias("n2"),
+        F.sum(
+            (F.col("ca") * (2 * F.col("cum_before") + F.col("t") + 1)).cast(dec)
+        ).alias("r2_day"),
+        F.sum((F.col("t") * F.col("t") * F.col("t") - F.col("t")).cast(dec)).alias(
+            "tie_term"
+        ),
+    )
+    n1, n2 = F.col("n1"), F.col("n2")
+    nn = (n1 + n2).cast(dec)
+    u2 = F.col("r2_day") - (n1 * (n1 + 1)).cast(dec)
+    bracket = (nn * nn * nn - nn) - F.col("tie_term")
+    n1d, n2d = n1.cast("double"), n2.cast("double")
+    nd = n1d + n2d
+    var = (n1d * n2d) * bracket.cast("double") / (12.0 * nd * (nd - 1.0))
+    z = (u2.cast("double") - n1d * n2d) / (2.0 * F.sqrt(var))
+    ok = (n1 > 0) & (n2 > 0) & (bracket > 0)
+    return agg.select(
+        "n1",
+        "n2",
+        u2.alias("u2_day"),
+        "tie_term",
+        F.round(F.when(ok, z), 6).alias("z"),
+    )
+
+
+def levene_day_night(fact: DataFrame) -> DataFrame:
+    """One row: did latency VARIABILITY shift between Day and Night?
+    The Brown–Forsythe/Levene scale test (Brown & Forsythe 1974) in
+    its two-group Welch form: absolute deviations from each group's
+    MEDIAN, then the unequal-variance t on those deviations (for
+    k = 2 the classic Levene W is the squared pooled t; the Welch
+    variant is the robust default and reuses welch_day_night's exact
+    operand tree verbatim).
+
+    Exactness: group medians come from per-group value histograms as
+    doubled medians (BIGINT — the robust-tier convention), so the
+    deviations z = |2r − med2| are integers in half-units (the t is
+    scale-invariant, so the unit never divides); n/Σz/Σz² are one
+    histogram-sized aggregate (Σz² in DECIMAL(38,0)); t and df are
+    the fixed welch IEEE expression.
+
+    Scale: one (day_period, value) histogram shuffle; the cumulative
+    windows are PARTITIONED by group and order distinct values.
+    """
+    m = fact.filter(F.col("reply_time").isNotNull()).select(
+        _reply_q().alias("r"), "day_period"
+    )
+    hist = m.groupBy("day_period", "r").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    wp = Window.partitionBy("day_period")
+    wc = wp.orderBy("r").rowsBetween(Window.unboundedPreceding, 0)
+    h = hist.select(
+        "day_period",
+        "r",
+        "cnt",
+        F.sum("cnt").over(wc).cast("long").alias("cum"),
+        F.sum("cnt").over(wp).cast("long").alias("n"),
+    )
+    r1 = F.expr("(n + 1) DIV 2")
+    r2 = F.expr("n DIV 2 + 1")
+    med = h.groupBy("day_period").agg(
+        (
+            F.min(F.when(F.col("cum") >= r1, F.col("r")))
+            + F.min(F.when(F.col("cum") >= r2, F.col("r")))
+        ).cast("long").alias("med2")
+    )
+    dec = "decimal(38,0)"
+    z = F.abs(2 * F.col("r") - F.col("med2"))
+    day = F.col("day_period") == "Day"
+    night = F.col("day_period") == "Night"
+    agg = hist.join(F.broadcast(med), "day_period").agg(
+        F.sum(F.when(day, F.col("cnt"))).cast("long").alias("n1"),
+        F.sum(F.when(day, F.col("cnt") * z)).cast("long").alias("s1"),
+        F.sum(F.when(day, (F.col("cnt") * z * z).cast(dec))).alias("q1"),
+        F.sum(F.when(night, F.col("cnt"))).cast("long").alias("n2"),
+        F.sum(F.when(night, F.col("cnt") * z)).cast("long").alias("s2"),
+        F.sum(F.when(night, (F.col("cnt") * z * z).cast(dec))).alias("q2"),
+    )
+    n1d, n2d = F.col("n1").cast("double"), F.col("n2").cast("double")
+    s1d, s2d = F.col("s1").cast("double"), F.col("s2").cast("double")
+    q1d, q2d = F.col("q1").cast("double"), F.col("q2").cast("double")
+    v1 = (q1d - s1d * s1d / n1d) / (n1d - 1.0)
+    v2 = (q2d - s2d * s2d / n2d) / (n2d - 1.0)
+    a1, a2 = v1 / n1d, v2 / n2d
+    se2 = a1 + a2
+    t = (s1d / n1d - s2d / n2d) / F.sqrt(se2)
+    df = (se2 * se2) / (a1 * a1 / (n1d - 1.0) + a2 * a2 / (n2d - 1.0))
+    ok = (F.col("n1") > 1) & (F.col("n2") > 1)
+    return agg.select(
+        "n1", "s1", "q1", "n2", "s2", "q2",
+        F.round(F.when(ok, t), 6).alias("t_stat"),
+        F.round(F.when(ok, df), 6).alias("df"),
+    )

@@ -182,3 +182,61 @@ def test_benford_counts_and_literals(spark):
 def test_benford_literal_table_is_log10():
     for d, p in stattests.BENFORD_PPB.items():
         assert p == round(math.log10(1 + 1 / d) * 1e9)
+
+
+def test_mann_whitney_literal(spark):
+    """Hand-computable fixture with ties straddling the groups:
+    Day = [1,2,2,5], Night = [2,3,5]; midranks over merged
+    [1,2,2,2,3,5,5]: 1, 3,3,3, 5, 6.5,6.5. R_day = 1+3+3+6.5 = 13.5
+    -> 2R=27, 2U1 = 27 - 4*5 = 7; T = (3^3-3)+(2^3-2) = 30."""
+    import math
+
+    rows = []
+    for i, (p, v) in enumerate(
+        [("Day", 1), ("Day", 2), ("Day", 2), ("Day", 5),
+         ("Night", 2), ("Night", 3), ("Night", 5)]
+    ):
+        hour = "12" if p == "Day" else "02"
+        rows.append((i, f"2024-01-01T{hour}:00:00", "c", "d", "Allowed", v / 1000.0))
+    fact = make_fact(spark, rows)
+    r = stattests.mann_whitney_day_night(fact).collect()[0]
+    assert (r.n1, r.n2) == (4, 3)
+    assert int(r.u2_day) == 7 and int(r.tie_term) == 30
+    n1, n2, nn = 4.0, 3.0, 7.0
+    bracket = (7**3 - 7) - 30
+    var = (n1 * n2) * bracket / (12.0 * nn * (nn - 1.0))
+    want = (7.0 - n1 * n2) / (2.0 * math.sqrt(var))
+    assert r.z == round(want, 6)
+
+
+def test_levene_detects_variance_shift(spark):
+    """Day tight around 10ms, Night spread: the deviations-from-
+    median t must be strongly negative (day less variable), and the
+    moments must equal the literal welch-on-|dev| computation."""
+    import math
+
+    day_vals = [9, 10, 10, 10, 11]
+    night_vals = [1, 5, 10, 15, 19]
+    rows = []
+    i = 0
+    for v in day_vals:
+        rows.append((i, "2024-01-01T12:00:00", "c", "d", "Allowed", v / 1000.0)); i += 1
+    for v in night_vals:
+        rows.append((i, "2024-01-01T02:00:00", "c", "d", "Allowed", v / 1000.0)); i += 1
+    fact = make_fact(spark, rows)
+    r = stattests.levene_day_night(fact).collect()[0]
+
+    def dev2(vals):
+        s = sorted(vals)
+        n = len(s)
+        med2 = s[(n + 1) // 2 - 1] + s[n // 2]
+        return [abs(2 * v - med2) for v in vals]
+
+    z1, z2 = dev2(day_vals), dev2(night_vals)
+    assert (r.n1, r.s1, int(r.q1)) == (5, sum(z1), sum(x * x for x in z1))
+    assert (r.n2, r.s2, int(r.q2)) == (5, sum(z2), sum(x * x for x in z2))
+    m1, m2 = sum(z1) / 5.0, sum(z2) / 5.0
+    v1 = (sum(x * x for x in z1) - sum(z1) ** 2 / 5.0) / 4.0
+    v2 = (sum(x * x for x in z2) - sum(z2) ** 2 / 5.0) / 4.0
+    want = (m1 - m2) / math.sqrt(v1 / 5.0 + v2 / 5.0)
+    assert r.t_stat == round(want, 6) and r.t_stat < -2
