@@ -461,3 +461,44 @@ def tukey_fence_days(fact: DataFrame) -> DataFrame:
         lo.alias("below_fence"),
         hi.alias("above_fence"),
     )
+
+
+def rolling_bands_daily(fact: DataFrame, width: int = 7) -> DataFrame:
+    """Per-day trailing ``width``-day mean ± 2σ bands over the count
+    series (Bollinger 1983 at daily grain) — the volatility envelope
+    the EWMA/MAD tiers plot against.
+
+    Exact window moments: win_n / win_sum (BIGINT) and win_sumsq
+    (DECIMAL(38,0)) from ONE rows-window over the day relation; mean,
+    sample σ, and the ±2σ bands are fixed IEEE expressions per row.
+    The window is trailing-rows (not range), so the first width−1
+    days carry honest partial-window stats with win_n < width.
+    """
+    daily = _daily(fact)
+    w = Window.orderBy("date").rowsBetween(-(width - 1), 0)
+    dec = "decimal(38,0)"
+    base = daily.select(
+        "date",
+        "y",
+        F.count(F.lit(1)).over(w).cast("long").alias("win_n"),
+        F.sum("y").over(w).cast("long").alias("win_sum"),
+        F.sum((F.col("y") * F.col("y")).cast(dec)).over(w).alias("win_sumsq"),
+    )
+    nd = F.col("win_n").cast("double")
+    sd_ = F.col("win_sum").cast("double")
+    qd = F.col("win_sumsq").cast("double")
+    mean = sd_ / nd
+    var = (qd - sd_ * sd_ / nd) / (nd - 1.0)
+    sd = F.sqrt(var)
+    ok = F.col("win_n") > 1
+    return base.select(
+        "date",
+        "y",
+        "win_n",
+        "win_sum",
+        "win_sumsq",
+        F.round(mean, 6).alias("mean_w"),
+        F.round(F.when(ok, sd), 6).alias("sd_w"),
+        F.round(F.when(ok, mean + 2.0 * sd), 6).alias("upper"),
+        F.round(F.when(ok, mean - 2.0 * sd), 6).alias("lower"),
+    )

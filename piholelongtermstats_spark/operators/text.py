@@ -845,3 +845,44 @@ def winnowing_fingerprints(
         .distinct()
         .orderBy("doc_id", "fp_pos", "fp_hash")
     )
+
+
+def lang_token_stats(docs: DataFrame) -> DataFrame:
+    """Per-language tokenization statistics over the labeled corpus:
+    doc/token/char totals plus the two ratios a tokenizer evaluation
+    tracks across languages — chars per (whitespace) token and tokens
+    per document (the fertility-style comparison; the learned-BPE
+    complement is oov_rate / bpe_encode_vocab).
+
+    Exact BIGINT totals from one zero-join aggregation (tokens() and
+    length() are codegen projections); each ratio is one division.
+    """
+    per = docs.select(
+        "lang",
+        F.size(tokens(F.col("text"))).cast("long").alias("n_tok"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+    agg = per.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("total_tokens"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )
+    ok = F.col("total_tokens") > 0
+    return agg.select(
+        "lang",
+        "n_docs",
+        "total_tokens",
+        "total_chars",
+        F.round(
+            F.when(
+                ok,
+                F.col("total_chars").cast("double")
+                / F.col("total_tokens").cast("double"),
+            ),
+            6,
+        ).alias("chars_per_token"),
+        F.round(
+            F.col("total_tokens").cast("double") / F.col("n_docs").cast("double"),
+            6,
+        ).alias("tokens_per_doc"),
+    )
