@@ -64,6 +64,7 @@ def main() -> int:
         from piholelongtermstats_spark.operators.basket import (
             domain_association_rules,
         )
+        from piholelongtermstats_spark.operators.robust import mad_outlier_days
 
         for name, fn in (
             ("streaks", lambda f: longest_streaks_stitched(f)),
@@ -73,6 +74,13 @@ def main() -> int:
             # N scales — the MG candidate pass and the broadcast
             # recount are what is being timed.
             ("heavy_hit", lambda f: heavy_hitters_exact(f, "domain", 100)),
+            # robust MAD audit: one map-side-combined day collapse,
+            # then day-relation order statistics — the k-shifted
+            # union grows the DAY relation ×k (disjoint ranges) while
+            # the event volume also grows ×k; the expected curve is
+            # scan-bound (near-linear in the first-stage agg, flat
+            # after it).
+            ("mad_robust", lambda f: mad_outlier_days(f)),
             # association rules: the 64-day shifts make every copy's
             # (client, date) baskets disjoint, so basket count scales
             # ×k while per-basket size is constant — the pair
@@ -158,7 +166,8 @@ def main() -> int:
 
     print(f"{'op':10s} {'k':>2s} {'rows':>9s} {'sec':>7s} {'vs 1x':>6s}")
     for name in (
-        "streaks", "rollup", "heavy_hit", "basket", "lsh_dedup", "setsim"
+        "streaks", "rollup", "heavy_hit", "mad_robust", "basket",
+        "lsh_dedup", "setsim",
     ):
         base_t = results[(name, 1)][1]
         for k in KS:
