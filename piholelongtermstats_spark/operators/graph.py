@@ -243,8 +243,14 @@ def degree_assortativity(fact: DataFrame) -> DataFrame:
     num = F.col("sxy").cast("double") * nd - sxd * syd
     dx = F.col("sxx").cast("double") * nd - sxd * sxd
     dy = F.col("syy").cast("double") * nd - syd * syd
+    # second moments are DECIMAL internally; DOUBLE at the output
+    # boundary (the welch_day_night serialization rule — Decimal
+    # output columns fail the driver's value-hash vs DuckDB float64).
     return agg.select(
-        "n_edges", "sx", "sy", "sxy", "sxx", "syy",
+        "n_edges", "sx", "sy",
+        F.col("sxy").cast("double").alias("sxy"),
+        F.col("sxx").cast("double").alias("sxx"),
+        F.col("syy").cast("double").alias("syy"),
         F.round(
             F.when((dx > 0) & (dy > 0), num / F.sqrt(dx * dy)), 6
         ).alias("assortativity"),

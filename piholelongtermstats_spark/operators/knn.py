@@ -269,14 +269,19 @@ def ann_eval_metrics(
         F.when(F.col("e_rank").isNotNull() & F.col("a_rank").isNotNull(), 1)
     ).cast("long")
     nn_rank = F.max(F.when(F.col("e_rank") == 1, F.col("a_rank")))
-    return (
-        j.groupBy("query_id")
-        .agg(
-            F.lit(k).cast("long").alias("k"),
-            hits.alias("hits"),
-            (hits * 1000000 / F.lit(k)).cast("long").alias("recall_ppm"),
-            nn_rank.alias("nn_rank"),
-            F.round(1.0 / nn_rank.cast("double"), 6).alias("rr"),
-        )
-        .orderBy("query_id")
+    agg = j.groupBy("query_id").agg(
+        F.lit(k).cast("long").alias("k"),
+        hits.alias("hits"),
+        nn_rank.alias("nn_rank"),
     )
+    # integer FLOOR division (DIV), matching the oracle's `//` — a
+    # double quotient cast-to-long can round up across an integer
+    # boundary before truncation for general k (r8 ADVICE).
+    return agg.select(
+        "query_id",
+        "k",
+        "hits",
+        F.expr("hits * 1000000L DIV k").alias("recall_ppm"),
+        "nn_rank",
+        F.round(1.0 / F.col("nn_rank").cast("double"), 6).alias("rr"),
+    ).orderBy("query_id")

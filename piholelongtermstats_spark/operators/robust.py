@@ -491,12 +491,14 @@ def rolling_bands_daily(fact: DataFrame, width: int = 7) -> DataFrame:
     var = (qd - sd_ * sd_ / nd) / (nd - 1.0)
     sd = F.sqrt(var)
     ok = F.col("win_n") > 1
+    # win_sumsq is DECIMAL internally; DOUBLE at the output boundary
+    # (the welch_day_night serialization rule).
     return base.select(
         "date",
         "y",
         "win_n",
         "win_sum",
-        "win_sumsq",
+        qd.alias("win_sumsq"),
         F.round(mean, 6).alias("mean_w"),
         F.round(F.when(ok, sd), 6).alias("sd_w"),
         F.round(F.when(ok, mean + 2.0 * sd), 6).alias("upper"),

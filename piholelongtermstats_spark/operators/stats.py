@@ -342,8 +342,11 @@ def compute_stats(fact: DataFrame, timezone: str = "UTC") -> dict[str, Any]:
         stats["most_active_hour"] = stats["least_active_hour"] = "N/A"
         stats["avg_queries_most"] = stats["avg_queries_least"] = 0
 
-    # J6 — longest streaks (stats.py:324-366)
-    srows = sequential.longest_streaks(fact).collect()
+    # J6 — longest streaks (stats.py:324-366); the STITCHED kernel —
+    # identical result (tests pin equality), but no unpartitioned
+    # window over the fact table in the one path every dashboard load
+    # hits (the global-window variant is the verification reference).
+    srows = sequential.longest_streaks_stitched(fact).collect()
     for status in ("Blocked", "Allowed"):
         key = status.lower()
         row = next((r for r in srows if r["status_type"] == status), None)

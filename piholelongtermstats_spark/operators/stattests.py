@@ -181,8 +181,13 @@ def welch_day_night(fact: DataFrame) -> DataFrame:
     t = (s1d / n1d - s2d / n2d) / F.sqrt(se2)
     df = (se2 * se2) / (a1 * a1 / (n1d - 1.0) + a2 * a2 / (n2d - 1.0))
     ok = (F.col("n1") > 1) & (F.col("n2") > 1)
+    # Σr² is DECIMAL(38,0) internally; the REPORTED q1/q2 are DOUBLE
+    # (decimal→double is correctly rounded in both engines, identical
+    # bits) — Decimal-typed output columns serialize differently in
+    # Spark's toPandas vs DuckDB's .df() and fail the driver's
+    # value-hash even when numerically equal (round-8 lesson).
     return agg.select(
-        "n1", "s1", "q1", "n2", "s2", "q2",
+        "n1", "s1", q1d.alias("q1"), "n2", "s2", q2d.alias("q2"),
         F.round(F.when(ok, t), 6).alias("t_stat"),
         F.round(F.when(ok, df), 6).alias("df"),
     )
@@ -431,11 +436,13 @@ def mann_whitney_day_night(fact: DataFrame) -> DataFrame:
     var = (n1d * n2d) * bracket.cast("double") / (12.0 * nd * (nd - 1.0))
     z = (u2.cast("double") - n1d * n2d) / (2.0 * F.sqrt(var))
     ok = (n1 > 0) & (n2 > 0) & (bracket > 0)
+    # DECIMAL internally; DOUBLE at the output boundary (exact value,
+    # correctly-rounded cast — the welch_day_night serialization rule).
     return agg.select(
         "n1",
         "n2",
-        u2.alias("u2_day"),
-        "tie_term",
+        u2.cast("double").alias("u2_day"),
+        F.col("tie_term").cast("double").alias("tie_term"),
         F.round(F.when(ok, z), 6).alias("z"),
     )
 
@@ -504,8 +511,10 @@ def levene_day_night(fact: DataFrame) -> DataFrame:
     t = (s1d / n1d - s2d / n2d) / F.sqrt(se2)
     df = (se2 * se2) / (a1 * a1 / (n1d - 1.0) + a2 * a2 / (n2d - 1.0))
     ok = (F.col("n1") > 1) & (F.col("n2") > 1)
+    # DECIMAL internally; DOUBLE at the output boundary (the
+    # welch_day_night serialization rule).
     return agg.select(
-        "n1", "s1", "q1", "n2", "s2", "q2",
+        "n1", "s1", q1d.alias("q1"), "n2", "s2", q2d.alias("q2"),
         F.round(F.when(ok, t), 6).alias("t_stat"),
         F.round(F.when(ok, df), 6).alias("df"),
     )

@@ -102,13 +102,13 @@ TOP_50 = [
     "ngram_jaccard_capped",
     "semantic_dedup",
     "dedup_clusters_star",
-    "doc_chunks",
+    "mann_whitney_day_night",
     "text_panel",
     "domain_cograph_triangles",
     "ann_scale_2x",
     "heavy_hitters_exact",
     "incremental_dedup_ingest",
-    "embedding_near_dup",
+    "levene_day_night",
     "media_pipeline_check",
     "corpus_build",
     "winnowing_fingerprints",
@@ -240,7 +240,22 @@ TOP_50 = [
 # A13 rollup re-aggregation shapes stay driver-verified through
 # client_activity (the same per-client spine plan), and
 # filtered_timeseries_client stays parity-green below the line.
+# r9 swaps (r8 VERDICT #5): the repaired M36 inference entries get
+# driver rows now that the DECIMAL-output serialization fix landed.
+# mann_whitney_day_night took doc_chunks' row (the text family keeps
+# three driver rows — text_panel, pii_scrub_panel,
+# gopher_quality_panel — and chunking stays parity-green below the
+# line with its token-for-token md5 oracle). levene_day_night took
+# embedding_near_dup's row (the dedup family keeps five driver rows;
+# the LSH-bucketed embedding near-dup machinery stays driver-verified
+# through ann_scale_2x — the identical bucketed multiprobe path over
+# a 2× corpus — and semantic_dedup's cosine-threshold removal;
+# embedding_near_dup stays parity-green below the line). With these
+# the two-sample inference family (mean/rank/variance shift) is
+# driver-checked end to end.
 _OVERFLOW = [
+    "doc_chunks",
+    "embedding_near_dup",
     "client_domain_scatter",
     "filtered_timeseries_client",
     "avg_gap_per_status",
@@ -321,7 +336,6 @@ _OVERFLOW = [
     "large_volume_customers",
     "brand_disjunction_revenue",
     "inactive_customer_balance",
-    "binary_quant_ann",
     "lm_bigram_topk",
     # rows-only by design (sketches, iterative index builds, stubs)
     "uniques_approx",
@@ -340,7 +354,10 @@ _OVERFLOW = [
 
 def _reorder() -> None:
     assert len(TOP_50) == 50, len(TOP_50)
-    missing = [n for n in TOP_50 + _OVERFLOW if n not in QUERIES]
+    ordered = TOP_50 + _OVERFLOW
+    dups = [n for n in set(ordered) if ordered.count(n) > 1]
+    assert not dups, f"duplicate ordered names: {dups}"
+    missing = [n for n in ordered if n not in QUERIES]
     assert not missing, f"ordered names not registered: {missing}"
     unlisted = [n for n in QUERIES if n not in set(TOP_50) | set(_OVERFLOW)]
     order = TOP_50 + _OVERFLOW + unlisted  # new queries land below the line

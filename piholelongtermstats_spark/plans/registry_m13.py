@@ -40,9 +40,27 @@ from piholelongtermstats_spark.plans.registry_m7 import (
 # ---------------------------------------------------------------------------
 
 
+def _truth_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exact prefix-filtered Jaccard≥4/5 pair frame over the base
+    corpus, session-persisted (plans/cache.py) — the resident-working-
+    set model _pairs/_shingles already use. Shared by
+    setsim_prefix_pairs AND lsh_dedup_eval's truth leg (r8 VERDICT #6:
+    the eval was recomputing the identical prefix join from scratch).
+    The persisted relation is pair-count-sized — kilobytes at any
+    dashboard corpus, and bounded by the near-dup rate at 100 TB."""
+    from piholelongtermstats_spark.plans.cache import shared_input
+
+    return shared_input(
+        spark,
+        "setsim_truth_pairs",
+        sf_dir,
+        lambda: setsim.prefix_filter_pairs(_shingles(spark, sf_dir), 4, 5),
+    )
+
+
 @register("setsim_prefix_pairs", _JACCARD_ORACLE)
 def q_setsim_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return setsim.prefix_filter_pairs(_shingles(spark, sf_dir), 4, 5)
+    return _truth_pairs(spark, sf_dir)
 
 
 # ---------------------------------------------------------------------------

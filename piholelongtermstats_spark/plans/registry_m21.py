@@ -31,7 +31,8 @@ _CUSUM_SQL = (
   FROM daily
 ), scanned AS (
   SELECT date,
-         sum(n * y - sy) OVER (ORDER BY date ROWS UNBOUNDED PRECEDING) AS p
+         CAST(sum(n * y - sy) OVER (ORDER BY date ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS p
   FROM daily, tot
 ), s2 AS (
   SELECT date,

@@ -40,7 +40,7 @@ _WELCH_SQL = (
              FILTER (WHERE day_period = 'Night') AS DECIMAL(38,0)) AS q2
   FROM m
 )
-SELECT n1, s1, q1, n2, s2, q2,
+SELECT n1, s1, CAST(q1 AS DOUBLE) AS q1, n2, s2, CAST(q2 AS DOUBLE) AS q2,
   round(CASE WHEN n1 > 1 AND n2 > 1 THEN
     (CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
      - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))

@@ -97,7 +97,10 @@ _ASSORT_SQL = (
          CAST(sum(CAST(y * y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS syy
   FROM e
 )
-SELECT n_edges, sx, sy, sxy, sxx, syy,
+SELECT n_edges, sx, sy,
+  CAST(sxy AS DOUBLE) AS sxy,
+  CAST(sxx AS DOUBLE) AS sxx,
+  CAST(syy AS DOUBLE) AS syy,
   round(CASE WHEN
       (CAST(sxx AS DOUBLE) * CAST(n_edges AS DOUBLE)
        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0

@@ -16,13 +16,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from piholelongtermstats_spark.operators import setsim
 from piholelongtermstats_spark.plans.registry import register
 from piholelongtermstats_spark.plans.registry_m7 import (
     _SHINGLE_CTE,
     _SIG_CTE,
     _pairs,
-    _shingles,
 )
 
 _LSH_EVAL_SQL = (
@@ -71,10 +69,15 @@ FROM m
 def q_lsh_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banding precision/recall vs exact Jaccard≥0.8 truth, integer
     ppm (operators/setsim.py + operators/dedup.py legs, both shared
-    persisted frames — the eval adds two tiny-relation joins)."""
-    truth = setsim.prefix_filter_pairs(_shingles(spark, sf_dir), 4, 5).select(
-        "doc_a", "doc_b"
-    )
+    persisted frames — the eval adds two tiny-relation joins).
+
+    The truth leg is the session-persisted _truth_pairs frame
+    (registry_m13) — the same relation setsim_prefix_pairs serves, so
+    the expensive prefix join runs once per session, not once per
+    eval (r8 VERDICT #6)."""
+    from piholelongtermstats_spark.plans.registry_m13 import _truth_pairs
+
+    truth = _truth_pairs(spark, sf_dir).select("doc_a", "doc_b")
     cand = _pairs(spark, sf_dir)
     t = truth.agg(F.count(F.lit(1)).cast("long").alias("n_true"))
     c = cand.agg(F.count(F.lit(1)).cast("long").alias("n_cand"))

@@ -58,7 +58,9 @@ _MW_SQL = (
           - CAST(n1 + n2 AS DECIMAL(38,0))) - tie_term AS bracket
   FROM agg
 )
-SELECT n1, n2, u2_day, tie_term,
+SELECT n1, n2,
+  CAST(u2_day AS DOUBLE) AS u2_day,
+  CAST(tie_term AS DOUBLE) AS tie_term,
   round(CASE WHEN n1 > 0 AND n2 > 0 AND bracket > 0 THEN
     (CAST(u2_day AS DOUBLE) - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))
     / (2.0 * sqrt(
@@ -118,7 +120,7 @@ _LEVENE_SQL = (
          FILTER (WHERE day_period = 'Night') AS DECIMAL(38,0)) AS q2
   FROM hist JOIN med USING (day_period)
 )
-SELECT n1, s1, q1, n2, s2, q2,
+SELECT n1, s1, CAST(q1 AS DOUBLE) AS q1, n2, s2, CAST(q2 AS DOUBLE) AS q2,
   round(CASE WHEN n1 > 1 AND n2 > 1 THEN
     (CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
      - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))

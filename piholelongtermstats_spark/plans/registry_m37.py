@@ -126,7 +126,8 @@ _BANDS_SQL = (
   FROM daily
   WINDOW w AS (ORDER BY date ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
 )
-SELECT date, y, win_n, win_sum, win_sumsq,
+SELECT date, y, win_n, win_sum,
+  CAST(win_sumsq AS DOUBLE) AS win_sumsq,
   round(CAST(win_sum AS DOUBLE) / CAST(win_n AS DOUBLE), 6) AS mean_w,
   round(CASE WHEN win_n > 1 THEN
     sqrt((CAST(win_sumsq AS DOUBLE)

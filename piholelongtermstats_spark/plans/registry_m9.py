@@ -423,8 +423,8 @@ WITH k AS (
   FROM documents),
 c AS (
   SELECT doc_id, n_tok,
-         sum(n_tok) OVER (ORDER BY key, doc_id
-                          ROWS UNBOUNDED PRECEDING) AS cum
+         CAST(sum(n_tok) OVER (ORDER BY key, doc_id
+                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
   FROM k)
 SELECT doc_id, n_tok,
        cum - n_tok AS start_off,

@@ -61,11 +61,33 @@ def write_documents_csv(
             "[\\r\\n]",
             "",
         ),
-        F.coalesce(F.col("lang"), F.lit("")),
-        F.coalesce(F.col("source"), F.lit("")),
+        # lang/source ride RAW (only text is base64-protected): the
+        # transport contract REQUIRES them delimiter-free. Enforced at
+        # write time — a comma/CR/LF here would shift every later
+        # field and silently mis-parse the row (r8 ADVICE); raising in
+        # the writer turns a data bug into an immediate error.
+        F.coalesce(_assert_no_delims("lang"), F.lit("")),
+        F.coalesce(_assert_no_delims("source"), F.lit("")),
         F.coalesce(n_chars, F.lit("")),
     )
     docs.select(line.alias("value")).write.mode("overwrite").text(path)
+
+
+def _assert_no_delims(col: str) -> F.Column:
+    """Pass ``col`` through unchanged, raising if a value contains the
+    CSV delimiter or a line break (the fields the transport convention
+    leaves unprotected must be provably safe, not assumed safe)."""
+    bad = F.col(col).rlike("[,\\r\\n]")
+    return F.when(
+        bad,
+        F.raise_error(
+            F.concat(
+                F.lit(f"csv transport: column '{col}' contains a "),
+                F.lit("delimiter or newline: "),
+                F.col(col),
+            )
+        ),
+    ).otherwise(F.col(col))
 
 
 def read_documents_csv(

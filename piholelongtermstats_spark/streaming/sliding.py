@@ -74,13 +74,42 @@ def start_sliding_to_memory(
     table: str,
     watermark: str = "2 hours",
 ) -> StreamingQuery:
-    """availableNow drain into an in-memory table (complete mode —
-    sliding counts are a small, bounded relation per horizon)."""
+    """availableNow drain into an in-memory table — TEST HARNESS ONLY.
+
+    Complete mode DISABLES watermark state eviction (Spark keeps every
+    window ever seen so it can re-emit the full result each trigger),
+    so the "state evicted ``watermark`` past max event time" contract
+    does NOT hold on this sink: state grows with the full horizon
+    (r8 ADVICE). Fine for bounded test drains where the memory sink
+    needs the whole relation; the production-shaped path is
+    ``start_sliding_to_parquet`` (append mode, eviction live)."""
     return (
         streaming_sliding_counts(spark, source_dir, watermark)
         .writeStream.format("memory")
         .queryName(table)
         .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def start_sliding_to_parquet(
+    spark: SparkSession,
+    source_dir: str,
+    out_dir: str,
+    checkpoint: str,
+    watermark: str = "2 hours",
+) -> StreamingQuery:
+    """Append-mode parquet sink — the production-shaped path: a window
+    is emitted exactly once, when the watermark passes its end, and
+    its state is then EVICTED, so state size is bounded by
+    (window/slide) · |active keys| regardless of horizon."""
+    return (
+        streaming_sliding_counts(spark, source_dir, watermark)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
         .trigger(availableNow=True)
         .start()
     )

@@ -7,6 +7,7 @@ Usage: python scripts/check_oracle.py [sf_dir] [query ...]
 
 from __future__ import annotations
 
+import datetime
 import os
 import sys
 import time
@@ -24,7 +25,16 @@ TABLES = (
 
 
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
-    """Sort columns by name, canonicalize dtypes, sort rows."""
+    """Sort columns by name, canonicalize dtypes, sort rows.
+
+    Only representations the driver's value-hash treats as equivalent
+    are canonicalized (datetime grains, integer/float width, Spark's
+    object-dtype datetime.date vs DuckDB's datetime64).  Decimal
+    objects are deliberately NOT coerced: the driver serializes
+    Decimal('5') and 5.0 differently, so a Decimal-typed output column
+    must FAIL here exactly as it fails at the driver (the round-8
+    welch_day_night lesson).
+    """
     df = df.reindex(sorted(df.columns), axis=1)
     out = {}
     for c in df.columns:
@@ -35,10 +45,29 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
             s = s.astype("Int64")
         elif pd.api.types.is_float_dtype(s):
             s = s.astype("float64")
+        elif s.dtype == object:
+            nonnull = s.dropna()
+            v = nonnull.iloc[0] if len(nonnull) else None
+            if isinstance(v, datetime.date) and not isinstance(
+                v, datetime.datetime
+            ):
+                s = pd.to_datetime(s).astype("datetime64[us]")
         out[c] = s
     df = pd.DataFrame(out)
     df = df.sort_values(by=list(df.columns), ignore_index=True, na_position="last")
     return df
+
+
+def _kind(s: pd.Series) -> str:
+    """Canonical dtype label; object columns are labelled by the type
+    of their first non-null value so Decimal-vs-float64 divergence is
+    visible (dtype 'object' alone would hide it)."""
+    if s.dtype != object:
+        return str(s.dtype)
+    nonnull = s.dropna()
+    if not len(nonnull):
+        return "object:empty"
+    return f"object:{type(nonnull.iloc[0]).__name__}"
 
 
 def compare(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
@@ -50,6 +79,13 @@ def compare(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
     if len(a) != len(b):
         issues.append(f"row count differs: spark={len(a)} duck={len(b)}")
         return issues
+    if len(a):  # dtype divergence = driver hash mismatch even when values ==
+        for c in a.columns:
+            ka, kb = _kind(a[c]), _kind(b[c])
+            if ka != kb and "object:empty" not in (ka, kb):
+                issues.append(f"col {c!r}: dtype divergence spark={ka} duck={kb}")
+        if issues:
+            return issues
     for c in a.columns:
         av, bv = a[c], b[c]
         if pd.api.types.is_float_dtype(av):

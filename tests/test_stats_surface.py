@@ -113,8 +113,13 @@ def test_stats_surface_collect_round_trips(spark, monkeypatch):
     """r3 VERDICT #9: the whole ~60-scalar surface must assemble in at
     most 8 driver round-trips (it currently uses 7 — tiny-result
     families are UNIONed into shared jobs). Counted by instrumenting
-    DataFrame.collect, which every family funnels through."""
-    from pyspark.sql import DataFrame
+    DataFrame.collect, which every family funnels through.
+
+    Patches the CLASSIC DataFrame class: in PySpark 4 instances are
+    pyspark.sql.classic.dataframe.DataFrame, which overrides collect —
+    patching the pyspark.sql.DataFrame base intercepts nothing (this
+    test counted 0 silently until r9 caught it)."""
+    from pyspark.sql.classic.dataframe import DataFrame
 
     calls = {"n": 0}
     orig = DataFrame.collect
@@ -125,8 +130,37 @@ def test_stats_surface_collect_round_trips(spark, monkeypatch):
 
     monkeypatch.setattr(DataFrame, "collect", counting_collect)
     stats = compute_stats(make_fact(spark, _mixed_rows()))
-    assert calls["n"] <= 8, calls["n"]
+    assert 0 < calls["n"] <= 8, calls["n"]
     # the batching must not change a single value
     assert stats["total_queries"] == 48
     assert stats["unique_domains"] == 4
     assert stats["unique_clients"] == 2
+
+
+def test_stats_surface_has_no_unpartitioned_fact_window(spark, monkeypatch):
+    """r8 VERDICT #3: the stats serving surface — the one code path a
+    real dashboard hits on every load — must never run an
+    unpartitioned window over fact rows (the global-window
+    longest_streaks variant is a verification reference only; serving
+    uses the stitched kernel). Every frame compute_stats collects is
+    plan-audited: any windowspecdefinition ordering raw (ts, event_id)
+    must carry a partition column."""
+    import re
+
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    plans = []
+    orig = DataFrame.collect
+
+    def auditing_collect(self):
+        plans.append(
+            self._jdf.queryExecution().optimizedPlan().toString()
+        )
+        return orig(self)
+
+    monkeypatch.setattr(DataFrame, "collect", auditing_collect)
+    compute_stats(make_fact(spark, _mixed_rows()))
+    assert plans
+    for plan in plans:
+        bad = re.findall(r"Window \[[^\]]*windowspecdefinition\(ts#", plan)
+        assert not bad, f"unpartitioned fact-table window found: {bad}"

@@ -73,3 +73,44 @@ def test_busiest_cell_tiebreak(spark):
     assert got[0].window_start == dt.datetime.fromisoformat(
         "2024-01-01T09:40:00"
     )
+
+
+def test_append_parquet_emits_only_finalized_windows(spark, tmp_path):
+    """The production-shaped append sink (r8 ADVICE): windows are
+    emitted exactly once when the watermark passes their end — so
+    after draining a late batch that advances the watermark, the
+    early windows are in the output and the late event's own
+    (unfinalized) windows are not. This is the path where state
+    eviction actually holds (complete mode never evicts)."""
+    from piholelongtermstats_spark.streaming.sliding import (
+        start_sliding_to_parquet,
+    )
+
+    src = str(tmp_path / "sl_src")
+    out = str(tmp_path / "sl_out")
+    ckpt = str(tmp_path / "sl_ckpt")
+    t0 = dt.datetime.fromisoformat("2024-01-01T10:00:00")
+    early = [
+        (1, t0, "c1", "d", "Allowed", 0.1),
+        (2, t0 + dt.timedelta(minutes=7), "c1", "d", "Allowed", 0.1),
+    ]
+    _write_batch(spark, src, early)
+    q = start_sliding_to_parquet(spark, src, out, ckpt)
+    q.awaitTermination(120)
+    # advance the watermark far past the early windows
+    late = [(3, t0 + dt.timedelta(hours=6), "c2", "d", "Allowed", 0.1)]
+    _write_batch(spark, src, late)
+    q = start_sliding_to_parquet(spark, src, out, ckpt)
+    q.awaitTermination(120)
+    got = {
+        (r.client, r.window_start): r.cnt
+        for r in spark.read.parquet(out).collect()
+    }
+    # every early window finalized: starts 09:35..10:05 = 7 distinct
+    # cells for c1 (the 5 interior windows hold both events)
+    assert ("c1", t0 - dt.timedelta(minutes=25)) in got
+    assert got[("c1", t0)] == 2  # 10:00 window holds both events
+    assert sum(1 for (c, _w) in got if c == "c1") == 7
+    assert sum(cnt for (c, _w), cnt in got.items() if c == "c1") == 12
+    # the late event's windows end after the watermark -> not emitted
+    assert not any(c == "c2" for (c, _w) in got)
