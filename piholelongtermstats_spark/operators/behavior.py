@@ -1,0 +1,147 @@
+"""Per-client behavioral analytics over the event stream — the
+"which client is WEIRD, and is its badness real?" tier a fleet
+dashboard runs above the raw top-K lists:
+
+- ``client_profile_distance`` — hour-of-day usage-profile deviation:
+  the L1 distance between each client's 24-bin hour histogram and the
+  fleet-wide profile, both as distributions. A cron-driven scraper
+  hitting one hour of the day scores near the 2.0 maximum; a client
+  mirroring fleet behavior scores ~0. (Reference scope: the hourly
+  histogram the reference plots globally — plot.py hourly panel —
+  promoted to a per-client anomaly measure.)
+- ``shrunk_block_rates`` — per-client block rates shrunk toward the
+  fleet rate with a fixed pseudo-count prior (the additive-smoothing
+  / empirical-Bayes-with-fixed-strength estimator): a client with 2/2
+  blocked stops outranking one with 900/1000 on the "most blocked"
+  list. The ranking question the raw-rate top-K gets WRONG at small n.
+
+Exactness policy (engine-wide): both scores are single integer FLOOR
+divisions (ppm) of exact cross-multiplied moments — the L1 and rate
+numerators are DECIMAL(38,0) products (c_h·N at 10¹² events per hour
+per client × 10¹⁴ total passes 2⁶³ but not 10³⁸), so every ordering
+and every reported ppm is engine-exact with no fp anywhere.
+
+Scale: one (client, hour) aggregation (≤24 rows per client), one
+24-row broadcast global profile, one per-client reduce; no windows
+over event rows, no per-client spine explode (the missing-hour mass
+folds in closed form — see client_profile_distance).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_DEC = "decimal(38,0)"
+
+
+def client_profile_distance(fact: DataFrame, k: int = 10) -> DataFrame:
+    """Top-``k`` clients by hour-of-day profile L1 distance from the
+    fleet profile: (client, n_events, dist_ppm) ordered by
+    (dist_ppm DESC, client).
+
+    With c_h = client count in hour h, n = client total, g_h = fleet
+    count in hour h, N = fleet total:
+
+        L1 = Σ_h |c_h·N − g_h·n|           (over all 24 hours)
+        dist_ppm = 10⁶·L1 DIV (2·n·N)      (∈ [0, 10⁶]; L1/(n·N) is
+                                            the distribution-space L1,
+                                            max 2 for disjoint support)
+
+    The Σ runs only over the client's OBSERVED hours plus one closed-
+    form remainder — for hours the client never hit, the term is
+    g_h·n, and Σ_{unobserved} g_h = N − Σ_{observed} g_h — so no
+    client×24 spine is materialized (the join stays proportional to
+    the observed (client, hour) relation).
+    """
+    ch = fact.groupBy("client", "hour").agg(
+        F.count(F.lit(1)).cast("long").alias("c_h")
+    )
+    glob = ch.groupBy("hour").agg(F.sum("c_h").cast("long").alias("g_h"))
+    tot = glob.agg(F.sum("g_h").cast("long").alias("n_total"))
+    per = ch.groupBy("client").agg(F.sum("c_h").cast("long").alias("n_c"))
+    j = (
+        ch.join(F.broadcast(glob), "hour")
+        .join(F.broadcast(tot))
+        .join(per, "client")
+    )
+    term = F.abs(
+        F.col("c_h").cast(_DEC) * F.col("n_total")
+        - F.col("g_h").cast(_DEC) * F.col("n_c")
+    )
+    obs = j.groupBy("client").agg(
+        F.max("n_c").alias("n_c"),
+        F.max("n_total").alias("n_total"),
+        F.sum(term).alias("l1_obs"),
+        F.sum("g_h").cast("long").alias("g_obs"),
+    )
+    l1 = (
+        F.col("l1_obs")
+        + F.col("n_c").cast(_DEC) * (F.col("n_total") - F.col("g_obs"))
+    )
+    out = obs.select(
+        "client",
+        F.col("n_c").alias("n_events"),
+        (l1 * 1000000)
+        .cast(_DEC)
+        .alias("_num"),
+        (F.lit(2).cast(_DEC) * F.col("n_c") * F.col("n_total")).alias("_den"),
+    ).select(
+        "client",
+        "n_events",
+        F.expr("CAST(_num DIV _den AS BIGINT)").alias("dist_ppm"),
+    )
+    return out.orderBy(F.col("dist_ppm").desc(), F.col("client").asc()).limit(k)
+
+
+def shrunk_block_rates(
+    fact: DataFrame, pseudo: int = 100, k: int = 10
+) -> DataFrame:
+    """Top-``k`` clients by pseudo-count-shrunk block rate:
+    (client, n_events, n_blocked, raw_ppm, shrunk_ppm) ordered by
+    (shrunk_ppm DESC, client).
+
+    shrunk = (x + λ·G) / (n + λ) with G = X/N the fleet block rate
+    and λ = ``pseudo`` prior observations — in exact cross-multiplied
+    integer form:
+
+        shrunk_ppm = 10⁶·(x·N + λ·X) DIV (N·(n + λ))
+
+    so a client's evidence is weighted against λ fleet-typical
+    observations: n ≪ λ → the fleet rate; n ≫ λ → the raw rate. All
+    products DECIMAL(38,0); the ordering key is the exact ppm.
+    """
+    per = fact.groupBy("client").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.count(F.when(F.col("status_type") == "Blocked", 1))
+        .cast("long")
+        .alias("x"),
+    )
+    tot = per.agg(
+        F.sum("n").cast("long").alias("nn"),
+        F.sum("x").cast("long").alias("xx"),
+    )
+    lam = int(pseudo)
+    j = per.join(F.broadcast(tot))
+    num = (
+        F.col("x").cast(_DEC) * F.col("nn")
+        + F.lit(lam).cast(_DEC) * F.col("xx")
+    ) * 1000000
+    den = F.col("nn").cast(_DEC) * (F.col("n") + F.lit(lam))
+    out = j.select(
+        "client",
+        F.col("n").alias("n_events"),
+        F.col("x").alias("n_blocked"),
+        F.expr("CAST(x * 1000000 DIV n AS BIGINT)").alias("raw_ppm"),
+        num.alias("_num"),
+        den.alias("_den"),
+    ).select(
+        "client",
+        "n_events",
+        "n_blocked",
+        "raw_ppm",
+        F.expr("CAST(_num DIV _den AS BIGINT)").alias("shrunk_ppm"),
+    )
+    return out.orderBy(
+        F.col("shrunk_ppm").desc(), F.col("client").asc()
+    ).limit(k)

@@ -504,3 +504,53 @@ def rolling_bands_daily(fact: DataFrame, width: int = 7) -> DataFrame:
         F.round(F.when(ok, mean + 2.0 * sd), 6).alias("upper"),
         F.round(F.when(ok, mean - 2.0 * sd), 6).alias("lower"),
     )
+
+
+def rolling_range_bands(fact: DataFrame, width: int = 7) -> DataFrame:
+    """``rolling_bands_daily`` with CALENDAR (RANGE) window semantics:
+    the trailing window covers the last ``width`` calendar days, not
+    the last ``width`` PRESENT rows — on a series with missing days
+    the two differ (ROWS silently stretches across gaps; RANGE honors
+    them, reporting win_n < width after a gap). The distinction is a
+    real operator-semantics choice a telemetry dashboard must make;
+    tests pin a gapped fixture where the two variants diverge.
+
+    Mechanics: days map to an integer index (datediff from the
+    broadcast min date) so the window is ``rangeBetween(−(width−1),0)``
+    over a numeric key — engine-portable (DuckDB replays it as RANGE
+    BETWEEN n PRECEDING over the same index). Moments exact
+    (BIGINT + DECIMAL internally, DOUBLE at the output boundary);
+    the window orders the per-date summary only.
+    """
+    daily = _daily(fact)
+    d0 = daily.agg(F.min("date").alias("d0"))
+    idx = daily.join(F.broadcast(d0)).select(
+        "date", "y", F.datediff("date", "d0").cast("long").alias("idx")
+    )
+    w = Window.orderBy("idx").rangeBetween(-(width - 1), 0)
+    dec = "decimal(38,0)"
+    base = idx.select(
+        "date",
+        "y",
+        F.count(F.lit(1)).over(w).cast("long").alias("win_n"),
+        F.sum("y").over(w).cast("long").alias("win_sum"),
+        F.sum((F.col("y") * F.col("y")).cast(dec)).over(w).alias("win_sumsq"),
+    )
+    nd = F.col("win_n").cast("double")
+    sd_ = F.col("win_sum").cast("double")
+    qd = F.col("win_sumsq").cast("double")
+    mean = sd_ / nd
+    var = (qd - sd_ * sd_ / nd) / (nd - 1.0)
+    sd = F.sqrt(var)
+    ok = F.col("win_n") > 1
+    return base.select(
+        "date",
+        "y",
+        "win_n",
+        "win_sum",
+        qd.alias("win_sumsq"),
+        F.round(mean, 6).alias("mean_w"),
+        F.round(F.when(ok, sd), 6).alias("sd_w"),
+        F.round(F.when(ok, mean + 2.0 * sd), 6).alias("upper"),
+        F.round(F.when(ok, mean - 2.0 * sd), 6).alias("lower"),
+    )

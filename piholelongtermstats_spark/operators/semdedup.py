@@ -345,3 +345,97 @@ def semantic_contamination(
         .select("bench_id", "train_id", "cosine")
         .orderBy("bench_id")
     )
+
+
+def _cell_scores_udf(centroids: list[list[float]]):
+    """Vectorized cosine scores against ALL centroids: one numpy
+    matmul per Arrow batch over the unit-normalized centroid matrix
+    (the _spherical_assign_udf kernel, returning the full score row
+    instead of its argmax). The deliberate Arrow exception to the
+    JVM-expressions rule, with the same measured justification
+    (ivf.py:74-92: k·dim interpreted HOF lambdas per row are ~6×
+    slower)."""
+    import numpy as np
+    import pandas as pd
+
+    C = np.asarray(centroids, dtype=np.float64)
+    C = C / np.linalg.norm(C, axis=1, keepdims=True)
+
+    @F.pandas_udf("array<double>")
+    def scores(v: pd.Series) -> pd.Series:
+        V = np.stack(v.to_numpy()).astype(np.float64)
+        V = V / np.linalg.norm(V, axis=1, keepdims=True)
+        S = V @ C.T
+        return pd.Series(list(S))
+
+    return scores
+
+
+def semdedup_cell_margins(
+    emb: DataFrame, centroids: list[list[float]]
+) -> DataFrame:
+    """Per-cell clustering-quality audit for the SemDeDup quantizer —
+    the simplified-silhouette complement to ann_eval_metrics (vector
+    index) and lsh_dedup_eval (dedup index): how SEPARATED are the
+    cells that bound the within-cell dedup search?
+
+    Per vector: a = cosine to the assigned centroid (argmax, ties →
+    lowest cell — the assignment rule), b = best cosine among the
+    OTHER centroids; margin = a − b ≥ 0. A margin near 0 marks a
+    boundary vector whose near-duplicates may sit in the neighbor
+    cell — the cell-bounded search's one blind spot, here MEASURED
+    per cell instead of argued.
+
+    Output one row per cell: (cell, n_members, sum_margin_ppm,
+    min_margin_ppm, mean_margin_ppm) ordered by cell.
+
+    Exactness: scores are quantized to integer ppm —
+    round(cos·10⁶) → BIGINT — BEFORE any comparison or sum, so the
+    per-cell sums are exact integers and the mean is one rounded
+    division (fp-accumulation order can never show through; clearance
+    of raw scores from the ppm rounding grid is measured in
+    tests/test_m38.py, the test_fp_determinism convention).
+
+    Scale: ONE Arrow matmul per batch produces all k scores; the
+    per-vector top-2 is a posexplode over k=16 rows per vector with a
+    vec_id-partitioned rank — k·n rows, one hash shuffle, no
+    all-pairs anywhere.
+    """
+    from pyspark.sql import Window
+
+    scored = emb.select(
+        "vec_id",
+        F.posexplode(_cell_scores_udf(centroids)(F.col("embedding"))).alias(
+            "cell", "score"
+        ),
+    ).select(
+        "vec_id",
+        "cell",
+        F.round(F.col("score") * 1000000).cast("long").alias("ppm"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("ppm").desc(), F.col("cell").asc()
+    )
+    ranked = scored.select(
+        "vec_id", "cell", "ppm", F.row_number().over(w).alias("rn")
+    )
+    per_vec = ranked.groupBy("vec_id").agg(
+        F.max(F.when(F.col("rn") == 1, F.col("cell"))).alias("cell"),
+        F.max(F.when(F.col("rn") == 1, F.col("ppm"))).alias("a_ppm"),
+        F.max(F.when(F.col("rn") > 1, F.col("ppm"))).alias("b_ppm"),
+    )
+    margin = (F.col("a_ppm") - F.col("b_ppm")).cast("long")
+    return (
+        per_vec.select("cell", margin.alias("m"))
+        .groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.sum("m").cast("long").alias("sum_margin_ppm"),
+            F.min("m").cast("long").alias("min_margin_ppm"),
+            F.round(
+                F.sum("m").cast("double") / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("mean_margin_ppm"),
+        )
+        .orderBy("cell")
+    )

@@ -518,3 +518,151 @@ def levene_day_night(fact: DataFrame) -> DataFrame:
         F.round(F.when(ok, t), 6).alias("t_stat"),
         F.round(F.when(ok, df), 6).alias("df"),
     )
+
+
+def ccf_status_daily(fact: DataFrame, max_lag: int = 7) -> DataFrame:
+    """Cross-correlation between the DAILY Blocked and Allowed count
+    series at lags −max_lag..+max_lag — "do blocked waves lead or trail
+    allowed traffic?" (the two-series complement of acf_daily_counts;
+    a positive-lag peak means Blocked LEADS Allowed by that many days).
+
+    n²-cleared all-integer form: with Sb = Σb, Sa = Σa over all n
+    days, the lag-k numerator Σ_t(b_t−b̄)(a_{t+k}−ā) equals
+    Σ_t(n·b_t−Sb)(n·a_{t+k}−Sa)/n² — numerator exact BIGINT; the
+    denominator √(Σ(n·b−Sb)²·Σ(n·a−Sa)²) shares the same n² factor,
+    so ρ_k = num_k/√(db·da) needs no n² anywhere. One division + one
+    IEEE sqrt per lag.
+
+    Scale: events collapse to one row per day (counts are conditional,
+    so both series share one partial agg); the lag pairing is an
+    integer equi-join of the daily relation — ≤ n·(2L+1) day pairs.
+    """
+    daily = fact.groupBy("date").agg(
+        F.count(F.when(F.col("status_type") == "Blocked", 1))
+        .cast("long")
+        .alias("b"),
+        F.count(F.when(F.col("status_type") == "Allowed", 1))
+        .cast("long")
+        .alias("a"),
+    )
+    tot = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("b").alias("sb"),
+        F.sum("a").alias("sa"),
+        F.min("date").alias("d0"),
+    )
+    d = daily.join(F.broadcast(tot)).select(
+        F.datediff("date", "d0").cast("long").alias("idx"),
+        (F.col("n") * F.col("b") - F.col("sb")).alias("cb"),
+        (F.col("n") * F.col("a") - F.col("sa")).alias("ca"),
+    )
+    den = d.agg(
+        F.sum(F.col("cb") * F.col("cb")).alias("db"),
+        F.sum(F.col("ca") * F.col("ca")).alias("da"),
+    )
+    lags = d.sparkSession.range(-max_lag, max_lag + 1).select(
+        F.col("id").cast("int").alias("lag_k")
+    )
+    x = d.select(F.col("idx").alias("i1"), "cb")
+    y = d.select(F.col("idx").alias("i2"), "ca")
+    pairs = (
+        x.crossJoin(F.broadcast(lags))
+        .join(y, F.col("i2") == F.col("i1") + F.col("lag_k"))
+    )
+    out = (
+        pairs.groupBy("lag_k")
+        .agg(F.sum(F.col("cb") * F.col("ca")).alias("ccf_num"))
+        .join(F.broadcast(den))
+    )
+    rho = F.when(
+        (F.col("db") > 0) & (F.col("da") > 0),
+        F.col("ccf_num").cast("double")
+        / F.sqrt(F.col("db").cast("double") * F.col("da").cast("double")),
+    )
+    return out.select(
+        "lag_k",
+        "ccf_num",
+        "db",
+        "da",
+        F.round(rho, 6).alias("rho"),
+    ).orderBy("lag_k")
+
+
+def runs_test_daily(fact: DataFrame) -> DataFrame:
+    """One row: the Wald–Wolfowitz runs test on the daily count
+    series' above/below-median sequence (Wald & Wolfowitz 1940) —
+    "is day-to-day volume random, or does it streak?" Too FEW runs ⇒
+    positive persistence (busy days cluster); too many ⇒ oscillation.
+
+    Exactness: the median is the doubled exact median med2 (BIGINT;
+    the robust-tier convention), days with 2y = med2 are DROPPED (the
+    standard treatment), the sign sequence and run count R are pure
+    integers from one lag over the date-ordered daily relation, and
+    z = (R − μ)/σ with μ = 1 + 2n₁n₂/N, σ² = 2n₁n₂(2n₁n₂−N)/(N²(N−1))
+    is one fixed IEEE expression of three integers.
+
+    Scale: one partial agg to days; every window orders the per-date
+    summary (the documented tiny-relation window class).
+    """
+    daily = fact.groupBy("date").agg(
+        F.count(F.lit(1)).cast("long").alias("y")
+    )
+    w = Window.orderBy("y").rowsBetween(Window.unboundedPreceding, 0)
+    h = (
+        daily.groupBy("y")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .select(
+            "y",
+            F.sum("cnt").over(w).cast("long").alias("cum"),
+            F.sum("cnt").over(
+                Window.rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            ).cast("long").alias("n"),
+        )
+    )
+    r1 = F.expr("(n + 1) DIV 2")
+    r2 = F.expr("n DIV 2 + 1")
+    med = h.agg(
+        (
+            F.min(F.when(F.col("cum") >= r1, F.col("y")))
+            + F.min(F.when(F.col("cum") >= r2, F.col("y")))
+        ).cast("long").alias("med2")
+    )
+    signed = (
+        daily.join(F.broadcast(med))
+        .filter(2 * F.col("y") != F.col("med2"))
+        .select(
+            "date", (2 * F.col("y") > F.col("med2")).cast("int").alias("s")
+        )
+    )
+    wd = Window.orderBy("date")
+    runs = signed.select(
+        "s",
+        F.when(
+            F.lag("s").over(wd).isNull()
+            | (F.lag("s").over(wd) != F.col("s")),
+            1,
+        ).otherwise(0).alias("chg"),
+    )
+    agg = runs.agg(
+        F.sum(F.col("s").cast("long")).alias("n_above"),
+        F.sum(F.lit(1) - F.col("s").cast("long")).alias("n_below"),
+        F.sum("chg").cast("long").alias("n_runs"),
+    )
+    n1, n2, r = (
+        F.col("n_above").cast("double"),
+        F.col("n_below").cast("double"),
+        F.col("n_runs").cast("double"),
+    )
+    nn = n1 + n2
+    two_n1n2 = 2.0 * n1 * n2
+    mu = 1.0 + two_n1n2 / nn
+    var = two_n1n2 * (two_n1n2 - nn) / (nn * nn * (nn - 1.0))
+    ok = (F.col("n_above") > 0) & (F.col("n_below") > 0) & (
+        (F.col("n_above") + F.col("n_below")) > 1
+    )
+    z = F.when(ok & (var > 0), (r - mu) / F.sqrt(var))
+    return agg.select(
+        "n_above", "n_below", "n_runs", F.round(z, 6).alias("z")
+    )
