@@ -145,3 +145,49 @@ def shrunk_block_rates(
     return out.orderBy(
         F.col("shrunk_ppm").desc(), F.col("client").asc()
     ).limit(k)
+
+
+def client_domain_simpson(fact: DataFrame, k: int = 10) -> DataFrame:
+    """Top-``k`` clients by Gini–Simpson domain diversity:
+    (client, n_events, n_domains, simpson_ppm) ordered by
+    (simpson_ppm DESC, client) — the CONCENTRATION complement to
+    most_diverse_client's distinct count (reference stats.py's
+    "most diverse client"): 500 queries spread over 50 domains and
+    500 queries with 499 hits on one domain both count 50 distinct,
+    but their Simpson indices differ maximally.
+
+    1 − Σp² is RATIONAL — no entropy logs anywhere:
+
+        simpson_ppm = 10⁶·(n² − Σc_d²) DIV n²       (∈ [0, 10⁶])
+
+    with c_d the per-domain counts and n the client total; products
+    in DECIMAL(38,0) (c_d ≤ 10¹², n² ≤ 10²⁴ pass 2⁶³). The effective
+    domain count, if wanted, is n²/Σc² — the same two moments.
+
+    Scale: one (client, domain) aggregation, one per-client reduce —
+    the information-minimum pair of shuffles; no windows.
+    """
+    cd = fact.groupBy("client", "domain").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    per = cd.groupBy("client").agg(
+        F.sum("c").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("n_domains"),
+        F.sum((F.col("c").cast(_DEC) * F.col("c"))).alias("sq"),
+    )
+    n2 = F.col("n").cast(_DEC) * F.col("n")
+    out = per.select(
+        "client",
+        F.col("n").alias("n_events"),
+        "n_domains",
+        ((n2 - F.col("sq")) * 1000000).alias("_num"),
+        n2.alias("_den"),
+    ).select(
+        "client",
+        "n_events",
+        "n_domains",
+        F.expr("CAST(_num DIV _den AS BIGINT)").alias("simpson_ppm"),
+    )
+    return out.orderBy(
+        F.col("simpson_ppm").desc(), F.col("client").asc()
+    ).limit(k)

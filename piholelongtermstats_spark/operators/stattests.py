@@ -666,3 +666,50 @@ def runs_test_daily(fact: DataFrame) -> DataFrame:
     return agg.select(
         "n_above", "n_below", "n_runs", F.round(z, 6).alias("z")
     )
+
+
+def reply_p95_heatmap(fact: DataFrame) -> DataFrame:
+    """Per (day_name, hour) exact p95 of the quantized reply time —
+    the tail-latency complement to the count heatmap the reference
+    plots (plot.py day×hour panel): WHERE in the week is the service
+    slow, not just busy.
+
+    Exactness: nearest-rank p95 over per-cell value histograms —
+    the smallest quantized value whose cumulative count reaches
+    ⌈0.95·n⌉ = (19n + 19) DIV 20 — a pure integer selection (the
+    exact_group_quantiles convention). p95_ms = p95_q/1000 is the one
+    reporting division.
+
+    Scale: one (cell, value) histogram shuffle; the cumulative
+    windows are PARTITIONED by the 168 cells and order DISTINCT
+    quantized values within each — never event rows.
+    """
+    m = fact.filter(F.col("reply_time").isNotNull()).select(
+        "day_name", "hour", _reply_q().alias("r")
+    )
+    hist = m.groupBy("day_name", "hour", "r").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    cell = Window.partitionBy("day_name", "hour")
+    wc = cell.orderBy("r").rowsBetween(Window.unboundedPreceding, 0)
+    h = hist.select(
+        "day_name",
+        "hour",
+        "r",
+        F.sum("cnt").over(wc).cast("long").alias("cum"),
+        F.sum("cnt").over(cell).cast("long").alias("n"),
+    )
+    rank = F.expr("(19 * n + 19) DIV 20")
+    out = h.groupBy("day_name", "hour").agg(
+        F.max("n").alias("n_replies"),
+        F.min(F.when(F.col("cum") >= rank, F.col("r")))
+        .cast("long")
+        .alias("p95_q"),
+    )
+    return out.select(
+        "day_name",
+        "hour",
+        "n_replies",
+        "p95_q",
+        F.round(F.col("p95_q").cast("double") / 1000.0, 6).alias("p95_ms"),
+    ).orderBy("day_name", "hour")
