@@ -554,3 +554,75 @@ def rolling_range_bands(fact: DataFrame, width: int = 7) -> DataFrame:
         F.round(F.when(ok, mean + 2.0 * sd), 6).alias("upper"),
         F.round(F.when(ok, mean - 2.0 * sd), 6).alias("lower"),
     )
+
+
+def conformal_daily_interval(fact: DataFrame, cov_pm: int = 950) -> DataFrame:
+    """One row: a split-conformal prediction interval for TOMORROW's
+    event count under the persistence forecast (Vovk et al. 2005;
+    Lei et al. JASA 2018 — the distribution-free guarantee: the
+    interval covers with probability ≥ cov_pm/1000 under
+    exchangeability of the residuals, no model assumptions).
+
+    Calibration residuals r_t = |y_t − y_{t−1}| over consecutive-day
+    pairs (gaps excluded — a persistence residual across an outage
+    measures the outage, not the forecaster); the conformal quantile
+    is the nearest-rank ⌈(m+1)·cov/1000⌉-th smallest residual (the
+    finite-sample +1 correction), capped at the max residual. The
+    interval is point ± q — every quantity an exact BIGINT.
+
+    Output: (n_days, n_resid, point_forecast, q_resid, lo, hi).
+
+    Scale: everything after the one partial agg runs on the daily
+    relation; the residual-rank window orders distinct residual
+    values (histogram convention).
+    """
+    daily = _daily(fact)
+    w = Window.orderBy("date")
+    resid = (
+        daily.select(
+            "date",
+            "y",
+            F.lag("y").over(w).alias("y_prev"),
+            F.lag("date").over(w).alias("d_prev"),
+        )
+        .filter(
+            F.col("y_prev").isNotNull()
+            & (F.datediff("date", "d_prev") == 1)
+        )
+        .select(F.abs(F.col("y") - F.col("y_prev")).alias("r"))
+    )
+    hist = resid.groupBy("r").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    wc = Window.orderBy("r").rowsBetween(Window.unboundedPreceding, 0)
+    h = hist.select(
+        "r",
+        F.sum("cnt").over(wc).cast("long").alias("cum"),
+        F.sum("cnt").over(
+            Window.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).cast("long").alias("m"),
+    )
+    rank = F.expr(f"least((m + 1) * {int(cov_pm)} DIV 1000 + "
+                  f"CAST(((m + 1) * {int(cov_pm)}) % 1000 > 0 AS BIGINT), m)")
+    q = h.agg(
+        F.max("m").alias("n_resid"),
+        F.min(F.when(F.col("cum") >= rank, F.col("r")))
+        .cast("long")
+        .alias("q_resid"),
+    )
+    last = daily.orderBy(F.col("date").desc()).limit(1).select(
+        F.col("y").alias("point_forecast")
+    )
+    n_days = daily.agg(F.count(F.lit(1)).cast("long").alias("n_days"))
+    return (
+        n_days.crossJoin(F.broadcast(last))
+        .crossJoin(F.broadcast(q))
+        .select(
+            "n_days",
+            "n_resid",
+            "point_forecast",
+            "q_resid",
+            (F.col("point_forecast") - F.col("q_resid")).alias("lo"),
+            (F.col("point_forecast") + F.col("q_resid")).alias("hi"),
+        )
+    )

@@ -886,3 +886,41 @@ def lang_token_stats(docs: DataFrame) -> DataFrame:
             6,
         ).alias("tokens_per_doc"),
     )
+
+
+def vocab_hapax_stats(docs: DataFrame) -> DataFrame:
+    """Per-language vocabulary-richness panel: (lang, n_tokens,
+    vocab_size, hapax_count, hapax_ppm, ttr_ppm) — hapax share
+    (types seen exactly once; the Zipf-tail mass LM curriculum and
+    tokenizer-budget decisions read) and type–token ratio, both exact
+    integer ppm. The distribution-shape complement to
+    vocab_growth_curve's Heaps trajectory and lang_token_stats'
+    fertility ratios — no logs, no fits, just the two exact counts
+    every richness measure is built from.
+
+    Scale: explode → one (lang, token) count agg (map-side combined)
+    → one per-lang reduce over the VOCABULARY-sized relation. The
+    explode is linear in corpus tokens; nothing downstream touches
+    token instances again.
+    """
+    tok = docs.select("lang", F.explode(tokens(F.col("text"))).alias("t"))
+    tf = tok.groupBy("lang", "t").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    per = tf.groupBy("lang").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("vocab_size"),
+        F.count(F.when(F.col("c") == 1, 1)).cast("long").alias("hapax_count"),
+    )
+    return per.select(
+        "lang",
+        "n_tokens",
+        "vocab_size",
+        "hapax_count",
+        F.expr(
+            "CAST(CASE WHEN vocab_size > 0 THEN hapax_count * 1000000 DIV vocab_size END AS BIGINT)"
+        ).alias("hapax_ppm"),
+        F.expr(
+            "CAST(CASE WHEN n_tokens > 0 THEN vocab_size * 1000000 DIV n_tokens END AS BIGINT)"
+        ).alias("ttr_ppm"),
+    ).orderBy("lang")
