@@ -1,0 +1,126 @@
+"""User-journey analytics over the RAW event stream — the funnel and
+cohort shapes every product-analytics warehouse runs (and the
+reference's event log supports but its dashboard never asks):
+
+- ``funnel_conversion`` — strictly-ordered step funnel
+  (view → click → purchase by default): how many users reach each
+  stage, where each stage's event must occur strictly AFTER the
+  user's previous-stage anchor (the classic "ordered funnel"
+  semantics, not mere per-type presence).
+- ``cohort_retention`` — first-seen cohort × day-offset retention
+  matrix: of the clients first seen on day c, what fraction was
+  active again d days later.
+
+Exactness: counts are exact integers; every rate is one integer
+FLOOR division (ppm). Funnel tie rule: a step chains only if its
+timestamp is STRICTLY greater than the previous anchor — two events
+in the same microsecond do not chain (pinned, engine-identical).
+
+Scale: the funnel is S sequential keyed min-aggregations + joins on
+user_id (each a hash join on the user key, no windows over events);
+retention is two keyed aggs and one (cohort, offset) rollup. Nothing
+orders event rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_STEPS = ("view", "click", "purchase")
+
+
+def funnel_conversion(
+    raw: DataFrame, steps: tuple = DEFAULT_STEPS
+) -> DataFrame:
+    """One row: (n_users, n_step1.., conv_1_2_ppm, conv_2_3_ppm,
+    conv_1_3_ppm) for the strictly-ordered funnel over ``steps``.
+
+    ``raw`` needs (user_id, event_type, ts). Per user the stage-s
+    anchor is the EARLIEST step-s event strictly after the stage-s−1
+    anchor; greedy-earliest anchoring is optimal for existence ("if
+    any chain exists, the earliest-anchor chain exists"), so the
+    reached-stage counts are well-defined.
+    """
+    total = raw.agg(
+        F.count_distinct(F.col("user_id")).cast("long").alias("n_users")
+    )
+    anchored = None
+    counts = []
+    for i, step in enumerate(steps):
+        ev = raw.filter(F.col("event_type") == step).select("user_id", "ts")
+        if anchored is None:
+            anchored = ev.groupBy("user_id").agg(F.min("ts").alias("t"))
+        else:
+            anchored = (
+                ev.join(
+                    anchored.select("user_id", F.col("t").alias("t_prev")),
+                    "user_id",
+                )
+                .filter(F.col("ts") > F.col("t_prev"))
+                .groupBy("user_id")
+                .agg(F.min("ts").alias("t"))
+            )
+        counts.append(
+            anchored.agg(
+                F.count(F.lit(1)).cast("long").alias(f"n_step{i + 1}")
+            )
+        )
+    out = total
+    for c in counts:
+        out = out.crossJoin(F.broadcast(c))
+    return out.select(
+        "n_users",
+        *[f"n_step{i + 1}" for i in range(len(steps))],
+        F.expr(
+            "CAST(CASE WHEN n_step1 > 0 THEN n_step2 * 1000000 DIV n_step1 END AS BIGINT)"
+        ).alias("conv_1_2_ppm"),
+        F.expr(
+            "CAST(CASE WHEN n_step2 > 0 THEN n_step3 * 1000000 DIV n_step2 END AS BIGINT)"
+        ).alias("conv_2_3_ppm"),
+        F.expr(
+            "CAST(CASE WHEN n_step1 > 0 THEN n_step3 * 1000000 DIV n_step1 END AS BIGINT)"
+        ).alias("conv_1_3_ppm"),
+    )
+
+
+def cohort_retention(fact: DataFrame, max_offset: int = 13) -> DataFrame:
+    """(cohort_date, day_offset, n_cohort, n_active, retention_ppm)
+    for offsets 0..``max_offset``: of the clients FIRST seen on
+    cohort_date, how many were active again day_offset days later.
+
+    Offset 0 is the cohort size itself (retention 10⁶ by definition —
+    kept as the self-check row). Ordered by (cohort_date, day_offset).
+
+    Scale: client first-seen = one keyed min agg; activity = distinct
+    (client, date); the rollup keys on (cohort, offset) — day²-sized
+    output at any event volume.
+    """
+    activity = fact.select("client", "date").distinct()
+    cohorts = activity.groupBy("client").agg(F.min("date").alias("cohort_date"))
+    sizes = cohorts.groupBy("cohort_date").agg(
+        F.count(F.lit(1)).cast("long").alias("n_cohort")
+    )
+    joined = activity.join(cohorts, "client").select(
+        "cohort_date",
+        F.datediff("date", "cohort_date").cast("long").alias("day_offset"),
+        "client",
+    )
+    active = (
+        joined.filter(F.col("day_offset") <= max_offset)
+        .groupBy("cohort_date", "day_offset")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_active"))
+    )
+    return (
+        active.join(F.broadcast(sizes), "cohort_date")
+        .select(
+            "cohort_date",
+            "day_offset",
+            "n_cohort",
+            "n_active",
+            F.expr("CAST(n_active * 1000000 DIV n_cohort AS BIGINT)").alias(
+                "retention_ppm"
+            ),
+        )
+        .orderBy("cohort_date", "day_offset")
+    )

@@ -158,3 +158,15 @@ WITH fact AS (
 )
 """
 
+
+
+def raw_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_id, ts, user_id, event_type) — the UNBUCKETED event
+    stream for journey analytics (funnels need the raw step names the
+    fact's 3-way status mapping collapses). Same nanos→µs ts handling
+    as dns_fact; pure projection, fuses into the parquet scan."""
+    ev = load_table(spark, sf_dir, "events")
+    ev, ts = filter_raw_ts(ev, None, None)
+    return ev.select(
+        "event_id", ts.alias("ts"), "user_id", "event_type"
+    )
