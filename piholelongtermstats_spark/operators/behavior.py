@@ -191,3 +191,72 @@ def client_domain_simpson(fact: DataFrame, k: int = 10) -> DataFrame:
     return out.orderBy(
         F.col("simpson_ppm").desc(), F.col("client").asc()
     ).limit(k)
+
+
+def domain_share_movers(fact: DataFrame, k: int = 10) -> DataFrame:
+    """Top-``k`` domains by absolute TRAFFIC-SHARE change between the
+    first and second half of the observed date range — "what newly
+    surged / collapsed", the change-detection complement to the
+    static top-K lists. (share, not count: volume drift cancels.)
+
+    The half boundary is mid = min_date + ⌊span/2⌋ days (second half
+    starts AT mid); shares are exact ppm (cᴬ·10⁶ DIV Nᴬ), the mover
+    score is |share_b_ppm − share_a_ppm| on those exact integers, and
+    the ordering ties break on (abs_delta DESC, domain). Domains
+    absent from a half carry share 0 — a full outer union of the two
+    half profiles, no domain spine.
+
+    Scale: one (domain, half) aggregation + a 2-row broadcast of the
+    half totals; the top-k is a TakeOrdered over the domain relation.
+    """
+    bounds = fact.agg(
+        F.min("date").alias("d0"), F.max("date").alias("d1")
+    ).select(
+        "d0",
+        F.expr("date_add(d0, CAST(datediff(d1, d0) DIV 2 AS INT))").alias(
+            "mid"
+        ),
+    )
+    tagged = fact.join(F.broadcast(bounds)).select(
+        "domain",
+        F.when(F.col("date") < F.col("mid"), F.lit(0))
+        .otherwise(F.lit(1))
+        .alias("half"),
+    )
+    per = tagged.groupBy("domain", "half").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    tot = per.groupBy("half").agg(F.sum("c").cast("long").alias("n"))
+    shares = (
+        per.join(F.broadcast(tot), "half")
+        .select(
+            "domain",
+            F.when(F.col("half") == 0, F.expr("c * 1000000 DIV n"))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("sa"),
+            F.when(F.col("half") == 1, F.expr("c * 1000000 DIV n"))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("sb"),
+            F.when(F.col("half") == 0, F.col("c")).otherwise(F.lit(0)).alias("ca"),
+            F.when(F.col("half") == 1, F.col("c")).otherwise(F.lit(0)).alias("cb"),
+        )
+        .groupBy("domain")
+        .agg(
+            F.sum("ca").cast("long").alias("cnt_a"),
+            F.sum("cb").cast("long").alias("cnt_b"),
+            F.sum("sa").cast("long").alias("share_a_ppm"),
+            F.sum("sb").cast("long").alias("share_b_ppm"),
+        )
+    )
+    delta = F.col("share_b_ppm") - F.col("share_a_ppm")
+    return (
+        shares.select(
+            "domain", "cnt_a", "cnt_b", "share_a_ppm", "share_b_ppm",
+            delta.alias("delta_ppm"),
+            F.abs(delta).alias("abs_delta_ppm"),
+        )
+        .orderBy(F.col("abs_delta_ppm").desc(), F.col("domain").asc())
+        .limit(k)
+    )

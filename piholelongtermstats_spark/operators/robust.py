@@ -626,3 +626,59 @@ def conformal_daily_interval(fact: DataFrame, cov_pm: int = 950) -> DataFrame:
             (F.col("point_forecast") + F.col("q_resid")).alias("hi"),
         )
     )
+
+
+def stl_lite_daily(fact: DataFrame) -> DataFrame:
+    """Per-day additive seasonal decomposition of the count series —
+    STL's classical ancestor (Cleveland et al.'s decompose():
+    centered-MA trend, weekday means of the detrended series as the
+    seasonal component, remainder):
+
+        trend_t    = mean(y over the centered 7-day ROWS window)
+        det7_t     = win_n·y_t − win_sum          (n-cleared INTEGER)
+        seasonal_w = mean of det7 over weekday w  (on the n-cleared
+                     scale: one exact integer sum per weekday)
+        remain7_t  = det7_t·cnt_w − s_sum_w       (doubly-cleared int)
+
+    Exactness: every REPORTED mean is one rounded division of exact
+    BIGINTs; det7 and the doubly-cleared remainder are pure integers,
+    so the decomposition's structure (signs, orderings) can never
+    drift between engines. Head/tail days carry honest partial
+    centered windows (win_n < 7) — pinned, not hidden.
+
+    Scale: one partial agg to days; the centered window and the
+    weekday rollup run on the daily relation.
+    """
+    daily = _daily(fact)
+    w = Window.orderBy("date").rowsBetween(-3, 3)
+    base = daily.select(
+        "date",
+        "y",
+        F.dayofweek("date").cast("int").alias("wd"),
+        F.count(F.lit(1)).over(w).cast("long").alias("win_n"),
+        F.sum("y").over(w).cast("long").alias("win_sum"),
+    )
+    det7 = (F.col("win_n") * F.col("y") - F.col("win_sum")).cast("long")
+    d = base.withColumn("det7", det7)
+    season = d.groupBy("wd").agg(
+        F.sum("det7").cast("long").alias("s_sum"),
+        F.count(F.lit(1)).cast("long").alias("s_cnt"),
+    )
+    out = d.join(F.broadcast(season), "wd")
+    trend = F.col("win_sum").cast("double") / F.col("win_n").cast("double")
+    seasonal = F.col("s_sum").cast("double") / F.col("s_cnt").cast("double")
+    remain7 = (
+        F.col("det7") * F.col("s_cnt") - F.col("s_sum")
+    ).cast("long")
+    return out.select(
+        "date",
+        "y",
+        "win_n",
+        "win_sum",
+        "det7",
+        F.col("s_cnt").alias("wd_cnt"),
+        F.col("s_sum").alias("wd_det_sum"),
+        remain7.alias("remain7_scaled"),
+        F.round(trend, 6).alias("trend_mean"),
+        F.round(seasonal, 6).alias("seasonal_mean"),
+    ).orderBy("date")

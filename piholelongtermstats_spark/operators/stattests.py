@@ -713,3 +713,103 @@ def reply_p95_heatmap(fact: DataFrame) -> DataFrame:
         "p95_q",
         F.round(F.col("p95_q").cast("double") / 1000.0, 6).alias("p95_ms"),
     ).orderBy("day_name", "hour")
+
+
+def quantile_sketch_eval(
+    fact: DataFrame, accuracy: int = 10000
+) -> DataFrame:
+    """Accuracy audit of Spark's quantile sketch against exact truth —
+    the ann_eval_metrics / lsh_dedup_eval treatment applied to the
+    APPROX-QUANTILE tier: is percentile_approx's promised rank bound
+    actually holding on this data?
+
+    One row per percentile (500‰ / 950‰ / 990‰): the exact
+    nearest-rank value over the quantized reply histogram, the sketch
+    value (Greenwald–Khanna via ``percentile_approx`` at
+    ``accuracy``), the sketch value's TRUE rank (its cumulative count
+    in the exact histogram — the sketch returns data elements, so the
+    lookup is an equi-join), the absolute rank error, and the
+    promised bound ⌈n/accuracy⌉. within_bound is the audited claim.
+
+    Registered rows-only: the sketch's internal compaction is not
+    SQL-replayable — the pytest contract asserts within_bound on real
+    data instead (the uniques_approx rsd convention).
+
+    Scale: the exact leg is one histogram shuffle + a cum window over
+    distinct values; the sketch leg is Spark's own mergeable
+    aggregate. The audit join touches 3 rows.
+    """
+    m = fact.filter(F.col("reply_time").isNotNull()).select(
+        _reply_q().alias("r")
+    )
+    hist = m.groupBy("r").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    wc = Window.orderBy("r").rowsBetween(Window.unboundedPreceding, 0)
+    h = hist.select(
+        "r",
+        F.sum("cnt").over(wc).cast("long").alias("cum"),
+        F.sum("cnt").over(
+            Window.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).cast("long").alias("n"),
+    )
+    pcts = [500, 950, 990]
+    sketch = m.agg(
+        F.percentile_approx(
+            "r", [p / 1000.0 for p in pcts], accuracy
+        ).alias("sk")
+    ).select(
+        F.posexplode("sk").alias("i", "sketch_q")
+    ).select(
+        F.element_at(
+            F.array(*[F.lit(p) for p in pcts]), F.col("i") + 1
+        ).alias("p_pm"),
+        "sketch_q",
+    )
+    targets = h.sparkSession.range(len(pcts)).select(
+        F.element_at(
+            F.array(*[F.lit(p) for p in pcts]), F.col("id").cast("int") + 1
+        ).alias("p_pm")
+    )
+    exact = (
+        h.crossJoin(F.broadcast(targets))
+        .filter(
+            F.col("cum")
+            >= F.expr("(p_pm * n + 999) DIV 1000")
+        )
+        .groupBy("p_pm")
+        .agg(
+            F.max("n").alias("n"),
+            F.min("r").cast("long").alias("exact_q"),
+        )
+    )
+    # a tied value occupies the rank interval [cum−cnt+1, cum]; the
+    # sketch's error is the distance from the target rank to that
+    # interval (0 if the target falls inside it)
+    ranked_sketch = sketch.join(
+        h.join(hist, "r").select(
+            F.col("r").alias("sketch_q"),
+            (F.col("cum") - F.col("cnt") + 1).alias("rank_lo"),
+            F.col("cum").alias("rank_hi"),
+        ),
+        "sketch_q",
+    )
+    target = F.expr("(p_pm * n + 999) DIV 1000")
+    out = exact.join(F.broadcast(ranked_sketch), "p_pm").select(
+        "p_pm",
+        "n",
+        "exact_q",
+        F.col("sketch_q").cast("long").alias("sketch_q"),
+        F.greatest(
+            F.lit(0),
+            F.col("rank_lo") - target,
+            target - F.col("rank_hi"),
+        ).cast("long").alias("rank_err"),
+        F.expr(f"CAST((n + {int(accuracy)} - 1) DIV {int(accuracy)} AS BIGINT)").alias(
+            "bound"
+        ),
+    )
+    return out.select(
+        "p_pm", "n", "exact_q", "sketch_q", "rank_err", "bound",
+        (F.col("rank_err") <= F.col("bound")).cast("int").alias("within_bound"),
+    ).orderBy("p_pm")

@@ -218,3 +218,76 @@ def test_cell_margins_nonnegative_and_complete(spark):
     assert sum(r.n_members for r in got) == 500
     assert all(r.min_margin_ppm >= 0 for r in got)
     assert all(r.sum_margin_ppm >= r.min_margin_ppm for r in got)
+
+
+# --- M42 additions (same test family) ---------------------------------------
+
+
+def test_stl_components_reconstruct(spark):
+    """decomposition identity on the n-cleared scale:
+    y·win_n·wd_cnt = trend-part + seasonal-part + remainder —
+    i.e. det7·s_cnt = wd_det_sum + remain7_scaled, exactly."""
+    fact = make_fact(spark, _day_rows([5, 9, 3, 8, 6, 7, 4] * 4))
+    rows = robust.stl_lite_daily(fact).collect()
+    assert len(rows) == 28
+    for r in rows:
+        assert r.det7 * r.wd_cnt == r.wd_det_sum + r.remain7_scaled
+        assert r.det7 == r.win_n * r.y - r.win_sum
+
+
+def test_stl_pure_weekly_pattern_has_zero_remainder_interior(spark):
+    """A perfectly periodic series: interior days (full 7-day centered
+    windows) decompose with ZERO remainder — trend flat, seasonal
+    carries everything."""
+    fact = make_fact(spark, _day_rows([5, 9, 3, 8, 6, 7, 4] * 4))
+    rows = robust.stl_lite_daily(fact).collect()
+    # interior det7 of a periodic series is constant per weekday, so
+    # the remainder is EXACTLY 0 for every weekday whose members are
+    # all interior (partial head/tail windows pollute the others)
+    by_wd = {}
+    for r in rows:
+        by_wd.setdefault(r.date.weekday(), []).append(r)
+    checked = 0
+    for members in by_wd.values():
+        if all(m.win_n == 7 for m in members):
+            assert all(m.remain7_scaled == 0 for m in members)
+            checked += 1
+    assert checked >= 1  # the fixture has at least one such weekday
+
+
+def test_share_movers_detects_surge(spark):
+    t0 = dt.datetime.fromisoformat("2024-01-01T10:00:00")
+    rows, eid = [], 0
+    for day in range(10):
+        for j in range(10):  # steady domain
+            eid += 1
+            rows.append((eid, (t0 + dt.timedelta(days=day, minutes=j)).isoformat(),
+                         "c", "steady.com", "Allowed", 0.1))
+        surge = 20 if day >= 5 else 0  # surges in the second half
+        for j in range(surge):
+            eid += 1
+            rows.append((eid, (t0 + dt.timedelta(days=day, minutes=60 + j)).isoformat(),
+                         "c", "surge.com", "Allowed", 0.1))
+    fact = make_fact(spark, rows)
+    got = behavior.domain_share_movers(fact, 5).collect()
+    # mid = d0 + 4 days: halves are days 0-3 (N=40) and 4-9 (N=160);
+    # surge gains 0 -> 100/160, steady loses 40/40 -> 60/160 — equal
+    # |delta| 625000, tie broken by domain name
+    assert [got[0].domain, got[1].domain] == ["steady.com", "surge.com"]
+    surge = next(r for r in got if r.domain == "surge.com")
+    assert surge.cnt_a == 0 and surge.cnt_b == 100
+    assert surge.share_a_ppm == 0
+    assert surge.delta_ppm == surge.share_b_ppm == 625000
+    steady = next(r for r in got if r.domain == "steady.com")
+    assert steady.delta_ppm == -625000
+
+
+def test_quantile_sketch_within_bound(spark):
+    from piholelongtermstats_spark.plans.registry import _fact
+
+    got = stattests.quantile_sketch_eval(
+        _fact(spark, "/root/testdata/sf0.001")
+    ).collect()
+    assert len(got) == 3
+    assert all(r.within_bound == 1 for r in got)
+    assert all(r.bound >= 1 for r in got)
