@@ -106,7 +106,7 @@ TOP_50 = [
     "pii_scrub_panel",
     "ngram_jaccard_capped",
     "semantic_dedup",
-    "dedup_clusters_star",
+    "funnel_conversion",
     "mann_whitney_day_night",
     "text_panel",
     "domain_cograph_triangles",
@@ -117,7 +117,7 @@ TOP_50 = [
     "media_pipeline_check",
     "corpus_build",
     "winnowing_fingerprints",
-    "semantic_contamination",
+    "bootstrap_daily_mean_ci",
     "gopher_quality_panel",
     "bloom_contamination",
     "dedup_scale_2x",
@@ -258,9 +258,25 @@ TOP_50 = [
 # embedding_near_dup stays parity-green below the line). With these
 # the two-sample inference family (mean/rank/variance shift) is
 # driver-checked end to end.
+# r9 swaps (2): funnel_conversion — the ordered-sequence user-journey
+# family's first driver row (strictly-after chaining over the RAW
+# event stream; a query class the registry lacked entirely) — took
+# dedup_clusters_star's row. Star contraction stays driver-verified
+# INSIDE dedup_scale_2x (which runs LSH → star contraction →
+# survivors end-to-end on the doubled corpus with zero-spill plan
+# assertions) and dedup_clusters_star stays parity-green below the
+# line. bootstrap_daily_mean_ci — the resampling-inference family's
+# representative (deterministic Poisson bootstrap; pinned inverse-CDF
+# thresholds; the uncertainty machinery every dashboard claim needs)
+# — took semantic_contamination's row. Decontamination keeps
+# bloom_contamination's driver row (the same shingle machinery behind
+# the Bloom gate) and the SemDeDup cell path keeps semantic_dedup's;
+# semantic_contamination stays parity-green below the line.
 _OVERFLOW = [
     "doc_chunks",
     "embedding_near_dup",
+    "dedup_clusters_star",
+    "semantic_contamination",
     "client_domain_scatter",
     "filtered_timeseries_client",
     "avg_gap_per_status",
