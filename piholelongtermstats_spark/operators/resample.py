@@ -142,3 +142,110 @@ def bootstrap_daily_mean_ci(
         .crossJoin(F.broadcast(ci))
         .select("n_days", "n_resamples_eff", "point_mean", "lo_mean", "hi_mean")
     )
+
+
+def bootstrap_daily_median_ci(
+    fact: DataFrame,
+    n_resamples: int = 200,
+    lo_rank_pm: int = 25,
+    hi_rank_pm: int = 975,
+    seed: str = "bootmed",
+) -> DataFrame:
+    """One row: (n_days, n_resamples_eff, point_median, lo_median,
+    hi_median) — the bootstrap_daily_mean_ci kernel applied to the
+    MEDIAN daily count: the statistic-agnostic claim made concrete
+    (medians have no CLT-friendly closed form — bootstrap is the
+    standard answer).
+
+    Per resample the weighted lower median is the smallest y whose
+    cumulative weight reaches ⌈W/2⌉ — a pure integer selection per
+    resample, so every resample statistic and both CI bounds are
+    exact BIGINTs end to end (no fp anywhere, unlike the mean's one
+    division).
+
+    Scale: the cumulative window partitions BY RESAMPLE over the
+    daily relation (B independent ~|days|-row scans); the rank window
+    orders the B-row median relation.
+    """
+    daily = fact.groupBy("date").agg(
+        F.count(F.lit(1)).cast("long").alias("y")
+    )
+    n_days = daily.agg(F.count(F.lit(1)).cast("long").alias("n_days"))
+    b = daily.sparkSession.range(n_resamples).select(
+        F.col("id").cast("int").alias("b")
+    )
+    u = (
+        _md5_60bit(
+            F.concat_ws(
+                ":", F.lit(seed), F.col("b"), F.date_format("date", "yyyy-MM-dd")
+            )
+        )
+        % 1000000000
+    )
+    weighted = daily.crossJoin(F.broadcast(b)).select(
+        "b", "y", _poisson1_weight(u).alias("w")
+    )
+    wb = Window.partitionBy("b")
+    wc = wb.orderBy("y").rowsBetween(Window.unboundedPreceding, 0)
+    scanned = weighted.select(
+        "b",
+        "y",
+        F.sum("w").over(wc).cast("long").alias("cumw"),
+        F.sum("w").over(wb).cast("long").alias("tw"),
+    )
+    meds = (
+        scanned.filter(F.col("tw") > 0)
+        .groupBy("b")
+        .agg(
+            F.min(
+                F.when(
+                    F.col("cumw") >= F.expr("(tw + 1) DIV 2"), F.col("y")
+                )
+            ).cast("long").alias("med")
+        )
+    )
+    w_rank = Window.orderBy("med", "b")
+    ranked = meds.select(
+        "med",
+        F.row_number().over(w_rank).alias("r"),
+        F.count(F.lit(1)).over(
+            Window.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).cast("long").alias("n_eff"),
+    )
+    lo_r = F.expr(f"CAST((n_eff * {int(lo_rank_pm)} + 999) DIV 1000 AS BIGINT)")
+    hi_r = F.expr(f"CAST((n_eff * {int(hi_rank_pm)} + 999) DIV 1000 AS BIGINT)")
+    ci = ranked.agg(
+        F.max("n_eff").alias("n_resamples_eff"),
+        F.min(F.when(F.col("r") == lo_r, F.col("med"))).cast("long").alias(
+            "lo_median"
+        ),
+        F.min(F.when(F.col("r") == hi_r, F.col("med"))).cast("long").alias(
+            "hi_median"
+        ),
+    )
+    wc0 = Window.orderBy("y").rowsBetween(Window.unboundedPreceding, 0)
+    point = (
+        daily.select(
+            "y",
+            F.count(F.lit(1)).over(wc0).cast("long").alias("cum"),
+            F.count(F.lit(1)).over(
+                Window.rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            ).cast("long").alias("n"),
+        )
+        .agg(
+            F.min(
+                F.when(F.col("cum") >= F.expr("(n + 1) DIV 2"), F.col("y"))
+            ).cast("long").alias("point_median")
+        )
+    )
+    return (
+        n_days.crossJoin(F.broadcast(point))
+        .crossJoin(F.broadcast(ci))
+        .select(
+            "n_days", "n_resamples_eff", "point_median", "lo_median", "hi_median"
+        )
+    )

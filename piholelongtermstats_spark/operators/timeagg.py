@@ -416,3 +416,61 @@ def weekday_chi2(fact: DataFrame) -> DataFrame:
         )
         .withColumn("dof", F.lit(6).cast("long"))
     )
+
+
+def twap_reply_daily(fact: DataFrame) -> DataFrame:
+    """Per-day TIME-weighted average reply time next to the plain
+    (count-weighted) mean — the irregular-sampling correction every
+    telemetry average needs: a burst of 1000 cheap lookups in one
+    second should not drown the slow steady-state the service spent
+    the rest of the day in.
+
+    Left-constant interpolation: each reply value holds from its
+    event until the NEXT reply event of the same day, weighted by
+    that interval in exact microseconds; the day's last event carries
+    no interval (standard TWAP endpoint convention). Days with one
+    reply event report NULL twap.
+
+    Exactness: weights are BIGINT µs, values the quantized BIGINT
+    µ-grid; Σ(r·Δt) accumulates in DECIMAL(38,0) (10¹¹ value ×
+    8.6·10¹⁰ µs/day × any event count passes 2⁶³); twap and mean are
+    each ONE rounded division. All windows partition by date — never
+    a global event order.
+    """
+    m = fact.filter(F.col("reply_time").isNotNull()).select(
+        "date",
+        "ts",
+        "event_id",
+        F.round(F.col("reply_time") * 1000).cast("long").alias("r"),
+    )
+    w = Window.partitionBy("date").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    dec = "decimal(38,0)"
+    seg = m.select(
+        "date",
+        "r",
+        (
+            F.unix_micros(nxt) - F.unix_micros(F.col("ts"))
+        ).alias("dt_us"),
+    ).filter(F.col("dt_us").isNotNull())
+    per = seg.groupBy("date").agg(
+        F.sum((F.col("r").cast(dec) * F.col("dt_us"))).alias("num"),
+        F.sum("dt_us").cast("long").alias("den_us"),
+    )
+    plain = m.groupBy("date").agg(
+        F.count(F.lit(1)).cast("long").alias("n_replies"),
+        F.sum("r").cast("long").alias("sum_r"),
+    )
+    out = plain.join(per, "date", "left")
+    twap = F.when(
+        F.col("den_us") > 0,
+        F.col("num").cast("double") / F.col("den_us").cast("double"),
+    )
+    mean = F.col("sum_r").cast("double") / F.col("n_replies").cast("double")
+    return out.select(
+        "date",
+        "n_replies",
+        F.coalesce(F.col("den_us"), F.lit(0)).alias("span_us"),
+        F.round(mean, 6).alias("mean_q"),
+        F.round(twap, 6).alias("twap_q"),
+    ).orderBy("date")

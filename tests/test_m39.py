@@ -100,3 +100,75 @@ def test_p95_heatmap_nearest_rank_exact(spark):
     r = got[0]
     assert (r.n_replies, r.p95_q) == (20, 19)
     assert r.p95_ms == 0.019
+
+
+# --- M43 additions (same family) ---------------------------------------------
+
+
+def test_dq_panel_flags_injected_violations(spark):
+    import datetime as dtm
+
+    rows = [
+        (1, dtm.datetime(2024, 1, 1, 10), 1, "view", 0.5, "d"),
+        (1, dtm.datetime(2024, 1, 1, 11), 2, "click", 0.5, "d"),  # dup id
+        (3, None, 3, "view", 0.5, "d"),                    # null ts
+        (4, dtm.datetime(1999, 1, 1, 0), 4, "view", 0.5, "d"),  # out of range
+        (5, dtm.datetime(2024, 1, 2, 10), None, "view", 0.5, "d"),  # null uid
+        (6, dtm.datetime(2024, 1, 2, 11), 6, "weird", 0.5, "d"),  # bad type
+        (7, dtm.datetime(2024, 1, 2, 12), 7, "view", -1.0, "d"),  # negative
+    ]
+    from piholelongtermstats_spark.operators import dq
+
+    raw = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    got = {r.check_name: r for r in dq.dq_expectations_panel(raw).collect()}
+    assert got["event_id_unique"].n_violations == 1
+    assert got["ts_not_null"].n_violations == 1
+    assert got["ts_in_range"].n_violations == 1
+    assert got["user_id_not_null"].n_violations == 1
+    assert got["event_type_known"].n_violations == 1
+    assert got["value_nonnegative"].n_violations == 1
+    assert got["event_id_not_null"].pass_flag == 1
+    assert all(r.n_checked == 7 for r in got.values())
+
+
+def test_twap_differs_from_mean_on_burst(spark):
+    """9 fast replies in 9 seconds then one slow reply an hour later:
+    the count mean is fast-dominated, the time-weighted mean is
+    slow-value-free (the last event carries no interval) but weights
+    the fast values by their tiny spans correctly."""
+    import datetime as dtm
+
+    from piholelongtermstats_spark.operators import timeagg
+
+    t0 = dtm.datetime.fromisoformat("2024-01-01T10:00:00")
+    rows = [
+        (i + 1, (t0 + dtm.timedelta(seconds=i)).isoformat(), "c", "d",
+         "Allowed", 0.001 * (i + 1))
+        for i in range(9)
+    ]
+    rows.append((10, (t0 + dtm.timedelta(hours=1)).isoformat(), "c", "d",
+                 "Allowed", 1.0))
+    fact = make_fact(spark, rows)
+    r = timeagg.twap_reply_daily(fact).collect()[0]
+    assert r.n_replies == 10
+    # mean over quantized values (1..9, 1000) = 1045/10
+    assert r.mean_q == 104.5
+    # twap: values 1..8 hold 1s each; value 9 holds 3600-8 = 3592s;
+    # total span 3600s -> (36 + 9*3592)/3600 = 8.99 exactly
+    assert r.twap_q == 8.99
+    assert r.span_us == 3600 * 1000000
+
+
+def test_bootstrap_median_integer_exact_and_bracketing(spark):
+    fact = make_fact(spark, _day_rows([5, 9, 3, 8, 6, 7, 4, 9, 5, 8,
+                                       6, 7, 3, 9, 5]))
+    r = resample.bootstrap_daily_median_ci(fact, 200).collect()[0]
+    assert isinstance(r.point_median, int)
+    assert r.lo_median <= r.point_median <= r.hi_median
+    assert r.n_resamples_eff == 200
+    r2 = resample.bootstrap_daily_median_ci(fact, 200).collect()[0]
+    assert r == r2
