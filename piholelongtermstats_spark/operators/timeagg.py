@@ -474,3 +474,104 @@ def twap_reply_daily(fact: DataFrame) -> DataFrame:
         F.round(mean, 6).alias("mean_q"),
         F.round(twap, 6).alias("twap_q"),
     ).orderBy("date")
+
+
+def broken_trend_fit(fact: DataFrame) -> DataFrame:
+    """One row: piecewise ("broken-stick") linear trend split at the
+    retrospective CUSUM change-point — did the trend CHANGE at the
+    detected break, and how well does each regime fit a line?
+
+    The break anchor is the EARLIEST argmax of |P_i| with
+    P_i = Σ_{t≤i}(n·y_t − Σy) — the classic retrospective CUSUM
+    estimator (Page 1954/Hinkley 1970 mean-shift form; NOT the
+    reset-CUSUM of cusum_changepoint, whose peak lands at the series
+    END for sustained shifts — the wrong place to split a
+    regression). P_n = 0 identically, so the anchor is always
+    interior and both segments are nonempty: A = days ≤ anchor
+    (``break_date``), B = days after. Each segment gets the
+    daily_trend_slope OLS kernel: slope and r² from exact BIGINT
+    sufficient statistics, each reported value one fixed IEEE
+    expression; a < 2-day segment reports NULLs (NULLIF-guarded).
+
+    Scale: the daily relation drives everything; the CUSUM window
+    and the two segment aggregates all run on day-cardinality rows.
+    """
+    daily = fact.groupBy("date").agg(F.count(F.lit(1)).cast("long").alias("y"))
+    tot = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("sy"),
+        F.min("date").alias("d0"),
+    )
+    w = Window.orderBy("date").rowsBetween(Window.unboundedPreceding, 0)
+    scanned = (
+        daily.join(F.broadcast(tot))
+        .withColumn("p", F.sum(F.col("n") * F.col("y") - F.col("sy")).over(w))
+    )
+    tau = scanned.agg(
+        F.min_by("date", F.struct(-F.abs(F.col("p")), F.col("date"))).alias(
+            "break_date"
+        )
+    )
+    seg = (
+        daily.join(F.broadcast(tot))
+        .join(F.broadcast(tau))
+        .select(
+            F.when(F.col("date") <= F.col("break_date"), F.lit("a"))
+            .otherwise(F.lit("b"))
+            .alias("seg"),
+            F.datediff("date", "d0").cast("long").alias("x"),
+            "y",
+            F.col("break_date").alias("break_date"),
+        )
+    )
+    stats = seg.groupBy("seg").agg(
+        F.max("break_date").alias("break_date"),
+        F.count(F.lit(1)).cast("long").alias("m"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy")
+    dx = F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx")
+    dy = F.col("m") * F.col("syy") - F.col("sy") * F.col("sy")
+    slope = F.round(
+        num.cast("double")
+        / F.when(dx != 0, dx.cast("double")),
+        6,
+    )
+    r2 = F.round(
+        (num.cast("double") * num.cast("double"))
+        / F.when(
+            (dx != 0) & (dy != 0), dx.cast("double") * dy.cast("double")
+        ),
+        6,
+    )
+    per = stats.select("seg", "break_date", "m", slope.alias("sl"), r2.alias("r2"))
+    a = per.filter(F.col("seg") == "a").select(
+        F.col("m").alias("n_a"),
+        F.col("sl").alias("slope_a"),
+        F.col("r2").alias("r2_a"),
+    )
+    b = per.filter(F.col("seg") == "b").select(
+        "break_date",
+        F.col("m").alias("n_b"),
+        F.col("sl").alias("slope_b"),
+        F.col("r2").alias("r2_b"),
+    )
+    n_days = daily.agg(F.count(F.lit(1)).cast("long").alias("n_days"))
+    out = (
+        n_days.crossJoin(F.broadcast(b))
+        .join(F.broadcast(a), how="left")
+    )
+    return out.select(
+        "n_days",
+        "break_date",
+        F.coalesce(F.col("n_a"), F.lit(0)).alias("n_a"),
+        "slope_a",
+        "r2_a",
+        "n_b",
+        "slope_b",
+        "r2_b",
+    )
