@@ -63,3 +63,94 @@ def dq_expectations_panel(raw: DataFrame) -> DataFrame:
         F.col("n_violations").cast("long").alias("n_violations"),
         (F.col("n_violations") == 0).cast("int").alias("pass_flag"),
     ).orderBy("check_name")
+
+
+def join_cardinality_audit(fact: DataFrame, n_probe: int = 20) -> DataFrame:
+    """One row: join-size estimation audit for the client-keyed
+    self-join of the two date-range halves — the optimizer-statistics
+    question ("how big would A ⋈ B be?") answered EXACTLY from key
+    histograms, without executing the join:
+
+        |A ⋈_k B| = Σ_k f_A(k) · f_B(k)
+
+    Output: (n_a, n_b, n_keys_common, predicted_total, n_probe_keys,
+    predicted_probe, actual_probe, probe_match) — predicted_total is
+    the full-key identity (one histogram shuffle, DECIMAL(38,0): at
+    10¹² rows per side a hot key's product passes 2⁶³);
+    the EXECUTED verification join runs only over ``n_probe``
+    md5-chosen keys (deterministic, the engine-wide 60-bit primitive)
+    so the audit never materializes the full join output — the
+    predicted join can be quadratically larger than either input,
+    which is exactly why you estimate before you execute.
+
+    Scale: two conditional-count histograms off one fact scan, one
+    broadcast probe-key semi-join, one probe-sized executed join.
+    """
+    bounds = fact.agg(
+        F.min("date").alias("d0"), F.max("date").alias("d1")
+    ).select(
+        "d0",
+        F.expr("date_add(d0, CAST(datediff(d1, d0) DIV 2 AS INT))").alias(
+            "mid"
+        ),
+    )
+    halves = fact.join(F.broadcast(bounds)).select(
+        "client",
+        F.when(F.col("date") < F.col("mid"), 1).otherwise(0).alias("in_a"),
+    )
+    hist = halves.groupBy("client").agg(
+        F.sum("in_a").cast("long").alias("fa"),
+        F.sum(1 - F.col("in_a")).cast("long").alias("fb"),
+    )
+    both = hist.filter((F.col("fa") > 0) & (F.col("fb") > 0))
+    probe = (
+        both.select(
+            "client",
+            F.conv(F.substring(F.md5(F.col("client")), 1, 15), 16, 10)
+            .cast("long")
+            .alias("h"),
+        )
+        .orderBy("h", "client")
+        .limit(n_probe)
+        .select("client")
+    )
+    tot = both.agg(
+        F.sum("fa").cast("long").alias("n_a_matched"),
+        F.sum("fb").cast("long").alias("n_b_matched"),
+        F.count(F.lit(1)).cast("long").alias("n_keys_common"),
+        F.sum(
+            (F.col("fa").cast("decimal(38,0)") * F.col("fb"))
+        ).cast("decimal(38,0)").cast("double").alias("predicted_total"),
+    )
+    probe_pred = both.join(F.broadcast(probe), "client").agg(
+        F.count(F.lit(1)).cast("long").alias("n_probe_keys"),
+        F.coalesce(
+            F.sum(F.col("fa") * F.col("fb")), F.lit(0)
+        ).cast("long").alias("predicted_probe"),
+    )
+    ev = fact.join(F.broadcast(bounds)).select(
+        "client",
+        "event_id",
+        (F.col("date") < F.col("mid")).alias("is_a"),
+    ).join(F.broadcast(probe), "client")
+    a = ev.filter(F.col("is_a")).select("client", F.col("event_id").alias("ea"))
+    b = ev.filter(~F.col("is_a")).select("client", F.col("event_id").alias("eb"))
+    actual = a.join(b, "client").agg(
+        F.count(F.lit(1)).cast("long").alias("actual_probe")
+    )
+    return (
+        tot.crossJoin(F.broadcast(probe_pred))
+        .crossJoin(F.broadcast(actual))
+        .select(
+            "n_a_matched",
+            "n_b_matched",
+            "n_keys_common",
+            "predicted_total",
+            "n_probe_keys",
+            "predicted_probe",
+            "actual_probe",
+            (F.col("predicted_probe") == F.col("actual_probe"))
+            .cast("int")
+            .alias("probe_match"),
+        )
+    )

@@ -124,3 +124,87 @@ def cohort_retention(fact: DataFrame, max_offset: int = 13) -> DataFrame:
         )
         .orderBy("cohort_date", "day_offset")
     )
+
+
+def growth_accounting_daily(fact: DataFrame) -> DataFrame:
+    """Per-day growth accounting of the client base — the canonical
+    NEW / RETAINED / RESURRECTED / CHURNED decomposition (the
+    "growth accounting" identity: DAU_t = new_t + retained_t +
+    resurrected_t, and DAU_t − DAU_{t−1} = new_t + resurrected_t −
+    churned_t):
+
+      new         — first day the client is ever seen
+      retained    — active today AND active yesterday
+      resurrected — active today, seen before, but not yesterday
+      churned     — active YESTERDAY and not today (attributed to
+                    today, the day the loss is observed)
+
+    All four are exact counts from the distinct (client, date)
+    activity relation: first-seen via one keyed min, yesterday-active
+    via a self-equi-join on (client, date−1) — no windows over
+    events, no per-client ordering; the day spine left-joins so
+    zero-activity days still report their churn.
+
+    Identity tests pin: dau = new + retained + resurrected, and
+    Σnew = distinct clients (every client is new exactly once).
+    """
+    activity = fact.select("client", "date").distinct()
+    first = activity.groupBy("client").agg(F.min("date").alias("first_date"))
+    a = activity.join(first, "client")
+    y = activity.select(
+        "client", F.date_add(F.col("date"), 1).cast("timestamp").alias("date")
+    )
+    flags = a.join(
+        y.withColumn("_y", F.lit(1)), ["client", "date"], "left"
+    ).select(
+        "date",
+        F.when(F.col("date") == F.col("first_date"), 1)
+        .otherwise(0)
+        .alias("is_new"),
+        F.when(
+            (F.col("date") != F.col("first_date")) & F.col("_y").isNotNull(), 1
+        )
+        .otherwise(0)
+        .alias("is_ret"),
+        F.when(
+            (F.col("date") != F.col("first_date")) & F.col("_y").isNull(), 1
+        )
+        .otherwise(0)
+        .alias("is_res"),
+    )
+    per = flags.groupBy("date").agg(
+        F.count(F.lit(1)).cast("long").alias("dau"),
+        F.sum("is_new").cast("long").alias("new_clients"),
+        F.sum("is_ret").cast("long").alias("retained"),
+        F.sum("is_res").cast("long").alias("resurrected"),
+    )
+    churn = (
+        y.join(activity.withColumn("_t", F.lit(1)), ["client", "date"], "left")
+        .filter(F.col("_t").isNull())
+        .groupBy("date")
+        .agg(F.count(F.lit(1)).cast("long").alias("churned"))
+    )
+    # day spine over [min, max] observed dates: a zero-activity day
+    # inside the range still reports its churn (and zero DAU); churn
+    # attributed past the horizon (last day's actives) is out of range
+    # by construction and excluded
+    spine = activity.agg(
+        F.min("date").alias("lo"), F.max("date").alias("hi")
+    ).select(
+        F.explode(
+            F.sequence(F.col("lo"), F.col("hi"), F.expr("INTERVAL 1 DAY"))
+        ).alias("date")
+    )
+    return (
+        spine.join(F.broadcast(per), "date", "left")
+        .join(F.broadcast(churn), "date", "left")
+        .select(
+            "date",
+            F.coalesce(F.col("dau"), F.lit(0)).alias("dau"),
+            F.coalesce(F.col("new_clients"), F.lit(0)).alias("new_clients"),
+            F.coalesce(F.col("retained"), F.lit(0)).alias("retained"),
+            F.coalesce(F.col("resurrected"), F.lit(0)).alias("resurrected"),
+            F.coalesce(F.col("churned"), F.lit(0)).alias("churned"),
+        )
+        .orderBy("date")
+    )

@@ -1,0 +1,133 @@
+"""M45 — growth accounting + join-size estimation audit:
+
+- ``growth_accounting_daily`` — the canonical per-day
+  new/retained/resurrected/churned decomposition of the client base
+  (DAU_t = new+retained+resurrected; ΔDAU = new+resurrected−churned),
+  exact counts over the distinct activity relation with a day spine.
+- ``join_cardinality_audit`` — |A ⋈ B| predicted exactly from key
+  histograms (Σ f_A·f_B) with a probe-key executed verification —
+  the optimizer-statistics workflow as a first-class query.
+
+Both DuckDB-oracle-checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from piholelongtermstats_spark.operators import dq, journey
+from piholelongtermstats_spark.plans.registry import _fact, register
+from piholelongtermstats_spark.sources.events import FACT_CTE
+
+_GROWTH_SQL = (
+    FACT_CTE
+    + """
+, activity AS (SELECT DISTINCT client, date FROM fact)
+, first AS (
+  SELECT client, min(date) AS first_date FROM activity GROUP BY client
+), y AS (
+  SELECT client, date + INTERVAL 1 DAY AS date FROM activity
+), flags AS (
+  SELECT a.date,
+    CASE WHEN a.date = f.first_date THEN 1 ELSE 0 END AS is_new,
+    CASE WHEN a.date <> f.first_date AND y.client IS NOT NULL
+         THEN 1 ELSE 0 END AS is_ret,
+    CASE WHEN a.date <> f.first_date AND y.client IS NULL
+         THEN 1 ELSE 0 END AS is_res
+  FROM activity a
+  JOIN first f USING (client)
+  LEFT JOIN y ON y.client = a.client AND y.date = a.date
+), per AS (
+  SELECT date, CAST(count(*) AS BIGINT) AS dau,
+         CAST(sum(is_new) AS BIGINT) AS new_clients,
+         CAST(sum(is_ret) AS BIGINT) AS retained,
+         CAST(sum(is_res) AS BIGINT) AS resurrected
+  FROM flags GROUP BY date
+), churn AS (
+  SELECT y.date, CAST(count(*) AS BIGINT) AS churned
+  FROM y LEFT JOIN activity t ON t.client = y.client AND t.date = y.date
+  WHERE t.client IS NULL
+  GROUP BY y.date
+), spine AS (
+  SELECT unnest(generate_series(min(date), max(date),
+                                INTERVAL 1 DAY)) AS date
+  FROM activity
+)
+SELECT s.date,
+       CAST(coalesce(per.dau, 0) AS BIGINT) AS dau,
+       CAST(coalesce(per.new_clients, 0) AS BIGINT) AS new_clients,
+       CAST(coalesce(per.retained, 0) AS BIGINT) AS retained,
+       CAST(coalesce(per.resurrected, 0) AS BIGINT) AS resurrected,
+       CAST(coalesce(churn.churned, 0) AS BIGINT) AS churned
+FROM spine s
+LEFT JOIN per ON per.date = s.date
+LEFT JOIN churn ON churn.date = s.date
+ORDER BY s.date
+"""
+)
+
+
+@register("growth_accounting_daily", _GROWTH_SQL)
+def q_growth_accounting_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day new/retained/resurrected/churned decomposition
+    (operators/journey.py)."""
+    return journey.growth_accounting_daily(_fact(spark, sf_dir))
+
+
+_N_PROBE = 20
+
+_JOINCARD_SQL = (
+    FACT_CTE
+    + f"""
+, bounds AS (
+  SELECT min(date) AS d0,
+         min(date) + to_days(CAST(date_diff('day', min(date), max(date)) // 2
+                                  AS INT)) AS mid
+  FROM fact
+), hist AS (
+  SELECT client,
+         CAST(count(*) FILTER (WHERE date < mid) AS BIGINT) AS fa,
+         CAST(count(*) FILTER (WHERE date >= mid) AS BIGINT) AS fb
+  FROM fact, bounds GROUP BY client
+), hb AS (
+  SELECT * FROM hist WHERE fa > 0 AND fb > 0
+), probe AS (
+  SELECT client FROM (
+    SELECT client,
+           ('0x' || substr(md5(client), 1, 15))::BIGINT AS h
+    FROM hb
+  ) ORDER BY h, client LIMIT {_N_PROBE}
+), tot AS (
+  SELECT CAST(sum(fa) AS BIGINT) AS n_a_matched,
+         CAST(sum(fb) AS BIGINT) AS n_b_matched,
+         CAST(count(*) AS BIGINT) AS n_keys_common,
+         CAST(CAST(sum(CAST(fa AS HUGEINT) * fb) AS HUGEINT) AS DOUBLE)
+           AS predicted_total
+  FROM hb
+), pp AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_probe_keys,
+         CAST(coalesce(sum(fa * fb), 0) AS BIGINT) AS predicted_probe
+  FROM hb JOIN probe USING (client)
+), ev AS (
+  SELECT f.client, f.event_id, f.date < b.mid AS is_a
+  FROM fact f, bounds b
+  JOIN probe p ON p.client = f.client
+), actual AS (
+  SELECT CAST(count(*) AS BIGINT) AS actual_probe
+  FROM (SELECT client, event_id FROM ev WHERE is_a) a
+  JOIN (SELECT client, event_id FROM ev WHERE NOT is_a) b USING (client)
+)
+SELECT tot.n_a_matched, tot.n_b_matched, tot.n_keys_common,
+       tot.predicted_total, pp.n_probe_keys, pp.predicted_probe,
+       actual.actual_probe,
+       CAST(pp.predicted_probe = actual.actual_probe AS INT) AS probe_match
+FROM tot, pp, actual
+"""
+)
+
+
+@register("join_cardinality_audit", _JOINCARD_SQL)
+def q_join_cardinality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact join-size prediction from key histograms + probe-key
+    executed verification (operators/dq.py)."""
+    return dq.join_cardinality_audit(_fact(spark, sf_dir), _N_PROBE)

@@ -90,3 +90,64 @@ def test_cohort_offset_cap(spark):
     fact = make_fact(spark, rows)
     got = journey.cohort_retention(fact, 13).collect()
     assert all(r.day_offset <= 13 for r in got)
+
+
+# --- M45 additions (same family) ----------------------------------------------
+
+
+def test_growth_accounting_identities(spark):
+    """Fixture: a born day1 (active 1,2,4); b born day1 (active 1
+    only); c born day3. Pins every cell plus the two accounting
+    identities."""
+    t = "2024-01-0{d}T10:00:00"
+    rows = [
+        (1, t.format(d=1), "a", "d", "Allowed", 0.1),
+        (2, t.format(d=1), "b", "d", "Allowed", 0.1),
+        (3, t.format(d=2), "a", "d", "Allowed", 0.1),
+        (4, t.format(d=3), "c", "d", "Allowed", 0.1),
+        (5, t.format(d=4), "a", "d", "Allowed", 0.1),
+    ]
+    fact = make_fact(spark, rows)
+    got = {
+        r.date.day: (r.dau, r.new_clients, r.retained, r.resurrected, r.churned)
+        for r in journey.growth_accounting_daily(fact).collect()
+    }
+    assert got[1] == (2, 2, 0, 0, 0)
+    assert got[2] == (1, 0, 1, 0, 1)   # a retained; b churned
+    assert got[3] == (1, 1, 0, 0, 1)   # c new; a churned (inactive d3)
+    assert got[4] == (1, 0, 0, 1, 1)   # a resurrected; c churned
+    # identities on every day
+    for d, (dau, new, ret, res, _ch) in got.items():
+        assert dau == new + ret + res, d
+    prev_dau = None
+    for d in sorted(got):
+        dau, new, _ret, res, ch = got[d]
+        if prev_dau is not None:
+            assert dau - prev_dau == new + res - ch, d
+        prev_dau = dau
+
+
+def test_growth_accounting_zero_activity_day_reports_churn(spark):
+    rows = [
+        (1, "2024-01-01T10:00:00", "a", "d", "Allowed", 0.1),
+        (2, "2024-01-03T10:00:00", "a", "d", "Allowed", 0.1),
+    ]
+    fact = make_fact(spark, rows)
+    got = {
+        r.date.day: (r.dau, r.churned)
+        for r in journey.growth_accounting_daily(fact).collect()
+    }
+    assert got[2] == (0, 1)  # the empty day still reports a's churn
+
+
+def test_join_cardinality_probe_matches_execution(spark):
+    from piholelongtermstats_spark.operators import dq
+    from piholelongtermstats_spark.plans.registry import _fact
+
+    r = dq.join_cardinality_audit(
+        _fact(spark, "/root/testdata/sf0.001"), 20
+    ).collect()[0]
+    assert r.probe_match == 1
+    assert r.n_probe_keys <= 20
+    assert r.predicted_probe == r.actual_probe
+    assert r.predicted_total >= r.predicted_probe
