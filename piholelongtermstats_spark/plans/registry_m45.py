@@ -131,3 +131,71 @@ def q_join_cardinality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact join-size prediction from key histograms + probe-key
     executed verification (operators/dq.py)."""
     return dq.join_cardinality_audit(_fact(spark, sf_dir), _N_PROBE)
+
+
+# ---------------------------------------------------------------------------
+# journey_scale_2x — the doubling proof for the ordered-funnel tier:
+# events ∪ (user_id + 2^40)-shifted copy. Shifted users are DISJOINT
+# twins with identical per-user event sequences, so every stage count
+# exactly doubles and the conversion ppms are IDENTICAL to 1×
+# (invariance pinned in tests/test_m41.py); the driver row
+# hash-checks the doubled execution against a direct oracle on the
+# doubled input.
+# ---------------------------------------------------------------------------
+
+_J2X_SHIFT = 1 << 40
+
+_J2X_SQL = f"""
+WITH ev2 AS (
+  SELECT user_id, event_type, ts FROM events
+  UNION ALL
+  SELECT user_id + {_J2X_SHIFT}, event_type, ts FROM events
+), s1 AS (
+  SELECT user_id, min(ts) AS t FROM ev2
+  WHERE event_type = 'view' GROUP BY user_id
+), s2 AS (
+  SELECT e.user_id, min(e.ts) AS t
+  FROM ev2 e JOIN s1 ON s1.user_id = e.user_id AND e.ts > s1.t
+  WHERE e.event_type = 'click' GROUP BY e.user_id
+), s3 AS (
+  SELECT e.user_id, min(e.ts) AS t
+  FROM ev2 e JOIN s2 ON s2.user_id = e.user_id AND e.ts > s2.t
+  WHERE e.event_type = 'purchase' GROUP BY e.user_id
+), c AS (
+  SELECT
+    (SELECT CAST(count(DISTINCT user_id) AS BIGINT) FROM ev2) AS n_users,
+    (SELECT CAST(count(*) AS BIGINT) FROM s1) AS n_step1,
+    (SELECT CAST(count(*) AS BIGINT) FROM s2) AS n_step2,
+    (SELECT CAST(count(*) AS BIGINT) FROM s3) AS n_step3
+)
+SELECT n_users, n_step1, n_step2, n_step3,
+  CAST(CASE WHEN n_step1 > 0 THEN n_step2 * 1000000 // n_step1 END
+       AS BIGINT) AS conv_1_2_ppm,
+  CAST(CASE WHEN n_step2 > 0 THEN n_step3 * 1000000 // n_step2 END
+       AS BIGINT) AS conv_2_3_ppm,
+  CAST(CASE WHEN n_step1 > 0 THEN n_step3 * 1000000 // n_step1 END
+       AS BIGINT) AS conv_1_3_ppm
+FROM c
+"""
+
+
+@register("journey_scale_2x", _J2X_SQL)
+def q_journey_scale_2x(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel over the 2× user-shifted union — stage counts
+    double, conversion ppms invariant (operators/journey.py)."""
+    from pyspark.sql import functions as F
+
+    from piholelongtermstats_spark.plans.cache import shared_input
+    from piholelongtermstats_spark.session import ensure_session_defaults
+    from piholelongtermstats_spark.sources.events import raw_event_stream
+
+    ensure_session_defaults(spark)
+    raw = shared_input(
+        spark, "raw_events", sf_dir, lambda: raw_event_stream(spark, sf_dir)
+    ).select("user_id", "event_type", "ts")
+    shifted = raw.select(
+        (F.col("user_id") + F.lit(_J2X_SHIFT)).alias("user_id"),
+        "event_type",
+        "ts",
+    )
+    return journey.funnel_conversion(raw.unionByName(shifted))

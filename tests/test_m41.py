@@ -151,3 +151,18 @@ def test_join_cardinality_probe_matches_execution(spark):
     assert r.n_probe_keys <= 20
     assert r.predicted_probe == r.actual_probe
     assert r.predicted_total >= r.predicted_probe
+
+
+def test_funnel_invariant_under_user_doubling(spark):
+    """journey_scale_2x contract: stage counts double exactly,
+    conversion ppms identical."""
+    import __spark_entry__ as se
+
+    sf = "/root/testdata/sf0.001"
+    one = se.queries()["funnel_conversion"](spark, sf).collect()[0]
+    two = se.queries()["journey_scale_2x"](spark, sf).collect()[0]
+    assert two.n_users == 2 * one.n_users
+    for c in ("n_step1", "n_step2", "n_step3"):
+        assert two[c] == 2 * one[c]
+    for c in ("conv_1_2_ppm", "conv_2_3_ppm", "conv_1_3_ppm"):
+        assert two[c] == one[c]
