@@ -262,9 +262,10 @@ TOP_50 = [
 # the two-sample inference family (mean/rank/variance shift) is
 # driver-checked end to end.
 # r9 swaps (2): funnel_conversion — the ordered-sequence user-journey
-# family's first driver row (strictly-after chaining over the RAW
-# event stream; a query class the registry lacked entirely) — took
-# dedup_clusters_star's row. Star contraction stays driver-verified
+# family's FIRST DRIVER ROW (strictly-after chaining over the RAW
+# event stream; M11's funnel_counts carries the same anchor semantics
+# but sat below the line — tests pin stage-count equality between the
+# two, so the slot verifies both) — took dedup_clusters_star's row. Star contraction stays driver-verified
 # INSIDE dedup_scale_2x (which runs LSH → star contraction →
 # survivors end-to-end on the doubled corpus with zero-spill plan
 # assertions) and dedup_clusters_star stays parity-green below the

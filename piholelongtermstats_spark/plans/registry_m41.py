@@ -1,11 +1,18 @@
 """M41 — user-journey analytics (operators/journey.py): the ordered
-funnel and cohort-retention shapes, both DuckDB-oracle-checked.
+funnel and cohort-retention SERVING shapes, both DuckDB-oracle-checked.
 
-- ``funnel_conversion`` — strictly-ordered view → click → purchase
-  funnel over the RAW event stream (the step names the fact's 3-way
-  status mapping collapses).
-- ``cohort_retention`` — first-seen cohort × day-offset retention
-  matrix over the enriched fact.
+Relationship to the M11 tier (registry_m11, operators/cohort.py):
+M11's ``funnel_counts`` established the strictly-after anchor
+semantics (reached-stage counts) and ``client_retention`` the raw
+cohort × age matrix; this wave adds the rate-bearing serving variants
+— ``funnel_conversion`` (ppm conversion rates between stages, generic
+step list) and ``cohort_retention`` (cohort sizes + retention ppm,
+offset-capped). The two formulations are CROSS-VALIDATED, not
+redundant: tests/test_m41.py pins stage-count equality between
+funnel_conversion and funnel_counts, and n_active equality between
+cohort_retention and client_retention on shared inputs — two
+independently-written implementations of the same semantics agreeing
+is additional evidence for both.
 """
 
 from __future__ import annotations

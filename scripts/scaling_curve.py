@@ -64,6 +64,12 @@ def main() -> int:
         from piholelongtermstats_spark.operators.basket import (
             domain_association_rules,
         )
+        from piholelongtermstats_spark.operators.behavior import (
+            client_profile_distance,
+        )
+        from piholelongtermstats_spark.operators.resample import (
+            bootstrap_daily_mean_ci,
+        )
         from piholelongtermstats_spark.operators.robust import mad_outlier_days
 
         for name, fn in (
@@ -89,6 +95,16 @@ def main() -> int:
             # is scaled alongside (relative support, the
             # basket_scale_2x lesson).
             ("basket", None),  # bound below with k in scope
+            # behavioral profile distance: the (client, hour) relation
+            # is CONSTANT-sized (clients × 24) while the event volume
+            # grows ×k — the expected curve is pure scan slope, and
+            # the time shift preserves hour-of-day so the distances
+            # themselves are k-invariant (profile_scale_2x identity).
+            ("behavior", lambda f: client_profile_distance(f, 10)),
+            # Poisson bootstrap: B × |days| weight rows; days grow ×k
+            # (disjoint ranges) so resample work grows ×k on top of
+            # the ×k day collapse — near-linear expected.
+            ("bootstrap", lambda f: bootstrap_daily_mean_ci(f, 200)),
         ):
             if name == "basket":
                 fn = lambda f, _k=k: domain_association_rules(  # noqa: E731

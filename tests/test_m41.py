@@ -166,3 +166,35 @@ def test_funnel_invariant_under_user_doubling(spark):
         assert two[c] == 2 * one[c]
     for c in ("conv_1_2_ppm", "conv_2_3_ppm", "conv_1_3_ppm"):
         assert two[c] == one[c]
+
+
+def test_funnel_conversion_cross_validates_m11_funnel_counts(spark):
+    """Two independently-written funnels (M11 cohort.funnel_counts,
+    M41 journey.funnel_conversion) share the strictly-after anchor
+    semantics — stage counts must agree on real data."""
+    import __spark_entry__ as se
+
+    sf = "/root/testdata/sf0.001"
+    new = se.queries()["funnel_conversion"](spark, sf).collect()[0]
+    old = se.queries()["funnel_counts"](spark, sf).collect()[0]
+    assert new.n_step1 == old.n_view
+    assert new.n_step2 == old.n_click_after_view
+    assert new.n_step3 == old.n_purchase_after_click
+
+
+def test_cohort_retention_cross_validates_m11_client_retention(spark):
+    """cohort_retention.n_active == client_retention.n_clients for
+    every (cohort, offset) within the cap."""
+    import __spark_entry__ as se
+
+    sf = "/root/testdata/sf0.001"
+    new = {
+        (r.cohort_date, r.day_offset): r.n_active
+        for r in se.queries()["cohort_retention"](spark, sf).collect()
+    }
+    old = {
+        (r.cohort_date, r.age_days): r.n_clients
+        for r in se.queries()["client_retention"](spark, sf).collect()
+        if r.age_days <= 13
+    }
+    assert new == old
