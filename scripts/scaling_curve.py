@@ -183,7 +183,7 @@ def main() -> int:
     print(f"{'op':10s} {'k':>2s} {'rows':>9s} {'sec':>7s} {'vs 1x':>6s}")
     for name in (
         "streaks", "rollup", "heavy_hit", "mad_robust", "basket",
-        "lsh_dedup", "setsim",
+        "behavior", "bootstrap", "lsh_dedup", "setsim",
     ):
         base_t = results[(name, 1)][1]
         for k in KS:
