@@ -29,7 +29,7 @@ folds in closed form — see client_profile_distance).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 _DEC = "decimal(38,0)"
@@ -260,3 +260,72 @@ def domain_share_movers(fact: DataFrame, k: int = 10) -> DataFrame:
         .orderBy(F.col("abs_delta_ppm").desc(), F.col("domain").asc())
         .limit(k)
     )
+
+
+def spike_contribution(fact: DataFrame, k: int = 10) -> DataFrame:
+    """Top-``k`` domains by contribution to the largest day-over-day
+    volume change — "EXPLAIN the spike": since
+    Δtotal_t = Σ_domain Δcount_t(domain) exactly, ranking domains by
+    |Δcount| on the peak-Δ day decomposes the anomaly into its
+    drivers (the additive contribution analysis every incident
+    review starts with).
+
+    Output: (spike_date, total_delta, domain, cnt_before, cnt_after,
+    delta, share_ppm) ordered by (|delta| DESC, domain);
+    share_ppm = 10⁶·delta DIV total_delta (signed; contributions
+    against the move are negative shares).
+
+    Determinism: the spike day is the EARLIEST argmax of |Δtotal|
+    (exact integers); domains absent on one side carry 0.
+
+    Scale: one daily-count relation + one (domain, date) aggregation
+    filtered to two broadcast dates — the per-domain relation is
+    touched for exactly the two days in question.
+    """
+    daily = fact.groupBy("date").agg(
+        F.count(F.lit(1)).cast("long").alias("y")
+    )
+    w = Window.orderBy("date")
+    deltas = daily.select(
+        "date",
+        (F.col("y") - F.lag("y").over(w)).alias("d"),
+        F.lag("date").over(w).alias("prev_date"),
+    ).filter(F.col("d").isNotNull())
+    spike = deltas.orderBy(
+        F.abs(F.col("d")).desc(), F.col("date").asc()
+    ).limit(1).select(
+        F.col("date").alias("spike_date"),
+        F.col("prev_date").alias("before_date"),
+        F.col("d").alias("total_delta"),
+    )
+    dd = (
+        fact.join(F.broadcast(spike))
+        .filter(
+            (F.col("date") == F.col("spike_date"))
+            | (F.col("date") == F.col("before_date"))
+        )
+        .groupBy("domain")
+        .agg(
+            F.count(F.when(F.col("date") == F.col("before_date"), 1))
+            .cast("long")
+            .alias("cnt_before"),
+            F.count(F.when(F.col("date") == F.col("spike_date"), 1))
+            .cast("long")
+            .alias("cnt_after"),
+        )
+    )
+    delta = (F.col("cnt_after") - F.col("cnt_before")).cast("long")
+    out = dd.join(F.broadcast(spike)).select(
+        "spike_date",
+        "total_delta",
+        "domain",
+        "cnt_before",
+        "cnt_after",
+        delta.alias("delta"),
+        F.expr("CAST((cnt_after - cnt_before) * 1000000 DIV total_delta AS BIGINT)").alias(
+            "share_ppm"
+        ),
+    )
+    return out.orderBy(
+        F.abs(F.col("delta")).desc(), F.col("domain").asc()
+    ).limit(k)

@@ -682,3 +682,51 @@ def stl_lite_daily(fact: DataFrame) -> DataFrame:
         F.round(trend, 6).alias("trend_mean"),
         F.round(seasonal, 6).alias("seasonal_mean"),
     ).orderBy("date")
+
+
+def seasonal_adjusted_outliers(
+    fact: DataFrame, k_num: int = 7, k_den: int = 2
+) -> DataFrame:
+    """Per-day robust outlier audit on the SEASONALLY ADJUSTED series
+    — the mad_outlier_days gate applied to stl_lite_daily's n-cleared
+    remainder instead of the raw counts: a quiet Sunday stops
+    tripping the alarm and a busy-for-a-Sunday day starts to.
+
+    The adjusted signal is the doubly-cleared integer remainder
+    r_t = det7_t·cnt_w − s_sum_w (robust.stl_lite_daily), so the
+    doubled-median/MAD machinery applies verbatim: med2 = 2·median(r),
+    mad4 = 2·median(|2r − med2|), gate 2·k_den·|2r − med2| >
+    k_num·mad4 — pure integer comparisons end to end; robust_z is
+    reporting only.
+
+    Caveat (documented, not hidden): head/tail days carry partial
+    centered windows and weekday groups mix window widths, so the
+    remainder scale is only homogeneous on the interior — the gate is
+    a DASHBOARD alarm, not a test statistic (the inference tier's
+    welch/levene handle those questions).
+
+    Scale: the daily relation drives everything; medians are
+    row_number order statistics over days.
+    """
+    stl = stl_lite_daily(fact).select("date", "y", "remain7_scaled")
+    m = _med2(stl.select("remain7_scaled"), "remain7_scaled").select(
+        F.col("n").alias("n_days"), F.col("med2")
+    )
+    dev = stl.join(F.broadcast(m)).withColumn(
+        "u", F.abs(2 * F.col("remain7_scaled") - F.col("med2"))
+    )
+    mm = _med2(dev.select("u"), "u").select(F.col("med2").alias("mad4"))
+    out = dev.join(F.broadcast(mm))
+    dev2 = 2 * F.col("remain7_scaled") - F.col("med2")
+    z = (2.0 * dev2.cast("double")) / (1.4826 * F.col("mad4").cast("double"))
+    return out.select(
+        "date",
+        "y",
+        F.col("remain7_scaled").alias("adj"),
+        "med2",
+        "mad4",
+        F.round(F.when(F.col("mad4") > 0, z), 6).alias("robust_z"),
+        (2 * k_den * F.col("u") > k_num * F.col("mad4"))
+        .cast("int")
+        .alias("is_outlier"),
+    ).orderBy("date")

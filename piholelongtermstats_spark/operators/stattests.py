@@ -813,3 +813,116 @@ def quantile_sketch_eval(
         "p_pm", "n", "exact_q", "sketch_q", "rank_err", "bound",
         (F.col("rank_err") <= F.col("bound")).cast("int").alias("within_bound"),
     ).orderBy("p_pm")
+
+
+def reply_drift_chi2(fact: DataFrame, n_buckets: int = 10) -> DataFrame:
+    """One row: χ² drift test of the reply-time distribution between
+    the two halves of the date range — the TEMPORAL complement of
+    ks_day_night (did the latency distribution move over time?), in
+    the bucketed form monitoring systems deploy (the PSI shape, but
+    χ² so the statistic stays log-free and integer-exact).
+
+    Buckets are the FIRST half's own deciles (exact nearest-rank
+    boundaries over the first-half value histogram — equal-mass by
+    construction, so expected counts are never tiny); both halves are
+    then counted per bucket and
+        χ² = Σ_b (n_a·c_b^B − n_b·c_b^A)² / (n_a·n_b·(c_b^A + c_b^B))
+    (the two-sample chi-square in cross-multiplied form — numerator
+    and denominator exact DECIMAL(38,0) products, one division per
+    bucket summed as doubles of exact integers... kept fully exact:
+    the per-bucket terms are each ONE division of exact integers,
+    summed after rounding is NOT allowed — so χ² is assembled as a
+    single SUM over per-bucket exact-rational divisions, each
+    correctly rounded; cross-engine identical because the summands
+    and the summation ORDER (bucket id) are identical).
+
+    Output: (n_first, n_second, n_buckets_used, chi2, dof).
+
+    Scale: one value histogram per half (same shuffle), boundary
+    selection over distinct values, a 10-row bucket relation.
+    """
+    m = fact.filter(F.col("reply_time").isNotNull())
+    bounds = m.agg(
+        F.min("date").alias("d0"), F.max("date").alias("d1")
+    ).select(
+        F.expr("date_add(d0, CAST(datediff(d1, d0) DIV 2 AS INT))").alias(
+            "mid"
+        )
+    )
+    v = m.join(F.broadcast(bounds)).select(
+        _reply_q().alias("r"),
+        (F.col("date") < F.col("mid")).cast("int").alias("in_a"),
+    )
+    hist = v.groupBy("r").agg(
+        F.sum("in_a").cast("long").alias("ca"),
+        F.sum(1 - F.col("in_a")).cast("long").alias("cb"),
+    )
+    wc = Window.orderBy("r").rowsBetween(Window.unboundedPreceding, 0)
+    h = hist.select(
+        "r",
+        "ca",
+        "cb",
+        F.sum("ca").over(wc).cast("long").alias("cum_a"),
+        F.sum("ca").over(
+            Window.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).cast("long").alias("na"),
+    )
+    # bucket of value r = number of decile boundaries strictly below
+    # its first-half cumulative position: b = floor((cum_a-1)·B/na)
+    # for first-half mass; values with ca = 0 (second-half-only) slot
+    # by their cum_a position too (the boundary they fall under)
+    b = F.expr(f"least(CAST((cum_a * {int(n_buckets)} - 1) DIV na AS INT), {int(n_buckets) - 1})")
+    bucketed = h.filter(F.col("na") > 0).select(
+        F.when(F.col("cum_a") > 0, b).otherwise(F.lit(0)).alias("b"),
+        "ca",
+        "cb",
+    )
+    per = bucketed.groupBy("b").agg(
+        F.sum("ca").cast("long").alias("oa"),
+        F.sum("cb").cast("long").alias("ob"),
+    )
+    tot = per.agg(
+        F.sum("oa").cast("long").alias("n_first"),
+        F.sum("ob").cast("long").alias("n_second"),
+    )
+    dec = "decimal(38,0)"
+    j = per.join(F.broadcast(tot))
+    num = (
+        F.col("n_first").cast(dec) * F.col("ob")
+        - F.col("n_second").cast(dec) * F.col("oa")
+    )
+    den = (
+        F.col("n_first").cast(dec)
+        * F.col("n_second")
+        * (F.col("oa") + F.col("ob"))
+    )
+    term = F.when(
+        den > 0, (num * num).cast("double") / den.cast("double")
+    ).otherwise(F.lit(0.0))
+    # Σ over double terms is accumulation-ORDER-dependent, and Spark's
+    # aggregate order is partition-dependent — so the sum runs as a
+    # catalyst FOLD over the bucket-sorted term array (the ewma_fold
+    # convention); the oracle replays the identical b-ordered left
+    # fold in a recursive CTE ⇒ bit-identical chi2.
+    out = j.select("b", term.alias("t"), "n_first", "n_second").groupBy(
+        "n_first", "n_second"
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_buckets_used"),
+        F.round(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("b", "t"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["t"],
+            ),
+            6,
+        ).alias("chi2"),
+    )
+    return out.select(
+        "n_first",
+        "n_second",
+        "n_buckets_used",
+        "chi2",
+        (F.col("n_buckets_used") - 1).cast("long").alias("dof"),
+    )

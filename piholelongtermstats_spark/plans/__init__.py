@@ -65,6 +65,7 @@ from piholelongtermstats_spark.plans import registry_m42  # noqa: F401  (registe
 from piholelongtermstats_spark.plans import registry_m43  # noqa: F401  (registers M43 queries)
 from piholelongtermstats_spark.plans import registry_m44  # noqa: F401  (registers M44 queries)
 from piholelongtermstats_spark.plans import registry_m45  # noqa: F401  (registers M45 queries)
+from piholelongtermstats_spark.plans import registry_m46  # noqa: F401  (registers M46 queries)
 from piholelongtermstats_spark.plans import registry_panels  # noqa: F401  (fused panels)
 from piholelongtermstats_spark.plans.registry import ORACLE, QUERIES  # noqa: F401
 
