@@ -56,3 +56,24 @@ def test_csv_long_text_single_line(spark, tmp_path):
     good, bad = csvsource.read_documents_csv(spark, path)
     assert bad.count() == 0 and good.collect()[0].text == "z" * 500
     csvsource.release_documents_csv(spark, path)
+
+
+def test_csv_writer_rejects_delimiter_in_unprotected_columns(spark, tmp_path):
+    """r8 ADVICE: lang/source ride raw in the transport, so a comma or
+    newline there must RAISE at write time instead of silently
+    shifting every later field."""
+    import pytest
+    from pyspark.sql.utils import PythonException
+
+    bad = spark.createDataFrame(
+        [(1, "text", "en,GB", "web", 4)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    with pytest.raises(Exception, match="delimiter|USER_RAISED"):
+        csvsource.write_documents_csv(bad, str(tmp_path / "bad_csv"))
+    bad2 = spark.createDataFrame(
+        [(1, "text", "en", "we\nb", 4)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    with pytest.raises(Exception, match="delimiter|USER_RAISED"):
+        csvsource.write_documents_csv(bad2, str(tmp_path / "bad_csv2"))
