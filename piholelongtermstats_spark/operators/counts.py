@@ -9,7 +9,7 @@ scale — the canonical Spark shape for whole-table scalar stats.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -166,3 +166,64 @@ def client_concentration_hhi(fact: DataFrame, k: int = 10) -> DataFrame:
     return out.orderBy(
         F.col("hhi").desc(), F.col("client").asc()
     ).limit(k)
+
+
+def client_gini(fact: DataFrame) -> DataFrame:
+    """One-row Gini coefficient of the per-client event-count
+    distribution: (n_clients, total_events, gini_ppm, gini) — the
+    inequality complement of client_concentration_hhi (HHI asks "is
+    one CLIENT's traffic concentrated"; Gini asks "is the FLEET's
+    traffic concentrated on few clients").
+
+    With x₍₁₎ ≤ … ≤ x₍ₙ₎ the sorted per-client counts:
+
+        G = (2·Σᵢ i·x₍ᵢ₎ − (n+1)·Σx) / (n·Σx)
+
+    Σᵢ i·x₍ᵢ₎ is computed from the count-VALUE histogram, not a
+    per-client rank window: for value v with frequency f and c
+    clients strictly below, the ranks occupied are c+1..c+f, so the
+    contribution is v·(f·c + f(f+1)/2) in closed form. The only
+    window runs over DISTINCT count values (value-domain-bounded, the
+    exact_group_quantiles histogram contract) — no global ordering of
+    client rows at any scale. All moments are exact DECIMAL(38,0)
+    (i·x at 10⁹ clients × 10⁹ events passes 2⁶³); gini_ppm is one
+    integral DIV, gini one rounded division — engine-identical.
+    """
+    per = fact.groupBy("client").agg(
+        F.count(F.lit(1)).cast("long").alias("x")
+    )
+    hist = per.groupBy("x").agg(F.count(F.lit(1)).cast("long").alias("f"))
+    w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
+    dec = "decimal(38,0)"
+    ranked = hist.select(
+        "x",
+        "f",
+        (F.sum("f").over(w) - F.col("f")).cast("long").alias("c_below"),
+    )
+    # f·(f+1) is even so the triangular term is integral; keep it on
+    # longs (f·(f+1) < 2⁶³ up to ~3·10⁹ clients sharing one count).
+    contrib = F.col("x").cast(dec) * (
+        F.col("f").cast(dec) * F.col("c_below")
+        + F.expr("f * (f + 1) DIV 2").cast(dec)
+    )
+    agg = ranked.agg(
+        F.sum("f").cast("long").alias("n_clients"),
+        F.sum(F.col("x") * F.col("f")).cast("long").alias("total_events"),
+        F.sum(contrib).cast(dec).alias("t_rank"),
+    )
+    num = (
+        F.lit(2).cast(dec) * F.col("t_rank")
+        - (F.col("n_clients").cast(dec) + 1) * F.col("total_events")
+    )
+    den = F.col("n_clients").cast(dec) * F.col("total_events")
+    return agg.select(
+        "n_clients",
+        "total_events",
+        F.expr(
+            "CAST((2 * t_rank - (CAST(n_clients AS decimal(38,0)) + 1)"
+            " * total_events) * 1000000"
+            " DIV (CAST(n_clients AS decimal(38,0)) * total_events)"
+            " AS BIGINT)"
+        ).alias("gini_ppm"),
+        F.round(num.cast("double") / den.cast("double"), 6).alias("gini"),
+    )

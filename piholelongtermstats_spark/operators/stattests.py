@@ -926,3 +926,62 @@ def reply_drift_chi2(fact: DataFrame, n_buckets: int = 10) -> DataFrame:
         "chi2",
         (F.col("n_buckets_used") - 1).cast("long").alias("dof"),
     )
+
+
+def pettitt_changepoint(fact: DataFrame) -> DataFrame:
+    """(n_days, change_date, u_at_k, k_stat, p_approx) — the Pettitt
+    rank-based changepoint test over the daily count series (the
+    nonparametric sibling of cusum_changepoint: it needs no variance
+    estimate and ignores outlier magnitude, only order).
+
+        V_t = Σ_j sgn(y_t − y_j)        (one n² pairwise scan)
+        U_t = Σ_{i≤t} V_i               (one prefix sum)
+        K   = max_{t<n} |U_t|,  changepoint = argmax (last day of the
+                                                      first segment)
+
+    All of V, U, K are exact BIGINTs; the argmax tie-break is pinned
+    (|U| DESC, date ASC). ``p_approx`` is Pettitt's asymptotic
+    2·exp(−6K²/(n³+n²)) — one IEEE exp over one exact rational,
+    engine-identical, rounded to 6.
+
+    Scale: the fact collapses to one row per day before anything
+    quadratic; the n² self-join and the single-task prefix window run
+    over the DAILY relation (calendar-bounded), never over events —
+    the mann_kendall_trend contract.
+    """
+    daily = fact.groupBy("date").agg(
+        F.count(F.lit(1)).cast("long").alias("y")
+    )
+    a = daily.select(F.col("date").alias("d1"), F.col("y").alias("y1"))
+    b = daily.select(F.col("date").alias("d2"), F.col("y").alias("y2"))
+    v = (
+        a.join(b, F.col("d1") != F.col("d2"))
+        .groupBy("d1")
+        .agg(
+            F.sum(F.signum(F.col("y1") - F.col("y2")).cast("long")).alias(
+                "v"
+            )
+        )
+    )
+    w = Window.orderBy("d1").rowsBetween(Window.unboundedPreceding, 0)
+    u = v.select(
+        F.col("d1").alias("date"), F.sum("v").over(w).alias("u")
+    )
+    nn = daily.agg(F.count(F.lit(1)).cast("long").alias("n_days"))
+    last = daily.agg(F.max("date").alias("last_date"))
+    picked = (
+        u.join(F.broadcast(last))
+        .filter(F.col("date") < F.col("last_date"))
+        .orderBy(F.abs("u").desc(), F.col("date").asc())
+        .limit(1)
+    )
+    n = F.col("n_days").cast("double")
+    k2 = (F.col("u") * F.col("u")).cast("double")
+    p = 2.0 * F.exp(-6.0 * k2 / (n * n * n + n * n))
+    return picked.join(F.broadcast(nn)).select(
+        "n_days",
+        F.col("date").alias("change_date"),
+        F.col("u").alias("u_at_k"),
+        F.abs("u").alias("k_stat"),
+        F.round(F.least(p, F.lit(1.0)), 6).alias("p_approx"),
+    )

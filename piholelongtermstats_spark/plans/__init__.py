@@ -66,6 +66,7 @@ from piholelongtermstats_spark.plans import registry_m43  # noqa: F401  (registe
 from piholelongtermstats_spark.plans import registry_m44  # noqa: F401  (registers M44 queries)
 from piholelongtermstats_spark.plans import registry_m45  # noqa: F401  (registers M45 queries)
 from piholelongtermstats_spark.plans import registry_m46  # noqa: F401  (registers M46 queries)
+from piholelongtermstats_spark.plans import registry_m47  # noqa: F401  (registers M47 queries)
 from piholelongtermstats_spark.plans import registry_panels  # noqa: F401  (fused panels)
 from piholelongtermstats_spark.plans.registry import ORACLE, QUERIES  # noqa: F401
 
@@ -363,6 +364,10 @@ _OVERFLOW = [
     "brand_disjunction_revenue",
     "inactive_customer_balance",
     "lm_bigram_topk",
+    # M47 — survival / changepoint / inequality (all oracle-checked)
+    "kaplan_meier_clients",
+    "pettitt_changepoint",
+    "client_gini",
     # rows-only by design (sketches, iterative index builds, stubs)
     "uniques_approx",
     "reply_time_quantiles",
