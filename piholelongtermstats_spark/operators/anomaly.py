@@ -86,3 +86,69 @@ def client_daily_spikes(fact: DataFrame, z: int = 3, min_days: int = 3) -> DataF
         )
         .orderBy("client", "date")
     )
+
+
+def running_zscore_by_client(daily: DataFrame) -> DataFrame:
+    """PREQUENTIAL per-client z-score over a (client, date, y) daily
+    relation: each day is scored against the client's history STRICTLY
+    BEFORE it — the online form a streaming monitor can maintain
+    (client_daily_spikes scores against the full period, which a
+    stream cannot know; this is its one-pass-causal sibling and the
+    BATCH TWIN of streaming/welford.streaming_client_zscore, stream ≡
+    batch pinned on shared files).
+
+    With n, S = Σy, Q = Σy² over the client's PRIOR days:
+
+        z = (n·y − S) · sqrt( (n−1) / (n · (n·Q − S²)) )
+
+    n, S, Q are exact integer window sums (Q widened to DECIMAL(38,0):
+    y² at 10⁹/day passes 2⁶³ after a few days); z is the one fp
+    expression, identical tree in both engines. The spike DECISION is
+    fp-free: |z| > 3  ⇔  (n·y−S)²·(n−1) > 9·n·(n·Q−S²), carried in
+    DECIMAL(38,0) (bounded < 10³⁰ at 3.7k days × 10⁹/day). When the
+    prior history has zero variance, z is NULL and the gate reduces to
+    n·y ≠ S (any deviation from a constant history is a spike).
+
+    Rows with n < 2 (first two days of a client) are not scored.
+
+    Scale: windows are client-partitioned over the DAILY relation
+    (≤ days rows per client, calendar-bounded) — no global windows,
+    no event-row windows.
+    """
+    dec = "decimal(38,0)"
+    w = (
+        Window.partitionBy("client")
+        .orderBy("date")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    scored = daily.select(
+        "client",
+        "date",
+        "y",
+        F.count("y").over(w).cast("long").alias("n_prior"),
+        F.sum("y").over(w).cast("long").alias("s_prior"),
+        F.sum(F.col("y").cast(dec) * F.col("y")).over(w).cast(dec).alias(
+            "q_prior"
+        ),
+    ).filter(F.col("n_prior") >= 2)
+    n = F.col("n_prior")
+    num = n.cast(dec) * F.col("y") - F.col("s_prior")
+    varnum = n.cast(dec) * F.col("q_prior") - (
+        F.col("s_prior").cast(dec) * F.col("s_prior")
+    )
+    z = F.when(
+        varnum > 0,
+        num.cast("double")
+        * F.sqrt(
+            (n - 1).cast("double") / (n.cast("double") * varnum.cast("double"))
+        ),
+    )
+    spike = (num * num * (n.cast(dec) - 1) > F.lit(9).cast(dec) * n * varnum)
+    return scored.select(
+        "client",
+        "date",
+        "y",
+        "n_prior",
+        F.round(z, 6).alias("z"),
+        spike.cast("int").alias("is_spike"),
+    ).orderBy("client", "date")

@@ -227,3 +227,94 @@ def client_gini(fact: DataFrame) -> DataFrame:
         ).alias("gini_ppm"),
         F.round(num.cast("double") / den.cast("double"), 6).alias("gini"),
     )
+
+
+def renyi2_entropy_daily(fact: DataFrame) -> DataFrame:
+    """Per-day collision (Rényi-2) diversity of the domain mix:
+    (date, n_events, n_domains, sum_c2, eff_domains, renyi2) — the
+    temporal drift companion of client_domain_simpson (which scores
+    CLIENTS; this tracks the FLEET's daily domain diversity, the
+    series a narrowing-traffic incident bends).
+
+    Collision probability p₂ = Σc²/n² and effective domain count
+    n²/Σc² are single divisions of exact moments (Σc² accumulates in
+    DECIMAL(38,0) — 10⁹ hits on one domain in one day squares past
+    2⁶³ — and stays INTERNAL: decimal never reaches the output
+    schema, per the r8 dtype-divergence lesson). renyi2 = −ln(p₂) is the ONE transcendental, applied to the
+    identical correctly-rounded quotient in both engines and rounded
+    to 6 (the single-ln discipline; Shannon entropy would need a
+    per-day fp SUM of ln terms and is deliberately not offered on the
+    hashed surface — the lm_doc_logprob lesson).
+
+    Scale: two stacked partial aggregations ((date, domain) then
+    date); nothing else.
+    """
+    dec = "decimal(38,0)"
+    dom = fact.groupBy("date", "domain").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    per = dom.groupBy("date").agg(
+        F.sum("c").cast("long").alias("n_events"),
+        F.count(F.lit(1)).cast("long").alias("n_domains"),
+        F.sum(F.col("c").cast(dec) * F.col("c")).cast(dec).alias("sum_c2"),
+    )
+    n2 = F.col("n_events").cast(dec) * F.col("n_events")
+    p2 = F.col("sum_c2").cast("double") / n2.cast("double")
+    return per.select(
+        "date",
+        "n_events",
+        "n_domains",
+        F.round(n2.cast("double") / F.col("sum_c2").cast("double"), 6).alias(
+            "eff_domains"
+        ),
+        F.round(-F.log(p2), 6).alias("renyi2"),
+    ).orderBy("date")
+
+
+def l_diversity_audit(fact: DataFrame, k: int = 5, worst: int = 20) -> DataFrame:
+    """l-diversity audit of the k-anonymous (domain, date) release
+    (kanon_domain_daily): a group that passes the k-event cell-size
+    rule can still expose its members if its events come from very
+    few distinct clients — l-diversity measures the count of distinct
+    sensitive values (clients) per released group.
+
+    A fixed absolute l-bar is scale-DEPENDENT (denser corpora raise
+    every group's client count — the TPC-H Q11 lesson), so the audit
+    reports the ``worst`` released groups by diversity instead:
+    (domain, date, cnt, n_clients, groups_released, min_l) ordered by
+    (n_clients ASC, cnt DESC, domain, date) — the groups nearest the
+    re-identification cliff, with the release-wide floor carried on
+    every row so a policy bar can be applied downstream.
+
+    Scale: one (domain, date) aggregation computing count and exact
+    COUNT(DISTINCT client) together (group-cardinality-bounded
+    partial sets); the audit scalars are a two-scalar broadcast join
+    back; the worst-K cut is a TakeOrdered, never a global sort.
+    """
+    groups = fact.groupBy("domain", "date").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.countDistinct("client").cast("long").alias("n_clients"),
+    )
+    released = groups.filter(F.col("cnt") >= k)
+    audit = released.agg(
+        F.count(F.lit(1)).cast("long").alias("groups_released"),
+        F.min("n_clients").cast("long").alias("min_l"),
+    )
+    return (
+        released.join(F.broadcast(audit))
+        .select(
+            "domain",
+            "date",
+            "cnt",
+            "n_clients",
+            "groups_released",
+            "min_l",
+        )
+        .orderBy(
+            F.col("n_clients").asc(),
+            F.col("cnt").desc(),
+            F.col("domain").asc(),
+            F.col("date").asc(),
+        )
+        .limit(worst)
+    )

@@ -67,6 +67,7 @@ from piholelongtermstats_spark.plans import registry_m44  # noqa: F401  (registe
 from piholelongtermstats_spark.plans import registry_m45  # noqa: F401  (registers M45 queries)
 from piholelongtermstats_spark.plans import registry_m46  # noqa: F401  (registers M46 queries)
 from piholelongtermstats_spark.plans import registry_m47  # noqa: F401  (registers M47 queries)
+from piholelongtermstats_spark.plans import registry_m48  # noqa: F401  (registers M48 queries)
 from piholelongtermstats_spark.plans import registry_panels  # noqa: F401  (fused panels)
 from piholelongtermstats_spark.plans.registry import ORACLE, QUERIES  # noqa: F401
 
@@ -368,6 +369,10 @@ _OVERFLOW = [
     "kaplan_meier_clients",
     "pettitt_changepoint",
     "client_gini",
+    # M48 — prequential anomaly / diversity / governance (all oracle)
+    "client_running_zscore",
+    "renyi2_entropy_daily",
+    "l_diversity_audit",
     # rows-only by design (sketches, iterative index builds, stubs)
     "uniques_approx",
     "reply_time_quantiles",
