@@ -730,3 +730,110 @@ def seasonal_adjusted_outliers(
         .cast("int")
         .alias("is_outlier"),
     ).orderBy("date")
+
+
+def holt_winters_daily(
+    fact: DataFrame,
+    alpha: float = 0.25,
+    beta: float = 0.1,
+    gamma: float = 0.2,
+    period: int = 7,
+) -> DataFrame:
+    """Per-day Holt–Winters ADDITIVE triple smoothing (level + trend
+    + weekly seasonal) of the daily count series — the seasonal
+    completion of holt_linear_daily (Winters 1960):
+
+        init (t = period): l = mean(y_1..y_p), b = 0,
+                           s_i = y_i − l  for i = 1..p
+        t > period:
+            l_t = α·(y_t − s_{t−p}) + (1−α)·(l_{t−1} + b_{t−1})
+            b_t = β·(l_t − l_{t−1}) + (1−β)·b_{t−1}
+            s_t = γ·(y_t − l_t) + (1−γ)·s_{t−p}
+
+    Output one row per day t > period: (date, y, level, trend,
+    seasonal, forecast_next = l_t + b_t + s_{t−p+1}). Series shorter
+    than period+1 days produce an EMPTY frame (the registry-wide
+    empty-input contract).
+
+    The THREE-state recurrence folds like the (l, b) Holt fold with
+    the seasonal queue carried as a length-p double array inside the
+    accumulator struct (element 1 is always s_{t−p}); the DuckDB
+    recursive CTE carries the same LIST and replays the identical
+    IEEE operand trees (l_new computed first and inlined into b/s —
+    order pinned) ⇒ bit-identical before the shared round-to-6.
+    Defaults are chosen so every (1−x) literal is the same double on
+    both engines (1−0.25, 1−0.1, 1−0.2 are all exactly the parsed
+    literals .75/.9/.8).
+
+    Scale: day-grain relation; one single-task fold over ≤ years of
+    days (the ewma_daily_counts argument).
+    """
+    daily = _daily(fact)
+    w = Window.orderBy("date")
+    seq = daily.select("date", "y", F.row_number().over(w).alias("r"))
+    head = seq.filter(F.col("r") <= period).agg(
+        F.sum("y").cast("long").alias("s_head"),
+        F.count(F.lit(1)).cast("long").alias("n_head"),
+        F.array_sort(F.collect_list(F.struct("r", "y"))).alias("head_xs"),
+    )
+    rest = seq.filter(F.col("r") > period).agg(
+        F.array_sort(F.collect_list(F.struct("r", "date", "y"))).alias("xs")
+    )
+    j = head.join(rest).filter(F.col("n_head") >= period)
+    l0 = F.col("s_head").cast("double") / F.lit(float(period))
+    season0 = F.transform(
+        F.col("head_xs"), lambda h: h["y"].cast("double") - l0
+    )
+    out_t = (
+        "array<struct<date:timestamp,y:bigint,l:double,b:double,"
+        "seas:double,fc:double>>"
+    )
+    acc0 = F.struct(
+        l0.alias("l"),
+        F.lit(0.0).alias("b"),
+        season0.alias("s"),
+        F.expr(f"CAST(array() AS {out_t})").alias("out"),
+    )
+
+    def step(acc, x):
+        yv = x["y"].cast("double")
+        su = F.element_at(acc["s"], 1)
+        l_new = F.lit(alpha) * (yv - su) + F.lit(1.0 - alpha) * (
+            acc["l"] + acc["b"]
+        )
+        b_new = F.lit(beta) * (l_new - acc["l"]) + F.lit(1.0 - beta) * acc["b"]
+        s_new = F.lit(gamma) * (yv - l_new) + F.lit(1.0 - gamma) * su
+        s_arr = F.concat(F.slice(acc["s"], 2, period - 1), F.array(s_new))
+        fc = l_new + b_new + F.element_at(s_arr, 1)
+        return F.struct(
+            l_new.alias("l"),
+            b_new.alias("b"),
+            s_arr.alias("s"),
+            F.concat(
+                acc["out"],
+                F.array(
+                    F.struct(
+                        x["date"].alias("date"),
+                        x["y"].alias("y"),
+                        l_new.alias("l"),
+                        b_new.alias("b"),
+                        s_new.alias("seas"),
+                        fc.alias("fc"),
+                    )
+                ),
+            ).alias("out"),
+        )
+
+    folded = F.aggregate(F.col("xs"), acc0, step)
+    return (
+        j.select(F.explode(folded["out"]).alias("e"))
+        .select(
+            "e.date",
+            "e.y",
+            F.round("e.l", 6).alias("level"),
+            F.round("e.b", 6).alias("trend"),
+            F.round("e.seas", 6).alias("seasonal"),
+            F.round("e.fc", 6).alias("forecast_next"),
+        )
+        .orderBy("date")
+    )

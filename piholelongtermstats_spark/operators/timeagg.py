@@ -575,3 +575,64 @@ def broken_trend_fit(fact: DataFrame) -> DataFrame:
         "slope_b",
         "r2_b",
     )
+
+
+def trimmed_mean_reply_daily(fact: DataFrame, trim_ppm: int = 100_000) -> DataFrame:
+    """Per-day 10%-trimmed mean of reply time — the robust center the
+    plain daily_avg_reply series lacks (one slow resolver minute drags
+    a day's mean; the trimmed mean ignores the tails entirely):
+    (date, n, n_kept, trimmed_mean_ms) ordered by date.
+
+    Values are quantized once to the integer ms grid (the _reply_q
+    convention); per date, the bottom and top ⌊n·trim_ppm/10⁶⌋ ranks
+    are dropped and the mean of the kept ranks is computed from the
+    VALUE HISTOGRAM in closed form — for a value v with count c and
+    inclusive cumulative rank cum, the kept multiplicity is
+    min(cum, hi) − max(cum − c, lo) clamped at 0 (lo/hi the rank
+    cut bounds). No per-event ordering at any scale; the only window
+    runs per (date) over distinct ms values (value-domain-bounded,
+    quantize further via exact_group_quantiles' quantize_to argument
+    if the grid itself ever explodes).
+
+    Σ v·kept accumulates in DECIMAL(38,0) (internal only); the mean
+    is the one final division, rounded to 6 — engine-identical.
+    """
+    dec = "decimal(38,0)"
+    m = fact.filter(F.col("reply_time").isNotNull()).select(
+        "date", F.round(F.col("reply_time") * 1000).cast("long").alias("r")
+    )
+    hist = m.groupBy("date", "r").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    w = (
+        Window.partitionBy("date")
+        .orderBy("r")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    tot = hist.groupBy("date").agg(F.sum("c").cast("long").alias("n"))
+    ranked = hist.join(tot, "date").select(
+        "date",
+        "r",
+        "c",
+        "n",
+        F.sum("c").over(w).cast("long").alias("cum"),
+    )
+    lo = F.expr(f"n * {trim_ppm} DIV 1000000")
+    hi = F.col("n") - lo
+    kept = F.greatest(
+        F.least(F.col("cum"), hi) - F.greatest(F.col("cum") - F.col("c"), lo),
+        F.lit(0),
+    )
+    out = ranked.groupBy("date").agg(
+        F.max("n").alias("n"),
+        F.sum(kept).cast("long").alias("n_kept"),
+        F.sum(F.col("r").cast(dec) * kept).cast(dec).alias("s_kept"),
+    )
+    return out.select(
+        "date",
+        "n",
+        "n_kept",
+        F.round(
+            F.col("s_kept").cast("double") / F.col("n_kept").cast("double"), 6
+        ).alias("trimmed_mean_ms"),
+    ).orderBy("date")

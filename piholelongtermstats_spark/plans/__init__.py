@@ -68,6 +68,7 @@ from piholelongtermstats_spark.plans import registry_m45  # noqa: F401  (registe
 from piholelongtermstats_spark.plans import registry_m46  # noqa: F401  (registers M46 queries)
 from piholelongtermstats_spark.plans import registry_m47  # noqa: F401  (registers M47 queries)
 from piholelongtermstats_spark.plans import registry_m48  # noqa: F401  (registers M48 queries)
+from piholelongtermstats_spark.plans import registry_m49  # noqa: F401  (registers M49 queries)
 from piholelongtermstats_spark.plans import registry_panels  # noqa: F401  (fused panels)
 from piholelongtermstats_spark.plans.registry import ORACLE, QUERIES  # noqa: F401
 
@@ -373,6 +374,9 @@ _OVERFLOW = [
     "client_running_zscore",
     "renyi2_entropy_daily",
     "l_diversity_audit",
+    # M49 — seasonal forecasting + robust center (all oracle)
+    "holt_winters_daily",
+    "trimmed_mean_reply_daily",
     # rows-only by design (sketches, iterative index builds, stubs)
     "uniques_approx",
     "reply_time_quantiles",
