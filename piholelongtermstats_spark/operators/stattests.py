@@ -985,3 +985,84 @@ def pettitt_changepoint(fact: DataFrame) -> DataFrame:
         F.abs("u").alias("k_stat"),
         F.round(F.least(p, F.lit(1.0)), 6).alias("p_approx"),
     )
+
+
+def ljung_box_daily(fact: DataFrame, max_lag: int = 7) -> DataFrame:
+    """(n_days, dof, q_stat) — the Ljung–Box portmanteau white-noise
+    test over the daily count series at lags 1..max_lag (Ljung & Box
+    1978): Q = n(n+2)·Σ_k ρ̂_k²/(n−k). The one-number companion of
+    acf_daily_counts — "is there ANY autocorrelation structure left",
+    e.g. over forecast residuals after a seasonal fit.
+
+    ρ̂_k reuses the n²-cleared ACF form (num_k = Σ(n·x_t−S)(n·x_{t+k}−S),
+    den = Σ(n·x_t−S)², both exact BIGINT). Each lag's term is
+    (num/den)²/(n−k) in doubles — num/den is one correctly-rounded
+    division — and the Σ over lags folds in ascending-k order via the
+    same bucket-ordered catalyst fold the χ² drift query uses (the
+    DuckDB recursive CTE replays it bit-for-bit). Q is that fold times
+    exact n(n+2), rounded to 6. Lags with no pairs (k ≥ n) drop out of
+    both the fold and ``dof``. Zero-variance series → q_stat NULL.
+
+    Scale: identical to acf_daily_counts — day-grain relation, integer
+    equi-join for the lag pairing, nothing touches event rows after
+    the first partial agg.
+    """
+    daily = fact.groupBy("date").agg(
+        F.count(F.lit(1)).cast("long").alias("x")
+    )
+    tot = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").alias("s"),
+        F.min("date").alias("d0"),
+    )
+    d = daily.join(F.broadcast(tot)).select(
+        F.datediff("date", "d0").cast("long").alias("idx"),
+        (F.col("n") * F.col("x") - F.col("s")).alias("c"),
+        "n",
+    )
+    lags = d.sparkSession.range(1, max_lag + 1).select(
+        F.col("id").cast("int").alias("lag")
+    )
+    a = d.select(F.col("idx").alias("i1"), F.col("c").alias("c1"), "n")
+    b = d.select(F.col("idx").alias("i2"), F.col("c").alias("c2"))
+    pairs = (
+        a.crossJoin(F.broadcast(lags))
+        .join(b, F.col("i2") == F.col("i1") + F.col("lag"))
+    )
+    den = d.agg(F.sum(F.col("c") * F.col("c")).alias("den"))
+    nums = (
+        pairs.groupBy("lag")
+        .agg(
+            F.max("n").alias("n"),
+            F.sum(F.col("c1") * F.col("c2")).alias("num"),
+        )
+        .join(F.broadcast(den))
+    )
+    # ANSI Spark raises on /0 even for doubles; a zero-variance series
+    # (den = 0) must flow through to the NULL q_stat instead
+    r = F.col("num").cast("double") / F.col("den").cast("double")
+    terms = nums.select(
+        "lag",
+        "n",
+        "den",
+        F.when(
+            F.col("den") > 0,
+            r * r / (F.col("n") - F.col("lag")).cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("t"),
+    )
+    agg = terms.groupBy("n", "den").agg(
+        F.count(F.lit(1)).cast("long").alias("dof"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("lag", "t"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["t"],
+        ).alias("acc"),
+    )
+    q = (F.col("n") * (F.col("n") + 2)).cast("double") * F.col("acc")
+    return agg.select(
+        F.col("n").alias("n_days"),
+        "dof",
+        F.round(F.when(F.col("den") > 0, q), 6).alias("q_stat"),
+    )

@@ -69,6 +69,7 @@ from piholelongtermstats_spark.plans import registry_m46  # noqa: F401  (registe
 from piholelongtermstats_spark.plans import registry_m47  # noqa: F401  (registers M47 queries)
 from piholelongtermstats_spark.plans import registry_m48  # noqa: F401  (registers M48 queries)
 from piholelongtermstats_spark.plans import registry_m49  # noqa: F401  (registers M49 queries)
+from piholelongtermstats_spark.plans import registry_m50  # noqa: F401  (registers M50 queries)
 from piholelongtermstats_spark.plans import registry_panels  # noqa: F401  (fused panels)
 from piholelongtermstats_spark.plans.registry import ORACLE, QUERIES  # noqa: F401
 
@@ -377,6 +378,10 @@ _OVERFLOW = [
     # M49 — seasonal forecasting + robust center (all oracle)
     "holt_winters_daily",
     "trimmed_mean_reply_daily",
+    # M50 — portmanteau / survival doubling / ORC interchange (all oracle)
+    "ljung_box_daily",
+    "survival_scale_2x",
+    "orc_ingest_check",
     # rows-only by design (sketches, iterative index builds, stubs)
     "uniques_approx",
     "reply_time_quantiles",
