@@ -285,3 +285,68 @@ def ann_eval_metrics(
         "nn_rank",
         F.round(1.0 / F.col("nn_rank").cast("double"), 6).alias("rr"),
     ).orderBy("query_id")
+
+
+def matryoshka_recall_eval(
+    emb: DataFrame,
+    dim: int = 16,
+    n_queries: int = N_QUERIES,
+    k: int = K,
+) -> DataFrame:
+    """Per-query retrieval-quality audit of TRUNCATED-dimension
+    cosine search against the full-dimension exact k-NN — the
+    Matryoshka / MRL deployment question (Kusupati et al., NeurIPS
+    2022): how much recall does serving the first ``dim`` of d
+    embedding coordinates cost? (Truncation is the zero-infra
+    compression every vector store offers; this measures its price
+    next to the PQ/SQ8/binary audits in ann_eval_metrics /
+    scalar_quantize_audit.)
+
+    Both legs run the SAME exact top-k machinery (_ranked_topk over
+    rounded cosine with pinned (cosine DESC, vec_id) ties); the
+    truncated leg just slices the arrays before scoring, so the audit
+    is SQL-replayable decision-for-decision like ann_eval_metrics:
+    hits/recall_ppm are integers, rr is MRR's one division.
+
+    Scale: two broadcast-query scans of the corpus (no index to
+    build); the WindowGroupLimit rank cut keeps the shuffle at
+    k·tasks rows per leg.
+    """
+    q, c = _query_corpus(emb, n_queries)
+    exact = knn_join(emb, n_queries, k).select(
+        F.col("query_id").alias("eq"), F.col("vec_id").alias("ev"),
+        F.col("rank").alias("e_rank"),
+    )
+    qt = q.select("query_id", F.slice("qv", 1, dim).alias("qv"))
+    ct = c.select("vec_id", "label", F.slice("v", 1, dim).alias("v"))
+    scored = ct.crossJoin(F.broadcast(qt)).select(
+        "query_id", "vec_id", "label",
+        _cosine(F.col("v"), F.col("qv")).alias("cosine"),
+    )
+    trunc = _ranked_topk(scored, k).select(
+        F.col("query_id").alias("aq"), F.col("vec_id").alias("av"),
+        F.col("rank").alias("a_rank"),
+    )
+    j = exact.join(
+        trunc,
+        (F.col("eq") == F.col("aq")) & (F.col("ev") == F.col("av")),
+        "full_outer",
+    ).select(F.coalesce("eq", "aq").alias("query_id"), "e_rank", "a_rank")
+    hits = F.count(
+        F.when(F.col("e_rank").isNotNull() & F.col("a_rank").isNotNull(), 1)
+    ).cast("long")
+    agg = j.groupBy("query_id").agg(
+        F.lit(dim).cast("long").alias("dim"),
+        F.lit(k).cast("long").alias("k"),
+        hits.alias("hits"),
+        F.max(F.when(F.col("e_rank") == 1, F.col("a_rank"))).alias("nn_rank"),
+    )
+    return agg.select(
+        "query_id",
+        "dim",
+        "k",
+        "hits",
+        F.expr("hits * 1000000L DIV k").alias("recall_ppm"),
+        "nn_rank",
+        F.round(1.0 / F.col("nn_rank").cast("double"), 6).alias("rr"),
+    ).orderBy("query_id")

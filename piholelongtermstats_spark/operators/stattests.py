@@ -1066,3 +1066,78 @@ def ljung_box_daily(fact: DataFrame, max_lag: int = 7) -> DataFrame:
         "dof",
         F.round(F.when(F.col("den") > 0, q), 6).alias("q_stat"),
     )
+
+
+def kendall_tau_volume_reply(fact: DataFrame) -> DataFrame:
+    """(n_days, n_pairs, conc_minus_disc, ties_y, ties_r, tau_b) —
+    Kendall's τ-b between daily VOLUME and daily MEAN REPLY TIME, the
+    rank-concordance companion of spearman_volume_reply (τ is the
+    sign-level association: robust to any monotone transform and to
+    single-day outliers that bend Spearman's squared rank gaps).
+
+    Day means are never materialized as floats: the comparison
+    m_i/c_i vs m_j/c_j cross-multiplies to m_i·c_j vs m_j·c_i in
+    DECIMAL(38,0) (Σms at 10¹² ms·events per day × 10⁹ counts passes
+    2⁶³). C−D, the tie counts and n₀ = n(n−1)/2 are exact integers;
+
+        τ_b = (C−D) / sqrt((n₀−t_y)·(n₀−t_r))
+
+    is one division over one IEEE sqrt of exact operands, rounded to
+    6. Days with no measured replies are EXCLUDED (no mean exists —
+    the reply_time_stats null-drop rule, P8).
+
+    Scale: the mann_kendall contract — one partial agg to days, one
+    n²/2 self-join of the DAILY relation, nothing touches event rows
+    after the first shuffle.
+    """
+    dec = "decimal(38,0)"
+    daily = (
+        fact.groupBy("date")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("y"),
+            F.sum(
+                F.when(
+                    F.col("reply_time").isNotNull(),
+                    F.round(F.col("reply_time") * 1000).cast("long"),
+                )
+            ).alias("m"),
+            F.count("reply_time").cast("long").alias("c"),
+        )
+        .filter(F.col("c") > 0)
+    )
+    a = daily.select(
+        F.col("date").alias("d1"), F.col("y").alias("y1"),
+        F.col("m").alias("m1"), F.col("c").alias("c1"),
+    )
+    b = daily.select(
+        F.col("date").alias("d2"), F.col("y").alias("y2"),
+        F.col("m").alias("m2"), F.col("c").alias("c2"),
+    )
+    pairs = a.join(b, F.col("d1") < F.col("d2"))
+    sy = F.signum((F.col("y1") - F.col("y2")).cast("double")).cast("long")
+    cross = F.col("m1").cast(dec) * F.col("c2") - F.col("m2").cast(dec) * F.col("c1")
+    sr = F.when(cross > 0, 1).when(cross < 0, -1).otherwise(0).cast("long")
+    agg = pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum(sy * sr).cast("long").alias("cmd"),
+        F.sum((sy == 0).cast("long")).cast("long").alias("ties_y"),
+        F.sum((sr == 0).cast("long")).cast("long").alias("ties_r"),
+    )
+    nn = daily.agg(F.count(F.lit(1)).cast("long").alias("n_days"))
+    den = (
+        (F.col("n_pairs") - F.col("ties_y")).cast("double")
+        * (F.col("n_pairs") - F.col("ties_r")).cast("double")
+    )
+    tau = F.when(
+        (F.col("n_pairs") > F.col("ties_y"))
+        & (F.col("n_pairs") > F.col("ties_r")),
+        F.col("cmd").cast("double") / F.sqrt(den),
+    )
+    return agg.join(F.broadcast(nn)).select(
+        "n_days",
+        "n_pairs",
+        F.col("cmd").alias("conc_minus_disc"),
+        "ties_y",
+        "ties_r",
+        F.round(tau, 6).alias("tau_b"),
+    )

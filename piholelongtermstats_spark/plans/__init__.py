@@ -70,6 +70,7 @@ from piholelongtermstats_spark.plans import registry_m47  # noqa: F401  (registe
 from piholelongtermstats_spark.plans import registry_m48  # noqa: F401  (registers M48 queries)
 from piholelongtermstats_spark.plans import registry_m49  # noqa: F401  (registers M49 queries)
 from piholelongtermstats_spark.plans import registry_m50  # noqa: F401  (registers M50 queries)
+from piholelongtermstats_spark.plans import registry_m51  # noqa: F401  (registers M51 queries)
 from piholelongtermstats_spark.plans import registry_panels  # noqa: F401  (fused panels)
 from piholelongtermstats_spark.plans.registry import ORACLE, QUERIES  # noqa: F401
 
@@ -382,6 +383,9 @@ _OVERFLOW = [
     "ljung_box_daily",
     "survival_scale_2x",
     "orc_ingest_check",
+    # M51 — truncation eval / rank concordance (all oracle)
+    "matryoshka_recall_eval",
+    "kendall_tau_volume_reply",
     # rows-only by design (sketches, iterative index builds, stubs)
     "uniques_approx",
     "reply_time_quantiles",
