@@ -94,13 +94,13 @@ TOP_50 = [
     "slowest_domains",
     "idle_gaps_top",
     "longest_streaks",
-    "streaks_scale_2x",
+    "kaplan_meier_clients",
     "welch_day_night",
     "source_pipeline",
     "client_activity",
     "mmr_rerank",
     "session_summary",
-    "mad_outlier_days",
+    "client_running_zscore",
     # --- beyond-reference scale operators ---
     "salted_top_domains",
     "asof_rollup_enrich",
@@ -282,7 +282,23 @@ TOP_50 = [
 # bloom_contamination's driver row (the same shingle machinery behind
 # the Bloom gate) and the SemDeDup cell path keeps semantic_dedup's;
 # semantic_contamination stays parity-green below the line.
+# r9 swaps (3, late-round): kaplan_meier_clients — the SURVIVAL
+# family's first driver row (right-censored product-limit estimator,
+# the recursive-CTE fold twin) — took streaks_scale_2x's row. The W3
+# streak machinery keeps longest_streaks' driver row (the very same
+# stitched kernel; the 2× doubling proof stays parity-green below the
+# line with its zero-spill plan test still in pytest).
+# client_running_zscore — the PREQUENTIAL anomaly row (each day scored
+# against strictly-prior history; the batch twin of the streaming
+# Welford state processor, so one slot evidences both the causal
+# scoring semantics and the stream≡batch contract) — took
+# mad_outlier_days' row. The robust-anomaly family keeps its evidence
+# through seasonal_adjusted_outliers' MAD gate arithmetic inside the
+# parity suite and robust_scale_2x's doubling differential;
+# mad_outlier_days stays parity-green below the line.
 _OVERFLOW = [
+    "streaks_scale_2x",
+    "mad_outlier_days",
     "doc_chunks",
     "embedding_near_dup",
     "dedup_clusters_star",
@@ -368,12 +384,12 @@ _OVERFLOW = [
     "brand_disjunction_revenue",
     "inactive_customer_balance",
     "lm_bigram_topk",
-    # M47 — survival / changepoint / inequality (all oracle-checked)
-    "kaplan_meier_clients",
+    # M47 — survival / changepoint / inequality (all oracle-checked;
+    # kaplan_meier_clients holds a TOP_50 row)
     "pettitt_changepoint",
     "client_gini",
-    # M48 — prequential anomaly / diversity / governance (all oracle)
-    "client_running_zscore",
+    # M48 — prequential anomaly / diversity / governance (all oracle;
+    # client_running_zscore holds a TOP_50 row)
     "renyi2_entropy_daily",
     "l_diversity_audit",
     # M49 — seasonal forecasting + robust center (all oracle)
