@@ -1141,3 +1141,139 @@ def kendall_tau_volume_reply(fact: DataFrame) -> DataFrame:
         "ties_r",
         F.round(tau, 6).alias("tau_b"),
     )
+
+
+def seasonal_mann_kendall(fact: DataFrame) -> DataFrame:
+    """(n_days, s_stat, var18_num, z) — the SEASONAL Mann–Kendall
+    trend test at weekly period (Hirsch & Slack 1984, independent-
+    seasons form): mann_kendall_trend compares every day against
+    every other day, so a strong weekday cycle drowns a real trend in
+    cross-weekday sign noise; here pairs are formed only WITHIN each
+    weekday's subseries and the per-season statistics add:
+
+        S' = Σ_w S_w,   Var'·18 = Σ_w [n_w(n_w−1)(2n_w+5) − ties_w]
+
+    All integers exact BIGINT (the mann_kendall_trend bounds apply
+    per weekday); Z is the same continuity-corrected one-division +
+    one-sqrt expression. A PURE weekly cycle yields S' = 0 exactly
+    (every weekday subseries is constant) — test-pinned.
+
+    Scale: the pairwise scan self-joins the daily relation ON THE
+    WEEKDAY KEY (≤ n²/7 day pairs); ties aggregate per (weekday, y).
+    Nothing touches event rows after the first partial agg.
+    """
+    daily = fact.groupBy("date").agg(F.count(F.lit(1)).alias("y")).select(
+        "date", "y", F.dayofweek("date").cast("int").alias("wd")
+    )
+    a = daily.select("wd", F.col("date").alias("d1"), F.col("y").alias("y1"))
+    b = daily.select(
+        F.col("wd").alias("wd2"), F.col("date").alias("d2"),
+        F.col("y").alias("y2"),
+    )
+    s = (
+        a.join(b, (F.col("wd") == F.col("wd2")) & (F.col("d1") < F.col("d2")))
+        .agg(
+            F.coalesce(
+                F.sum(F.signum(F.col("y2") - F.col("y1")).cast("long")),
+                F.lit(0),
+            ).alias("s_stat")
+        )
+    )
+    per_wd = daily.groupBy("wd").agg(
+        F.count(F.lit(1)).cast("long").alias("n_w")
+    )
+    var_pos = per_wd.agg(
+        F.sum(
+            F.col("n_w") * (F.col("n_w") - 1) * (2 * F.col("n_w") + 5)
+        ).alias("var_pos"),
+        F.sum("n_w").cast("long").alias("n_days"),
+    )
+    ties = (
+        daily.groupBy("wd", "y")
+        .agg(F.count(F.lit(1)).cast("long").alias("t"))
+        .agg(
+            F.sum(
+                F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+            ).alias("tie_term")
+        )
+    )
+    var18 = F.col("var_pos") - F.coalesce(F.col("tie_term"), F.lit(0))
+    s_ = F.col("s_stat")
+    corrected = F.when(s_ > 0, s_ - 1).when(s_ < 0, s_ + 1).otherwise(F.lit(0))
+    var = var18.cast("double") / 18.0
+    z = F.when(
+        (s_ == 0) | (var18 <= 0), F.lit(0.0)
+    ).otherwise(corrected.cast("double") / F.sqrt(var))
+    return (
+        s.join(F.broadcast(var_pos))
+        .join(F.broadcast(ties))
+        .select(
+            "n_days",
+            s_.alias("s_stat"),
+            var18.cast("long").alias("var18_num"),
+            F.round(z, 6).alias("z"),
+        )
+    )
+
+
+def blocked_rate_trend(fact: DataFrame) -> DataFrame:
+    """(n_days, n_total, blocked_total, z) — the Cochran–Armitage
+    trend test on the daily BLOCKED PROPORTION with day-index scores:
+    "is the block RATE drifting, volume changes aside?" (a volume
+    trend moves mann_kendall_trend; only a composition shift moves
+    this).
+
+    With t_i the day index, n_i/b_i the day's total/blocked counts,
+    N = Σn, B = Σb, and the exact integer moments Σt·b, Σt·n, Σn·t²:
+
+        num = N·Σtb − B·Σtn
+        Z   = num · sqrt(N / (B·(N−B))) / sqrt(N·Σnt² − (Σtn)²)
+
+    Every moment and num are exact (DECIMAL(38,0); N·Σnt² at 10¹²
+    events × 3.7k² day-scores stays < 10³⁸); Z is a fixed IEEE tree
+    over the exact operands. A day-constant block share makes num = 0
+    EXACTLY (b_i = c·n_i ⇒ N·Σtb = B·Σtn) — test-pinned. Degenerate
+    B ∈ {0, N} or a single day yields NULL z.
+
+    Scale: one map-side-combined groupBy(date), then one scalar
+    aggregate — nothing else.
+    """
+    dec = "decimal(38,0)"
+    daily = fact.groupBy("date").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum((F.col("status_type") == "Blocked").cast("long"))
+        .cast("long")
+        .alias("b"),
+    )
+    d0 = daily.agg(F.min("date").alias("d0"))
+    scored = daily.join(F.broadcast(d0)).select(
+        "n", "b", F.datediff("date", "d0").cast("long").alias("t")
+    )
+    agg = scored.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("n").cast("long").alias("nn"),
+        F.sum("b").cast("long").alias("bb"),
+        F.sum(F.col("t").cast(dec) * F.col("b")).cast(dec).alias("stb"),
+        F.sum(F.col("t").cast(dec) * F.col("n")).cast(dec).alias("stn"),
+        F.sum(F.col("n").cast(dec) * F.col("t") * F.col("t"))
+        .cast(dec)
+        .alias("snt2"),
+    )
+    num = F.col("nn").cast(dec) * F.col("stb") - F.col("bb").cast(dec) * F.col("stn")
+    den1 = F.col("bb").cast("double") * (F.col("nn") - F.col("bb")).cast("double")
+    den2 = (
+        F.col("nn").cast(dec) * F.col("snt2")
+        - F.col("stn") * F.col("stn")
+    ).cast("double")
+    z = F.when(
+        (F.col("bb") > 0) & (F.col("bb") < F.col("nn")) & (den2 > 0),
+        num.cast("double")
+        * F.sqrt(F.col("nn").cast("double") / den1)
+        / F.sqrt(den2),
+    )
+    return agg.select(
+        "n_days",
+        F.col("nn").alias("n_total"),
+        F.col("bb").alias("blocked_total"),
+        F.round(z, 6).alias("z"),
+    )

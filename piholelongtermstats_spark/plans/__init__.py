@@ -71,6 +71,7 @@ from piholelongtermstats_spark.plans import registry_m48  # noqa: F401  (registe
 from piholelongtermstats_spark.plans import registry_m49  # noqa: F401  (registers M49 queries)
 from piholelongtermstats_spark.plans import registry_m50  # noqa: F401  (registers M50 queries)
 from piholelongtermstats_spark.plans import registry_m51  # noqa: F401  (registers M51 queries)
+from piholelongtermstats_spark.plans import registry_m52  # noqa: F401  (registers M52 queries)
 from piholelongtermstats_spark.plans import registry_panels  # noqa: F401  (fused panels)
 from piholelongtermstats_spark.plans.registry import ORACLE, QUERIES  # noqa: F401
 
@@ -402,6 +403,9 @@ _OVERFLOW = [
     # M51 — truncation eval / rank concordance (all oracle)
     "matryoshka_recall_eval",
     "kendall_tau_volume_reply",
+    # M52 — seasonality-robust trend / composition drift (all oracle)
+    "seasonal_mann_kendall",
+    "blocked_rate_trend",
     # rows-only by design (sketches, iterative index builds, stubs)
     "uniques_approx",
     "reply_time_quantiles",
