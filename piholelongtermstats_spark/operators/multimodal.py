@@ -180,3 +180,132 @@ def sample_frames(
             yield pd.DataFrame(rows)
 
     return media.mapInPandas(run, schema=FRAME_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# REAL audio decode (M53): the container ships no image/video codecs,
+# but WAV/RIFF is parseable with the stdlib alone — so the AUDIO
+# modality gets a genuine byte-level decoder (stdlib ``wave``), not a
+# stub. Payloads are synthesized deterministically from doc_id (no
+# media files ship in the test set), which makes the decode
+# ORACLE-CHECKABLE: DuckDB replays the synthesis arithmetic in closed
+# form and the outputs can only match if the RIFF round trip is
+# byte-correct.
+# ---------------------------------------------------------------------------
+
+AUDIO_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("sample_rate", T.LongType()),
+        T.StructField("n_channels", T.LongType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("rms", T.LongType()),
+        T.StructField("is_valid", T.IntegerType()),
+    ]
+)
+
+
+def _synth_samples(media_id: int) -> tuple[int, list[int]]:
+    """Deterministic 16-bit mono test signal: rate ∈ {8, 12, 16} kHz,
+    64–127 frames, sample_i = ((id·131 + i·7919) % 65536) − 32768.
+    Pure integer closed form — the DuckDB oracle replays it exactly."""
+    rate = 8000 + (media_id % 3) * 4000
+    n = 64 + media_id % 64
+    samples = [
+        ((media_id * 131 + i * 7919) % 65536) - 32768 for i in range(n)
+    ]
+    return rate, samples
+
+
+def synth_wav_corpus(docs: DataFrame) -> DataFrame:
+    """One REAL RIFF/WAVE payload per document, written with the
+    stdlib ``wave`` writer (PCM s16le mono). Arrow-batched; payload
+    size is ≤ ~300 bytes per row, so no repartition is needed at any
+    corpus size (the byte-stats sizing rule still applies to real
+    audio)."""
+    import io
+    import struct
+    import wave as _wave
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for media_id in pdf["doc_id"]:
+                rate, samples = _synth_samples(int(media_id))
+                buf = io.BytesIO()
+                with _wave.open(buf, "wb") as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(2)
+                    w.setframerate(rate)
+                    w.writeframes(
+                        struct.pack(f"<{len(samples)}h", *samples)
+                    )
+                payloads.append(buf.getvalue())
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "payload": payloads,
+                    "mime": "audio/wav",
+                    "width": pd.array([None] * len(pdf), dtype="Int32"),
+                    "height": pd.array([None] * len(pdf), dtype="Int32"),
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
+def decode_wav_features(media: DataFrame) -> DataFrame:
+    """REAL audio decode over binary WAV payloads: stdlib RIFF parse
+    (``wave``) + PCM sample unpack + RMS — no fake path. Unparseable
+    payloads become (is_valid = 0, NULL features) quarantine rows
+    instead of failing the batch (the CSV/JSONL corrupt-row contract
+    applied to a binary modality).
+
+    rms replays audioop's formula, int(sqrt(Σs²/n)), with Σs² exact
+    (integer-valued double < 2⁵³ at any WAV the format can express per
+    batch row) so the value is engine-reproducible arithmetic, not a
+    library artifact.
+
+    Scale: mapInPandas streams Arrow batches; the decoder is
+    per-row-bounded CPU with constant memory — the partition-sizing
+    note at the module head is the only tuning knob.
+    """
+    import io
+    import math
+    import struct
+    import wave as _wave
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                "media_id", "sample_rate", "n_channels", "n_frames",
+                "duration_ms", "rms", "is_valid",
+            )}
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                out["media_id"].append(media_id)
+                try:
+                    with _wave.open(io.BytesIO(payload or b""), "rb") as w:
+                        nch, width = w.getnchannels(), w.getsampwidth()
+                        rate, n = w.getframerate(), w.getnframes()
+                        if width != 2:
+                            raise ValueError("only PCM s16 supported")
+                        raw = w.readframes(n)
+                    samples = struct.unpack(f"<{n * nch}h", raw)
+                    ss = sum(s * s for s in samples)
+                    cnt = len(samples)
+                    rms = int(math.sqrt(ss / cnt)) if cnt else 0
+                    out["sample_rate"].append(rate)
+                    out["n_channels"].append(nch)
+                    out["n_frames"].append(n)
+                    out["duration_ms"].append(n * 1000 // rate)
+                    out["rms"].append(rms)
+                    out["is_valid"].append(1)
+                except Exception:  # noqa: BLE001 — quarantine, not crash
+                    for k in ("sample_rate", "n_channels", "n_frames",
+                              "duration_ms", "rms"):
+                        out[k].append(None)
+                    out["is_valid"].append(0)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, schema=AUDIO_FEATURE_SCHEMA)

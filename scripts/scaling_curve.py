@@ -70,7 +70,16 @@ def main() -> int:
         from piholelongtermstats_spark.operators.resample import (
             bootstrap_daily_mean_ci,
         )
-        from piholelongtermstats_spark.operators.robust import mad_outlier_days
+        from piholelongtermstats_spark.operators.anomaly import (
+            running_zscore_by_client,
+        )
+        from piholelongtermstats_spark.operators.robust import (
+            holt_winters_daily,
+            mad_outlier_days,
+        )
+        from piholelongtermstats_spark.operators.survival import (
+            kaplan_meier_clients,
+        )
 
         for name, fn in (
             ("streaks", lambda f: longest_streaks_stitched(f)),
@@ -105,6 +114,27 @@ def main() -> int:
             # (disjoint ranges) so resample work grows ×k on top of
             # the ×k day collapse — near-linear expected.
             ("bootstrap", lambda f: bootstrap_daily_mean_ci(f, 200)),
+            # Kaplan–Meier: one client collapse (client count constant,
+            # per-client rows ×k), then a lifetime histogram whose
+            # domain grows with the day range — scan-bound expected,
+            # fold stays single-task over ≤ k·64 distinct lifetimes.
+            ("survival", lambda f: kaplan_meier_clients(f, 2)),
+            # prequential z: client-partitioned windows over the
+            # (client, day) relation — day rows ×k per client, window
+            # state O(1) per row; near-linear expected with no
+            # unpartitioned window anywhere.
+            (
+                "running_z",
+                lambda f: running_zscore_by_client(
+                    f.groupBy("client", "date").agg(
+                        F.count(F.lit(1)).cast("long").alias("y")
+                    )
+                ),
+            ),
+            # Holt–Winters: the day collapse is ×k, the three-state
+            # fold runs one task over k·64 days — scan slope plus a
+            # linear (tiny) fold tail.
+            ("holt_w", lambda f: holt_winters_daily(f)),
         ):
             if name == "basket":
                 fn = lambda f, _k=k: domain_association_rules(  # noqa: E731
@@ -183,7 +213,8 @@ def main() -> int:
     print(f"{'op':10s} {'k':>2s} {'rows':>9s} {'sec':>7s} {'vs 1x':>6s}")
     for name in (
         "streaks", "rollup", "heavy_hit", "mad_robust", "basket",
-        "behavior", "bootstrap", "lsh_dedup", "setsim",
+        "behavior", "bootstrap", "survival", "running_z", "holt_w",
+        "lsh_dedup", "setsim",
     ):
         base_t = results[(name, 1)][1]
         for k in KS:
