@@ -318,3 +318,52 @@ def l_diversity_audit(fact: DataFrame, k: int = 5, worst: int = 20) -> DataFrame
         )
         .limit(worst)
     )
+
+
+def dp_noised_daily_counts(
+    fact: DataFrame, epsilon_x1000: int = 500, seed: str = "dp1"
+) -> DataFrame:
+    """ε-differentially-private release of the daily count series via
+    the Laplace mechanism, plus the utility audit: (date, true_cnt,
+    released, abs_err) — count queries have sensitivity 1, so noise ~
+    Laplace(1/ε). THIS IS THE AUDIT OPERATOR (it reports the true
+    count next to the release so the accuracy/privacy trade is
+    measurable); a production release drops true_cnt/abs_err.
+
+    Determinism (the Poisson-bootstrap convention): the per-day
+    uniform comes from the engine-wide 60-bit md5 primitive,
+    u = (2·ppb + 1)/(2·10⁹) ∈ (0, 1) strictly (the half-step offset
+    keeps |u − ½| < ½, so ln(1 − 2|u − ½|) is always finite), and the
+    inverse-CDF Laplace draw
+
+        noise = −(1000/ε₁₀₀₀) · sign(u − ½) · ln(1 − 2·|u − ½|)
+
+    is ONE ln per independent row over a correctly-rounded operand —
+    the single-transcendental discipline (pettitt's exp, renyi2's ln);
+    no fp value ever crosses rows.
+
+    Scale: one map-side-combined groupBy(date) plus a row-local
+    projection. Nothing else.
+    """
+    from piholelongtermstats_spark.operators.resample import _md5_60bit
+
+    daily = fact.groupBy("date").agg(
+        F.count(F.lit(1)).cast("long").alias("true_cnt")
+    )
+    ppb = (
+        _md5_60bit(
+            F.concat_ws(
+                ":", F.lit(seed), F.date_format("date", "yyyy-MM-dd")
+            )
+        )
+        % 1000000000
+    )
+    v = (2 * ppb + 1).cast("double") / F.lit(2.0e9) - F.lit(0.5)
+    scale = F.lit(1000.0) / F.lit(float(epsilon_x1000))
+    noise = -scale * F.signum(v) * F.log(1.0 - 2.0 * F.abs(v))
+    return daily.select(
+        "date",
+        "true_cnt",
+        F.round(F.col("true_cnt") + noise, 6).alias("released"),
+        F.round(F.abs(noise), 6).alias("abs_err"),
+    ).orderBy("date")

@@ -73,6 +73,7 @@ from piholelongtermstats_spark.plans import registry_m50  # noqa: F401  (registe
 from piholelongtermstats_spark.plans import registry_m51  # noqa: F401  (registers M51 queries)
 from piholelongtermstats_spark.plans import registry_m52  # noqa: F401  (registers M52 queries)
 from piholelongtermstats_spark.plans import registry_m53  # noqa: F401  (registers M53 queries)
+from piholelongtermstats_spark.plans import registry_m54  # noqa: F401  (registers M54 queries)
 from piholelongtermstats_spark.plans import registry_panels  # noqa: F401  (fused panels)
 from piholelongtermstats_spark.plans.registry import ORACLE, QUERIES  # noqa: F401
 
@@ -409,6 +410,9 @@ _OVERFLOW = [
     "blocked_rate_trend",
     # M53 — REAL audio decode (oracle: closed-form synthesis replay)
     "wav_decode_panel",
+    # M54 — DP release / interchange meta-audit (all oracle)
+    "dp_noised_daily_counts",
+    "interchange_consistency_panel",
     # rows-only by design (sketches, iterative index builds, stubs)
     "uniques_approx",
     "reply_time_quantiles",
