@@ -924,3 +924,86 @@ def vocab_hapax_stats(docs: DataFrame) -> DataFrame:
             "CAST(CASE WHEN n_tokens > 0 THEN vocab_size * 1000000 DIV n_tokens END AS BIGINT)"
         ).alias("ttr_ppm"),
     ).orderBy("lang")
+
+
+def quality_lift_table(docs: DataFrame, n_buckets: int = 10) -> DataFrame:
+    """Decile lift / calibration table of the hashed-linear quality
+    classifier scored against the Gopher rule gate as the label — the
+    model-eval every learned data-filter deployment runs before
+    trusting scores for selection: does the top decile actually
+    contain more rule-passing documents?
+
+    (decile, n_docs, n_keep, keep_rate_ppm, lift_ppm) with decile 0 =
+    lowest scores. Bucketing is the engine's no-global-ntile pattern
+    (ppl_buckets / quality_percentile_blend): the score is quantized
+    once (round(score·10⁶) → BIGINT, the dim-stats trick), the nine
+    cut points come from the histogram-ECDF nearest-rank rule
+    (cum·10 ≥ i·n, integer cross-multiplication), and each document's
+    decile is the count of cut points strictly below its quantized
+    score. Rates and lifts are integral ppm over exact counts
+    (lift numerator n_keep·N·10⁶ rides DECIMAL(38,0)); empty docs
+    (no tokens — the classifier has no score) are excluded, the
+    ppl_buckets 'empty' contract.
+
+    Scale: two codegen projections (classifier + rules), one
+    score-histogram aggregation, a 9-column broadcast of cut points,
+    one decile aggregation. The only ordering window runs over
+    DISTINCT quantized scores.
+    """
+    dec = "decimal(38,0)"
+    cls = quality_classifier(docs).filter(F.col("n_tokens") > 0)
+    lbl = gopher_rules(docs).select(
+        "doc_id", F.col("keep").cast("long").alias("label")
+    )
+    scored = cls.join(lbl, "doc_id").select(
+        "doc_id",
+        F.round(F.col("score") * 1_000_000, 0).cast("long").alias("q"),
+        "label",
+    )
+    hist = scored.groupBy("q").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    wc = Window.orderBy("q").rowsBetween(Window.unboundedPreceding, 0)
+    h = hist.select(
+        "q",
+        F.sum("cnt").over(wc).cast("long").alias("cum"),
+        F.sum("cnt").over(Window.partitionBy()).cast("long").alias("n"),
+    )
+    cuts = h.agg(
+        *[
+            F.min(
+                F.when(F.col("cum") * n_buckets >= i * F.col("n"), F.col("q"))
+            ).alias(f"t{i}")
+            for i in range(1, n_buckets)
+        ]
+    )
+    decile = sum(
+        F.when(F.col("q") > F.col(f"t{i}"), 1).otherwise(0)
+        for i in range(1, n_buckets)
+    ).cast("long")
+    assigned = scored.join(F.broadcast(cuts)).select(
+        "doc_id", "label", decile.alias("decile")
+    )
+    tot = assigned.agg(
+        F.count(F.lit(1)).cast("long").alias("n_total"),
+        F.sum("label").cast("long").alias("k_total"),
+    )
+    per = assigned.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("label").cast("long").alias("n_keep"),
+    )
+    return (
+        per.join(F.broadcast(tot))
+        .select(
+            "decile",
+            "n_docs",
+            "n_keep",
+            F.expr("CAST(n_keep * 1000000 DIV n_docs AS BIGINT)").alias(
+                "keep_rate_ppm"
+            ),
+            F.expr(
+                "CAST((CAST(n_keep AS decimal(38,0)) * n_total * 1000000)"
+                " DIV (CAST(n_docs AS decimal(38,0))"
+                " * nullif(k_total, 0)) AS BIGINT)"
+            ).alias("lift_ppm"),
+        )
+        .orderBy("decile")
+    )

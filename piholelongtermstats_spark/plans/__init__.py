@@ -74,6 +74,7 @@ from piholelongtermstats_spark.plans import registry_m51  # noqa: F401  (registe
 from piholelongtermstats_spark.plans import registry_m52  # noqa: F401  (registers M52 queries)
 from piholelongtermstats_spark.plans import registry_m53  # noqa: F401  (registers M53 queries)
 from piholelongtermstats_spark.plans import registry_m54  # noqa: F401  (registers M54 queries)
+from piholelongtermstats_spark.plans import registry_m55  # noqa: F401  (registers M55 queries)
 from piholelongtermstats_spark.plans import registry_panels  # noqa: F401  (fused panels)
 from piholelongtermstats_spark.plans.registry import ORACLE, QUERIES  # noqa: F401
 
@@ -413,6 +414,9 @@ _OVERFLOW = [
     # M54 — DP release / interchange meta-audit (all oracle)
     "dp_noised_daily_counts",
     "interchange_consistency_panel",
+    # M55 — PIT join / data-filter eval (all oracle)
+    "scd2_pit_enrich",
+    "quality_lift_table",
     # rows-only by design (sketches, iterative index builds, stubs)
     "uniques_approx",
     "reply_time_quantiles",
