@@ -928,7 +928,8 @@ def vocab_hapax_stats(docs: DataFrame) -> DataFrame:
 
 def quality_lift_table(docs: DataFrame, n_buckets: int = 10) -> DataFrame:
     """Decile lift / calibration table of the hashed-linear quality
-    classifier scored against the Gopher rule gate as the label — the
+    classifier scored against the Gopher REPETITION gate as the label
+    — the
     model-eval every learned data-filter deployment runs before
     trusting scores for selection: does the top decile actually
     contain more rule-passing documents?
@@ -952,7 +953,7 @@ def quality_lift_table(docs: DataFrame, n_buckets: int = 10) -> DataFrame:
     """
     dec = "decimal(38,0)"
     cls = quality_classifier(docs).filter(F.col("n_tokens") > 0)
-    lbl = gopher_rules(docs).select(
+    lbl = gopher_repetition(docs).select(
         "doc_id", F.col("keep").cast("long").alias("label")
     )
     scored = cls.join(lbl, "doc_id").select(

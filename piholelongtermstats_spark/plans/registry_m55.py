@@ -5,8 +5,12 @@
   covering it (NULL content = the key was not alive at that version —
   the semantics a plain latest-version join silently gets wrong).
 - ``quality_lift_table`` — decile lift/calibration of the hashed
-  linear quality classifier against the Gopher rule gate (the eval a
-  learned data filter needs before its scores drive selection).
+  linear quality classifier against the Gopher REPETITION gate (the
+  eval a learned data filter needs before its scores drive
+  selection; the repetition gate is the label because it is the one
+  rule gate that discriminates on the synthetic corpus — the
+  document-shape gate rejects all 500 short fixtures, which would
+  make every lift NULL).
 
 Both DuckDB-oracle-checked.
 """
@@ -23,7 +27,7 @@ from piholelongtermstats_spark.plans.registry_m11 import (
     _SCD2_SQL,
     _snapshot_root,
 )
-from piholelongtermstats_spark.plans.registry_m12 import _GOPHER_SQL
+from piholelongtermstats_spark.plans.registry_m12 import _REP_SQL
 from piholelongtermstats_spark.sources import snapshots as _snap
 
 _PIT_SQL = f"""
@@ -95,7 +99,7 @@ WITH cls AS (
     CAST(list_sum({_QC_W}) AS BIGINT) AS weight_sum
   FROM documents),
 lbl AS (
-  SELECT doc_id, CAST(keep AS BIGINT) AS label FROM ({_GOPHER_SQL})),
+  SELECT doc_id, CAST(keep AS BIGINT) AS label FROM ({_REP_SQL})),
 scored AS (
   SELECT c.doc_id,
     CAST(round(CAST(weight_sum AS DOUBLE) / (1000 * n_tokens) * 1000000)
