@@ -837,3 +837,83 @@ def holt_winters_daily(
         )
         .orderBy("date")
     )
+
+
+# Shared Cramer formula TEXT for the 3-parameter normal equations —
+# evaluated verbatim by F.expr on the Spark side and pasted verbatim
+# into the DuckDB oracle, so the operand trees are identical by
+# construction (registry_m56). Columns: n, st, sw, stt, stw (exact
+# DECIMAL/HUGEINT moments; sww = sw because w² = w) and the rhs
+# sy, sty, swy.
+WK_DET = (
+    "(n * (stt * sw - stw * stw) - st * (st * sw - stw * sw)"
+    " + sw * (st * stw - stt * sw))"
+)
+WK_DET_A = (
+    "(sy * (stt * sw - stw * stw) - st * (sty * sw - stw * swy)"
+    " + sw * (sty * stw - stt * swy))"
+)
+WK_DET_B = (
+    "(n * (sty * sw - stw * swy) - sy * (st * sw - stw * sw)"
+    " + sw * (st * swy - sty * sw))"
+)
+WK_DET_C = (
+    "(n * (stt * swy - sty * stw) - st * (st * swy - sty * sw)"
+    " + sy * (st * stw - stt * sw))"
+)
+
+
+def weekend_adjusted_trend(fact: DataFrame) -> DataFrame:
+    """One row — the day-grain multiple regression
+    y = a + b·t + c·is_weekend fitted by EXACT normal equations:
+    (n_days, intercept, slope_per_day, weekend_effect). The volume
+    question daily_trend_slope answers, with the weekend level shift
+    absorbed into its own coefficient instead of biasing the slope
+    (omitted-variable bias: a Mon-start window under a weekend bump
+    reads a spurious trend).
+
+    All nine sufficient moments (n, Σt, Σw, Σt², Σtw, Σy, Σty, Σwy —
+    Σw² = Σw since w ∈ {0,1}) are exact integers from ONE aggregate;
+    the 3×3 Cramer determinants evaluate a SHARED expression string
+    (WK_DET*) through F.expr here and verbatim SQL in the oracle, in
+    DECIMAL(38,0)/HUGEINT (entries ≤ n·t² keep every 3-term product
+    « 10³⁸ at 10⁴ days × 10¹² events). Each coefficient is one final
+    division, rounded to 6. A design without weekend contrast
+    (Σw = 0 or Σw = n) or otherwise singular (det = 0) yields NULL
+    coefficients.
+
+    Scale: one map-side-combined day collapse, one scalar aggregate,
+    zero windows.
+    """
+    dec = "decimal(38,0)"
+    daily = _daily(fact)
+    d0 = daily.agg(F.min("date").alias("d0"))
+    scored = daily.join(F.broadcast(d0)).select(
+        F.col("y").cast("long").alias("y"),
+        F.datediff("date", "d0").cast("long").alias("t"),
+        F.dayofweek("date").isin(1, 7).cast("long").alias("w"),
+    )
+    m = scored.agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum("t").cast(dec).alias("st"),
+        F.sum("w").cast(dec).alias("sw"),
+        F.sum(F.col("t") * F.col("t")).cast(dec).alias("stt"),
+        F.sum(F.col("t") * F.col("w")).cast(dec).alias("stw"),
+        F.sum("y").cast(dec).alias("sy"),
+        F.sum(F.col("t").cast(dec) * F.col("y")).cast(dec).alias("sty"),
+        F.sum(F.col("w").cast(dec) * F.col("y")).cast(dec).alias("swy"),
+    )
+    det = F.expr(WK_DET)
+    coef = lambda num: F.round(  # noqa: E731
+        F.when(
+            det != 0,
+            F.expr(num).cast("double") / det.cast("double"),
+        ),
+        6,
+    )
+    return m.select(
+        F.col("n").cast("long").alias("n_days"),
+        coef(WK_DET_A).alias("intercept"),
+        coef(WK_DET_B).alias("slope_per_day"),
+        coef(WK_DET_C).alias("weekend_effect"),
+    )

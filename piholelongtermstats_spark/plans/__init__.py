@@ -75,6 +75,7 @@ from piholelongtermstats_spark.plans import registry_m52  # noqa: F401  (registe
 from piholelongtermstats_spark.plans import registry_m53  # noqa: F401  (registers M53 queries)
 from piholelongtermstats_spark.plans import registry_m54  # noqa: F401  (registers M54 queries)
 from piholelongtermstats_spark.plans import registry_m55  # noqa: F401  (registers M55 queries)
+from piholelongtermstats_spark.plans import registry_m56  # noqa: F401  (registers M56 queries)
 from piholelongtermstats_spark.plans import registry_panels  # noqa: F401  (fused panels)
 from piholelongtermstats_spark.plans.registry import ORACLE, QUERIES  # noqa: F401
 
@@ -417,6 +418,9 @@ _OVERFLOW = [
     # M55 — PIT join / data-filter eval (all oracle)
     "scd2_pit_enrich",
     "quality_lift_table",
+    # M56 — multiple regression / prequential scale proof (all oracle)
+    "weekend_adjusted_trend",
+    "zscore_scale_2x",
     # rows-only by design (sketches, iterative index builds, stubs)
     "uniques_approx",
     "reply_time_quantiles",
