@@ -190,3 +190,79 @@ def range_boundaries(
         .agg(F.min("val").alias("boundary"))
         .orderBy("bucket")
     )
+
+
+def hll_distinct_audit(fact: DataFrame, key: str = "client") -> DataFrame:
+    """One row — a FULLY AUDITABLE HyperLogLog built from first
+    principles next to the exact answer: (n_exact, m_registers,
+    v_zero, est, abs_err_ppm). uniques_approx rides Spark's internal
+    HLL++ (rows-only: its register layout is not replayable in SQL);
+    this one IS the algorithm (Flajolet et al. 2007) expressed in
+    relational primitives, so the DuckDB oracle reproduces every
+    register and the estimate bit-for-bit — the sketch graduates from
+    "trust the library" to measured, hash-checked arithmetic.
+
+    Mechanics (m = 64, b = 6): h = the engine-wide 60-bit md5;
+    register j = h mod 64; the remaining 54 bits w rank
+    ρ = 55 − bitlen(w) (ρ = 55 for w = 0), with bitlen via
+    length(bin(w)) — integer-exact in both engines. M_j = max ρ per
+    register (max needs no DISTINCT — duplicates cannot raise it),
+    zero-filled over the 64-register spine. The indicator
+    Z = Σ 2^(−M_j) folds in ascending register order (the χ²-drift
+    fold contract — 64 exact powers of two whose SUM order still
+    matters past 53 bits), E = α₆₄·m²/Z with the paper's α₆₄ = 0.709,
+    and the small-range correction E ≤ 2.5m ∧ V > 0 → m·ln(m/V) is
+    one ln (single-transcendental discipline).
+
+    Scale: ONE map-side-combined aggregation into ≤ 64·P partial
+    rows, a 64-row spine join, a 64-element fold — the whole point of
+    HLL at 100 TB: constant state, one pass, mergeable partials (the
+    groupBy(reg).max IS the merge).
+    """
+    from piholelongtermstats_spark.operators.resample import _md5_60bit
+
+    m = 64
+    regs = fact.select(_md5_60bit(F.col(key)).alias("h")).select(
+        (F.col("h") % m).alias("reg"), F.expr(f"h DIV {m}").alias("w")
+    )
+    rho = (
+        F.when(F.col("w") == 0, F.lit(55))
+        .otherwise(F.lit(55) - F.length(F.expr("bin(w)")))
+        .cast("long")
+    )
+    mreg = regs.groupBy("reg").agg(F.max(rho).alias("mj"))
+    spine = fact.sparkSession.range(m).select(
+        F.col("id").cast("long").alias("reg")
+    )
+    filled = spine.join(mreg, "reg", "left").select(
+        "reg", F.coalesce("mj", F.lit(0)).cast("long").alias("mj")
+    )
+    folded = filled.agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("reg", "mj"))),
+            F.lit(0.0),
+            lambda acc, x: acc + F.pow(F.lit(0.5), x["mj"]),
+        ).alias("z"),
+        F.sum((F.col("mj") == 0).cast("long")).cast("long").alias("v_zero"),
+    )
+    exact = fact.agg(F.countDistinct(key).cast("long").alias("n_exact"))
+    est_raw = F.lit(0.709) * F.lit(float(m * m)) / F.col("z")
+    est = F.when(
+        (est_raw <= F.lit(2.5 * m)) & (F.col("v_zero") > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("v_zero").cast("double")),
+    ).otherwise(est_raw)
+    return folded.join(F.broadcast(exact)).select(
+        "n_exact",
+        F.lit(m).cast("long").alias("m_registers"),
+        "v_zero",
+        F.round(est, 6).alias("est"),
+        F.when(
+            F.col("n_exact") > 0,
+            F.round(
+                F.abs(est - F.col("n_exact").cast("double"))
+                / F.col("n_exact").cast("double")
+                * 1000000.0,
+                0,
+            ).cast("long"),
+        ).alias("abs_err_ppm"),
+    )

@@ -76,6 +76,7 @@ from piholelongtermstats_spark.plans import registry_m53  # noqa: F401  (registe
 from piholelongtermstats_spark.plans import registry_m54  # noqa: F401  (registers M54 queries)
 from piholelongtermstats_spark.plans import registry_m55  # noqa: F401  (registers M55 queries)
 from piholelongtermstats_spark.plans import registry_m56  # noqa: F401  (registers M56 queries)
+from piholelongtermstats_spark.plans import registry_m57  # noqa: F401  (registers M57 queries)
 from piholelongtermstats_spark.plans import registry_panels  # noqa: F401  (fused panels)
 from piholelongtermstats_spark.plans.registry import ORACLE, QUERIES  # noqa: F401
 
@@ -421,6 +422,8 @@ _OVERFLOW = [
     # M56 — multiple regression / prequential scale proof (all oracle)
     "weekend_adjusted_trend",
     "zscore_scale_2x",
+    # M57 — the auditable sketch (oracle: every register replayed)
+    "hll_distinct_audit",
     # rows-only by design (sketches, iterative index builds, stubs)
     "uniques_approx",
     "reply_time_quantiles",
