@@ -89,15 +89,10 @@ TOP_50 = [
     "top_clients",
     "top_clients_per_status",
     "top_domain_top_client",
-    "most_persistent_client",
-    "most_diverse_client",
     "top_clients_stacked",
-    "daily_counts",
-    "weekday_avg",
     "hourly_rollup",
     "day_hour_heatmap_panel",
     "reply_time_stats",
-    "slowest_domains",
     "idle_gaps_top",
     "longest_streaks",
     "kaplan_meier_clients",
@@ -136,6 +131,12 @@ TOP_50 = [
     "gopher_quality_panel",
     "bloom_contamination",
     "dedup_scale_2x",
+    # --- r10 rotation (r9 VERDICT #1): M54–M57 representatives ---
+    "hll_distinct_audit",
+    "scd2_pit_enrich",
+    "dp_noised_daily_counts",
+    "wav_decode_panel",
+    "quality_lift_table",
 ]
 
 # Below the line: previously-green queries first, then never-checked
@@ -302,7 +303,30 @@ TOP_50 = [
 # through seasonal_adjusted_outliers' MAD gate arithmetic inside the
 # parity suite and robust_scale_2x's doubling differential;
 # mad_outlier_days stays parity-green below the line.
+# r10 rotation (r9 VERDICT #1): the four newest waves (M54–M57) had
+# never been hashed by the driver — local parity green is not driver
+# green (the r8 welch incident). Promoted: hll_distinct_audit (the
+# fully register-replayed HLL sketch), scd2_pit_enrich (point-in-time
+# SCD2 containment join), dp_noised_daily_counts (ε-DP Laplace release
+# audit), wav_decode_panel (real binary audio decode, synthesis-replay
+# oracle), quality_lift_table (decile lift/calibration eval). Retired
+# to parity (all green since round 1, every operator family keeps a
+# driver row): most_persistent_client (A4 — 2-key counts + global
+# top-1 stay driver-checked through top_clients_stacked and
+# top_domain_top_client), most_diverse_client (A9 — per-group distinct
+# via uniques' exact COUNT DISTINCT + top-1 via top_clients_per_status),
+# daily_counts (A5 — per-date grain stays through hourly_rollup's
+# finer rollup and client_activity's zero-filled spine), weekday_avg
+# (A7 — the weekday×hour grain plus avg legs stay through
+# day_hour_heatmap_panel and reply_time_stats), slowest_domains (A11 —
+# per-key avg with pinned NULL ordering stays through reply_time_stats
+# and the topk family). All five stay parity-green below the line.
 _OVERFLOW = [
+    "most_persistent_client",
+    "most_diverse_client",
+    "daily_counts",
+    "weekday_avg",
+    "slowest_domains",
     "streaks_scale_2x",
     "mad_outlier_days",
     "doc_chunks",
@@ -411,19 +435,11 @@ _OVERFLOW = [
     # M52 — seasonality-robust trend / composition drift (all oracle)
     "seasonal_mann_kendall",
     "blocked_rate_trend",
-    # M53 — REAL audio decode (oracle: closed-form synthesis replay)
-    "wav_decode_panel",
-    # M54 — DP release / interchange meta-audit (all oracle)
-    "dp_noised_daily_counts",
+    # M53–M57 representatives hold TOP_50 rows since r10; the
+    # remaining oracle-checked siblings stay parity-green here.
     "interchange_consistency_panel",
-    # M55 — PIT join / data-filter eval (all oracle)
-    "scd2_pit_enrich",
-    "quality_lift_table",
-    # M56 — multiple regression / prequential scale proof (all oracle)
     "weekend_adjusted_trend",
     "zscore_scale_2x",
-    # M57 — the auditable sketch (oracle: every register replayed)
-    "hll_distinct_audit",
     # rows-only by design (sketches, iterative index builds, stubs)
     "uniques_approx",
     "reply_time_quantiles",
