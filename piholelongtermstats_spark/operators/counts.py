@@ -321,7 +321,10 @@ def l_diversity_audit(fact: DataFrame, k: int = 5, worst: int = 20) -> DataFrame
 
 
 def dp_noised_daily_counts(
-    fact: DataFrame, epsilon_x1000: int = 500, seed: str = "dp1"
+    fact: DataFrame,
+    epsilon_x1000: int = 500,
+    seed: str = "dp1",
+    real_noise: bool = False,
 ) -> DataFrame:
     """ε-differentially-private release of the daily count series via
     the Laplace mechanism, plus the utility audit: (date, true_cnt,
@@ -330,26 +333,58 @@ def dp_noised_daily_counts(
     count next to the release so the accuracy/privacy trade is
     measurable); a production release drops true_cnt/abs_err.
 
-    Determinism (the Poisson-bootstrap convention): the per-day
-    uniform comes from the engine-wide 60-bit md5 primitive,
-    u = (2·ppb + 1)/(2·10⁹) ∈ (0, 1) strictly (the half-step offset
-    keeps |u − ½| < ½, so ln(1 − 2|u − ½|) is always finite), and the
-    inverse-CDF Laplace draw
+    **The default seeded draw provides ZERO actual privacy.** The
+    noise is a pure function of (seed, date), and the seed is a
+    code-visible constant: anyone holding this source can recompute
+    every draw and subtract it, recovering true_cnt exactly. The
+    deterministic path exists ONLY so the DuckDB oracle can replay
+    the mechanism bit-for-bit (the audit harness); it must never be
+    shipped as a release mechanism. A real DP release requires a
+    secret, non-reproducible noise source — pass ``real_noise=True``,
+    which draws each day's uniform from ``random.SystemRandom`` (OS
+    entropy, driver-side, one uniform per date embedded as a literal
+    column): non-replayable BY DESIGN, so that path is rows-only for
+    the oracle and is tested for distribution shape in pytest
+    (tests/test_m54.py). Even then, a production deployment also
+    needs an ε budget ledger across repeated queries — composition is
+    out of scope here.
+
+    Determinism of the audit path (the Poisson-bootstrap convention):
+    the per-day uniform comes from the engine-wide 60-bit md5
+    primitive, u = (2·ppb + 1)/(2·10⁹) ∈ (0, 1) strictly (the
+    half-step offset keeps |u − ½| < ½, so ln(1 − 2|u − ½|) is always
+    finite), and the inverse-CDF Laplace draw
 
         noise = −(1000/ε₁₀₀₀) · sign(u − ½) · ln(1 − 2·|u − ½|)
 
     is ONE ln per independent row over a correctly-rounded operand —
     the single-transcendental discipline (pettitt's exp, renyi2's ln);
-    no fp value ever crosses rows.
+    no fp value ever crosses rows. ``real_noise=True`` evaluates the
+    IDENTICAL expression tree over the secret uniforms.
 
     Scale: one map-side-combined groupBy(date) plus a row-local
-    projection. Nothing else.
+    projection. Nothing else. The real-noise path joins a broadcast
+    one-uniform-per-date literal frame (|dates| rows, driver-built —
+    fine at any fact volume; at 10⁵+ distinct dates switch the
+    entropy source to a per-executor seeded-then-discarded generator).
     """
     from piholelongtermstats_spark.operators.resample import _md5_60bit
 
     daily = fact.groupBy("date").agg(
         F.count(F.lit(1)).cast("long").alias("true_cnt")
     )
+    if real_noise:
+        import random
+
+        sysrand = random.SystemRandom()
+        dates = [r[0] for r in daily.select("date").distinct().collect()]
+        spark = fact.sparkSession
+        udf = spark.createDataFrame(
+            [(d, sysrand.randrange(1_000_000_000)) for d in dates],
+            "date date, ppb_secret long",
+        )
+        daily = daily.join(F.broadcast(udf), "date")
+        return _laplace_release(daily, F.col("ppb_secret"), epsilon_x1000)
     ppb = (
         _md5_60bit(
             F.concat_ws(
@@ -358,6 +393,13 @@ def dp_noised_daily_counts(
         )
         % 1000000000
     )
+    return _laplace_release(daily, ppb, epsilon_x1000)
+
+
+def _laplace_release(daily, ppb, epsilon_x1000: int):
+    """Shared inverse-CDF Laplace release tail: the identical
+    expression tree over either the replayable md5 ppb (audit path)
+    or the SystemRandom ppb (real_noise path)."""
     v = (2 * ppb + 1).cast("double") / F.lit(2.0e9) - F.lit(0.5)
     scale = F.lit(1000.0) / F.lit(float(epsilon_x1000))
     noise = -scale * F.signum(v) * F.log(1.0 - 2.0 * F.abs(v))

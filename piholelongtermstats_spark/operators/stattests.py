@@ -1052,7 +1052,12 @@ def ljung_box_daily(fact: DataFrame, max_lag: int = 7) -> DataFrame:
         .otherwise(F.lit(0.0))
         .alias("t"),
     )
-    agg = terms.groupBy("n", "den").agg(
+    # GLOBAL agg (not groupBy) so the degenerate cases — single-day
+    # series, or a calendar so gapped that no lag k <= max_lag pairs —
+    # still emit exactly one row (dof=0, acc=0.0), matching the
+    # oracle's one-row FROM tot, den, folded shape.  The (n, den)
+    # scalars ride in from the one-row tot x den base instead.
+    termagg = terms.agg(
         F.count(F.lit(1)).cast("long").alias("dof"),
         F.aggregate(
             F.array_sort(F.collect_list(F.struct("lag", "t"))),
@@ -1060,8 +1065,9 @@ def ljung_box_daily(fact: DataFrame, max_lag: int = 7) -> DataFrame:
             lambda acc, x: acc + x["t"],
         ).alias("acc"),
     )
+    base = tot.join(F.broadcast(den))
     q = (F.col("n") * (F.col("n") + 2)).cast("double") * F.col("acc")
-    return agg.select(
+    return base.join(F.broadcast(termagg)).select(
         F.col("n").alias("n_days"),
         "dof",
         F.round(F.when(F.col("den") > 0, q), 6).alias("q_stat"),

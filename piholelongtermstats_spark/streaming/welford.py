@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import math
 from collections.abc import Iterator
+from decimal import ROUND_HALF_UP, Decimal
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
@@ -46,6 +47,22 @@ _STATE_SCHEMA = "n long, s long, q long, last_day long"
 _EPOCH_DAY_NS = 86_400_000_000_000
 
 
+def _round6_half_up(x: float) -> float:
+    """Replicate Spark's F.round(col, 6) on a double EXACTLY: Spark
+    routes through Scala BigDecimal.decimal(d) — the SHORTEST decimal
+    representation of the double (Double.toString) — then rounds
+    HALF_UP.  Python's repr() produces the same shortest round-trip
+    decimal, so Decimal(repr(x)).quantize(..., ROUND_HALF_UP) is the
+    bit-for-bit twin.  A bare Python round() would be round-half-even
+    on the binary value and can diverge on an exact 6-decimal tie
+    (r9 ADVICE)."""
+    return float(
+        Decimal(repr(x)).quantize(
+            Decimal("0.000001"), rounding=ROUND_HALF_UP
+        )
+    )
+
+
 def _score(n: int, s: int, q: int, y: int) -> tuple[float | None, int]:
     """The batch twin's exact expression tree over integer moments:
     float() casts mirror Spark's decimal→double casts, each IEEE op
@@ -53,10 +70,9 @@ def _score(n: int, s: int, q: int, y: int) -> tuple[float | None, int]:
     num = n * y - s
     varnum = n * q - s * s
     if varnum > 0:
-        z = round(
+        z = _round6_half_up(
             float(num)
-            * math.sqrt(float(n - 1) / (float(n) * float(varnum))),
-            6,
+            * math.sqrt(float(n - 1) / (float(n) * float(varnum)))
         )
     else:
         z = None

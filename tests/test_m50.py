@@ -61,6 +61,35 @@ def test_ljung_box_short_series_caps_dof(spark):
     assert r.dof == 4
 
 
+def test_ljung_box_single_day_emits_one_row(spark):
+    """Degenerate series (one day): no lag has pairs AND den = 0.
+    The global-agg shape must still emit exactly one row — dof 0,
+    q_stat NULL — matching the oracle's one-row FROM tot, den, folded
+    (r9 ADVICE: the old groupBy('n','den') returned ZERO rows here)."""
+    rows = stattests.ljung_box_daily(
+        make_fact(spark, _day_counts([5])), 7
+    ).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.n_days == 1 and r.dof == 0 and r.q_stat is None
+
+
+def test_ljung_box_fully_gapped_calendar_emits_one_row(spark):
+    """Two observed days 152 apart: den > 0 but no lag k <= 7 pairs
+    exist, so the fold is empty — one row, dof 0, Q = n(n+2)*0.0."""
+    rows_a = _day_counts([3], "2024-01-01")
+    rows_b = [
+        (eid + 1000, *rest)
+        for (eid, *rest) in _day_counts([8], "2024-06-01")
+    ]
+    out = stattests.ljung_box_daily(
+        make_fact(spark, rows_a + rows_b), 7
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.n_days == 2 and r.dof == 0 and r.q_stat == 0.0
+
+
 def _rows_for(client_days, start="2024-01-01"):
     t0 = dt.datetime.fromisoformat(f"{start}T10:00:00")
     rows, eid = [], 0

@@ -67,6 +67,35 @@ def test_dp_true_count_never_altered(spark):
         )
 
 
+def test_dp_real_noise_path_is_secret_and_laplace_shaped(spark):
+    """real_noise=True (the production semantics, r9 VERDICT #6):
+    draws come from SystemRandom, so (a) two runs on the same input
+    must NOT reproduce each other (non-replayability is the point),
+    (b) true counts are still exact, and (c) |noise| is
+    Laplace(b)-shaped: over 120 days at b = 2, the empirical mean
+    |noise| must land in a wide band around b and the empirical
+    median |noise| around b·ln2 (both have ~b/√n s.e. ≈ 0.18)."""
+    import math
+
+    fact = make_fact(spark, _day_counts([9] * 120))
+    a = counts.dp_noised_daily_counts(
+        fact, epsilon_x1000=500, real_noise=True
+    ).collect()
+    b = counts.dp_noised_daily_counts(
+        fact, epsilon_x1000=500, real_noise=True
+    ).collect()
+    ra = {r.date: r.released for r in a}
+    rb = {r.date: r.released for r in b}
+    assert ra != rb  # P(equal) over 120 continuous draws ~ 0
+    assert sorted(r.true_cnt for r in a) == [9] * 120
+    errs = sorted(r.abs_err for r in a)
+    scale = 2.0  # b = 1000/500 * ... = 1/eps = 2
+    mean_abs = sum(errs) / len(errs)
+    median_abs = (errs[59] + errs[60]) / 2
+    assert 0.5 * scale < mean_abs < 2.0 * scale
+    assert 0.4 * scale * math.log(2) < median_abs < 2.5 * scale * math.log(2)
+
+
 def test_interchange_panel_all_match_on_testdata(spark):
     import __spark_entry__ as se
 

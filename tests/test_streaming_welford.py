@@ -101,3 +101,23 @@ def test_streaming_zscore_drops_late_rows(spark, tmp_path):
     # the late 999s never entered the moments: history is (10, 12)
     assert rows[0].n_prior == 2
     assert rows[0].y == 11
+
+
+def test_round6_half_up_matches_spark_on_ties(spark):
+    """_round6_half_up must replicate Spark's F.round(d, 6) on exact
+    6-decimal ties, where bare Python round() (half-even on the
+    binary value) can diverge (r9 ADVICE).  Pinned against the real
+    Spark expression over tie values of both signs."""
+    from piholelongtermstats_spark.streaming.welford import _round6_half_up
+
+    vals = [
+        1.0000005, -1.0000005, 2.0000015, -2.0000015, 0.0000025,
+        -0.0000025, 3.1415925, 123.4567895, -123.4567895, 0.1234565,
+    ]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    got = {
+        r.x: r.r
+        for r in df.select("x", F.round("x", 6).alias("r")).collect()
+    }
+    for v in vals:
+        assert _round6_half_up(v) == got[v], v
