@@ -53,6 +53,30 @@ from piholelongtermstats_spark.session import get_spark  # noqa: E402
 
 N_TIMED_PASSES = 5
 
+# ---- per-query budget gate (r9 VERDICT #7) --------------------------------
+# The suite grew 182 -> 209 s in one round purely by addition; this gate
+# makes a heavy new entry VISIBLE at landing time instead of three
+# artifacts later. Any query whose per-query min exceeds BUDGET_SEC at
+# sf >= 0.1 and is not on the waiver list below is reported in
+# bench_metrics.json ("budget_violations") and counted on the stdout
+# line ("over_budget"). The gate never fails the bench — the driver
+# must always get its JSON line — it makes the violation diffable.
+BUDGET_SEC = 2.5
+# Waivers: queries that are over budget BY DESIGN, each with the reason
+# the cost is inherent (all plan-audited spill-free; see PLAN_AUDIT.md).
+BUDGET_WAIVERS = {
+    "pagerank_top": "ten real distributed power iterations; cost is the"
+    " iteration count, not a scale defect",
+    "dedup_scale_2x": "end-to-end LSH -> star-contraction -> survivors"
+    " over a deliberately DOUBLED corpus",
+    "ngram_jaccard_capped": "df_cap-bounded exact Jaccard; the ~900k-row"
+    " shingle shuffle is the operator's honest work",
+    "basket_scale_2x": "association rules over a deliberately doubled"
+    " basket volume (slope 1.98x at 8x, SCALING.md)",
+    "incremental_dedup_ingest": "the suite's most comprehensive single"
+    " plan (asymmetric prefix-filter join + audit, 14 exchanges)",
+}
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -137,6 +161,28 @@ def main() -> None:
         else None,
     }
 
+    # Budget gate: evaluated on the per-query MIN (the same number the
+    # round-over-round diff reads) so host noise can't flag a query.
+    budget_violations = (
+        {
+            k: v
+            for k, v in sorted(timings.items(), key=lambda kv: -kv[1])
+            if v > BUDGET_SEC and k not in BUDGET_WAIVERS
+        }
+        if sf >= 0.1
+        else {}
+    )
+    if budget_violations:
+        print(
+            f"BUDGET: {len(budget_violations)} quer"
+            f"{'y' if len(budget_violations) == 1 else 'ies'} over "
+            f"{BUDGET_SEC}s at sf{sf}: "
+            + ", ".join(
+                f"{k}={v}s" for k, v in budget_violations.items()
+            ),
+            file=sys.stderr,
+        )
+
     # Full per-query record lives in the side file; round-over-round
     # comparison reads THIS, never the stdout tail. timings_sec =
     # build+exec total per query (the honest unit of work);
@@ -152,6 +198,9 @@ def main() -> None:
                 "exec_sec": exec_sec,
                 "pass_sec": pass_sec,
                 "noise": noise,
+                "budget_sec": BUDGET_SEC,
+                "budget_violations": budget_violations,
+                "budget_waivers": sorted(BUDGET_WAIVERS),
                 "query_metrics": plan_metrics,
             },
             f,
@@ -167,6 +216,7 @@ def main() -> None:
                 "exec_value": exec_total,
                 "sf": sf,
                 "n_queries": len(timings),
+                "over_budget": len(budget_violations),
             }
         )
     )

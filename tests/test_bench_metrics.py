@@ -78,7 +78,16 @@ def test_bench_stdout_contract_stays_compact():
                 {k.value for k in node.args[0].keys if isinstance(k, ast.Constant)}
             )
     assert any(
-        ks == {"metric", "value", "unit", "exec_value", "sf", "n_queries"}
+        ks
+        == {
+            "metric",
+            "value",
+            "unit",
+            "exec_value",
+            "sf",
+            "n_queries",
+            "over_budget",
+        }
         for ks in dumped_keys
     ), dumped_keys
     assert '"queries"' not in src.split("print(")[-1]
