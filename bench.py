@@ -73,8 +73,6 @@ BUDGET_WAIVERS = {
     " shingle shuffle is the operator's honest work",
     "basket_scale_2x": "association rules over a deliberately doubled"
     " basket volume (slope 1.98x at 8x, SCALING.md)",
-    "incremental_dedup_ingest": "the suite's most comprehensive single"
-    " plan (asymmetric prefix-filter join + audit, 14 exchanges)",
 }
 
 
