@@ -91,6 +91,78 @@ def pagerank(
     return out if top is None else out.limit(top)
 
 
+PPT_SCALE = 1_000_000_000_000  # fixed-point: rank mass in parts-per-10^12
+
+
+def pagerank_fixedpoint(
+    fact: DataFrame,
+    n_iter: int = N_ITER,
+    damping_num: int = 17,
+    damping_den: int = 20,
+    top: "int | None" = 20,
+) -> DataFrame:
+    """(node, rank_ppt) — top-``top`` nodes by FIXED-POINT PageRank:
+    the identical power iteration with every rank held as an INTEGER
+    in parts-per-10¹² and every step in integer arithmetic —
+    contribution = rank_ppt DIV outdeg, damping as the exact rational
+    num/den (new = base + (num·in_mass) DIV den). Integer sums are
+    accumulation-order-free, so the whole 10-iteration fixpoint
+    replays bit-for-bit in the DuckDB oracle (unrolled CTEs) — this
+    graduates the PageRank registry row from rows-only to
+    hash-checked (r9 VERDICT #3), the hll_distinct_audit playbook.
+
+    Relation to ``pagerank`` (float): each DIV floors at most 1 ppt
+    per edge, so after 10 damped iterations a node's fixed-point rank
+    sits within ~n_iter·maxdeg ppt of the float rank — ranking
+    quality is unchanged at any realistic degree (pytest pins top-k
+    agreement and exact equality against an integer numpy replay).
+    The float variant remains the production default; this is the
+    auditable twin.
+
+    Scale: identical plan shape to ``pagerank`` — two shuffles per
+    iteration (edges⋈ranks on src, dst partial-agg), localCheckpoint
+    cadence, nothing collected but the node count. Σrank ≤ 10¹² and
+    num·in_mass ≤ 17·10¹² — far inside BIGINT.
+    """
+    edges = bipartite_edges(fact)
+    deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    edges = edges.join(deg, "src").persist()
+    n = edges.select("src").distinct().count()
+    if n == 0:
+        edges.unpersist()
+        return fact.sparkSession.createDataFrame(
+            [], "node string, rank_ppt long"
+        )
+    ranks = edges.select("src").distinct().select(
+        F.col("src").alias("node"),
+        F.lit(PPT_SCALE // n).cast("long").alias("rank_ppt"),
+    )
+    base = ((damping_den - damping_num) * PPT_SCALE) // (damping_den * n)
+    for i in range(n_iter):
+        contrib = (
+            edges.join(ranks, edges.src == ranks.node)
+            .select(
+                "dst",
+                F.expr("rank_ppt DIV outdeg").alias("c"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("c").alias("in_mass"))
+        )
+        ranks = contrib.select(
+            F.col("dst").alias("node"),
+            (
+                F.lit(base)
+                + F.expr(f"({damping_num} * in_mass) DIV {damping_den}")
+            ).cast("long").alias("rank_ppt"),
+        )
+        if (i + 1) % 4 == 0:
+            ranks = ranks.localCheckpoint()
+    ranks = ranks.localCheckpoint()
+    edges.unpersist()
+    out = ranks.orderBy(F.col("rank_ppt").desc(), F.col("node").asc())
+    return out if top is None else out.limit(top)
+
+
 def domain_cograph_triangles(fact: DataFrame) -> DataFrame:
     """One row (n_pairs, co_thr, n_edges, wedges2, n_triangles,
     clustering) — triangle census of the domain co-occurrence graph.

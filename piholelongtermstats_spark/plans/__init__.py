@@ -440,6 +440,11 @@ _OVERFLOW = [
     "interchange_consistency_panel",
     "weekend_adjusted_trend",
     "zscore_scale_2x",
+    # r10 graduations (r9 VERDICT #3): the iterative-graph pair left
+    # the rows-only tier — pagerank_top is the fixed-point integer
+    # twin (every power iteration replayed as unrolled oracle CTEs),
+    # kcore_summary's synchronous peel replays round-for-round.
+    "pagerank_top",
     # rows-only by design (sketches, iterative index builds, stubs)
     "uniques_approx",
     "reply_time_quantiles",
@@ -449,7 +454,6 @@ _OVERFLOW = [
     "media_resize",
     "media_frames",
     "dsir_logweights",
-    "pagerank_top",
     "rolling_active_approx",
     "lm_doc_logprob",
 ]

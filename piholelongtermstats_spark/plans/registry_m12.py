@@ -583,21 +583,69 @@ def q_rp_prefilter_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# PageRank (operators/graph.py) — rows-only: float mass accumulation
-# is partition-order-dependent (the trained-index pattern); the numpy
-# differential test is the independent check.
+# PageRank (operators/graph.py) — ORACLE-CHECKED since r10 via the
+# fixed-point twin (r9 VERDICT #3, the hll_distinct_audit playbook):
+# ranks are integers in parts-per-10^12 and every step is integer
+# arithmetic (DIV per edge, the 17/20 damping as an exact rational),
+# so integer sums are accumulation-order-free and the DuckDB oracle
+# replays all 10 power iterations bit-for-bit as unrolled CTEs. The
+# float-mass variant stays the production default (operators/graph.py
+# pagerank), pinned by the numpy differential + the fixed-vs-float
+# top-k agreement test.
 # ---------------------------------------------------------------------------
 
 from piholelongtermstats_spark.operators import graph as _graph  # noqa: E402
+from piholelongtermstats_spark.plans.registry import FACT_CTE  # noqa: E402
+
+_PR_ITER = _graph.N_ITER
+_PR_TOP = 20
 
 
-@register("pagerank_top")  # rows-only: fp accumulation order
+def _pagerank_sql(n_iter: int = _PR_ITER, k: int = _PR_TOP) -> str:
+    """10 unrolled integer power iterations; e is MATERIALIZED (it is
+    referenced once per iteration — inlining would re-derive the edge
+    relation n_iter times)."""
+    parts = [
+        FACT_CTE,
+        """
+, cd AS (SELECT DISTINCT 'c:' || client AS src, 'd:' || domain AS dst
+         FROM fact),
+ed AS MATERIALIZED (
+  SELECT src, dst FROM cd UNION ALL SELECT dst, src FROM cd),
+dg AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM ed GROUP BY src),
+e AS MATERIALIZED (
+  SELECT ed.src, ed.dst, dg.outdeg FROM ed JOIN dg USING (src)),
+nn AS (SELECT CAST(count(DISTINCT src) AS BIGINT) AS n FROM ed),
+r0 AS (SELECT DISTINCT src AS node,
+              (SELECT CAST(1000000000000 // n AS BIGINT) FROM nn) AS rank_ppt
+       FROM ed)""",
+    ]
+    for i in range(1, n_iter + 1):
+        parts.append(
+            f""",
+r{i} AS (
+  SELECT e.dst AS node,
+         CAST((SELECT (3 * 1000000000000) // (20 * n) FROM nn)
+              + (17 * sum(r.rank_ppt // e.outdeg)) // 20 AS BIGINT)
+           AS rank_ppt
+  FROM e JOIN r{i - 1} r ON r.node = e.src GROUP BY e.dst)"""
+        )
+    parts.append(
+        f"""
+SELECT node, rank_ppt FROM r{n_iter}
+ORDER BY rank_ppt DESC, node LIMIT {k}"""
+    )
+    return "".join(parts)
+
+
+@register("pagerank_top", _pagerank_sql())
 def q_pagerank_top(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-20 client/domain nodes by bipartite PageRank (10 power
-    iterations, damping 0.85)."""
+    """Top-20 client/domain nodes by bipartite fixed-point PageRank
+    (10 integer power iterations, damping 17/20;
+    operators/graph.py:pagerank_fixedpoint)."""
     from piholelongtermstats_spark.plans.registry import _fact
 
-    return _graph.pagerank(_fact(spark, sf_dir))
+    return _graph.pagerank_fixedpoint(_fact(spark, sf_dir), top=_PR_TOP)
 
 
 # ---------------------------------------------------------------------------

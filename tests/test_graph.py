@@ -71,3 +71,60 @@ def test_bipartite_edges_symmetric(spark):
         ("c:c1", "d:d1"), ("c:c2", "d:d1"),
         ("d:d1", "c:c1"), ("d:d1", "c:c2"),
     }
+
+
+def _python_pagerank_fixedpoint(edges, n_iter=graph.N_ITER):
+    """Exact integer replay of pagerank_fixedpoint: ppt ranks, DIV
+    per edge, 17/20 damping — arbitrary-precision Python ints, so any
+    divergence from Spark is a real arithmetic mismatch."""
+    nodes = sorted({s for s, _ in edges} | {t for _, t in edges})
+    n = len(nodes)
+    outdeg = {v: 0 for v in nodes}
+    for s, _ in edges:
+        outdeg[s] += 1
+    r = {v: graph.PPT_SCALE // n for v in nodes}
+    base = (3 * graph.PPT_SCALE) // (20 * n)
+    for _ in range(n_iter):
+        mass = {v: 0 for v in nodes}
+        for s, t in edges:
+            mass[t] += r[s] // outdeg[s]
+        r = {v: base + (17 * mass[v]) // 20 for v in nodes}
+    return r
+
+
+def test_pagerank_fixedpoint_exact_integer_replay(spark):
+    fact = dns_fact(spark, SF)
+    edges = [
+        (r.src, r.dst) for r in graph.bipartite_edges(fact).collect()
+    ]
+    want = _python_pagerank_fixedpoint(edges)
+    got = {
+        r.node: r.rank_ppt
+        for r in graph.pagerank_fixedpoint(fact, top=None).collect()
+    }
+    assert got == {v: want[v] for v in got}
+    assert set(got) == set(want)
+
+
+def test_pagerank_fixedpoint_agrees_with_float_ranking(spark):
+    """The ppt quantization floors at most ~n_iter*maxdeg ppt per
+    node — the served top-20 node ORDER must match the float
+    variant's (the float serving edge rounds to 8 digits with the
+    same (rank DESC, node ASC) tie-break)."""
+    fact = dns_fact(spark, SF)
+    fixed = [r.node for r in graph.pagerank_fixedpoint(fact).collect()]
+    flt = [r.node for r in graph.pagerank(fact).collect()]
+    assert fixed == flt
+
+
+def test_pagerank_fixedpoint_deterministic_under_repartition(spark):
+    fact = dns_fact(spark, SF)
+    a = [
+        (r.node, r.rank_ppt)
+        for r in graph.pagerank_fixedpoint(fact).collect()
+    ]
+    b = [
+        (r.node, r.rank_ppt)
+        for r in graph.pagerank_fixedpoint(fact.repartition(17)).collect()
+    ]
+    assert a == b and len(a) == 20
