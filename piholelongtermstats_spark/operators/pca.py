@@ -123,6 +123,82 @@ def principal_components(cov: np.ndarray, k: int) -> np.ndarray:
     return top
 
 
+def fixed_basis(k: int = 2, dim: int = 64) -> list[list[float]]:
+    """Deterministic corpus-INDEPENDENT orthonormal basis (k × dim)
+    for the oracle-checked registry entry — the ivf.fixed_centroids
+    technique applied to projection: raw vectors are md5-derived
+    values j/32768 − 1 (exactly representable doubles), then
+    Gram–Schmidt orthonormalized in plain driver-side Python float
+    arithmetic (deterministic: same literals, same op order, every
+    run). The resulting doubles are embedded as SQL literals via
+    repr() (shortest round-trip — DuckDB parses back the identical
+    bit pattern), so the oracle replays the projection fold exactly.
+    The data-adaptive eigenbasis (pca_project) stays the production
+    path, covered by the numpy differential — a static SQL string
+    cannot re-train per corpus."""
+    import hashlib
+    import math
+
+    raw = [
+        [
+            int(hashlib.md5(f"pca:{c}:{i}".encode()).hexdigest()[:4], 16)
+            / 32768.0
+            - 1.0
+            for i in range(dim)
+        ]
+        for c in range(k)
+    ]
+    basis: list[list[float]] = []
+    for v in raw:
+        w = list(v)
+        for b in basis:
+            d = 0.0
+            for wi, bi in zip(w, b):
+                d += wi * bi
+            w = [wi - d * bi for wi, bi in zip(w, b)]
+        nrm = math.sqrt(sum(wi * wi for wi in w))
+        basis.append([wi / nrm for wi in w])
+    return basis
+
+
+def pca_fixed_project(emb: DataFrame, k: int = 2, dim: int = 64) -> DataFrame:
+    """(vec_id, pc1..pck) — the corpus centered on its own per-dim
+    means (replayed from the quantize-once integer stats, one double
+    division each — the embedding_dim_stats arithmetic) and projected
+    onto the FIXED orthonormal basis. Exercises the full projection
+    machinery (centering, per-element multiply, left-fold sum,
+    round-6 edge) in a form the DuckDB oracle replays bit-for-bit;
+    each pc_j is the left-associative fold (numpy cumsum — sequential
+    by definition) mirrored by list_reduce (the random_projection fp
+    contract, operators/similarity.py:301-313)."""
+    schema = "vec_id long, " + ", ".join(
+        f"pc{c + 1} double" for c in range(k)
+    )
+    B = np.asarray(fixed_basis(k, dim), dtype=np.float64)  # (k, dim)
+    stats = embedding_dim_stats(emb, dim).select("dim", "mean_q").collect()
+    mu = np.zeros(dim)
+    for r in stats:
+        mu[r["dim"]] = r["mean_q"] / Q_SCALE
+
+    def project(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64) - mu
+            out = {"vec_id": pdf["vec_id"].to_numpy()}
+            for c in range(k):
+                out[f"pc{c + 1}"] = np.round(
+                    np.cumsum(x * B[c], axis=1)[:, -1], 6
+                )
+            yield pd.DataFrame(out)
+
+    return (
+        emb.select("vec_id", "embedding")
+        .mapInPandas(project, schema=schema)
+        .orderBy("vec_id")
+    )
+
+
 def pca_project(emb: DataFrame, k: int = 2, dim: int = 64) -> DataFrame:
     """(vec_id, pc1..pck) — corpus projected onto its own top-k
     principal axes (components from covariance_matrix, applied with

@@ -262,9 +262,56 @@ def q_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("embedding_pca_project")  # rows-only: eig/fp edge, numpy-pinned
+# ---------------------------------------------------------------------------
+# PCA projection — ORACLE-CHECKED since r10 via the fixed-basis twin
+# (r9 VERDICT #5, the ivf.fixed_centroids technique): the corpus is
+# centered on its own per-dim means (replayed from the quantize-once
+# integer stats above) and projected onto md5-derived Gram–Schmidt-
+# orthonormalized literals, each pc a left-fold mirrored by
+# list_reduce. The trained eigenbasis (pca.pca_project) stays the
+# production path, pinned by the numpy differential in
+# tests/test_m15.py — a static SQL string cannot re-train per corpus.
+# ---------------------------------------------------------------------------
+
+_PCA_K = 2
+_PCA_DIM = 64
+
+
+def _pca_fixed_col_sql(c: int) -> str:
+    b = pca.fixed_basis(_PCA_K, _PCA_DIM)[c]
+    lit = "[" + ",".join(repr(x) for x in b) + "]"
+    return (
+        f"round(list_reduce(list_transform(range(1, {_PCA_DIM + 1}), "
+        f"i -> (CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE) "
+        f"- ml[CAST(i AS INTEGER)]) * "
+        f"(({lit}::DOUBLE[])[CAST(i AS INTEGER)])), "
+        f"(acc, x) -> acc + x), 6) AS pc{c + 1}"
+    )
+
+
+_PCA_FIXED_SQL = (
+    f"""
+WITH dims AS (SELECT unnest(generate_series(0, {_PCA_DIM - 1})) AS dim),
+el AS (
+  SELECT dim,
+         CAST(round(CAST(embedding[dim + 1] AS DOUBLE) * 1000000) AS BIGINT)
+           AS xq
+  FROM embeddings, dims),
+mu AS (
+  SELECT dim,
+         (CAST(sum(xq) AS DOUBLE) / CAST(count(*) AS DOUBLE)) / 1000000.0
+           AS m
+  FROM el GROUP BY dim),
+mus AS (SELECT list(m ORDER BY dim) AS ml FROM mu)
+SELECT vec_id, """
+    + ", ".join(_pca_fixed_col_sql(c) for c in range(_PCA_K))
+    + " FROM embeddings, mus ORDER BY vec_id"
+)
+
+
+@register("embedding_pca_project", _PCA_FIXED_SQL)
 def q_embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-2 PCA projection — rows-only by the fp policy (driver-side
-    eigendecomposition of the distributed Gramian); the numpy
-    differential in tests/test_m15.py pins values."""
-    return pca.pca_project(_emb(spark, sf_dir), k=2)
+    """Centered projection onto the fixed orthonormal basis
+    (operators/pca.py:pca_fixed_project) — the oracle replays
+    centering, multiply, fold, and round-6 bit-for-bit."""
+    return pca.pca_fixed_project(_emb(spark, sf_dir), k=_PCA_K)

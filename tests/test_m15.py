@@ -251,3 +251,37 @@ def test_covariance_matrix_matches_numpy(spark):
     got = pca.covariance_matrix(_emb_frame(spark, x), dim=4)
     ref = np.cov(x.astype(np.float64).T, ddof=1)
     assert np.allclose(got, ref, atol=1e-9)
+
+
+def test_fixed_basis_is_orthonormal_and_deterministic():
+    b = np.asarray(pca.fixed_basis(4, 16))
+    g = b @ b.T
+    assert np.allclose(g, np.eye(4), atol=1e-12)
+    assert pca.fixed_basis(4, 16) == pca.fixed_basis(4, 16)
+
+
+def test_pca_fixed_project_matches_sequential_fold(spark):
+    """Each pc must be the LEFT-ASSOCIATIVE fold of
+    (x_i − μ_i)·b_i in index order — replayed here with a plain
+    Python loop (arbitrary-precision-free but op-for-op identical),
+    the contract the DuckDB oracle relies on."""
+    rng = np.random.default_rng(7)
+    x = rng.normal(size=(40, 8)).astype(np.float32)
+    got = (
+        pca.pca_fixed_project(_emb_frame(spark, x), k=2, dim=8)
+        .orderBy("vec_id")
+        .collect()
+    )
+    # centering means exactly as the operator derives them
+    xq = np.round(x.astype(np.float64) * 1_000_000)
+    mu = [(xq[:, d].sum() / 40) / 1_000_000 for d in range(8)]
+    basis = pca.fixed_basis(2, 8)
+    for r in got:
+        xf = x[r.vec_id].astype(np.float64)
+        for c, col in enumerate(("pc1", "pc2")):
+            acc = 0.0
+            for i in range(8):
+                acc = acc + (float(xf[i]) - mu[i]) * basis[c][i]
+            assert getattr(r, col) == round(acc, 6) or abs(
+                getattr(r, col) - acc
+            ) < 1e-9
