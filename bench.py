@@ -73,6 +73,9 @@ BUDGET_WAIVERS = {
     " shingle shuffle is the operator's honest work",
     "basket_scale_2x": "association rules over a deliberately doubled"
     " basket volume (slope 1.98x at 8x, SCALING.md)",
+    "trained_ann_recall_panel": "five-leg composite audit - every"
+    " trained index family plus both exact-truth legs scans the"
+    " corpus once by design (~2.7s)",
 }
 
 

@@ -77,6 +77,7 @@ from piholelongtermstats_spark.plans import registry_m54  # noqa: F401  (registe
 from piholelongtermstats_spark.plans import registry_m55  # noqa: F401  (registers M55 queries)
 from piholelongtermstats_spark.plans import registry_m56  # noqa: F401  (registers M56 queries)
 from piholelongtermstats_spark.plans import registry_m57  # noqa: F401  (registers M57 queries)
+from piholelongtermstats_spark.plans import registry_m58  # noqa: F401  (registers M58 queries)
 from piholelongtermstats_spark.plans import registry_panels  # noqa: F401  (fused panels)
 from piholelongtermstats_spark.plans.registry import ORACLE, QUERIES  # noqa: F401
 
@@ -87,7 +88,6 @@ TOP_50 = [
     "day_night_counts",
     "uniques",
     "top_clients",
-    "top_clients_per_status",
     "top_domain_top_client",
     "top_clients_stacked",
     "hourly_rollup",
@@ -137,6 +137,13 @@ TOP_50 = [
     "dp_noised_daily_counts",
     "wav_decode_panel",
     "quality_lift_table",
+    # r10 (r9 VERDICT #4): the trained-index recall audit — the one
+    # deliberately rows-only TOP_50 row (k-means training isn't SQL;
+    # values are deterministic integer aggregates, pytest-pinned in
+    # tests/test_m58.py). Took top_clients_per_status' slot: the
+    # argmax-per-group family keeps top_domain_top_client's row and
+    # value_counts keeps top_clients'; it stays parity-green below.
+    "trained_ann_recall_panel",
 ]
 
 # Below the line: previously-green queries first, then never-checked
@@ -322,6 +329,7 @@ TOP_50 = [
 # per-key avg with pinned NULL ordering stays through reply_time_stats
 # and the topk family). All five stay parity-green below the line.
 _OVERFLOW = [
+    "top_clients_per_status",
     "most_persistent_client",
     "most_diverse_client",
     "daily_counts",
