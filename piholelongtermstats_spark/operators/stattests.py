@@ -1283,3 +1283,257 @@ def blocked_rate_trend(fact: DataFrame) -> DataFrame:
         F.col("bb").alias("blocked_total"),
         F.round(z, 6).alias("z"),
     )
+
+
+_WEEKDAYS = (
+    "Monday", "Tuesday", "Wednesday", "Thursday",
+    "Friday", "Saturday", "Sunday",
+)
+_STATUSES = ("Allowed", "Blocked", "Other")
+
+
+def weekday_anova_reply(fact: DataFrame) -> DataFrame:
+    """One row: one-way ANOVA F across the seven weekday groups of
+    quantized reply times — the k-group generalization of
+    welch_day_night ("does latency differ BY WEEKDAY at all?", the
+    omnibus question before any pairwise test).
+
+    Exact-sufficient-statistic policy (the welch convention): per
+    weekday n_g (BIGINT) and S_g = Σr (BIGINT), plus the global
+    N / S / Q = Σr² (DECIMAL(38,0)) — one map-side-combined aggregate.
+    The between-group term A = Σ_g S_g²/n_g is a FIXED Mon→Sun
+    left-associative chain of one correctly-rounded division per
+    group (S_g² exact in DECIMAL(38,0)/HUGEINT — ≤10³² at any
+    volume); SSB = A − S²/N, SSW = Q − A, and
+    F = (SSB/(k−1)) / (SSW/(N−k)) with k the count of non-empty
+    groups. Every fp step is one fixed IEEE expression over exact
+    operands — engine-identical. Zero within-variance (all values
+    equal) → f_stat NULL.
+
+    Scale: one aggregation over the fact, nothing else. No windows.
+    """
+    r = _reply_q()
+    m = fact.filter(F.col("reply_time").isNotNull())
+    dec = "decimal(38,0)"
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("n_total"),
+        F.coalesce(F.sum(r), F.lit(0)).cast("long").alias("s_total"),
+        F.coalesce(
+            F.sum((r * r).cast(dec)), F.lit(0).cast(dec)
+        ).alias("q_total"),
+    ]
+    for i, d in enumerate(_WEEKDAYS):
+        c = F.col("day_name") == d
+        aggs.append(F.count(F.when(c, 1)).cast("long").alias(f"n{i}"))
+        aggs.append(
+            F.coalesce(F.sum(F.when(c, r)), F.lit(0))
+            .cast("long")
+            .alias(f"s{i}")
+        )
+    agg = m.agg(*aggs)
+    a_chain = F.lit(0.0)
+    k_chain = F.lit(0).cast("long")
+    for i in range(7):
+        si = F.col(f"s{i}").cast(dec)
+        a_chain = a_chain + F.when(
+            F.col(f"n{i}") > 0,
+            (si * si).cast("double") / F.col(f"n{i}").cast("double"),
+        ).otherwise(F.lit(0.0))
+        k_chain = k_chain + F.when(F.col(f"n{i}") > 0, 1).otherwise(0)
+    nd = F.col("n_total").cast("double")
+    sd = F.col("s_total").cast("double")
+    qd = F.col("q_total").cast("double")
+    with_a = agg.select(
+        "n_total",
+        "s_total",
+        qd.alias("q_total"),
+        k_chain.alias("k_groups"),
+        F.when(F.col("n_total") > 0, a_chain - sd * sd / nd).alias("ssb"),
+        F.when(F.col("n_total") > 0, qd - a_chain).alias("ssw"),
+    )
+    kd = F.col("k_groups").cast("double")
+    ok = (
+        (F.col("k_groups") > 1)
+        & (F.col("n_total") > F.col("k_groups"))
+        & (F.col("ssw") > 0)
+    )
+    f_stat = (F.col("ssb") / (kd - 1.0)) / (
+        F.col("ssw") / (F.col("n_total").cast("double") - kd)
+    )
+    return with_a.select(
+        "n_total",
+        "k_groups",
+        "s_total",
+        "q_total",
+        F.round(F.col("ssb"), 6).alias("ssb"),
+        F.round(F.col("ssw"), 6).alias("ssw"),
+        F.round(F.when(ok, f_stat), 6).alias("f_stat"),
+    )
+
+
+def kruskal_wallis_weekday(fact: DataFrame) -> DataFrame:
+    """One row: Kruskal–Wallis rank H across the seven weekday groups
+    of quantized reply times — the nonparametric omnibus twin of
+    weekday_anova_reply (the mann_whitney midrank machinery
+    generalized from 2 to k groups).
+
+    Doubled midranks over the merged value histogram keep everything
+    integer: for a value with f occurrences and cum occurrences
+    strictly below it, midrank2 = 2·cum + f + 1; the per-group rank
+    sums R2_g = Σ cnt_g·midrank2 are exact (DECIMAL(38,0)). With
+    R_g = R2_g/2 and B = Σ_g R2_g²/n_g (so Σ R_g²/n_g = B/4),
+        H = 12/(N(N+1))·(B/4) − 3(N+1) = 3·B/(N(N+1)) − 3(N+1)
+    — B is the same fixed Mon→Sun chain of one division per group
+    (R2_g² ≤ 4·10³⁶ < 10³⁸ up to ~5·10⁹ measured rows; past that
+    widen — the blocked_rate_trend bound note). Tie correction
+    C = 1 − Σ(f³−f)/(N³−N) from exact integer tie masses; h_corrected
+    = H/C, NULL when every value ties (C = 0).
+
+    Scale: one shuffle to the value histogram; the only window orders
+    DISTINCT reply values (the histogram-window class — never event
+    rows).
+    """
+    from pyspark.sql import Window as W
+
+    r = _reply_q()
+    dec = "decimal(38,0)"
+    m = fact.filter(F.col("reply_time").isNotNull()).select(
+        r.alias("v"), "day_name"
+    )
+    hist_aggs = [F.count(F.lit(1)).cast("long").alias("f")]
+    for i, d in enumerate(_WEEKDAYS):
+        hist_aggs.append(
+            F.count(F.when(F.col("day_name") == d, 1))
+            .cast("long")
+            .alias(f"c{i}")
+        )
+    hist = m.groupBy("v").agg(*hist_aggs)
+    cum_before = F.coalesce(
+        F.sum("f").over(
+            W.orderBy("v").rowsBetween(W.unboundedPreceding, -1)
+        ),
+        F.lit(0),
+    )
+    ranked = hist.withColumn(
+        "mr2", (2 * cum_before + F.col("f") + 1).cast("long")
+    )
+    # tie masses and rank sums accumulate in DECIMAL(38,0) with the
+    # PRODUCTS formed on decimal operands too — f³ and cnt·midrank2
+    # pass 2⁶³ long before they pass 10³⁸ (the degree_assortativity
+    # bound note; DuckDB's HUGEINT mirrors this exactly).
+    sum_aggs = [
+        F.coalesce(F.sum("f"), F.lit(0)).cast("long").alias("n_total"),
+        F.sum(
+            F.col("f").cast(dec) * F.col("f") * F.col("f") - F.col("f")
+        ).alias("ties_t"),
+    ]
+    for i in range(7):
+        sum_aggs.append(F.sum(f"c{i}").cast("long").alias(f"n{i}"))
+        sum_aggs.append(
+            F.sum(F.col(f"c{i}").cast(dec) * F.col("mr2")).alias(f"r2_{i}")
+        )
+    agg = ranked.agg(*sum_aggs)
+    b_chain = F.lit(0.0)
+    k_chain = F.lit(0).cast("long")
+    for i in range(7):
+        r2 = F.coalesce(F.col(f"r2_{i}"), F.lit(0).cast(dec))
+        b_chain = b_chain + F.when(
+            F.col(f"n{i}") > 0,
+            (r2 * r2).cast("double") / F.col(f"n{i}").cast("double"),
+        ).otherwise(F.lit(0.0))
+        k_chain = k_chain + F.when(F.col(f"n{i}") > 0, 1).otherwise(0)
+    nd = F.col("n_total").cast("double")
+    # B carries R2² = 4·R², so 12/(N(N+1))·(B/4) = 3·B/(N(N+1))
+    h = 3.0 * b_chain / (nd * (nd + 1.0)) - 3.0 * (nd + 1.0)
+    c_corr = 1.0 - F.col("ties_t").cast("double") / (nd * nd * nd - nd)
+    ok = (k_chain > 1) & (F.col("n_total") > 1)
+    return agg.select(
+        "n_total",
+        k_chain.alias("k_groups"),
+        F.col("ties_t").cast("double").alias("ties_t"),
+        F.round(F.when(ok, h), 6).alias("h_stat"),
+        F.round(
+            F.when(ok & (c_corr > 0), h / c_corr), 6
+        ).alias("h_corrected"),
+    )
+
+
+def weekday_status_cramers_v(fact: DataFrame) -> DataFrame:
+    """One row: χ² independence + Cramér's V over the FIXED 7×3
+    weekday × status_type contingency table ("is blocking behavior a
+    function of the weekday?") — the association-strength companion
+    of weekday_chi2_uniformity's one-way goodness of fit.
+
+    All 21 cells are literal (day_name, status_type) conditions (the
+    status domain is fixed by the fact derivation, events.py:130-134),
+    so the whole table is ONE map-side-combined aggregate and χ² is a
+    fixed left-associative 21-term chain in (weekday, status) order:
+    term = d²/(r·c) with d = CAST(N·O − r·c AS DOUBLE) — the
+    difference exact in DECIMAL(38,0)/HUGEINT, squared in DOUBLE so no
+    product exceeds 10³⁸ at any volume. χ² = chain/N;
+    V = √(χ²/(N·min(k−1, m−1))) over the non-empty row/col counts.
+    Cells in empty rows/columns contribute 0 (they are not part of
+    the realized table). Degenerate tables (k ≤ 1 or m ≤ 1) → NULL.
+
+    Scale: one aggregation over the fact; no windows, no joins.
+    """
+    dec = "decimal(38,0)"
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_total")]
+    for i, d in enumerate(_WEEKDAYS):
+        aggs.append(
+            F.count(F.when(F.col("day_name") == d, 1))
+            .cast("long")
+            .alias(f"r{i}")
+        )
+    for j, s in enumerate(_STATUSES):
+        aggs.append(
+            F.count(F.when(F.col("status_type") == s, 1))
+            .cast("long")
+            .alias(f"c{j}")
+        )
+    for i, d in enumerate(_WEEKDAYS):
+        for j, s in enumerate(_STATUSES):
+            aggs.append(
+                F.count(
+                    F.when(
+                        (F.col("day_name") == d)
+                        & (F.col("status_type") == s),
+                        1,
+                    )
+                )
+                .cast("long")
+                .alias(f"o{i}_{j}")
+            )
+    agg = fact.agg(*aggs)
+    chain = F.lit(0.0)
+    for i in range(7):
+        for j in range(3):
+            num = (
+                F.col("n_total").cast(dec) * F.col(f"o{i}_{j}")
+                - F.col(f"r{i}").cast(dec) * F.col(f"c{j}")
+            )
+            rc = (F.col(f"r{i}").cast(dec) * F.col(f"c{j}")).cast("double")
+            d_dbl = num.cast("double")
+            chain = chain + F.when(
+                (F.col(f"r{i}") > 0) & (F.col(f"c{j}") > 0),
+                d_dbl * d_dbl / rc,
+            ).otherwise(F.lit(0.0))
+    k_chain = F.lit(0).cast("long")
+    for i in range(7):
+        k_chain = k_chain + F.when(F.col(f"r{i}") > 0, 1).otherwise(0)
+    m_chain = F.lit(0).cast("long")
+    for j in range(3):
+        m_chain = m_chain + F.when(F.col(f"c{j}") > 0, 1).otherwise(0)
+    nd = F.col("n_total").cast("double")
+    chi2 = chain / nd
+    mind = F.least(k_chain - 1, m_chain - 1).cast("double")
+    ok = (k_chain > 1) & (m_chain > 1) & (F.col("n_total") > 0)
+    return agg.select(
+        "n_total",
+        k_chain.alias("k_weekdays"),
+        m_chain.alias("m_statuses"),
+        F.round(F.when(ok, chi2), 6).alias("chi2"),
+        F.round(F.when(ok, F.sqrt(chi2 / (nd * mind))), 6).alias(
+            "cramers_v"
+        ),
+    )
