@@ -1537,3 +1537,149 @@ def weekday_status_cramers_v(fact: DataFrame) -> DataFrame:
             "cramers_v"
         ),
     )
+
+
+def day_night_effect_panel(fact: DataFrame) -> DataFrame:
+    """One row: the two-proportion EFFECT-SIZE panel for the blocked
+    rate, Day vs Night — pooled two-proportion z plus the risk ratio
+    and odds ratio an analyst actually reports next to it
+    (epidemiology's 2×2 toolkit over the day/night × blocked/other
+    table).
+
+    Counts are exact BIGINTs from one aggregate. The ratios avoid
+    intermediate quotients entirely: RR = (x₁/n₁)/(x₂/n₂) is computed
+    as the single division x₁·n₂ / (x₂·n₁) over exact cross products
+    (DECIMAL(38,0)/HUGEINT), OR likewise x₁·(n₂−x₂) / (x₂·(n₁−x₁));
+    z is one fixed IEEE expression over the pooled proportion.
+    Degenerate margins (an empty group, a zero or saturated pooled
+    rate) → NULL for the affected statistic.
+
+    Scale: one map-side-combined aggregate; no joins, no windows.
+    """
+    dec = "decimal(38,0)"
+    day = F.col("day_period") == "Day"
+    night = F.col("day_period") == "Night"
+    blocked = F.col("status_type") == "Blocked"
+    agg = fact.agg(
+        F.count(F.when(day, 1)).cast("long").alias("n1"),
+        F.count(F.when(day & blocked, 1)).cast("long").alias("x1"),
+        F.count(F.when(night, 1)).cast("long").alias("n2"),
+        F.count(F.when(night & blocked, 1)).cast("long").alias("x2"),
+    )
+    n1, x1 = F.col("n1"), F.col("x1")
+    n2, x2 = F.col("n2"), F.col("x2")
+    n1d, x1d = n1.cast("double"), x1.cast("double")
+    n2d, x2d = n2.cast("double"), x2.cast("double")
+    pd_ = (x1d + x2d) / (n1d + n2d)
+    z = (x1d / n1d - x2d / n2d) / F.sqrt(
+        pd_ * (1.0 - pd_) * (1.0 / n1d + 1.0 / n2d)
+    )
+    rr = (x1.cast(dec) * n2).cast("double") / (
+        x2.cast(dec) * n1
+    ).cast("double")
+    orr = (x1.cast(dec) * (n2 - x2)).cast("double") / (
+        x2.cast(dec) * (n1 - x1)
+    ).cast("double")
+    both = (n1 > 0) & (n2 > 0)
+    pooled_ok = both & (x1 + x2 > 0) & (x1 + x2 < n1 + n2)
+    return agg.select(
+        "n1",
+        "x1",
+        "n2",
+        "x2",
+        F.round(F.when(pooled_ok, z), 6).alias("z_stat"),
+        F.round(F.when(both & (x2 > 0), rr), 6).alias("risk_ratio"),
+        F.round(
+            F.when(both & (x2 > 0) & (x1 < n1), orr), 6
+        ).alias("odds_ratio"),
+    )
+
+
+def weekly_periodogram(fact: DataFrame, harmonics: int = 3) -> DataFrame:
+    """One row per harmonic k = 1..``harmonics``: the periodogram of
+    the daily count series AT THE WEEKLY FREQUENCY family (period 7/k
+    days) — the spectral companion of acf_daily_counts and
+    seasonal_mann_kendall ("how much of the variance is the weekly
+    cycle, exactly?").
+
+    Order-free by construction: with c_i = n·y_i − S the n-cleared
+    deviation (exact BIGINT, the ljung/acf clearing) and day index
+    idx = date − d₀, the trig sums collapse over idx mod 7 FIRST —
+    Σ_i c_i·cos(2πk·idx/7) = Σ_{m=0}^{6} cos(2πk·m/7)·g_m with
+    g_m = Σ_{idx≡m} c_i an exact integer. The seven g_m come from one
+    aggregate; each harmonic's cos/sin sums are then a FIXED 7-term
+    literal chain (cos/sin values computed once driver-side and
+    embedded identically in both engines — the plane_signs literal
+    discipline), so no fp value ever crosses rows and no fold CTE is
+    needed. power = cos_sum² + sin_sum²; power_share = power /
+    (n·den) with den = Σc² exact (Parseval-normalized: the weekly
+    line's share of total variance, ½·amplitude² in the pure-cosine
+    limit up to the discrete-grid constant).
+
+    Scale: one partial agg to days, one 8-sum aggregate. No windows.
+    """
+    import math
+
+    daily = fact.groupBy("date").agg(
+        F.count(F.lit(1)).cast("long").alias("y")
+    )
+    tot = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").alias("s"),
+        F.min("date").alias("d0"),
+    )
+    d = daily.join(F.broadcast(tot)).select(
+        (F.datediff("date", "d0") % 7).cast("int").alias("m"),
+        (F.col("n") * F.col("y") - F.col("s")).alias("c"),
+    )
+    # c ≤ n_days·max_daily — the square and the g_m sums pass 2⁶³ long
+    # before 10³⁸, so both accumulate in DECIMAL(38,0)/HUGEINT (the
+    # degree_assortativity bound rule).
+    dec = "decimal(38,0)"
+    aggs = [
+        F.coalesce(
+            F.sum(F.col("c").cast(dec) * F.col("c")), F.lit(0).cast(dec)
+        ).alias("den"),
+    ]
+    for m in range(7):
+        aggs.append(
+            F.coalesce(
+                F.sum(F.when(F.col("m") == m, F.col("c").cast(dec))),
+                F.lit(0).cast(dec),
+            ).alias(f"g{m}")
+        )
+    g = d.agg(*aggs).join(F.broadcast(tot.select("n")))
+    outs = []
+    for k in range(1, harmonics + 1):
+        cos_chain = F.lit(0.0)
+        sin_chain = F.lit(0.0)
+        for m in range(7):
+            cos_chain = cos_chain + F.col(f"g{m}").cast("double") * F.lit(
+                math.cos(2.0 * math.pi * k * m / 7.0)
+            )
+            sin_chain = sin_chain + F.col(f"g{m}").cast("double") * F.lit(
+                math.sin(2.0 * math.pi * k * m / 7.0)
+            )
+        power = cos_chain * cos_chain + sin_chain * sin_chain
+        ok = (F.col("n") > 1) & (F.col("den") > 0)
+        outs.append(
+            g.select(
+                F.lit(k).cast("long").alias("harmonic"),
+                F.col("n").alias("n_days"),
+                F.col("den").cast("double").alias("den"),
+                F.round(cos_chain, 6).alias("cos_sum"),
+                F.round(sin_chain, 6).alias("sin_sum"),
+                F.round(
+                    F.when(
+                        ok,
+                        power
+                        / (F.col("n").cast("double") * F.col("den").cast("double")),
+                    ),
+                    9,
+                ).alias("power_share"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("harmonic")
