@@ -152,3 +152,71 @@ def running_zscore_by_client(daily: DataFrame) -> DataFrame:
         F.round(z, 6).alias("z"),
         spike.cast("int").alias("is_spike"),
     ).orderBy("client", "date")
+
+
+def topk_domain_stability(fact: DataFrame, k: int = 10) -> DataFrame:
+    """One row: rank-stability audit of the top-``k`` domains between
+    the first and second half of the date range — "is the head of the
+    traffic distribution drifting?" (the set-level companion of
+    domain_share_movers' share deltas).
+
+    The range splits at d₀ + ⌊span/2⌋ days (second half starts AT the
+    midpoint day, exclusive-end convention). Each half's top-k is the
+    pinned (cnt DESC, domain ASC) total order — deterministic under
+    ties — and the audit is pure integer arithmetic: n_common =
+    |A ∩ B|, jaccard_ppm = common·10⁶ DIV (|A| + |B| − common).
+
+    Scale: two filtered domain aggregates (map-side combined), two
+    TakeOrderedAndProject top-k cuts (k-row heaps per partition), one
+    k-row intersection join. Nothing event-sized crosses the wire
+    after the first partial agg.
+    """
+    bounds = fact.agg(
+        F.min("date").alias("d0"), F.max("date").alias("d1")
+    )
+    b = bounds.collect()[0]
+    if b["d0"] is None:
+        # one well-formed row even on empty input (the ljung_box
+        # one-row lesson: the oracle's scalar-subquery shape always
+        # emits one row, so the Spark side must too)
+        return fact.sparkSession.createDataFrame(
+            [(int(k), 0, 0, 0, None)],
+            "k long, n_first long, n_second long, n_common long, "
+            "jaccard_ppm long",
+        )
+    span = (b["d1"] - b["d0"]).days
+    import datetime as _dt
+
+    mid = b["d0"] + _dt.timedelta(days=span // 2)
+
+    def half_top(cond):
+        return (
+            fact.filter(cond)
+            .groupBy("domain")
+            .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), F.col("domain").asc())
+            .limit(k)
+        )
+
+    a = half_top(F.col("date") < F.lit(mid)).select("domain")
+    c = half_top(F.col("date") >= F.lit(mid)).select("domain")
+    na = a.agg(F.count(F.lit(1)).cast("long").alias("n_first"))
+    nc = c.agg(F.count(F.lit(1)).cast("long").alias("n_second"))
+    common = a.join(c, "domain", "left_semi").agg(
+        F.count(F.lit(1)).cast("long").alias("n_common")
+    )
+    return (
+        na.join(F.broadcast(nc))
+        .join(F.broadcast(common))
+        .select(
+            F.lit(int(k)).cast("long").alias("k"),
+            "n_first",
+            "n_second",
+            "n_common",
+            F.expr(
+                "CASE WHEN n_first + n_second - n_common > 0 THEN "
+                "n_common * 1000000 DIV (n_first + n_second - n_common) "
+                "END"
+            ).alias("jaccard_ppm"),
+        )
+    )
