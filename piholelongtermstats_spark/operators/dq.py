@@ -155,57 +155,3 @@ def join_cardinality_audit(fact: DataFrame, n_probe: int = 20) -> DataFrame:
         )
     )
 
-
-def benford_reply_digits(fact: DataFrame) -> DataFrame:
-    """One row: Benford first-digit χ² over the positive quantized
-    reply times — the classic fabricated-data / instrumentation-bug
-    audit ("do the measured latencies carry a natural magnitude
-    distribution?").
-
-    No per-row logarithm: the first significant digit of the EXACT
-    integer grid value rq = round(r·1000) > 0 is the first character
-    of its decimal string — pure string arithmetic, identical in both
-    engines. Digit counts are one map-side-combined aggregate;
-    χ² = Σ_d (O_d − N·p_d)²/(N·p_d) is a fixed 9-term chain over
-    driver-computed literal Benford masses p_d = log10(1 + 1/d) (the
-    plane_signs literal discipline — the log10 runs ONCE in Python,
-    never in either engine). worst_digit/worst_abs_dev report the
-    largest absolute deviation in counts (ties → lowest digit).
-
-    Scale: one aggregate over the fact; no joins, no windows.
-    """
-    import math
-
-    rq = F.round(F.col("reply_time") * 1000).cast("long")
-    pos = fact.filter(
-        F.col("reply_time").isNotNull() & (rq > 0)
-    ).select(F.substring(rq.cast("string"), 1, 1).alias("d"))
-    aggs = [F.count(F.lit(1)).cast("long").alias("n_pos")]
-    for d in range(1, 10):
-        aggs.append(
-            F.count(F.when(F.col("d") == str(d), 1))
-            .cast("long")
-            .alias(f"o{d}")
-        )
-    agg = pos.agg(*aggs)
-    nd = F.col("n_pos").cast("double")
-    chain = F.lit(0.0)
-    devs = []
-    for d in range(1, 10):
-        p = math.log10(1.0 + 1.0 / d)
-        e = nd * F.lit(p)
-        diff = F.col(f"o{d}").cast("double") - e
-        chain = chain + diff * diff / e
-        devs.append(F.abs(diff))
-    gmax = F.greatest(*devs)
-    worst = F.lit(None).cast("long")
-    for d in range(9, 0, -1):
-        worst = F.when(devs[d - 1] == gmax, d).otherwise(worst)
-    ok = F.col("n_pos") > 0
-    return agg.select(
-        "n_pos",
-        *[f"o{d}" for d in range(1, 10)],
-        F.round(F.when(ok, chain), 6).alias("chi2"),
-        F.when(ok, worst).cast("long").alias("worst_digit"),
-        F.round(F.when(ok, gmax), 6).alias("worst_abs_dev"),
-    )

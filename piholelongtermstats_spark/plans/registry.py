@@ -38,6 +38,11 @@ ORACLE: dict[str, str] = {}
 
 def register(name: str, oracle: str | None = None):
     def deco(fn: QuerySpec) -> QuerySpec:
+        # Duplicate names silently SHADOW an earlier wave's entry (a
+        # first-draft M61 Benford overwrote the richer M23 one before
+        # this guard existed) — fail loudly at import time instead.
+        if name in QUERIES:
+            raise ValueError(f"duplicate query registration: {name}")
         QUERIES[name] = fn
         if oracle is not None:
             ORACLE[name] = oracle

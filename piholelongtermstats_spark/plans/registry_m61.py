@@ -1,81 +1,22 @@
-"""M61 — data-forensics audits (both oracle-checked):
+"""M61 — head-drift audit (oracle-checked):
 
-- ``benford_reply_digits`` — Benford first-digit χ² over the positive
-  quantized reply times (fabricated-data / instrumentation-bug
-  audit). No per-row logarithm anywhere: digits come from the decimal
-  STRING of the exact integer grid value, and the Benford masses are
-  driver-computed literals (the plane_signs discipline).
-- ``topk_domain_stability`` — set-stability of the top-10 domains
-  between the two halves of the date range (head-drift audit);
-  pinned (cnt DESC, domain ASC) tie-break, integer Jaccard ppm.
+``topk_domain_stability`` — set-stability of the top-10 domains
+between the two halves of the date range; pinned (cnt DESC, domain
+ASC) tie-break, integer Jaccard ppm, one-row-on-empty contract.
 
-Oracle SQL generated to mirror the Column chains (the M59 protocol).
+(The wave's first draft also added a one-row Benford panel — and the
+new register() duplicate guard below exists because that draft
+silently OVERWROTE the M23 ``benford_reply_digits``, the richer 9-row
+per-digit audit that has been oracle-green since r8. The M23 entry is
+restored; duplicate registration now raises at import time.)
 """
 
 from __future__ import annotations
 
-import math
-
 from pyspark.sql import DataFrame, SparkSession
 
-from piholelongtermstats_spark.operators import anomaly, dq
+from piholelongtermstats_spark.operators import anomaly
 from piholelongtermstats_spark.plans.registry import FACT_CTE, _fact, register
-
-# ---------------------------------------------------------------------------
-# benford_reply_digits
-# ---------------------------------------------------------------------------
-
-
-def _benford_sql() -> str:
-    os_ = ",\n    ".join(
-        f"CAST(count(*) FILTER (WHERE d = '{d}') AS BIGINT) AS o{d}"
-        for d in range(1, 10)
-    )
-    e = {
-        d: f"CAST(n_pos AS DOUBLE) * ({math.log10(1.0 + 1.0 / d)!r})"
-        for d in range(1, 10)
-    }
-    diff = {d: f"(CAST(o{d} AS DOUBLE) - {e[d]})" for d in range(1, 10)}
-    chain = "0.0"
-    for d in range(1, 10):
-        chain += f" + {diff[d]} * {diff[d]} / ({e[d]})"
-    gmax = "greatest(" + ", ".join(f"abs({diff[d]})" for d in range(1, 10)) + ")"
-    worst = (
-        "CASE "
-        + " ".join(
-            f"WHEN abs({diff[d]}) = {gmax} THEN {d}" for d in range(1, 10)
-        )
-        + " END"
-    )
-    return (
-        FACT_CTE
-        + f"""
-, pos AS (
-  SELECT substr(CAST(CAST(round(reply_time * 1000) AS BIGINT) AS VARCHAR),
-                1, 1) AS d
-  FROM fact
-  WHERE reply_time IS NOT NULL
-    AND CAST(round(reply_time * 1000) AS BIGINT) > 0
-), agg AS (
-  SELECT CAST(count(*) AS BIGINT) AS n_pos,
-    {os_}
-  FROM pos
-)
-SELECT n_pos, {", ".join(f"o{d}" for d in range(1, 10))},
-  round(CASE WHEN n_pos > 0 THEN {chain} END, 6) AS chi2,
-  CAST(CASE WHEN n_pos > 0 THEN {worst} END AS BIGINT) AS worst_digit,
-  round(CASE WHEN n_pos > 0 THEN {gmax} END, 6) AS worst_abs_dev
-FROM agg
-"""
-    )
-
-
-@register("benford_reply_digits", _benford_sql())
-def q_benford_reply_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Benford first-digit χ² over positive quantized reply times
-    (operators/dq.py:benford_reply_digits)."""
-    return dq.benford_reply_digits(_fact(spark, sf_dir))
-
 
 # ---------------------------------------------------------------------------
 # topk_domain_stability

@@ -1,60 +1,13 @@
-"""M61 — Benford digit audit and top-k stability differentials."""
+"""M61 — top-k stability differentials."""
 
 from __future__ import annotations
 
 import datetime as dt
-import math
 
-import pytest
-
-from piholelongtermstats_spark.operators import anomaly, dq
+from piholelongtermstats_spark.operators import anomaly
 from tests.conftest import make_fact
 
 _BASE = dt.datetime(2024, 1, 1, 9, 0, 0)
-
-
-def _rows_reply(vals):
-    rows = []
-    for i, v in enumerate(vals):
-        rows.append(
-            (i + 1, (_BASE + dt.timedelta(minutes=i)).isoformat(),
-             "c1", "dom", "Allowed", v)
-        )
-    return rows
-
-
-def test_benford_matches_float_replay(spark):
-    # quantized values 123, 190, 287, 305, 41, 4210, 9, 77, 150, 1
-    vals = [0.123, 0.190, 0.287, 0.305, 0.041, 4.210, 0.009, 0.077,
-            0.150, 0.001]
-    r = dq.benford_reply_digits(make_fact(spark, _rows_reply(vals))).collect()[0]
-    counts = {d: 0 for d in range(1, 10)}
-    for v in vals:
-        counts[int(str(round(v * 1000))[0])] += 1
-    n = len(vals)
-    assert r.n_pos == n
-    for d in range(1, 10):
-        assert getattr(r, f"o{d}") == counts[d]
-    chi2 = sum(
-        (counts[d] - n * math.log10(1 + 1 / d)) ** 2
-        / (n * math.log10(1 + 1 / d))
-        for d in range(1, 10)
-    )
-    assert r.chi2 == pytest.approx(chi2, abs=1e-6)
-    devs = {
-        d: abs(counts[d] - n * math.log10(1 + 1 / d)) for d in range(1, 10)
-    }
-    worst = min(d for d in devs if devs[d] == max(devs.values()))
-    assert r.worst_digit == worst
-
-
-def test_benford_excludes_nonpositive_and_null(spark):
-    rows = _rows_reply([0.123, 0.0, 0.0001]) + [
-        (99, _BASE.isoformat(), "c1", "dom", "Allowed", None)
-    ]
-    # 0.0 quantizes to 0 (excluded); 0.0001 -> rq = 0 (excluded)
-    r = dq.benford_reply_digits(make_fact(spark, rows)).collect()[0]
-    assert r.n_pos == 1 and r.o1 == 1
 
 
 def _rows_domains(half1, half2):
