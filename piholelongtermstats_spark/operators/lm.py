@@ -255,7 +255,12 @@ def ppl_buckets(docs: DataFrame, bg: DataFrame | None = None) -> DataFrame:
             F.col("n_bigrams") > 0,
             F.round(-F.col("avg_logprob") * 1_000_000, 0).cast("long"),
         ).alias("ppl_q"),
-    )
+    # the scored relation (one row per document) feeds BOTH the
+    # cut-point histogram and the final bucket join — materialize it
+    # once (eager localCheckpoint, the cograph convention) so the
+    # bigram-explode + model join doesn't execute twice (r10: this
+    # was the one bench budget-gate violation, 2.56 s)
+    ).localCheckpoint(eager=True)
 
     hist = (
         scored.filter(F.col("ppl_q").isNotNull())
