@@ -95,3 +95,68 @@ def key_skew_report(df: DataFrame, col: str, top_k: int = 10) -> DataFrame:
             F.col("topk_cnt").cast("double") / F.col("n_rows").cast("double"), 6
         ).alias("topk_share"),
     )
+
+
+def domain_tail_hill(fact: DataFrame, k: int = 50) -> DataFrame:
+    """One row: the Hill tail-index estimate over the top-``k`` domain
+    popularity counts — "HOW heavy is the head of the key
+    distribution?", the quantitative companion of domain_skew_report's
+    concentration shares (α̂ ≈ 1 is Zipf; smaller α̂ = heavier tail =
+    saltier joins).
+
+    With the top k+1 counts x₍₁₎ ≥ … ≥ x₍ₖ₊₁₎ under the pinned
+    (cnt DESC, domain ASC) total order,
+        hill_mean = (1/k)·Σᵢ₌₁..ₖ ln(x₍ᵢ₎ / x₍ₖ₊₁₎),   α̂ = 1/hill_mean.
+    The k+1 counts are collected into ONE sorted array (struct sort on
+    (−cnt, domain) — integer keys, deterministic under count ties) and
+    the Σ is a left fold over the slice in that order, mirrored by
+    list_reduce in the oracle; each term is one double division and
+    one ln (the dp/renyi2 transcendental budget: ln over a
+    correctly-rounded operand, k per query, never per event row).
+    Fewer than k+1 distinct domains → NULL estimates (no tail to
+    measure), n_domains still reported.
+
+    Scale: one map-side-combined domain aggregate, one
+    TakeOrderedAndProject k+1 cut, one 51-element array fold. Nothing
+    event-sized moves after the first partial agg.
+    """
+    top = (
+        fact.groupBy("domain")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("domain").asc())
+        .limit(k + 1)
+    )
+    n_dom = fact.agg(
+        F.count_distinct("domain").cast("long").alias("n_domains")
+    )
+    arr = top.agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    (-F.col("cnt")).alias("neg"),
+                    F.col("domain").alias("domain"),
+                    F.col("cnt").alias("cnt"),
+                )
+            )
+        ).alias("a")
+    )
+    xk1 = F.element_at(F.col("a"), k + 1).getField("cnt").cast("double")
+    fold = F.aggregate(
+        F.slice(F.col("a"), 1, k),
+        F.lit(0.0),
+        lambda acc, x: acc + F.log(x.getField("cnt").cast("double") / xk1),
+    )
+    ok = F.size(F.col("a")) == k + 1
+    hill = fold / F.lit(float(k))
+    return (
+        arr.join(F.broadcast(n_dom))
+        .select(
+            "n_domains",
+            F.lit(int(k)).cast("long").alias("k"),
+            F.when(ok, xk1).cast("long").alias("x_kplus1"),
+            F.round(F.when(ok, hill), 6).alias("hill_mean"),
+            F.round(F.when(ok & (fold > 0), 1.0 / hill), 6).alias(
+                "alpha_hat"
+            ),
+        )
+    )

@@ -81,6 +81,7 @@ from piholelongtermstats_spark.plans import registry_m58  # noqa: F401  (registe
 from piholelongtermstats_spark.plans import registry_m59  # noqa: F401  (registers M59 queries)
 from piholelongtermstats_spark.plans import registry_m60  # noqa: F401  (registers M60 queries)
 from piholelongtermstats_spark.plans import registry_m61  # noqa: F401  (registers M61 queries)
+from piholelongtermstats_spark.plans import registry_m62  # noqa: F401  (registers M62 queries)
 from piholelongtermstats_spark.plans import registry_panels  # noqa: F401  (fused panels)
 from piholelongtermstats_spark.plans.registry import ORACLE, QUERIES  # noqa: F401
 
