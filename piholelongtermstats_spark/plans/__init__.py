@@ -88,19 +88,12 @@ from piholelongtermstats_spark.plans.registry import ORACLE, QUERIES  # noqa: F4
 TOP_50 = [
     # --- reference dashboard parity (stats card, top-K families,
     #     time series, heatmaps, reply times, sequential/gap ops) ---
-    "status_counts",
-    "day_night_counts",
-    "uniques",
-    "top_clients",
     "top_domain_top_client",
     "top_clients_stacked",
-    "hourly_rollup",
     "day_hour_heatmap_panel",
-    "reply_time_stats",
     "idle_gaps_top",
     "longest_streaks",
     "kaplan_meier_clients",
-    "welch_day_night",
     "source_pipeline",
     "client_activity",
     "mmr_rerank",
@@ -121,7 +114,6 @@ TOP_50 = [
     "ngram_jaccard_capped",
     "semantic_dedup",
     "funnel_conversion",
-    "mann_whitney_day_night",
     "text_panel",
     "domain_cograph_triangles",
     "ann_scale_2x",
@@ -141,6 +133,19 @@ TOP_50 = [
     "dp_noised_daily_counts",
     "wav_decode_panel",
     "quality_lift_table",
+    # --- r11 rotation (r10 VERDICT #1): the eight oracle-green
+    # entries that had never been driver-hashed — M59–M62
+    # representatives plus the r10 pagerank graduation. Local parity
+    # green is not driver green (the r8 welch incident); every wave
+    # gets its driver row the round after it lands. ---
+    "weekday_anova_reply",
+    "kruskal_wallis_weekday",
+    "weekday_status_cramers_v",
+    "day_night_effect_panel",
+    "weekly_periodogram",
+    "topk_domain_stability",
+    "domain_tail_hill",
+    "pagerank_top",
     # r10 (r9 VERDICT #4): the trained-index recall audit — the one
     # deliberately rows-only TOP_50 row (k-means training isn't SQL;
     # values are deterministic integer aggregates, pytest-pinned in
@@ -333,6 +338,31 @@ TOP_50 = [
 # per-key avg with pinned NULL ordering stays through reply_time_stats
 # and the topk family). All five stay parity-green below the line.
 _OVERFLOW = [
+    # r11 retirees (r10 VERDICT #1): the longest-green reference rows,
+    # every one driver-hashed green for 9-10 consecutive rounds;
+    # each operator family keeps at least one driver row.
+    # status_counts / day_night_counts (A1/P7 — the day/night grain
+    # goes driver-checked through the incoming day_night_effect_panel,
+    # conditional counts through funnel_conversion + source_pipeline);
+    # uniques (A8 — exact COUNT DISTINCT stays driver-checked as
+    # hll_distinct_audit's n_exact leg); top_clients (A2 —
+    # value_counts keeps top_clients_stacked's driver row);
+    # hourly_rollup (A12 — the rollup grain stays through
+    # day_hour_heatmap_panel, re-aggregation through client_activity);
+    # reply_time_stats (A10 — min/max/avg reply legs ride inside the
+    # incoming weekday_anova_reply's per-group moment sums);
+    # welch_day_night / mann_whitney_day_night (the two-sample family
+    # hands driver duty to the incoming weekday_anova_reply /
+    # kruskal_wallis_weekday / day_night_effect_panel trio — same
+    # moment and rank machinery, k-group generalisations).
+    "status_counts",
+    "day_night_counts",
+    "uniques",
+    "top_clients",
+    "hourly_rollup",
+    "reply_time_stats",
+    "welch_day_night",
+    "mann_whitney_day_night",
     "top_clients_per_status",
     "most_persistent_client",
     "most_diverse_client",
@@ -452,11 +482,7 @@ _OVERFLOW = [
     "interchange_consistency_panel",
     "weekend_adjusted_trend",
     "zscore_scale_2x",
-    # r10 graduations (r9 VERDICT #3): the iterative-graph pair left
-    # the rows-only tier — pagerank_top is the fixed-point integer
-    # twin (every power iteration replayed as unrolled oracle CTEs),
-    # kcore_summary's synchronous peel replays round-for-round.
-    "pagerank_top",
+    # (pagerank_top graduated r10, promoted to TOP_50 in r11)
     # rows-only by design (sketches, iterative index builds, stubs)
     "uniques_approx",
     "reply_time_quantiles",
