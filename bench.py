@@ -62,20 +62,47 @@ N_TIMED_PASSES = 5
 # line ("over_budget"). The gate never fails the bench — the driver
 # must always get its JSON line — it makes the violation diffable.
 BUDGET_SEC = 2.5
-# Waivers: queries that are over budget BY DESIGN, each with the reason
-# the cost is inherent (all plan-audited spill-free; see PLAN_AUDIT.md).
+# Waivers: queries that are over budget BY DESIGN, each with its OWN
+# ceiling (r10 ADVICE: an unconditional exemption would let a waived
+# query regress many-fold while the gate still reports clean) and the
+# reason the cost is inherent (all plan-audited spill-free; see
+# PLAN_AUDIT.md). Ceilings are ~1.5x the committed per-query min, so
+# host noise passes but a real regression (the setsim_scale_2x 4.94s
+# class) flags. name -> (ceiling_sec, reason).
 BUDGET_WAIVERS = {
-    "pagerank_top": "ten real distributed power iterations; cost is the"
-    " iteration count, not a scale defect",
-    "dedup_scale_2x": "end-to-end LSH -> star-contraction -> survivors"
-    " over a deliberately DOUBLED corpus",
-    "ngram_jaccard_capped": "df_cap-bounded exact Jaccard; the ~900k-row"
-    " shingle shuffle is the operator's honest work",
-    "basket_scale_2x": "association rules over a deliberately doubled"
-    " basket volume (slope 1.98x at 8x, SCALING.md)",
-    "trained_ann_recall_panel": "five-leg composite audit - every"
-    " trained index family plus both exact-truth legs scans the"
-    " corpus once by design (~2.7s)",
+    "pagerank_top": (
+        6.0,
+        "ten real distributed power iterations; cost is the"
+        " iteration count, not a scale defect",
+    ),
+    "dedup_scale_2x": (
+        6.0,
+        "end-to-end LSH -> star-contraction -> survivors"
+        " over a deliberately DOUBLED corpus",
+    ),
+    "ngram_jaccard_capped": (
+        5.5,
+        "df_cap-bounded exact Jaccard; the ~900k-row"
+        " shingle shuffle is the operator's honest work",
+    ),
+    "basket_scale_2x": (
+        4.5,
+        "association rules over a deliberately doubled"
+        " basket volume (slope 1.98x at 8x, SCALING.md)",
+    ),
+    "trained_ann_recall_panel": (
+        4.5,
+        "five-leg composite audit - every"
+        " trained index family plus both exact-truth legs scans the"
+        " corpus once by design (~2.7s)",
+    ),
+    "dedup_clusters": (
+        4.0,
+        "the deliberately UNcached iterative label-propagation"
+        " differential baseline (registry_m7._star_clusters keeps the"
+        " shared star-contraction variant; this one recomputes its"
+        " iterations from the pairs cache every call by design)",
+    ),
 }
 
 
@@ -164,11 +191,12 @@ def main() -> None:
 
     # Budget gate: evaluated on the per-query MIN (the same number the
     # round-over-round diff reads) so host noise can't flag a query.
+    # A waived query is still gated — against its own ceiling.
     budget_violations = (
         {
             k: v
             for k, v in sorted(timings.items(), key=lambda kv: -kv[1])
-            if v > BUDGET_SEC and k not in BUDGET_WAIVERS
+            if v > BUDGET_WAIVERS.get(k, (BUDGET_SEC,))[0]
         }
         if sf >= 0.1
         else {}
@@ -201,7 +229,10 @@ def main() -> None:
                 "noise": noise,
                 "budget_sec": BUDGET_SEC,
                 "budget_violations": budget_violations,
-                "budget_waivers": sorted(BUDGET_WAIVERS),
+                "budget_waivers": {
+                    k: {"ceiling_sec": c, "reason": r}
+                    for k, (c, r) in sorted(BUDGET_WAIVERS.items())
+                },
                 "query_metrics": plan_metrics,
             },
             f,

@@ -956,10 +956,19 @@ def quality_lift_table(docs: DataFrame, n_buckets: int = 10) -> DataFrame:
     lbl = gopher_repetition(docs).select(
         "doc_id", F.col("keep").cast("long").alias("label")
     )
-    scored = cls.join(lbl, "doc_id").select(
-        "doc_id",
-        F.round(F.col("score") * 1_000_000, 0).cast("long").alias("q"),
-        "label",
+    # The scored relation feeds three consumers (the cut-point
+    # histogram, and the decile assignment's per-decile + total legs);
+    # an eager localCheckpoint stops the classifier + repetition-gate
+    # scans from executing three times (the ppl_buckets fix, r10
+    # budget gate) — it is doc_id/q/label, #docs rows, kilobytes.
+    scored = (
+        cls.join(lbl, "doc_id")
+        .select(
+            "doc_id",
+            F.round(F.col("score") * 1_000_000, 0).cast("long").alias("q"),
+            "label",
+        )
+        .localCheckpoint(eager=True)
     )
     hist = scored.groupBy("q").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
     wc = Window.orderBy("q").rowsBetween(Window.unboundedPreceding, 0)
