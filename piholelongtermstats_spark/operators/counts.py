@@ -349,6 +349,20 @@ def dp_noised_daily_counts(
     needs an ε budget ledger across repeated queries — composition is
     out of scope here.
 
+    **real_noise leakage caveat (r10 ADVICE):** the secret uniforms
+    are embedded as literal rows of a driver-built broadcast frame,
+    so they are recoverable from plan dumps, ``explain`` output, and
+    Spark event logs — anyone with log/UI access can subtract the
+    noise and recover true_cnt. The draw is deliberately NOT moved
+    executor-side: an executor draw re-executes on task retry and on
+    every action, so one logical release could emit different noise
+    per evaluation (silently spending ε per action — worse than the
+    leak). A production deployment must treat plan/event logs as part
+    of the trust boundary: disable event logging for the release job
+    (``spark.eventLog.enabled=false``), restrict UI/history-server
+    access, or pre-materialize the noised release through an
+    access-controlled table and grant consumers only the table.
+
     Determinism of the audit path (the Poisson-bootstrap convention):
     the per-day uniform comes from the engine-wide 60-bit md5
     primitive, u = (2·ppb + 1)/(2·10⁹) ∈ (0, 1) strictly (the

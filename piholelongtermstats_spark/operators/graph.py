@@ -92,13 +92,20 @@ def pagerank(
 
 
 PPT_SCALE = 1_000_000_000_000  # fixed-point: rank mass in parts-per-10^12
+# Exact-rational damping for the fixed-point twin (17/20 = 0.85, the
+# float DAMPING above). Module constants so the generated DuckDB
+# oracle (_pagerank_sql) derives its literals from the SAME values the
+# operator defaults to — a future default change cannot silently
+# desynchronize the oracle from the Spark plan (r10 ADVICE).
+DAMPING_NUM = 17
+DAMPING_DEN = 20
 
 
 def pagerank_fixedpoint(
     fact: DataFrame,
     n_iter: int = N_ITER,
-    damping_num: int = 17,
-    damping_den: int = 20,
+    damping_num: int = DAMPING_NUM,
+    damping_den: int = DAMPING_DEN,
     top: "int | None" = 20,
 ) -> DataFrame:
     """(node, rank_ppt) — top-``top`` nodes by FIXED-POINT PageRank:

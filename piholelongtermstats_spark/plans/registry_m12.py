@@ -604,10 +604,15 @@ _PR_TOP = 20
 def _pagerank_sql(n_iter: int = _PR_ITER, k: int = _PR_TOP) -> str:
     """10 unrolled integer power iterations; e is MATERIALIZED (it is
     referenced once per iteration — inlining would re-derive the edge
-    relation n_iter times)."""
+    relation n_iter times). The damping rational and the ppt scale
+    are generated from the operator's own module constants
+    (graph.DAMPING_NUM/DEN, graph.PPT_SCALE) so a default change
+    cannot silently desynchronize the oracle (r10 ADVICE, the M59
+    generated-oracle protocol)."""
+    num, den, ppt = _graph.DAMPING_NUM, _graph.DAMPING_DEN, _graph.PPT_SCALE
     parts = [
         FACT_CTE,
-        """
+        f"""
 , cd AS (SELECT DISTINCT 'c:' || client AS src, 'd:' || domain AS dst
          FROM fact),
 ed AS MATERIALIZED (
@@ -617,7 +622,7 @@ e AS MATERIALIZED (
   SELECT ed.src, ed.dst, dg.outdeg FROM ed JOIN dg USING (src)),
 nn AS (SELECT CAST(count(DISTINCT src) AS BIGINT) AS n FROM ed),
 r0 AS (SELECT DISTINCT src AS node,
-              (SELECT CAST(1000000000000 // n AS BIGINT) FROM nn) AS rank_ppt
+              (SELECT CAST({ppt} // n AS BIGINT) FROM nn) AS rank_ppt
        FROM ed)""",
     ]
     for i in range(1, n_iter + 1):
@@ -625,8 +630,8 @@ r0 AS (SELECT DISTINCT src AS node,
             f""",
 r{i} AS (
   SELECT e.dst AS node,
-         CAST((SELECT (3 * 1000000000000) // (20 * n) FROM nn)
-              + (17 * sum(r.rank_ppt // e.outdeg)) // 20 AS BIGINT)
+         CAST((SELECT ({den - num} * {ppt}) // ({den} * n) FROM nn)
+              + ({num} * sum(r.rank_ppt // e.outdeg)) // {den} AS BIGINT)
            AS rank_ppt
   FROM e JOIN r{i - 1} r ON r.node = e.src GROUP BY e.dst)"""
         )

@@ -196,6 +196,15 @@ def main() -> int:
     from piholelongtermstats_spark.operators.dedup import shingles
     from piholelongtermstats_spark.operators.setsim import prefix_filter_pairs
 
+    # Two legs (r10 ADVICE): "setsim" is the COLD end-to-end pipeline
+    # (prefix build + candidate join + re-score — the full slope the
+    # bench's setsim_scale_2x no longer times since it treats the
+    # prefix index as a session-resident shared input), and
+    # "setsim_bld" is the one-time prefix-INDEX build alone, so the
+    # amortized-out cost stays observable round-over-round:
+    # end-to-end ≈ build + the bench query's candidate+score work.
+    from piholelongtermstats_spark.operators import setsim as _setsim
+
     for k in KS:
         sh = shingles(salted_docs(k)).persist()
         n = sh.count()
@@ -203,18 +212,26 @@ def main() -> int:
         def run_ss(s=sh):
             return prefix_filter_pairs(s, 4, 5).count()
 
+        def run_bld(s=sh):
+            return _setsim._prefixes(s, 4, 5).count()
+
         run_ss()  # warm
         t0 = time.perf_counter()
         run_ss()
         dt = round(time.perf_counter() - t0, 3)
         results[("setsim", k)] = (n, dt)
+        run_bld()  # warm
+        t0 = time.perf_counter()
+        run_bld()
+        dt = round(time.perf_counter() - t0, 3)
+        results[("setsim_bld", k)] = (n, dt)
         sh.unpersist()
 
     print(f"{'op':10s} {'k':>2s} {'rows':>9s} {'sec':>7s} {'vs 1x':>6s}")
     for name in (
         "streaks", "rollup", "heavy_hit", "mad_robust", "basket",
         "behavior", "bootstrap", "survival", "running_z", "holt_w",
-        "lsh_dedup", "setsim",
+        "lsh_dedup", "setsim", "setsim_bld",
     ):
         base_t = results[(name, 1)][1]
         for k in KS:
