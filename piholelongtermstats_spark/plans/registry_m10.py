@@ -54,24 +54,27 @@ def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _KNN_CENT_VALUES = ",".join(f"({i}, {_arr(c)})" for i, c in enumerate(_SEM_CENTS))
 
-_KNN_JOIN_IVF_SQL = f"""
-WITH cent AS (SELECT * FROM (VALUES {_KNN_CENT_VALUES}) AS t(cell, c)),
+
+def _knn_ivf_search_body(cent: str = "cent") -> str:
+    """Cell-routed batched k-NN search tail over any spherical
+    centroid relation ``{cent}(cell, c)`` — shared by the pinned and
+    trained-replay oracles. Assumes a CTE ``corp(vec_id, label, v)``
+    over the corpus half is in scope."""
+    return f""",
 q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
       FROM embeddings WHERE vec_id < {_KNN_Q}),
-c0 AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
-       FROM embeddings WHERE vec_id >= {_KNN_Q}),
 assigned AS (
   SELECT vec_id, label, v, cell FROM (
-    SELECT c0.*, cent.cell, row_number() OVER (
+    SELECT corp.*, {cent}.cell, row_number() OVER (
       PARTITION BY vec_id
-      ORDER BY list_cosine_similarity(v, cent.c) DESC, cent.cell) AS rn
-    FROM c0 CROSS JOIN cent) WHERE rn = 1),
+      ORDER BY list_cosine_similarity(v, {cent}.c) DESC, {cent}.cell) AS rn
+    FROM corp CROSS JOIN {cent}) WHERE rn = 1),
 probes AS (
   SELECT query_id, qv, cell FROM (
-    SELECT q.query_id, q.qv, cent.cell, row_number() OVER (
+    SELECT q.query_id, q.qv, {cent}.cell, row_number() OVER (
       PARTITION BY query_id
-      ORDER BY list_cosine_similarity(qv, cent.c) DESC, cent.cell) AS rn
-    FROM q CROSS JOIN cent) WHERE rn <= {_KNN_PROBE}),
+      ORDER BY list_cosine_similarity(qv, {cent}.c) DESC, {cent}.cell) AS rn
+    FROM q CROSS JOIN {cent}) WHERE rn <= {_KNN_PROBE}),
 s AS (SELECT p.query_id, a.vec_id, a.label,
              round(list_cosine_similarity(a.v, p.qv), 6) AS cosine
       FROM probes p JOIN assigned a USING (cell))
@@ -84,6 +87,18 @@ ORDER BY query_id, rank
 """
 
 
+_KNN_CORP_CTE = f"""corp AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS v
+  FROM embeddings WHERE vec_id >= {_KNN_Q})"""
+
+_KNN_JOIN_IVF_SQL = (
+    f"""
+WITH {_KNN_CORP_CTE},
+cent AS (SELECT * FROM (VALUES {_KNN_CENT_VALUES}) AS t(cell, c))"""
+    + _knn_ivf_search_body()
+)
+
+
 @register("knn_join_ivf", _KNN_JOIN_IVF_SQL)
 def q_knn_join_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cell-routed batched k-NN join over the pinned spherical
@@ -91,13 +106,37 @@ def q_knn_join_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn.knn_join_ivf(_emb(spark, sf_dir), centroids=_SEM_CENTS)
 
 
-@register("knn_join_ivf_trained")  # rows-only: iterative k-means isn't SQL
+# Trained-path oracle (r10 VERDICT #4): 3 spherical Lloyd iterations
+# over the corpus half (vec_id >= N_QUERIES — queries never train the
+# index), replayed as unrolled CTEs, then the identical search body.
+from piholelongtermstats_spark.operators import semdedup as _sd  # noqa: E402
+from piholelongtermstats_spark.plans.oracle_train import (  # noqa: E402
+    lloyd_cents_ctes,
+)
+
+_KNN_TR_SQL = (
+    f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+{_KNN_CORP_CTE},"""
+    + lloyd_cents_ctes(
+        "t_",
+        n_cells=_sd.N_CLUSTERS,
+        n_iters=_sd.N_ITERS,
+        dim=64,
+        metric="cos",
+        pred=f"vec_id >= {_KNN_Q}",
+    )
+    + _knn_ivf_search_body("t_cent")
+)
+
+
+@register("knn_join_ivf_trained", _KNN_TR_SQL)
 def q_knn_join_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Production path — spherical k-means trained on the corpus
     (session-cached like the IVF/PQ quantizers), then the identical
     probe/rank machinery. Recall vs the exact join is pytest-asserted
-    (tests/test_knn.py); the driver records the weaker rows-only
-    check."""
+    (tests/test_knn.py). Oracle-checked since r11 via the unrolled
+    Lloyd replay (oracle_train.py)."""
     from pyspark.sql import functions as F
 
     from piholelongtermstats_spark.operators import ivf, semdedup

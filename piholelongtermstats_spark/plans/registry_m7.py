@@ -482,14 +482,20 @@ _IVF_CENT_VALUES = ",".join(
 # cell (np.argmax first-hit ⇔ ORDER BY score DESC, cell ASC);
 # probe: nprobe centroids nearest to the query vector, ties → lowest
 # cell (Python sorted on (dist, cell) ⇔ ORDER BY distance, cell).
-_IVF_SQL = f"""
-WITH cent AS (SELECT * FROM (VALUES {_IVF_CENT_VALUES}) AS t(cell, c)),
-v AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+_V_CTE = "v AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)"
+
+
+def _ivf_search_body(cent: str = "cent") -> str:
+    """The IVF search tail (assignment → probe → cell-restricted exact
+    cosine scan) over any centroid relation ``{cent}(cell, c)`` —
+    shared by the pinned-quantizer oracle and the trained-replay
+    oracle (oracle_train.py)."""
+    return f""",
 scored AS (
-  SELECT v.vec_id, v.label, v.v, cent.cell,
-         list_dot_product(v.v, cent.c)
-           - 0.5 * list_dot_product(cent.c, cent.c) AS score
-  FROM v CROSS JOIN cent),
+  SELECT v.vec_id, v.label, v.v, {cent}.cell,
+         list_dot_product(v.v, {cent}.c)
+           - 0.5 * list_dot_product({cent}.c, {cent}.c) AS score
+  FROM v CROSS JOIN {cent}),
 assigned AS (
   SELECT vec_id, label, v, cell FROM (
     SELECT *, row_number() OVER (
@@ -497,7 +503,7 @@ assigned AS (
     FROM scored) WHERE rn = 1),
 q AS (SELECT v AS qv FROM v WHERE vec_id = 0),
 probe AS (
-  SELECT cell FROM cent, q
+  SELECT cell FROM {cent}, q
   ORDER BY list_distance(c, qv), cell LIMIT {_ivf_mod.N_PROBE})
 SELECT a.vec_id, a.label,
        round(list_cosine_similarity(a.v, q.qv), 6) AS cosine
@@ -505,6 +511,14 @@ FROM assigned a, q
 WHERE a.cell IN (SELECT cell FROM probe) AND a.vec_id <> 0
 ORDER BY cosine DESC, a.vec_id LIMIT 10
 """
+
+
+_IVF_SQL = (
+    f"""
+WITH {_V_CTE},
+cent AS (SELECT * FROM (VALUES {_IVF_CENT_VALUES}) AS t(cell, c))"""
+    + _ivf_search_body()
+)
 
 
 @register("ivf_ann_topk", _IVF_SQL)
@@ -571,11 +585,36 @@ def q_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _pq_mod.pq_ann_topk(_emb(spark, sf_dir), 0, 10, codebooks=_PQ_CBS)
 
 
-@register("ivf_ann_topk_trained")  # rows-only: iterative k-means isn't SQL
+# Trained-path oracle (r10 VERDICT #4): the 2-iteration Lloyd loop on
+# the vec_id % 4 subsample is unrolled into CTEs (oracle_train.py),
+# then the identical search body runs over the replayed centroids.
+from piholelongtermstats_spark.plans.oracle_train import (  # noqa: E402
+    lloyd_cents_ctes,
+    lloyd_pq_ctes,
+)
+
+_IVF_TR_SQL = (
+    f"WITH {_V_CTE},"
+    + lloyd_cents_ctes(
+        "t_",
+        n_cells=_ivf_mod.N_CELLS,
+        n_iters=2,
+        dim=_EMB_DIM,
+        metric="l2",
+        pred="vec_id % 4 = 0",
+    )
+    + _ivf_search_body("t_cent")
+)
+
+
+@register("ivf_ann_topk_trained", _IVF_TR_SQL)
 def q_ivf_ann_topk_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The production data-adaptive IVF path (16 cells trained on a
     1/4 subsample, 2 Lloyd iterations, probe 4), centroids cached per
-    (session, corpus) — train once, search many."""
+    (session, corpus) — train once, search many. Oracle-checked since
+    r11: the trainer replays as unrolled Lloyd CTEs (oracle_train.py),
+    safe because centroids reach the output only through
+    margin-guarded integer decisions (tests/test_fp_determinism.py)."""
     emb = _emb(spark, sf_dir)
     key = (spark.sparkContext.applicationId, sf_dir, 16, 2, 4)
     cents = _ivf_mod._CENTROID_CACHE.get(key)

@@ -97,12 +97,55 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("semantic_dedup_trained")  # rows-only: iterative k-means isn't SQL
+# Trained-path oracle (r10 VERDICT #4): 3 spherical Lloyd iterations
+# over the full corpus replayed as unrolled CTEs (oracle_train.py),
+# then the survivor rule of semdedup.semantic_dedup — spherical
+# assignment, remove every member with a lower-id same-cell member at
+# round(cosine, 6) ≥ τ.
+from piholelongtermstats_spark.plans.oracle_train import (  # noqa: E402
+    lloyd_cents_ctes,
+)
+
+_SEM_TR_SQL = (
+    """
+WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),"""
+    + lloyd_cents_ctes(
+        "t_",
+        n_cells=semdedup.N_CLUSTERS,
+        n_iters=semdedup.N_ITERS,
+        dim=_EMB_DIM,
+        metric="cos",
+    )
+    + f""",
+scored AS (
+  SELECT v.vec_id, v.label, v.v, t_cent.cell,
+         list_cosine_similarity(v.v, t_cent.c) AS score
+  FROM v CROSS JOIN t_cent),
+assigned AS (
+  SELECT vec_id, label, v, cell FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY vec_id ORDER BY score DESC, cell) AS rn
+    FROM scored) WHERE rn = 1),
+removed AS (
+  SELECT DISTINCT b.vec_id
+  FROM assigned a JOIN assigned b
+    ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE round(list_cosine_similarity(a.v, b.v), 6) >= {semdedup.THRESHOLD})
+SELECT a.vec_id, a.label, a.cell
+FROM assigned a LEFT JOIN removed r ON a.vec_id = r.vec_id
+WHERE r.vec_id IS NULL
+ORDER BY a.vec_id
+"""
+)
+
+
+@register("semantic_dedup_trained", _SEM_TR_SQL)
 def q_semantic_dedup_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Production path — spherical k-means trained on the corpus
     (deterministic md5-ordered seeds), then the same removal rule.
-    Covered by pytest invariants (survivor-set sanity, cap
-    monotonicity); the driver records the weaker rows-only check."""
+    Pytest keeps the survivor-set sanity and cap-monotonicity
+    invariants; oracle-checked since r11 via the unrolled Lloyd
+    replay (oracle_train.py)."""
     emb = _emb(spark, sf_dir)
     key = (spark.sparkContext.applicationId, "semdedup_cents", sf_dir)
     cents = ivf._CENTROID_CACHE.get(key)
