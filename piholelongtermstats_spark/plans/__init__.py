@@ -146,12 +146,10 @@ TOP_50 = [
     "topk_domain_stability",
     "domain_tail_hill",
     "pagerank_top",
-    # r10 (r9 VERDICT #4): the trained-index recall audit — the one
-    # deliberately rows-only TOP_50 row (k-means training isn't SQL;
-    # values are deterministic integer aggregates, pytest-pinned in
-    # tests/test_m58.py). Took top_clients_per_status' slot: the
-    # argmax-per-group family keeps top_domain_top_client's row and
-    # value_counts keeps top_clients'; it stays parity-green below.
+    # r10 (r9 VERDICT #4): the trained-index recall audit. Was the one
+    # deliberately rows-only TOP_50 row; ORACLE-CHECKED since r11 via
+    # the unrolled-Lloyd trainer replay (plans/oracle_train.py) — the
+    # driver's last no_oracle TOP_50 column goes green.
     "trained_ann_recall_panel",
 ]
 
@@ -483,11 +481,15 @@ _OVERFLOW = [
     "weekend_adjusted_trend",
     "zscore_scale_2x",
     # (pagerank_top graduated r10, promoted to TOP_50 in r11)
-    # rows-only by design (sketches, iterative index builds, stubs)
-    "uniques_approx",
-    "reply_time_quantiles",
+    # r11 graduations: the whole trained-quantizer tier left the
+    # rows-only tier via the unrolled-Lloyd oracle replay
+    # (plans/oracle_train.py) — ivf/pq here, plus ivfpq, sphknn,
+    # semdedup and the recall panel elsewhere in the order.
     "ivf_ann_topk_trained",
     "pq_ann_topk_trained",
+    # rows-only by design (sketches, stubs, fp edges)
+    "uniques_approx",
+    "reply_time_quantiles",
     "media_features",
     "media_resize",
     "media_frames",

@@ -11,12 +11,14 @@ driver-recordable number: the trainers are deterministic (Lloyd on a
 deterministic subsample, session-cached), both legs are deterministic
 plans, and every output except the one DIV is a BIGINT count.
 
-Rows-only BY DESIGN: iterative k-means training is not one SQL
-statement (the same reason the ``_trained`` entries themselves are
-rows-only) — but unlike those entries, this panel's VALUES are pinned
-in pytest (tests/test_m58.py: recall floors per family, exact-k hit
-caps, and determinism across invocations), so the driver's row-count/
-schema check rides on top of value-pinned aggregates.
+ORACLE-CHECKED since r11 (r10 VERDICT #4): "training is not one SQL
+statement" stopped being a blocker once the trainers were unrolled
+into fixed-iteration CTE chains (plans/oracle_train.py, the
+pagerank_top graduation protocol) — each leg's trained quantizer now
+replays inside its own registered oracle, and the panel SQL composes
+those legs verbatim as derived tables. The pytest value pins
+(tests/test_m58.py: recall floors per family, exact-k hit caps,
+determinism across invocations) stay as defense in depth.
 
 semdedup's trained path is deliberately not in the panel: it is a
 dedup (cell-assignment) operator, not a retrieval index — its trained
@@ -45,6 +47,65 @@ from piholelongtermstats_spark.plans.registry_m10 import q_knn_join_ivf_trained
 
 _K1 = 10  # single-query families serve top-10 (their registry contract)
 
+# ---------------------------------------------------------------------------
+# Panel oracle (r10 VERDICT #4 — the register-replay close-out): every
+# trained leg is now SQL-replayable via the unrolled Lloyd chains
+# (oracle_train.py), so the panel's hits/recall become plain
+# intersection counts between leg subqueries — DuckDB allows a full
+# WITH...SELECT as a derived table, so each leg's registered oracle
+# embeds verbatim. This zeroes the driver's one `no_oracle` TOP_50 row.
+# ---------------------------------------------------------------------------
+
+from piholelongtermstats_spark.plans.registry_m7 import (  # noqa: E402
+    _IVF_TR_SQL,
+    _PQ_TR_SQL,
+)
+from piholelongtermstats_spark.plans.registry_m9 import _IVFPQ_TR_SQL  # noqa: E402
+from piholelongtermstats_spark.plans.registry_m10 import (  # noqa: E402
+    _KNN_JOIN_SQL,
+    _KNN_TR_SQL,
+)
+
+_EX1_SQL = """
+WITH q AS (
+  SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0
+)
+SELECT vec_id,
+       round(list_cosine_similarity(embedding::DOUBLE[], qv), 6) AS cosine
+FROM embeddings, q
+WHERE vec_id <> 0
+ORDER BY cosine DESC, vec_id LIMIT 10
+"""
+
+
+def _hits1(leg_sql: str) -> str:
+    """Integer overlap of a single-query leg's top-10 with the exact
+    cosine truth (the _overlap left-semi count)."""
+    return (
+        "(SELECT CAST(count(*) AS BIGINT)"
+        f" FROM ({leg_sql}) a JOIN ({_EX1_SQL}) e USING (vec_id))"
+    )
+
+
+_PANEL_SQL = f"""
+WITH hitrows AS (
+  SELECT 'ivf_trained' AS family, CAST(1 AS BIGINT) AS n_queries,
+         CAST({_K1} AS BIGINT) AS k, {_hits1(_IVF_TR_SQL)} AS hits
+  UNION ALL
+  SELECT 'ivfpq_trained', 1, {_K1}, {_hits1(_IVFPQ_TR_SQL)}
+  UNION ALL
+  SELECT 'pq_trained', 1, {_K1}, {_hits1(_PQ_TR_SQL)}
+  UNION ALL
+  SELECT 'sphknn_trained', {knn.N_QUERIES}, {knn.K},
+         (SELECT CAST(count(*) AS BIGINT)
+          FROM ({_KNN_TR_SQL}) a
+          JOIN ({_KNN_JOIN_SQL}) e USING (query_id, vec_id))
+)
+SELECT family, n_queries, k, hits,
+       CAST(hits * 1000000 // (n_queries * k) AS BIGINT) AS recall_ppm
+FROM hitrows ORDER BY family
+"""
+
 
 def _overlap(
     exact: DataFrame,
@@ -70,10 +131,13 @@ def _overlap(
     )
 
 
-@register("trained_ann_recall_panel")  # rows-only: k-means training isn't SQL
+@register("trained_ann_recall_panel", _PANEL_SQL)
 def q_trained_ann_recall_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@k of every trained retrieval index vs the exact cosine
-    truth (operators/knn.py, ivf.py, pq.py, ivfpq.py, semdedup.py)."""
+    truth (operators/knn.py, ivf.py, pq.py, ivfpq.py, semdedup.py).
+    Oracle-checked since r11: each leg replays its trainer as
+    unrolled Lloyd CTEs (oracle_train.py) and the panel reduces to
+    intersection counts over the leg subqueries."""
     emb = _emb(spark, sf_dir)
     # The exact leg feeds three overlap branches — materialize its 10
     # rows once (eager localCheckpoint, the cograph convention) so the

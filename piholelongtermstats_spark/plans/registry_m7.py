@@ -538,9 +538,12 @@ _PQ_CB_VALUES = ",".join(
     for code, c in enumerate(book)
 )
 
-_PQ_SQL = f"""
-WITH cb AS (SELECT * FROM (VALUES {_PQ_CB_VALUES}) AS t(s, code, c)),
-v AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+def _pq_search_body(cb: str = "cb") -> str:
+    """The PQ search tail (per-subspace code assignment → ADC
+    candidate cut → exact re-rank) over any codebook relation
+    ``{cb}(s, code, c)`` — shared by the pinned and trained-replay
+    oracles."""
+    return f""",
 subs AS (
   SELECT vec_id,
          CAST(t.s AS INTEGER) AS s,
@@ -548,11 +551,11 @@ subs AS (
   FROM v, range({_pq_mod.N_SUB}) t(s)),
 assigned AS (
   SELECT vec_id, s, c FROM (
-    SELECT subs.vec_id, subs.s, cb.c,
+    SELECT subs.vec_id, subs.s, {cb}.c,
       row_number() OVER (PARTITION BY subs.vec_id, subs.s
-        ORDER BY list_dot_product(subs.vs, cb.c)
-                 - 0.5 * list_dot_product(cb.c, cb.c) DESC, cb.code) AS rn
-    FROM subs JOIN cb ON subs.s = cb.s) WHERE rn = 1),
+        ORDER BY list_dot_product(subs.vs, {cb}.c)
+                 - 0.5 * list_dot_product({cb}.c, {cb}.c) DESC, {cb}.code) AS rn
+    FROM subs JOIN {cb} ON subs.s = {cb}.s) WHERE rn = 1),
 q AS (SELECT v AS qv, sqrt(list_dot_product(v, v)) AS qn
       FROM v WHERE vec_id = 0),
 qsubs AS (
@@ -574,6 +577,14 @@ SELECT v.vec_id, v.label,
 FROM v JOIN cand USING (vec_id), q
 ORDER BY cosine DESC, v.vec_id LIMIT 10
 """
+
+
+_PQ_SQL = (
+    f"""
+WITH {_V_CTE},
+cb AS (SELECT * FROM (VALUES {_PQ_CB_VALUES}) AS t(s, code, c))"""
+    + _pq_search_body()
+)
 
 
 @register("pq_ann_topk", _PQ_SQL)
@@ -624,11 +635,28 @@ def q_ivf_ann_topk_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ivf_mod.ivf_ann_topk(emb, 0, 10, centroids=cents)
 
 
-@register("pq_ann_topk_trained")  # rows-only: per-subspace k-means isn't SQL
+# Trained-path oracle: the per-subspace 2-iteration Lloyd loop on the
+# vec_id % 2 subsample unrolled as CTEs, then the identical ADC body.
+_PQ_TR_SQL = (
+    f"WITH {_V_CTE},"
+    + lloyd_pq_ctes(
+        "t_",
+        n_sub=_pq_mod.N_SUB,
+        n_codes=_pq_mod.N_CODES,
+        n_iters=2,
+        dim=_EMB_DIM,
+        pred="vec_id % 2 = 0",
+    )
+    + _pq_search_body("t_cb")
+)
+
+
+@register("pq_ann_topk_trained", _PQ_TR_SQL)
 def q_pq_ann_topk_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The production data-adaptive PQ path (codebooks trained with 2
     Lloyd iterations on a 1/2 subsample), cached like the IVF
-    centroids."""
+    centroids. Oracle-checked since r11 via the per-subspace unrolled
+    Lloyd replay (oracle_train.py)."""
     emb = _emb(spark, sf_dir)
     key = (spark.sparkContext.applicationId, sf_dir, 8, 16, 2)
     cbs = _pq_mod._CODEBOOK_CACHE.get(key)

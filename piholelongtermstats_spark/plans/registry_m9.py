@@ -364,14 +364,17 @@ _CB_VALUES9 = ",".join(
 )
 _RERANK9 = 4 * 10  # rerank * k
 
-_IVFPQ_SQL = f"""
-WITH cent AS (SELECT * FROM (VALUES {_SEM_CENT_VALUES}) AS t(cell, c)),
-cb AS (SELECT * FROM (VALUES {_CB_VALUES9}) AS t(s, code, c)),
-v AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+def _ivfpq_search_body(cent: str = "cent", cb: str = "cb") -> str:
+    """The IVF-PQ search tail (spherical assignment → residual code
+    assignment → probe → ADC + exact re-rank) over any centroid
+    relation ``{cent}(cell, c)`` and codebook relation
+    ``{cb}(s, code, c)`` — shared by the pinned and trained-replay
+    oracles."""
+    return f""",
 scored AS (
-  SELECT v.vec_id, v.label, v.v, cent.cell, cent.c AS cvec,
-         list_cosine_similarity(v.v, cent.c) AS score
-  FROM v CROSS JOIN cent),
+  SELECT v.vec_id, v.label, v.v, {cent}.cell, {cent}.c AS cvec,
+         list_cosine_similarity(v.v, {cent}.c) AS score
+  FROM v CROSS JOIN {cent}),
 assigned AS (
   SELECT vec_id, label, v, cell, cvec FROM (
     SELECT *, row_number() OVER (
@@ -388,15 +391,15 @@ subs AS (
   FROM res, range({_pq_mod.N_SUB}) t(s)),
 acode AS (
   SELECT vec_id, s, c FROM (
-    SELECT subs.vec_id, subs.s, cb.c,
+    SELECT subs.vec_id, subs.s, {cb}.c,
       row_number() OVER (PARTITION BY subs.vec_id, subs.s
-        ORDER BY list_dot_product(subs.rs, cb.c)
-                 - 0.5 * list_dot_product(cb.c, cb.c) DESC, cb.code) AS rn
-    FROM subs JOIN cb ON subs.s = cb.s) WHERE rn = 1),
+        ORDER BY list_dot_product(subs.rs, {cb}.c)
+                 - 0.5 * list_dot_product({cb}.c, {cb}.c) DESC, {cb}.code) AS rn
+    FROM subs JOIN {cb} ON subs.s = {cb}.s) WHERE rn = 1),
 q AS (SELECT v AS qv, sqrt(list_dot_product(v, v)) AS qn
       FROM v WHERE vec_id = 0),
 probe AS (
-  SELECT cell FROM cent, q
+  SELECT cell FROM {cent}, q
   ORDER BY list_cosine_similarity(c, qv) DESC, cell
   LIMIT {_ivfpq_mod.N_PROBE}),
 qsubs AS (
@@ -407,8 +410,9 @@ lutsum AS (
   SELECT a.vec_id, sum(list_dot_product(qs.qs, a.c)) AS ls
   FROM acode a JOIN qsubs qs ON a.s = qs.s GROUP BY a.vec_id),
 adc AS (
-  SELECT r.vec_id, list_dot_product(q.qv, cent.c) + ls AS ip
-  FROM res r JOIN lutsum USING (vec_id) JOIN cent ON r.cell = cent.cell, q
+  SELECT r.vec_id, list_dot_product(q.qv, {cent}.c) + ls AS ip
+  FROM res r JOIN lutsum USING (vec_id)
+  JOIN {cent} ON r.cell = {cent}.cell, q
   WHERE r.cell IN (SELECT cell FROM probe) AND r.vec_id <> 0),
 cand AS (
   SELECT adc.vec_id
@@ -423,6 +427,15 @@ ORDER BY cosine DESC, vec_id LIMIT 10
 """
 
 
+_IVFPQ_SQL = (
+    f"""
+WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+cent AS (SELECT * FROM (VALUES {_SEM_CENT_VALUES}) AS t(cell, c)),
+cb AS (SELECT * FROM (VALUES {_CB_VALUES9}) AS t(s, code, c))"""
+    + _ivfpq_search_body()
+)
+
+
 @register("ivfpq_ann_topk", _IVFPQ_SQL)
 def q_ivfpq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ composed ANN (16 spherical cells, probe 4, 8×16 residual
@@ -432,10 +445,42 @@ def q_ivfpq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("ivfpq_ann_topk_trained")  # rows-only: iterative k-means isn't SQL
+# Trained-path oracle (r10 VERDICT #4): BOTH quantizers replayed —
+# the spherical coarse trainer (3 cos-Lloyd iterations, full corpus)
+# and the PQ codebook trainer (3 per-subspace L2-Lloyd iterations,
+# full corpus) — as two independent CTE chains feeding the identical
+# composed search body.
+from piholelongtermstats_spark.plans.oracle_train import (  # noqa: E402
+    lloyd_pq_ctes,
+)
+
+_IVFPQ_TR_SQL = (
+    """
+WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),"""
+    + lloyd_cents_ctes(
+        "tc_",
+        n_cells=_ivfpq_mod.N_CELLS,
+        n_iters=semdedup.N_ITERS,
+        dim=_EMB_DIM,
+        metric="cos",
+    )
+    + ","
+    + lloyd_pq_ctes(
+        "tp_",
+        n_sub=_pq_mod.N_SUB,
+        n_codes=_pq_mod.N_CODES,
+        n_iters=_pq_mod.N_ITERS,
+        dim=_EMB_DIM,
+    )
+    + _ivfpq_search_body("tc_cent", "tp_cb")
+)
+
+
+@register("ivfpq_ann_topk_trained", _IVFPQ_TR_SQL)
 def q_ivfpq_ann_topk_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Production path: trained spherical coarse quantizer + trained
-    PQ codebooks; recall/monotonicity pytest-covered."""
+    PQ codebooks; recall/monotonicity pytest-covered. Oracle-checked
+    since r11 via the double unrolled Lloyd replay (oracle_train.py)."""
     emb = _emb(spark, sf_dir)
     key = (spark.sparkContext.applicationId, "ivfpq", sf_dir)
     cached = ivf._CENTROID_CACHE.get(key)

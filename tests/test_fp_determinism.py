@@ -182,6 +182,157 @@ def test_ivfpq_residual_code_and_probe_margins(sf_dir):
     assert cut > MIN_SAFE_MARGIN, cut
 
 
+# ---------------------------------------------------------------------------
+# r11: TRAINED-quantizer margins. The *_trained oracles replay the
+# Lloyd trainers as unrolled CTEs (plans/oracle_train.py) with raw
+# avg() — safe only while (a) every TRAINING-time assignment and (b)
+# every SEARCH-time decision has a margin far above the cross-engine
+# accumulation band (~1e-13, which also bounds the Spark-avg vs
+# DuckDB-avg centroid divergence that feeds later decisions). This
+# replicates each trainer in numpy (same seeds, same update rule —
+# numpy mean vs Spark avg differs ~1e-15, irrelevant at 1e-7 margins)
+# and measures every iteration's worst assignment margin plus the
+# final search margins.
+# ---------------------------------------------------------------------------
+
+import hashlib
+
+# The trained quantizers are data-adaptive, so their worst margins run
+# tighter than the md5-synthesized fixed quantizers' (observed min:
+# 7.5e-8, a PQ code decision at sf0.001). That is still ~5 orders of
+# magnitude above the measured cross-engine accumulation band
+# (~1e-13 worst-case for dim-64 O(1) dot products, and the
+# Spark-avg/DuckDB-avg centroid divergence it bounds), so the replay
+# stays deterministic; the gate keeps four orders of safety.
+TRAINED_MIN_MARGIN = 1e-8
+
+
+def _ids(sf_dir: str) -> np.ndarray:
+    t = papq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    return np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
+
+
+def _seed_order(ids: np.ndarray) -> np.ndarray:
+    h = np.array(
+        [
+            int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16)
+            for i in ids
+        ]
+    )
+    return np.lexsort((ids, h))
+
+
+def _lloyd_margins(
+    V: np.ndarray, ids: np.ndarray, n_cells: int, n_iters: int, metric: str
+) -> tuple[np.ndarray, float]:
+    """Replicate ivf.train_centroids / semdedup.train_spherical_
+    centroids; return (centroids, worst assignment margin over all
+    iterations)."""
+    cents = V[_seed_order(ids)[:n_cells]].copy()
+    worst = np.inf
+    for _ in range(n_iters):
+        if metric == "l2":
+            S = V @ cents.T - 0.5 * (cents * cents).sum(axis=1)[None, :]
+        else:
+            Cn = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+            S = V @ Cn.T
+        a = np.argmax(S, axis=1)
+        top2 = np.partition(S, -2, axis=1)[:, -2:]
+        worst = min(worst, float((top2[:, 1] - top2[:, 0]).min()))
+        for c in range(n_cells):
+            m = V[a == c]
+            if len(m):
+                cents[c] = m.mean(axis=0)
+    return cents, worst
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
+def test_trained_ivf_margins(sf_dir):
+    """ivf_ann_topk_trained: 2 L2-Lloyd iterations on the %4
+    subsample, then full-corpus assignment + probe cut."""
+    V, ids = _load(sf_dir), _ids(sf_dir)
+    tr = ids % 4 == 0
+    C, train_m = _lloyd_margins(V[tr], ids[tr], ivf_mod.N_CELLS, 2, "l2")
+    assert train_m > TRAINED_MIN_MARGIN, train_m
+    S = V @ C.T - 0.5 * (C * C).sum(axis=1)[None, :]
+    top2 = np.partition(S, -2, axis=1)[:, -2:]
+    assert (top2[:, 1] - top2[:, 0]).min() > TRAINED_MIN_MARGIN
+    d = ((C - V[0][None, :]) ** 2).sum(axis=1)
+    order = np.argsort(d, kind="stable")
+    cut = d[order[ivf_mod.N_PROBE]] - d[order[ivf_mod.N_PROBE - 1]]
+    assert cut > TRAINED_MIN_MARGIN, cut
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
+def test_trained_spherical_margins(sf_dir):
+    """semantic_dedup_trained (full corpus), knn_join_ivf_trained
+    (corpus half), ivfpq_ann_topk_trained coarse (full corpus): 3
+    cos-Lloyd iterations each, then assignment + probe margins."""
+    from piholelongtermstats_spark.operators import knn as knn_mod
+    from piholelongtermstats_spark.operators import semdedup as sd
+
+    V, ids = _load(sf_dir), _ids(sf_dir)
+    for pred in (slice(None), ids >= knn_mod.N_QUERIES):
+        C, train_m = _lloyd_margins(
+            V[pred], ids[pred], sd.N_CLUSTERS, sd.N_ITERS, "cos"
+        )
+        assert train_m > TRAINED_MIN_MARGIN, train_m
+        Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+        S = V @ Cn.T
+        top2 = np.partition(S, -2, axis=1)[:, -2:]
+        assert (top2[:, 1] - top2[:, 0]).min() > TRAINED_MIN_MARGIN
+        # probe cuts: every query vector the legs route (vec 0 for
+        # ivfpq; the first N_QUERIES for the knn join)
+        for qi in range(knn_mod.N_QUERIES):
+            sims = Cn @ (V[qi] / np.linalg.norm(V[qi]))
+            o = np.argsort(-sims, kind="stable")
+            cut = sims[o[knn_mod.N_PROBE - 1]] - sims[o[knn_mod.N_PROBE]]
+            assert cut > TRAINED_MIN_MARGIN, (qi, cut)
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
+def test_trained_pq_margins(sf_dir):
+    """pq_ann_topk_trained (%2 subsample, 2 iters) and ivfpq's PQ leg
+    (full corpus, 3 iters): per-subspace Lloyd margins, then
+    full-corpus (or residual) code-assignment margins."""
+    from piholelongtermstats_spark.operators import semdedup as sd
+
+    V, ids = _load(sf_dir), _ids(sf_dir)
+    subdim = V.shape[1] // pq_mod.N_SUB
+
+    def _pq_case(train_mask, n_iters, apply_M):
+        Vt, it = V[train_mask], ids[train_mask]
+        order = _seed_order(it)[: pq_mod.N_CODES]
+        for s in range(pq_mod.N_SUB):
+            sl = slice(s * subdim, (s + 1) * subdim)
+            # per-subspace Lloyd with SHARED seed rows (the trainer
+            # splits whole-vector seeds): run it explicitly.
+            B = Vt[order][:, sl].copy()
+            worst = np.inf
+            for _ in range(n_iters):
+                S = Vt[:, sl] @ B.T - 0.5 * (B * B).sum(axis=1)[None, :]
+                a = np.argmax(S, axis=1)
+                t2 = np.partition(S, -2, axis=1)[:, -2:]
+                worst = min(worst, float((t2[:, 1] - t2[:, 0]).min()))
+                for c in range(pq_mod.N_CODES):
+                    m = Vt[:, sl][a == c]
+                    if len(m):
+                        B[c] = m.mean(axis=0)
+            assert worst > TRAINED_MIN_MARGIN, (s, worst)
+            S = apply_M[:, sl] @ B.T - 0.5 * (B * B).sum(axis=1)[None, :]
+            t2 = np.partition(S, -2, axis=1)[:, -2:]
+            assert (t2[:, 1] - t2[:, 0]).min() > TRAINED_MIN_MARGIN, s
+
+    # pq_ann_topk_trained: train on %2, encode the full corpus
+    _pq_case(ids % 2 == 0, 2, V)
+    # ivfpq_ann_topk_trained: train on the full corpus, encode the
+    # RESIDUALS against the trained spherical cells
+    C, _ = _lloyd_margins(V, ids, sd.N_CLUSTERS, sd.N_ITERS, "cos")
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+    cells = np.argmax(V @ Cn.T, axis=1)
+    _pq_case(np.ones(len(V), dtype=bool), pq_mod.N_ITERS, V - C[cells])
+
+
 @pytest.mark.parametrize("sf_dir", SF_DIRS)
 def test_near_dup_pair_value_midpoint_margins(sf_dir):
     """r5: embedding_near_dup's ORACLE compares the 6-digit-rounded

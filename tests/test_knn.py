@@ -128,7 +128,8 @@ def test_registry_entries_registered():
     for name in ("knn_join", "knn_join_ivf", "knn_join_ivf_trained"):
         assert name in qs
     assert "knn_join" in se.oracle_sql()
-    assert "knn_join_ivf_trained" not in se.oracle_sql()  # rows-only by design
+    # oracle-checked since r11 (unrolled-Lloyd replay, oracle_train.py)
+    assert "knn_join_ivf_trained" in se.oracle_sql()
 
 
 def test_scale_2x_twin_identity(spark, emb):
