@@ -96,7 +96,16 @@ def unigram_counts(docs: DataFrame) -> DataFrame:
 
 def lm_model(docs: DataFrame, bg: DataFrame | None = None) -> DataFrame:
     """The add-1-smoothed bigram model relation:
-    (w1, w2, c12, c1, logp) with logp = ln(c12+1) − ln(c1+V).
+    (w1, w2, c12, c1, logp) with logp = ln(c12+1) − ln(c1+V)
+    quantized ONCE to the exact 12-decimal grid (DECIMAL(20,12) — the
+    DSIR log-ratio convention, dsir.train_log_ratios): the per-pair
+    transcendental is a single ln each side of one subtraction over
+    exact-integer operands, and every downstream moment (the per-doc
+    logprob sum) is then exact decimal arithmetic — order-free, so
+    doc scores replay bit-for-bit in the DuckDB oracle (r11: this is
+    what graduated lm_doc_logprob / ppl_bucket_split from rows-only).
+    The grid costs ≤5e-13 per pair — three orders below the 1e-9
+    differential-test band.
 
     Counts-sized (≪ corpus); built from two groupBys and one
     counts-side join; V is a 1-row broadcast scalar."""
@@ -114,9 +123,9 @@ def lm_model(docs: DataFrame, bg: DataFrame | None = None) -> DataFrame:
             "w2",
             "c12",
             "c1",
-            (F.log(F.col("c12") + 1) - F.log(F.col("c1") + F.col("v"))).alias(
-                "logp"
-            ),
+            (F.log(F.col("c12") + 1) - F.log(F.col("c1") + F.col("v")))
+            .cast("decimal(20,12)")
+            .alias("logp"),
         )
     )
 
@@ -135,7 +144,10 @@ def doc_logprob(docs: DataFrame, bg: DataFrame | None = None) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),
-            F.sum("logp").alias("logprob_sum"),
+            # exact decimal sum of grid-quantized logps — order-free,
+            # cast to double ONCE at the edge (correctly rounded, so
+            # identical across engines and partitionings)
+            F.sum("logp").cast("double").alias("logprob_sum"),
         )
     )
     return spine.join(scored, "doc_id", "left").select(

@@ -103,7 +103,67 @@ def q_dsir_bucket_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _dsir.dsir_bucket_counts(_docs(spark, sf_dir))
 
 
-@register("dsir_logweights")  # rows-only: log() is not IEEE-exact
+# Graduated from rows-only in r11 (r10 VERDICT #5): the "ln() is not
+# IEEE-exact" blocker is narrower than r6 assumed. The trainer divides
+# exact integers ONCE (identical quotient double in both engines) and
+# takes ONE ln each side of the subtraction; libm-vs-DuckDB ln can
+# disagree by ≤1 ulp, which flips the DECIMAL(20,12) grid rounding
+# only when the true log-ratio sits within ~2e-16 of a 5e-13 grid
+# midpoint (none do on these corpora — and a future near-miss fails
+# the parity suite loudly, the fp-determinism doctrine). Everything
+# after the grid is exact decimal arithmetic: Σ c_b·lr_b is
+# order-free, the ⌈n/4⌉ boundary is integer, the selection compares
+# exact decimals, and log_weight rounds the decimal-to-double value
+# both engines share.
+_DSIR_LW_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, lang = 'en' AS is_t,
+         unnest(list_filter(string_split_regex(trim(text), '\\s+'),
+                tk -> tk <> '')) AS w
+  FROM documents),
+bt AS (SELECT doc_id, is_t,
+              ('0x' || substr(md5(w), 1, 15))::BIGINT % {_dsir.B} AS bucket
+       FROM tok),
+bc AS (SELECT bucket,
+              CAST(sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+              CAST(count(*) AS BIGINT) AS cr
+       FROM bt GROUP BY bucket),
+tots AS (SELECT CAST(coalesce(sum(ct), 0) AS BIGINT) AS nt,
+                CAST(coalesce(sum(cr), 0) AS BIGINT) AS nr
+         FROM bc),
+lr AS (SELECT CAST(g.range AS BIGINT) AS bucket,
+              CAST(ln(CAST(coalesce(bc.ct, 0) + 1 AS DOUBLE)
+                      / CAST(nt + {_dsir.B} AS DOUBLE))
+                 - ln(CAST(coalesce(bc.cr, 0) + 1 AS DOUBLE)
+                      / CAST(nr + {_dsir.B} AS DOUBLE))
+                 AS DECIMAL(20,12)) AS lr
+       FROM range({_dsir.B}) g LEFT JOIN bc ON bc.bucket = g.range, tots),
+pd AS (SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS c
+       FROM bt GROUP BY doc_id, bucket),
+wsum AS (SELECT pd.doc_id, CAST(sum(pd.c) AS BIGINT) AS n_tokens,
+                sum(CAST(pd.c AS DECIMAL(18,0)) * lr.lr) AS w_dec
+         FROM pd JOIN lr USING (bucket) GROUP BY pd.doc_id),
+spine AS (SELECT d.doc_id,
+                 CAST(coalesce(wsum.n_tokens, 0) AS BIGINT) AS n_tokens,
+                 coalesce(wsum.w_dec, CAST(0 AS DECIMAL(38,12))) AS w_dec
+          FROM (SELECT doc_id FROM documents) d
+          LEFT JOIN wsum USING (doc_id)),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+thr AS (SELECT w_dec AS tw, doc_id AS tid FROM (
+          SELECT w_dec, doc_id,
+                 row_number() OVER (ORDER BY w_dec DESC, doc_id) AS rn
+          FROM spine)
+        WHERE rn = greatest((SELECT (n + 3) // 4 FROM nn), 1))
+SELECT s.doc_id, s.n_tokens,
+       round(CAST(s.w_dec AS DOUBLE), 6) AS log_weight,
+       (s.w_dec > thr.tw OR (s.w_dec = thr.tw AND s.doc_id <= thr.tid))
+         AS selected
+FROM spine s, thr
+ORDER BY s.doc_id
+"""
+
+
+@register("dsir_logweights", _DSIR_LW_SQL)
 def q_dsir_logweights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document DSIR importance log-weights + top-25% selection
     (decimal dot-product over driver-pinned log-ratio literals). The

@@ -569,8 +569,57 @@ def q_lm_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lm.bigram_topk(_docs(spark, sf_dir), bg=_lm_bigrams(spark, sf_dir))
 
 
-@register("lm_doc_logprob")  # rows-only: ln() edge, numpy-differential-pinned
+# Graduated from rows-only in r11 (r10 VERDICT #5): lm_model now
+# quantizes each pair's logp ONCE to the exact DECIMAL(20,12) grid
+# (the DSIR log-ratio convention), so the per-doc sum is order-free
+# exact decimal arithmetic and the one cast-to-double + one division
+# at the edge replay bit-for-bit. The remaining fp surface is the
+# same ln-grid edge DSIR carries (libm-vs-DuckDB ln must agree to the
+# 5e-13 half-grid; a future near-miss fails parity loudly).
+_LM_DOCLP_SQL = r"""
+WITH tk AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')
+           AS toks
+  FROM documents),
+bgp AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           generate_series(1, len(toks) - 1),
+           i -> {'w1': toks[i], 'w2': toks[i + 1]})) AS b
+  FROM tk WHERE len(toks) >= 2),
+bg AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM bgp),
+uni AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS c1 FROM (
+    SELECT unnest(toks) AS w FROM tk) GROUP BY w),
+vv AS (SELECT CAST(count(*) AS BIGINT) AS v FROM uni),
+big AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+        FROM bg GROUP BY w1, w2),
+model AS (
+  SELECT big.w1, big.w2,
+         CAST(ln(CAST(big.c12 + 1 AS DOUBLE))
+            - ln(CAST(uni.c1 + vv.v AS DOUBLE)) AS DECIMAL(20,12)) AS logp
+  FROM big JOIN uni ON big.w1 = uni.w, vv),
+scored AS (
+  SELECT bg.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         CAST(sum(model.logp) AS DOUBLE) AS logprob_sum
+  FROM bg JOIN model USING (w1, w2) GROUP BY bg.doc_id)
+SELECT d.doc_id,
+       CAST(coalesce(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       coalesce(s.logprob_sum, 0.0) AS logprob_sum,
+       CASE WHEN coalesce(s.n_bigrams, 0) > 0
+            THEN s.logprob_sum / s.n_bigrams ELSE 0.0 END AS avg_logprob
+FROM (SELECT doc_id FROM documents) d
+LEFT JOIN scored s USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
+@register("lm_doc_logprob", _LM_DOCLP_SQL)
 def q_lm_doc_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document add-1-smoothed bigram log-prob — one row per input
-    document (empty docs: n_bigrams 0, sums 0)."""
-    return lm.doc_logprob(_docs(spark, sf_dir), bg=_lm_bigrams(spark, sf_dir))
+    document (empty docs: n_bigrams 0, sums 0). Oracle-checked since
+    r11 via the decimal-grid logp quantization (operators/lm.py)."""
+    return lm.doc_logprob(
+        _docs(spark, sf_dir), bg=_lm_bigrams(spark, sf_dir)
+    ).orderBy("doc_id")

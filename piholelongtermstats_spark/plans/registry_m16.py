@@ -124,14 +124,77 @@ def q_contrastive_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# CCNet perplexity buckets (operators/lm.py) — rows-only: the proxy
-# contains ln(); the bucket DECISION is integer-exact once the proxy
-# is quantized, and tests/test_m16.py pins the whole path against a
-# pure-numpy reference.
+# CCNet perplexity buckets (operators/lm.py) — graduated from
+# rows-only in r11 (r10 VERDICT #5): lm_model's logp now lives on the
+# exact DECIMAL(20,12) grid, so each doc's avg_logprob is exact-
+# decimal-sum ÷ count (one division of identical doubles in both
+# engines), ppl_q is the dim-stats round(x·10⁶) quantization of it,
+# and the per-language nearest-rank thirds plus the bucket labels are
+# pure integer decisions. tests/test_m16.py keeps the pure-Python
+# differential as defense in depth.
 # ---------------------------------------------------------------------------
 
+_PPL_SQL = r"""
+WITH tk AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')
+           AS toks
+  FROM documents),
+bgp AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           generate_series(1, len(toks) - 1),
+           i -> {'w1': toks[i], 'w2': toks[i + 1]})) AS b
+  FROM tk WHERE len(toks) >= 2),
+bg AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM bgp),
+uni AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS c1 FROM (
+    SELECT unnest(toks) AS w FROM tk) GROUP BY w),
+vv AS (SELECT CAST(count(*) AS BIGINT) AS v FROM uni),
+big AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+        FROM bg GROUP BY w1, w2),
+model AS (
+  SELECT big.w1, big.w2,
+         CAST(ln(CAST(big.c12 + 1 AS DOUBLE))
+            - ln(CAST(uni.c1 + vv.v AS DOUBLE)) AS DECIMAL(20,12)) AS logp
+  FROM big JOIN uni ON big.w1 = uni.w, vv),
+perdoc AS (
+  SELECT bg.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         CAST(sum(model.logp) AS DOUBLE) AS logprob_sum
+  FROM bg JOIN model USING (w1, w2) GROUP BY bg.doc_id),
+scored AS (
+  SELECT d.doc_id, d.lang,
+         CASE WHEN coalesce(p.n_bigrams, 0) > 0
+              THEN CAST(round(-(p.logprob_sum / p.n_bigrams) * 1000000)
+                        AS BIGINT)
+         END AS ppl_q
+  FROM documents d LEFT JOIN perdoc p USING (doc_id)),
+hist AS (
+  SELECT lang, ppl_q, CAST(count(*) AS BIGINT) AS cnt
+  FROM scored WHERE ppl_q IS NOT NULL GROUP BY lang, ppl_q),
+h AS (
+  SELECT lang, ppl_q,
+         CAST(sum(cnt) OVER (PARTITION BY lang ORDER BY ppl_q
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND
+                             CURRENT ROW) AS BIGINT) AS cum,
+         CAST(sum(cnt) OVER (PARTITION BY lang) AS BIGINT) AS n
+  FROM hist),
+cuts AS (
+  SELECT lang,
+         min(CASE WHEN cum * 3 >= n THEN ppl_q END) AS t1,
+         min(CASE WHEN cum * 3 >= 2 * n THEN ppl_q END) AS t2
+  FROM h GROUP BY lang)
+SELECT s.doc_id, s.lang, s.ppl_q,
+       CASE WHEN s.ppl_q IS NULL THEN 'empty'
+            WHEN s.ppl_q <= c.t1 THEN 'head'
+            WHEN s.ppl_q <= c.t2 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM scored s LEFT JOIN cuts c USING (lang)
+ORDER BY s.doc_id
+"""
 
-@register("ppl_bucket_split")  # rows-only: ln() edge, numpy-pinned
+
+@register("ppl_bucket_split", _PPL_SQL)
 def q_ppl_bucket_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     return lm.ppl_buckets(docs, bg=_lm_bigrams(spark, sf_dir)).orderBy("doc_id")
