@@ -487,15 +487,19 @@ _OVERFLOW = [
     # semdedup and the recall panel elsewhere in the order.
     "ivf_ann_topk_trained",
     "pq_ann_topk_trained",
-    # rows-only by design (sketches, stubs, fp edges)
+    # r11 graduations (the ln-grid protocol): the DSIR/LM scoring
+    # edges left the rows-only tier too.
+    "dsir_logweights",
+    "lm_doc_logprob",
+    # rows-only by design: sketch VALUES aren't portable SQL (their
+    # accuracy contracts are hash-checked by hll_distinct_audit /
+    # quantile_sketch_eval), media decode is environment-stubbed.
     "uniques_approx",
     "reply_time_quantiles",
     "media_features",
     "media_resize",
     "media_frames",
-    "dsir_logweights",
     "rolling_active_approx",
-    "lm_doc_logprob",
 ]
 
 

@@ -906,7 +906,9 @@ def q_filtered_timeseries_client(spark: SparkSession, sf_dir: str) -> DataFrame:
     return plotdata.filtered_timeseries(timeagg.hourly_rollup(fact), client)
 
 
-@register("uniques_approx")  # rows-only: HLL sketch values aren't portable SQL
+@register("uniques_approx")  # rows-only: HLL++ sketch values aren't portable
+# SQL; the accuracy contract of the HLL approach is hash-checked by the
+# register-replayed hll_distinct_audit (registry_m57)
 def q_uniques_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ distinct counts — the constant-space scale
     variant of `uniques` (tests bound the error vs exact). rsd=0.016
@@ -918,7 +920,9 @@ def q_uniques_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     return approx.uniques_approx(_fact(spark, sf_dir), rsd=0.016)
 
 
-@register("reply_time_quantiles")  # rows-only: GK-sketch percentiles
+@register("reply_time_quantiles")  # rows-only: GK-sketch percentile
+# VALUES aren't portable SQL; the sketch's rank-error contract is
+# hash-checked by quantile_sketch_eval (registry_m42, graduated r11)
 def q_reply_time_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Single-pass mergeable reply-time percentiles (no distributed
     full sort)."""

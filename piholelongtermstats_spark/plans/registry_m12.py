@@ -3,11 +3,11 @@ quality rules (Rae et al. 2021) and DSIR importance resampling
 (Xie et al. 2023).
 
 Oracle notes: every Gopher rule is a cross-multiplied INTEGER
-comparison, so the panel is exact across engines; DSIR splits at the
-repo's fp-policy line — the distributed sufficient statistics
-(integer bucket counts) carry a full DuckDB oracle, the log-weight
-scoring edge is rows-only (log() is not IEEE-correctly-rounded; see
-operators/dsir.py) with a numpy differential test instead."""
+comparison, so the panel is exact across engines; DSIR carries a full
+DuckDB oracle on BOTH faces since r11 — the integer bucket counts
+and the log-weight scoring edge (the 12-decimal log-ratio grid makes
+everything after the single ln per side exact decimal arithmetic;
+the numpy differential test stays as defense in depth)."""
 
 from __future__ import annotations
 
@@ -818,7 +818,9 @@ def q_kanon_domain_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _counts.kanon_domain_daily(_fact(spark, sf_dir), _KANON_K)
 
 
-@register("rolling_active_approx")  # rows-only: sketch internals
+@register("rolling_active_approx")  # rows-only: sketch internals aren't
+# portable SQL; the HLL accuracy contract is hash-checked by
+# hll_distinct_audit and the exact twin rolling_active_clients is green
 def q_rolling_active_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-merge (DataSketches HLL) rolling 7-day distinct actives
     — the constant-width scale path of rolling_active_clients; error

@@ -523,9 +523,9 @@ def q_binary_quant_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # CCNet-style bigram LM (operators/lm.py) — the model's integer face
 # (exact bigram counts, pinned top-k order) is oracle-checked; the
-# per-document log-prob edge is rows-only by the fp policy and pinned
-# by the pure-Python differential in tests/test_lm.py (the DSIR
-# split, applied to the LM-quality family).
+# per-document log-prob edge is oracle-checked too since r11 (the
+# DECIMAL(20,12) logp grid in lm_model), with the pure-Python
+# differential in tests/test_lm.py as defense in depth.
 # ---------------------------------------------------------------------------
 
 from piholelongtermstats_spark.operators import lm  # noqa: E402
