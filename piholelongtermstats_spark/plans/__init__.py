@@ -106,25 +106,20 @@ TOP_50 = [
     "range_scan_pruned",
     # --- TPC-H-shaped join suite ---
     "pricing_summary",
-    "top_unshipped_orders",
     "waiting_suppliers",
     "region_nation_revenue",
     # --- LLM-training-data pipeline tier ---
     "pii_scrub_panel",
     "ngram_jaccard_capped",
-    "semantic_dedup",
     "funnel_conversion",
     "text_panel",
     "domain_cograph_triangles",
-    "ann_scale_2x",
     "heavy_hitters_exact",
     "incremental_dedup_ingest",
-    "levene_day_night",
     "media_pipeline_check",
     "corpus_build",
     "winnowing_fingerprints",
     "bootstrap_daily_mean_ci",
-    "gopher_quality_panel",
     "bloom_contamination",
     "dedup_scale_2x",
     # --- r10 rotation (r9 VERDICT #1): M54–M57 representatives ---
@@ -146,6 +141,24 @@ TOP_50 = [
     "topk_domain_stability",
     "domain_tail_hill",
     "pagerank_top",
+    # --- r11 same-round rotation of this round's own graduations:
+    # these went oracle-green THIS round and would otherwise wait a
+    # full round driver-unseen (the r8 gap class). Representatives:
+    # semantic_dedup_trained takes semantic_dedup's slot (same
+    # machinery + the trained path; the fixed twin stays parity-green
+    # below), ivf_ann_topk_trained takes ann_scale_2x's (the trained
+    # recall panel beside it VALUE-audits all four trained families),
+    # quantile_sketch_eval takes levene_day_night's (the day/night
+    # two-sample family handed duty to the anova/kruskal/effect trio
+    # above), dsir_logweights takes gopher_quality_panel's (the
+    # gopher gate rides inside quality_lift_table's label leg and
+    # corpus_build), ppl_bucket_split takes top_unshipped_orders'
+    # (the TPC-H join suite keeps three driver rows). ---
+    "semantic_dedup_trained",
+    "ivf_ann_topk_trained",
+    "quantile_sketch_eval",
+    "dsir_logweights",
+    "ppl_bucket_split",
     # r10 (r9 VERDICT #4): the trained-index recall audit. Was the one
     # deliberately rows-only TOP_50 row; ORACLE-CHECKED since r11 via
     # the unrolled-Lloyd trainer replay (plans/oracle_train.py) — the
@@ -336,6 +349,15 @@ TOP_50 = [
 # per-key avg with pinned NULL ordering stays through reply_time_stats
 # and the topk family). All five stay parity-green below the line.
 _OVERFLOW = [
+    # r11 same-round-rotation retirees (all green since their landing
+    # round; each family keeps a driver row — rationale at the TOP_50
+    # rotation comment): semantic_dedup, ann_scale_2x,
+    # levene_day_night, gopher_quality_panel, top_unshipped_orders.
+    "semantic_dedup",
+    "ann_scale_2x",
+    "levene_day_night",
+    "gopher_quality_panel",
+    "top_unshipped_orders",
     # r11 retirees (r10 VERDICT #1): the longest-green reference rows,
     # every one driver-hashed green for 9-10 consecutive rounds;
     # each operator family keeps at least one driver row.
@@ -483,13 +505,12 @@ _OVERFLOW = [
     # (pagerank_top graduated r10, promoted to TOP_50 in r11)
     # r11 graduations: the whole trained-quantizer tier left the
     # rows-only tier via the unrolled-Lloyd oracle replay
-    # (plans/oracle_train.py) — ivf/pq here, plus ivfpq, sphknn,
-    # semdedup and the recall panel elsewhere in the order.
-    "ivf_ann_topk_trained",
+    # (plans/oracle_train.py) — pq here (ivf took a TOP_50 row; the
+    # rest are covered by the in-TOP_50 recall panel and stay
+    # parity-green in registration order below).
     "pq_ann_topk_trained",
-    # r11 graduations (the ln-grid protocol): the DSIR/LM scoring
-    # edges left the rows-only tier too.
-    "dsir_logweights",
+    # r11 graduations (the ln-grid protocol): lm_doc_logprob here
+    # (dsir_logweights and ppl_bucket_split took TOP_50 rows).
     "lm_doc_logprob",
     # rows-only by design: sketch VALUES aren't portable SQL (their
     # accuracy contracts are hash-checked by hll_distinct_audit /
