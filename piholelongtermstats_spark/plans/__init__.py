@@ -82,6 +82,7 @@ from piholelongtermstats_spark.plans import registry_m59  # noqa: F401  (registe
 from piholelongtermstats_spark.plans import registry_m60  # noqa: F401  (registers M60 queries)
 from piholelongtermstats_spark.plans import registry_m61  # noqa: F401  (registers M61 queries)
 from piholelongtermstats_spark.plans import registry_m62  # noqa: F401  (registers M62 queries)
+from piholelongtermstats_spark.plans import registry_m63  # noqa: F401  (registers M63 queries)
 from piholelongtermstats_spark.plans import registry_panels  # noqa: F401  (fused panels)
 from piholelongtermstats_spark.plans.registry import ORACLE, QUERIES  # noqa: F401
 
@@ -116,7 +117,11 @@ TOP_50 = [
     "domain_cograph_triangles",
     "heavy_hitters_exact",
     "incremental_dedup_ingest",
-    "media_pipeline_check",
+    # r11 (M63): the REAL image decode panel takes the generic stub
+    # check's slot — a stronger row (byte-level BMP parse + integer
+    # features, synthesis-replay oracle, the wav_decode_panel twin);
+    # media_pipeline_check stays parity-green below.
+    "bmp_decode_panel",
     "corpus_build",
     "winnowing_fingerprints",
     "bootstrap_daily_mean_ci",
