@@ -3,13 +3,14 @@
 Images/audio/video are opaque ``binary`` columns with typed metadata.
 The Spark-side plumbing here — schemas, Arrow-batched mapInPandas,
 partition sizing — is real and tested. Decode comes in two tiers:
-codec-FREE formats get GENUINE byte-level decoders (WAV via stdlib
-``wave``, M53; 24-bit BMP via stdlib struct + numpy un-padding, M63 —
-both oracle-checked through synthesis-replay), while codec-dependent
-formats (jpeg/png/video) stay STUBBED: extract_features raises
-NotImplementedError unless ``fake=True``, which substitutes a
-deterministic fake feature vector so the pipeline shape is testable
-end-to-end in a container without media libraries.
+codec-FREE formats get GENUINE byte-level decoders covering all three
+modalities (audio: WAV via stdlib ``wave``, M53; image: 24-bit BMP via
+stdlib struct + numpy un-padding, M63; video: uncompressed RIFF/AVI
+with DIB frames, M64 — each oracle-checked through synthesis-replay),
+while codec-DEPENDENT formats (jpeg/png/h264…) stay STUBBED:
+extract_features raises NotImplementedError unless ``fake=True``,
+which substitutes a deterministic fake feature vector so the pipeline
+shape is testable end-to-end in a container without media libraries.
 
 Scale notes: binary payloads dominate partition size — repartition so
 ``rows × avg_payload ≤ spark.sql.files.maxPartitionBytes`` before the
@@ -503,3 +504,263 @@ def resize_bmp_nearest(media: DataFrame, factor: int = 2) -> DataFrame:
             yield pd.DataFrame(out)
 
     return media.mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# REAL video decode (M64): uncompressed AVI is a RIFF container (the
+# WAV sibling) carrying raw DIB frames (the BMP sibling) — parseable
+# with the stdlib alone, so the VIDEO modality completes the
+# real-decode tier: synth writes a spec-valid RIFF/AVI (hdrl with
+# avih + strl/strh/strf, movi with one '00db' chunk per frame), the
+# decoder walks the chunk tree for real (fourcc checks, list
+# descent, word alignment, strf BITMAPINFOHEADER, bottom-up stride
+# un-padding per frame), and the features are positional-weighted
+# integer sums so a frame-ORDER error breaks the oracle hash, not
+# just a pixel error. Codec'd video (h264 etc.) stays behind the
+# documented sample_frames stub.
+# ---------------------------------------------------------------------------
+
+VIDEO_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("us_per_frame", T.LongType()),
+        T.StructField("checksum_possum", T.LongType()),
+        T.StructField("luma_milli_sum", T.LongType()),
+        T.StructField("is_valid", T.IntegerType()),
+    ]
+)
+
+AVI_US_PER_FRAME = 100000  # 10 fps, pinned
+
+
+def _avi_n_frames(media_id: int) -> int:
+    return 3 + media_id % 4
+
+
+def _avi_pixel(media_id: int, f: int, r: int, c: int, ch: int) -> int:
+    """Stored-order frame pixel byte (ch 0/1/2 = B/G/R):
+    (id·31 + f·101 + r·13 + c·17 + ch·7) % 256 — the _bmp_pixel
+    formula extended with the frame index."""
+    return (media_id * 31 + f * 101 + r * 13 + c * 17 + ch * 7) % 256
+
+
+def _dib_rows(media_id: int, f: int, w: int, h: int) -> bytes:
+    """One frame's DIB bits: bottom-up 4-byte-aligned BGR rows."""
+    import numpy as np
+
+    r = np.arange(h)[:, None, None]
+    c = np.arange(w)[None, :, None]
+    ch = np.arange(3)[None, None, :]
+    px = ((media_id * 31 + f * 101 + r * 13 + c * 17 + ch * 7) % 256).astype(
+        np.uint8
+    )
+    stride = (3 * w + 3) // 4 * 4
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : 3 * w] = px.reshape(h, 3 * w)
+    return rows[::-1].tobytes()
+
+
+def synth_avi_corpus(docs: DataFrame) -> DataFrame:
+    """One REAL uncompressed RIFF/AVI payload per document (stdlib
+    struct writer): 3–6 DIB frames at the per-id BMP dimensions,
+    10 fps. Payloads are ≤ ~5 KB each."""
+    import struct
+
+    def _chunk(fourcc: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) % 2 else b""
+        return fourcc + struct.pack("<I", len(body)) + body + pad
+
+    def _list(listtype: bytes, body: bytes) -> bytes:
+        return _chunk(b"LIST", listtype + body)
+
+    def _encode(media_id: int) -> bytes:
+        w, h = _bmp_dims(media_id)
+        n = _avi_n_frames(media_id)
+        stride = (3 * w + 3) // 4 * 4
+        frame_sz = stride * h
+        avih = struct.pack(
+            "<IIIIIIIIII4I",
+            AVI_US_PER_FRAME, frame_sz * 10, 0, 0, n, 0, 1, frame_sz,
+            w, h, 0, 0, 0, 0,
+        )
+        strh = struct.pack(
+            "<4s4sIHHIIIIIIIi4H",
+            b"vids", b"DIB ", 0, 0, 0, 0, 1, 10, 0, n, frame_sz, 0, 0,
+            0, 0, w, h,
+        )
+        strf = struct.pack(
+            "<IiiHHIIiiII", 40, w, h, 1, 24, 0, frame_sz, 2835, 2835, 0, 0
+        )
+        hdrl = _list(
+            b"hdrl",
+            _chunk(b"avih", avih)
+            + _list(b"strl", _chunk(b"strh", strh) + _chunk(b"strf", strf)),
+        )
+        movi = _list(
+            b"movi",
+            b"".join(
+                _chunk(b"00db", _dib_rows(media_id, f, w, h))
+                for f in range(n)
+            ),
+        )
+        body = b"AVI " + hdrl + movi
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, ws, hs = [], [], []
+            for media_id in pdf["doc_id"]:
+                mid = int(media_id)
+                w, h = _bmp_dims(mid)
+                payloads.append(_encode(mid))
+                ws.append(w)
+                hs.append(h)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "payload": payloads,
+                    "mime": "video/avi",
+                    "width": pd.array(ws, dtype="Int32"),
+                    "height": pd.array(hs, dtype="Int32"),
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
+def _avi_parse(payload: bytes) -> "tuple[int, int, int, list]":
+    """REAL RIFF/AVI walk: validate RIFF + 'AVI ', descend hdrl for
+    avih (frame period) and strf (dims/bpp), collect the movi
+    '00db' DIB frames in order (word-aligned chunk iteration).
+    Returns (w, h, us_per_frame, [top-down (h, 3w) uint8 arrays])."""
+    import struct
+
+    import numpy as np
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not an AVI")
+    w = h = usf = None
+    frames: list = []
+
+    def walk(lo: int, hi: int) -> None:
+        nonlocal w, h, usf
+        pos = lo
+        while pos + 8 <= hi:
+            fourcc = payload[pos : pos + 4]
+            (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+            body_lo = pos + 8
+            if fourcc == b"LIST":
+                walk(body_lo + 4, body_lo + size)
+            elif fourcc == b"avih":
+                (usf,) = struct.unpack("<I", payload[body_lo : body_lo + 4])
+            elif fourcc == b"strf":
+                (hdr, bw, bh, _pl, bpp, comp) = struct.unpack(
+                    "<IiiHHI", payload[body_lo : body_lo + 20]
+                )
+                if hdr != 40 or bpp != 24 or comp != 0:
+                    raise ValueError("unsupported AVI stream format")
+                w, h = bw, bh
+            elif fourcc == b"00db":
+                frames.append(payload[body_lo : body_lo + size])
+            pos = body_lo + size + (size % 2)  # word alignment
+
+    walk(12, 8 + struct.unpack("<I", payload[4:8])[0])
+    if w is None or h is None or w <= 0 or h <= 0 or usf is None:
+        raise ValueError("missing AVI headers")
+    stride = (3 * w + 3) // 4 * 4
+    out = []
+    for raw in frames:
+        body = np.frombuffer(raw, dtype=np.uint8, count=stride * h)
+        out.append(body.reshape(h, stride)[:, : 3 * w][::-1])
+    return w, h, usf, out
+
+
+def decode_avi_features(media: DataFrame) -> DataFrame:
+    """REAL video decode over binary AVI payloads. Per-media integer
+    features: checksum_possum = Σ_f (f+1)·(pixel-byte sum of frame f)
+    — POSITIONALLY weighted, so swapping two frames breaks the value
+    — and luma_milli_sum = Σ_f (299·R_f + 587·G_f + 114·B_f) DIV
+    (w·h). Unparseable payloads quarantine as is_valid = 0 (the
+    WAV/BMP contract)."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                "media_id", "n_frames", "width", "height", "us_per_frame",
+                "checksum_possum", "luma_milli_sum", "is_valid",
+            )}
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                out["media_id"].append(media_id)
+                try:
+                    w, h, usf, frames = _avi_parse(bytes(payload or b""))
+                    possum = luma = 0
+                    for f, rows in enumerate(frames):
+                        flat = rows.reshape(h, w, 3).astype(np.int64)
+                        bs = int(flat[:, :, 0].sum())
+                        gs = int(flat[:, :, 1].sum())
+                        rs = int(flat[:, :, 2].sum())
+                        possum += (f + 1) * (bs + gs + rs)
+                        luma += (299 * rs + 587 * gs + 114 * bs) // (w * h)
+                    out["n_frames"].append(len(frames))
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    out["us_per_frame"].append(usf)
+                    out["checksum_possum"].append(possum)
+                    out["luma_milli_sum"].append(luma)
+                    out["is_valid"].append(1)
+                except Exception:  # noqa: BLE001 — quarantine, not crash
+                    for k in ("n_frames", "width", "height", "us_per_frame",
+                              "checksum_possum", "luma_milli_sum"):
+                        out[k].append(None)
+                    out["is_valid"].append(0)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, schema=VIDEO_FEATURE_SCHEMA)
+
+
+def sample_avi_frames(media: DataFrame, every: int = 2) -> DataFrame:
+    """REAL frame sampling over decoded AVI payloads: keep frames
+    f ≡ 0 (mod every), re-weight by SAMPLE position (s+1) so the
+    sampled ORDER is certified, emit the same feature shape.
+    n_frames reports the SAMPLED count; us_per_frame is scaled by
+    ``every`` (the effective period of the sampled stream)."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                "media_id", "n_frames", "width", "height", "us_per_frame",
+                "checksum_possum", "luma_milli_sum", "is_valid",
+            )}
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                out["media_id"].append(media_id)
+                try:
+                    w, h, usf, frames = _avi_parse(bytes(payload or b""))
+                    possum = luma = n = 0
+                    for s, f in enumerate(range(0, len(frames), every)):
+                        flat = frames[f].reshape(h, w, 3).astype(np.int64)
+                        bs = int(flat[:, :, 0].sum())
+                        gs = int(flat[:, :, 1].sum())
+                        rs = int(flat[:, :, 2].sum())
+                        possum += (s + 1) * (bs + gs + rs)
+                        luma += (299 * rs + 587 * gs + 114 * bs) // (w * h)
+                        n += 1
+                    out["n_frames"].append(n)
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    out["us_per_frame"].append(usf * every)
+                    out["checksum_possum"].append(possum)
+                    out["luma_milli_sum"].append(luma)
+                    out["is_valid"].append(1)
+                except Exception:  # noqa: BLE001
+                    for k in ("n_frames", "width", "height", "us_per_frame",
+                              "checksum_possum", "luma_milli_sum"):
+                        out[k].append(None)
+                    out["is_valid"].append(0)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, schema=VIDEO_FEATURE_SCHEMA)

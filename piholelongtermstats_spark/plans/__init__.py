@@ -83,6 +83,7 @@ from piholelongtermstats_spark.plans import registry_m60  # noqa: F401  (registe
 from piholelongtermstats_spark.plans import registry_m61  # noqa: F401  (registers M61 queries)
 from piholelongtermstats_spark.plans import registry_m62  # noqa: F401  (registers M62 queries)
 from piholelongtermstats_spark.plans import registry_m63  # noqa: F401  (registers M63 queries)
+from piholelongtermstats_spark.plans import registry_m64  # noqa: F401  (registers M64 queries)
 from piholelongtermstats_spark.plans import registry_panels  # noqa: F401  (fused panels)
 from piholelongtermstats_spark.plans.registry import ORACLE, QUERIES  # noqa: F401
 
@@ -114,7 +115,12 @@ TOP_50 = [
     "ngram_jaccard_capped",
     "funnel_conversion",
     "text_panel",
-    "domain_cograph_triangles",
+    # r11 (M64): the REAL video decode panel — with wav_decode_panel
+    # and bmp_decode_panel this puts all three real-decode modalities
+    # in the driver window; domain_cograph_triangles retires (the
+    # graph family keeps pagerank_top's driver row; triangles stay
+    # parity-green below).
+    "avi_decode_panel",
     "heavy_hitters_exact",
     "incremental_dedup_ingest",
     # r11 (M63): the REAL image decode panel takes the generic stub
