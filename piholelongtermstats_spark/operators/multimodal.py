@@ -457,10 +457,12 @@ def decode_bmp_features(media: DataFrame) -> DataFrame:
                 out["media_id"].append(media_id)
                 try:
                     w, h, rows = _bmp_parse(payload or b"")
-                    flat = rows.reshape(h, w, 3).astype(np.int64)
-                    bs = int(flat[:, :, 0].sum())
-                    gs = int(flat[:, :, 1].sum())
-                    rs = int(flat[:, :, 2].sum())
+                    # channel sums via strided uint8 slices (no int64
+                    # copy of the pixel block; dtype widens in the
+                    # reduction only)
+                    bs = int(rows[:, 0::3].sum(dtype=np.int64))
+                    gs = int(rows[:, 1::3].sum(dtype=np.int64))
+                    rs = int(rows[:, 2::3].sum(dtype=np.int64))
                     out["width"].append(w)
                     out["height"].append(h)
                     out["n_bytes"].append(len(payload))
@@ -699,10 +701,9 @@ def decode_avi_features(media: DataFrame) -> DataFrame:
                     w, h, usf, frames = _avi_parse(bytes(payload or b""))
                     possum = luma = 0
                     for f, rows in enumerate(frames):
-                        flat = rows.reshape(h, w, 3).astype(np.int64)
-                        bs = int(flat[:, :, 0].sum())
-                        gs = int(flat[:, :, 1].sum())
-                        rs = int(flat[:, :, 2].sum())
+                        bs = int(rows[:, 0::3].sum(dtype=np.int64))
+                        gs = int(rows[:, 1::3].sum(dtype=np.int64))
+                        rs = int(rows[:, 2::3].sum(dtype=np.int64))
                         possum += (f + 1) * (bs + gs + rs)
                         luma += (299 * rs + 587 * gs + 114 * bs) // (w * h)
                     out["n_frames"].append(len(frames))
@@ -742,10 +743,10 @@ def sample_avi_frames(media: DataFrame, every: int = 2) -> DataFrame:
                     w, h, usf, frames = _avi_parse(bytes(payload or b""))
                     possum = luma = n = 0
                     for s, f in enumerate(range(0, len(frames), every)):
-                        flat = frames[f].reshape(h, w, 3).astype(np.int64)
-                        bs = int(flat[:, :, 0].sum())
-                        gs = int(flat[:, :, 1].sum())
-                        rs = int(flat[:, :, 2].sum())
+                        rows = frames[f]
+                        bs = int(rows[:, 0::3].sum(dtype=np.int64))
+                        gs = int(rows[:, 1::3].sum(dtype=np.int64))
+                        rs = int(rows[:, 2::3].sum(dtype=np.int64))
                         possum += (s + 1) * (bs + gs + rs)
                         luma += (299 * rs + 587 * gs + 114 * bs) // (w * h)
                         n += 1

@@ -34,6 +34,16 @@ from piholelongtermstats_spark.operators import multimodal
 from piholelongtermstats_spark.plans.registry import register
 from piholelongtermstats_spark.plans.registry_m9 import _docs
 
+
+def _sorted(df: DataFrame) -> DataFrame:
+    """media_id total order WITHOUT a global orderBy: a rangepartition
+    sort SAMPLES its boundaries, which re-executes the whole
+    synth+decode upstream (measured: the extra pass alone cost ~1.5 s
+    at sf0.1 — the r11 budget-gate catch). The result is a doc-count
+    relation (integers, kilobytes), so shuffle it to ONE partition and
+    sort there: upstream runs once in parallel, the sort is trivial."""
+    return df.repartition(1).sortWithinPartitions("media_id")
+
 # Channel byte in stored (B,G,R) order: (id·31 + r·13 + c·17 + ch·7) % 256.
 # Dims: w = 13 + id%8 (≤ 20), h = 9 + id%5 (≤ 13).
 
@@ -83,7 +93,7 @@ def q_bmp_decode_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     them with the stdlib byte-level parser (operators/multimodal.py:
     _bmp_parse); exact-integer channel sums + mean luma."""
     media = multimodal.synth_bmp_corpus(_docs(spark, sf_dir))
-    return multimodal.decode_bmp_features(media).orderBy("media_id")
+    return _sorted(multimodal.decode_bmp_features(media))
 
 
 @register("bmp_resize_roundtrip", _bmp_sql(2))
@@ -93,4 +103,4 @@ def q_bmp_resize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     the hash certifies the full decode/re-encode round trip."""
     media = multimodal.synth_bmp_corpus(_docs(spark, sf_dir))
     resized = multimodal.resize_bmp_nearest(media, factor=2)
-    return multimodal.decode_bmp_features(resized).orderBy("media_id")
+    return _sorted(multimodal.decode_bmp_features(resized))

@@ -31,6 +31,16 @@ from piholelongtermstats_spark.operators import multimodal
 from piholelongtermstats_spark.plans.registry import register
 from piholelongtermstats_spark.plans.registry_m9 import _docs
 
+
+def _sorted(df: DataFrame) -> DataFrame:
+    """media_id total order WITHOUT a global orderBy: a rangepartition
+    sort SAMPLES its boundaries, which re-executes the whole
+    synth+decode upstream (measured: the extra pass alone cost ~1.5 s
+    at sf0.1 — the r11 budget-gate catch). The result is a doc-count
+    relation (integers, kilobytes), so shuffle it to ONE partition and
+    sort there: upstream runs once in parallel, the sort is trivial."""
+    return df.repartition(1).sortWithinPartitions("media_id")
+
 # Frame pixel byte (stored B,G,R): (id·31 + f·101 + r·13 + c·17 + ch·7) % 256
 # Dims: w = 13 + id%8, h = 9 + id%5; n_frames = 3 + id%4; 10 fps.
 
@@ -93,7 +103,7 @@ def q_avi_decode_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     decode them with the stdlib chunk walker; positional-weighted
     exact-integer frame features."""
     media = multimodal.synth_avi_corpus(_docs(spark, sf_dir))
-    return multimodal.decode_avi_features(media).orderBy("media_id")
+    return _sorted(multimodal.decode_avi_features(media))
 
 
 @register("avi_frame_sample_check", _avi_sql(2))
@@ -102,4 +112,4 @@ def q_avi_frame_sample_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     payloads; the sample-position weighting certifies selection
     order."""
     media = multimodal.synth_avi_corpus(_docs(spark, sf_dir))
-    return multimodal.sample_avi_frames(media, every=2).orderBy("media_id")
+    return _sorted(multimodal.sample_avi_frames(media, every=2))
