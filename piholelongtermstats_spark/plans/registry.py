@@ -1281,7 +1281,16 @@ def _ensure_bucketed_orderkey(spark: SparkSession, sf_dir: str) -> tuple:
         return _BUCKETED_READY[key]
     ap = os.path.abspath(sf_dir.rstrip("/"))
     tag = re.sub(r"[^A-Za-z0-9_]", "_", os.path.basename(ap))
-    tag = f"{tag}_{hashlib.md5(ap.encode()).hexdigest()[:8]}"
+    # The tag carries the applicationId as well as the sf-dir hash:
+    # the on-disk path is shared host state, and two CONCURRENT
+    # sessions (e.g. a parity run next to the pytest suite) writing
+    # the same path race on each other's _temporary cleanup
+    # (observed: TASK_WRITE_FAILED/chmod-on-missing-file, r11). Keyed
+    # per app, concurrent sessions build side-by-side tables.
+    app = re.sub(
+        r"[^A-Za-z0-9_]", "_", spark.sparkContext.applicationId
+    )[-12:]
+    tag = f"{tag}_{hashlib.md5(ap.encode()).hexdigest()[:8]}_{app}"
     li_t, ord_t = f"phlts_li_bucketed_{tag}", f"phlts_ord_bucketed_{tag}"
     root = os.path.join(tempfile.gettempdir(), "phlts_bucketed", tag)
     li = load_table(spark, sf_dir, "lineitem").select(
