@@ -739,7 +739,8 @@ def contrastive_negatives(
     corpus shuffle. Self-pairs are dropped (an anchor that hash-lands
     on itself yields k-1 negatives — deterministic, documented).
 
-    Returns (doc_id, j, neg_doc_id) ordered by (doc_id, j).
+    Returns (doc_id, j, neg_doc_id); row order is unspecified (the
+    full-size pair relation carries no final sort by design).
     """
     if k < 1:
         raise ValueError("k must be >= 1")
@@ -782,7 +783,6 @@ def contrastive_negatives(
         picks.join(F.broadcast(pool_idx), "_idx")
         .filter(F.col("neg_doc_id") != F.col("doc_id"))
         .select("doc_id", "j", "neg_doc_id")
-        .orderBy("doc_id", "j")
     )
 
 

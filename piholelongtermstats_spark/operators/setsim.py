@@ -305,5 +305,4 @@ def incremental_new_docs(
             F.coalesce("n_matches", F.lit(0)).alias("n_matches"),
             (F.coalesce("n_matches", F.lit(0)) == 0).alias("is_new"),
         )
-        .orderBy("doc_id")
     )

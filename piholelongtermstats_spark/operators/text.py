@@ -843,7 +843,6 @@ def winnowing_fingerprints(
             F.expr(f"wmin DIV {1 << 20}").alias("fp_hash"),
         )
         .distinct()
-        .orderBy("doc_id", "fp_pos", "fp_hash")
     )
 
 

@@ -576,9 +576,7 @@ ORDER BY doc_id, chunk_id
 def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding-window chunk manifest (window 32, stride 24): per-chunk
     token count + md5 over the whole corpus."""
-    return _packing.chunk_documents(_docs(spark, sf_dir)).orderBy(
-        "doc_id", "chunk_id"
-    )
+    return _packing.chunk_documents(_docs(spark, sf_dir))
 
 
 @register("pii_scrub_panel", _PII_SQL)
@@ -620,4 +618,4 @@ def q_pii_scrub_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_phones",
         "n_ips",
         _F.md5(_F.col("scrubbed")).alias("scrub_md5"),
-    ).orderBy("doc_id")
+    )

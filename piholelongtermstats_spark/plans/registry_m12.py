@@ -74,7 +74,7 @@ FROM m ORDER BY doc_id
 @register("gopher_quality_panel", _GOPHER_SQL)
 def q_gopher_quality_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document Gopher rule metrics + integer-exact keep gate."""
-    return _text.gopher_rules(_docs(spark, sf_dir)).orderBy("doc_id")
+    return _text.gopher_rules(_docs(spark, sf_dir))
 
 
 # ---------------------------------------------------------------------------
@@ -376,7 +376,7 @@ FROM m ORDER BY doc_id
 @register("gopher_repetition_panel", _REP_SQL)
 def q_gopher_repetition_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document Gopher repetition metrics + integer-exact gate."""
-    return _text.gopher_repetition(_docs(spark, sf_dir)).orderBy("doc_id")
+    return _text.gopher_repetition(_docs(spark, sf_dir))
 
 
 # ---------------------------------------------------------------------------
@@ -419,7 +419,7 @@ FROM s ORDER BY doc_id
 @register("c4_rules_panel", _C4_SQL)
 def q_c4_rules_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4 line/page cleaning metrics + cleaned text + keep gate."""
-    return _text.c4_rules(_docs(spark, sf_dir)).orderBy("doc_id")
+    return _text.c4_rules(_docs(spark, sf_dir))
 
 
 # ---------------------------------------------------------------------------

@@ -620,6 +620,4 @@ def q_lm_doc_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document add-1-smoothed bigram log-prob — one row per input
     document (empty docs: n_bigrams 0, sums 0). Oracle-checked since
     r11 via the decimal-grid logp quantization (operators/lm.py)."""
-    return lm.doc_logprob(
-        _docs(spark, sf_dir), bg=_lm_bigrams(spark, sf_dir)
-    ).orderBy("doc_id")
+    return lm.doc_logprob(_docs(spark, sf_dir), bg=_lm_bigrams(spark, sf_dir))

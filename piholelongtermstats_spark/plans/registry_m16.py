@@ -197,7 +197,7 @@ ORDER BY s.doc_id
 @register("ppl_bucket_split", _PPL_SQL)
 def q_ppl_bucket_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
-    return lm.ppl_buckets(docs, bg=_lm_bigrams(spark, sf_dir)).orderBy("doc_id")
+    return lm.ppl_buckets(docs, bg=_lm_bigrams(spark, sf_dir))
 
 
 # ---------------------------------------------------------------------------
@@ -410,6 +410,4 @@ ORDER BY d.doc_id
 
 @register("exact_substring_dedup", _ESD_SQL)
 def q_exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return corpus.exact_substring_dedup(_docs(spark, sf_dir), k=_ESD_K).orderBy(
-        "doc_id"
-    )
+    return corpus.exact_substring_dedup(_docs(spark, sf_dir), k=_ESD_K)

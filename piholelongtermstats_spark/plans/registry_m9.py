@@ -186,7 +186,7 @@ def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     and global training-order rank under the seeded md5 key."""
     return packing.epoch_shuffle(
         _docs(spark, sf_dir), epoch=_EPOCH, n_shards=_SHARDS
-    ).orderBy("global_pos")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -265,7 +265,7 @@ FROM w ORDER BY doc_id
 @register("quality_classifier", _QUALITY_CLASSIFIER_SQL)
 def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document hashed-linear quality score and keep decision."""
-    return text.quality_classifier(_docs(spark, sf_dir)).orderBy("doc_id")
+    return text.quality_classifier(_docs(spark, sf_dir))
 
 
 # ---------------------------------------------------------------------------
@@ -527,7 +527,7 @@ def q_epoch_pack_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Packing manifest in the epoch-3 shuffled order (seq_len 512)."""
     return packing.epoch_pack_manifest(
         _docs(spark, sf_dir), epoch=_EPOCH, seq_len=512
-    ).orderBy("doc_id")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -581,9 +581,7 @@ def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         sf_dir,
         lambda: _dedup_mod.simhash(_docs(spark, sf_dir)),
     )
-    return _dedup_mod.simhash_near_dup(
-        _docs(spark, sf_dir), sk=sk
-    ).orderBy("doc_a", "doc_b")
+    return _dedup_mod.simhash_near_dup(_docs(spark, sf_dir), sk=sk)
 
 
 # ---------------------------------------------------------------------------
@@ -636,7 +634,7 @@ def q_minhash_jaccard_est(spark: SparkSession, sf_dir: str) -> DataFrame:
         _docs(spark, sf_dir),
         sh=_shingles9(spark, sf_dir),
         pairs=_lsh_pairs9(spark, sf_dir),
-    ).orderBy("doc_a", "doc_b")
+    )
 
 
 # ---------------------------------------------------------------------------
