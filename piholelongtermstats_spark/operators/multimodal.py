@@ -5,9 +5,11 @@ The Spark-side plumbing here — schemas, Arrow-batched mapInPandas,
 partition sizing — is real and tested. Decode comes in two tiers:
 codec-FREE formats get GENUINE byte-level decoders covering all three
 modalities (audio: WAV via stdlib ``wave``, M53; image: 24-bit BMP via
-stdlib struct + numpy un-padding, M63; video: uncompressed RIFF/AVI
-with DIB frames, M64 — each oracle-checked through synthesis-replay),
-while codec-DEPENDENT formats (jpeg/png/h264…) stay STUBBED:
+stdlib struct + numpy un-padding, M63, and 8-bit RGB PNG via stdlib
+``zlib`` inflate + scanline un-filtering, M65; video: uncompressed
+RIFF/AVI with DIB frames, M64 — each oracle-checked through
+synthesis-replay), while codec-DEPENDENT formats (jpeg/h264…) stay
+STUBBED:
 extract_features raises NotImplementedError unless ``fake=True``,
 which substitutes a deterministic fake feature vector so the pipeline
 shape is testable end-to-end in a container without media libraries.
@@ -765,3 +767,303 @@ def sample_avi_frames(media: DataFrame, every: int = 2) -> DataFrame:
             yield pd.DataFrame(out)
 
     return media.mapInPandas(run, schema=VIDEO_FEATURE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# REAL PNG decode (M65): PNG is fully parseable with the stdlib —
+# ``zlib`` inflates IDAT and CRC-checks every chunk; the scanline
+# filters (None/Sub/Up/Average/Paeth, RFC 2083 §6) are pure integer
+# arithmetic. The synth encoder CYCLES the filter type per row
+# (type = row % 5), so a decoder that mis-inverts ANY of the five
+# filters produces wrong pixel bytes and the synthesis-replay oracle
+# hash fails — the un-filtering is certified, not just the chunk
+# walk. This graduates png from the codec-DEPENDENT stub tier
+# (module head) to the fourth REAL decode (WAV M53, BMP M63,
+# AVI M64, PNG M65). jpeg/h264 stay stubbed (genuine codec math).
+#
+# Scale: same contract as the BMP tier — Arrow-batched mapInPandas,
+# per-row-bounded CPU, payloads ≤ ~1 KB; no shuffle anywhere in the
+# decode path.
+# ---------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(typ: bytes, body: bytes) -> bytes:
+    """One spec-valid PNG chunk: length + type + body + CRC32."""
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(body))
+        + typ
+        + body
+        + struct.pack(">I", zlib.crc32(typ + body) & 0xFFFFFFFF)
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """Paeth predictor (RFC 2083 §6.6): nearest of left/up/up-left."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def _png_filter_row(ftype: int, cur: "object", prev: "object") -> bytes:
+    """Apply scanline filter ``ftype`` to row ``cur`` (uint8, len 3w)
+    given the prior UNFILTERED row ``prev`` (zeros for row 0). bpp=3.
+    All arithmetic is mod 256 (uint8 wraparound), per the spec."""
+    import numpy as np
+
+    n = len(cur)
+    left = np.zeros(n, dtype=np.int64)
+    left[3:] = cur[:-3]
+    upleft = np.zeros(n, dtype=np.int64)
+    upleft[3:] = prev[:-3]
+    up = prev.astype(np.int64)
+    c64 = cur.astype(np.int64)
+    if ftype == 0:
+        out = c64
+    elif ftype == 1:
+        out = c64 - left
+    elif ftype == 2:
+        out = c64 - up
+    elif ftype == 3:
+        out = c64 - (left + up) // 2
+    else:  # Paeth — vectorized predictor selection
+        p = left + up - upleft
+        pa, pb, pc = np.abs(p - left), np.abs(p - up), np.abs(p - upleft)
+        pred = np.where(
+            (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up, upleft)
+        )
+        out = c64 - pred
+    return (out % 256).astype(np.uint8).tobytes()
+
+
+def _png_encode(px: "object") -> bytes:
+    """REAL PNG writer (stdlib struct + zlib): 8-bit RGB (color type
+    2), non-interlaced, filter type CYCLING row % 5 so every filter
+    is exercised in every image (h >= 5 always holds for the synth
+    dims). IDAT is split into two chunks when the deflate stream
+    exceeds 64 bytes, so the decoder's multi-IDAT concatenation is
+    exercised for real too. ``px`` is an (h, w, 3) uint8 array,
+    top-down RGB."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    h, w = px.shape[0], px.shape[1]
+    rows = px.reshape(h, 3 * w)
+    filtered = bytearray()
+    prev = np.zeros(3 * w, dtype=np.uint8)
+    for r in range(h):
+        ftype = r % 5
+        filtered.append(ftype)
+        filtered += _png_filter_row(ftype, rows[r], prev)
+        prev = rows[r]
+    raw = zlib.compress(bytes(filtered), 6)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    mid = len(raw) // 2 if len(raw) > 64 else len(raw)
+    idats = _png_chunk(b"IDAT", raw[:mid])
+    if mid < len(raw):
+        idats += _png_chunk(b"IDAT", raw[mid:])
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + idats
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _png_pixel(media_id: int, r: int, c: int, ch: int) -> int:
+    """Stored-order pixel byte (ch 0/1/2 = R/G/B, PNG's order):
+    (id·31 + r·13 + c·17 + ch·7) % 256 — the _bmp_pixel closed form
+    with PNG's channel order, replayed exactly by the oracle."""
+    return (media_id * 31 + r * 13 + c * 17 + ch * 7) % 256
+
+
+def synth_png_corpus(docs: DataFrame) -> DataFrame:
+    """One REAL 8-bit RGB PNG payload per document (stdlib zlib
+    encoder, deterministic pixels, per-row filter cycling). Dims are
+    the _bmp_dims grid, so one closed-form oracle family covers both
+    image formats."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, ws, hs = [], [], []
+            for media_id in pdf["doc_id"]:
+                mid = int(media_id)
+                w, h = _bmp_dims(mid)
+                r = np.arange(h)[:, None, None]
+                c = np.arange(w)[None, :, None]
+                ch = np.arange(3)[None, None, :]
+                px = ((mid * 31 + r * 13 + c * 17 + ch * 7) % 256).astype(
+                    np.uint8
+                )
+                payloads.append(_png_encode(px))
+                ws.append(w)
+                hs.append(h)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "payload": payloads,
+                    "mime": "image/png",
+                    "width": pd.array(ws, dtype="Int32"),
+                    "height": pd.array(hs, dtype="Int32"),
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
+def _png_parse(payload: bytes) -> "tuple[int, int, object, int]":
+    """REAL PNG parse: signature check, chunk walk with CRC32
+    verification on EVERY chunk, IHDR validation (8-bit RGB color
+    type 2, non-interlaced only), multi-IDAT concatenation, zlib
+    inflate, and scanline UN-filtering (all five filter types).
+    Returns (w, h, top-down (h, 3w) uint8 RGB array, raw_len) where
+    raw_len is the decompressed filtered-stream length h·(1+3w) —
+    the closed-form size the oracle replays (the COMPRESSED length
+    depends on the deflate implementation and is deliberately not a
+    feature)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    w = h = None
+    idat = bytearray()
+    pos = 8
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        typ = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + length]
+        if len(body) != length:
+            raise ValueError("truncated chunk")
+        (crc,) = struct.unpack(
+            ">I", payload[pos + 8 + length : pos + 12 + length]
+        )
+        if zlib.crc32(typ + body) & 0xFFFFFFFF != crc:
+            raise ValueError("bad chunk CRC")
+        if typ == b"IHDR":
+            w, h, depth, ctype, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+            if (depth, ctype, comp, filt, interlace) != (8, 2, 0, 0, 0):
+                raise ValueError("unsupported PNG variant")
+        elif typ == b"IDAT":
+            idat += body
+        elif typ == b"IEND":
+            break
+        pos += 12 + length
+    if w is None or h is None or w <= 0 or h <= 0 or not idat:
+        raise ValueError("missing PNG headers")
+    raw = zlib.decompress(bytes(idat))
+    rb = 3 * w
+    if len(raw) != h * (1 + rb):
+        raise ValueError("wrong scanline stream length")
+    out = np.zeros((h, rb), dtype=np.uint8)
+    for r in range(h):
+        ftype = raw[r * (1 + rb)]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=rb, offset=r * (1 + rb) + 1
+        ).astype(np.int64)
+        prev = out[r - 1].astype(np.int64) if r else np.zeros(rb, np.int64)
+        if ftype == 0:
+            cur = line
+        elif ftype == 2:
+            cur = (line + prev) % 256
+        else:
+            # Sub/Average/Paeth depend on the just-reconstructed left
+            # pixel — sequential in c, vectorized across channels.
+            # Rows are <= 60 bytes here; real deployments would keep
+            # this loop in numpy-per-row exactly the same way.
+            cur = np.zeros(rb, dtype=np.int64)
+            for i in range(rb):
+                a = int(cur[i - 3]) if i >= 3 else 0
+                b = int(prev[i])
+                cc = int(prev[i - 3]) if i >= 3 else 0
+                if ftype == 1:
+                    pred = a
+                elif ftype == 3:
+                    pred = (a + b) // 2
+                elif ftype == 4:
+                    pred = _paeth(a, b, cc)
+                else:
+                    raise ValueError("bad filter type")
+                cur[i] = (int(line[i]) + pred) % 256
+        out[r] = cur.astype(np.uint8)
+    return w, h, out, len(raw)
+
+
+def decode_png_features(media: DataFrame) -> DataFrame:
+    """REAL PNG decode over binary payloads — chunk walk, CRC check,
+    inflate, un-filter — with the BMP tier's exact-integer feature
+    shape (IMAGE_FEATURE_SCHEMA): per-channel sums, total checksum,
+    integer mean luma. n_bytes is the DECOMPRESSED filtered-stream
+    length h·(1+3w) (deterministic; the deflate size is not).
+    Unparseable payloads quarantine as is_valid = 0."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                "media_id", "width", "height", "n_bytes", "checksum",
+                "b_sum", "g_sum", "r_sum", "mean_luma_milli", "is_valid",
+            )}
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                out["media_id"].append(media_id)
+                try:
+                    w, h, rows, raw_len = _png_parse(bytes(payload or b""))
+                    rs = int(rows[:, 0::3].sum(dtype=np.int64))
+                    gs = int(rows[:, 1::3].sum(dtype=np.int64))
+                    bs = int(rows[:, 2::3].sum(dtype=np.int64))
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    out["n_bytes"].append(raw_len)
+                    out["checksum"].append(bs + gs + rs)
+                    out["b_sum"].append(bs)
+                    out["g_sum"].append(gs)
+                    out["r_sum"].append(rs)
+                    out["mean_luma_milli"].append(
+                        (299 * rs + 587 * gs + 114 * bs) // (w * h)
+                    )
+                    out["is_valid"].append(1)
+                except Exception:  # noqa: BLE001 — quarantine, not crash
+                    for k in ("width", "height", "n_bytes", "checksum",
+                              "b_sum", "g_sum", "r_sum", "mean_luma_milli"):
+                        out[k].append(None)
+                    out["is_valid"].append(0)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, schema=IMAGE_FEATURE_SCHEMA)
+
+
+def resize_png_nearest(media: DataFrame, factor: int = 2) -> DataFrame:
+    """REAL PNG resize round trip: decode (inflate + un-filter),
+    nearest-neighbor downsample by integer ``factor`` (numpy
+    striding), RE-ENCODE as a valid PNG (re-filter + deflate). The
+    registry decodes the output again, so the hash certifies encode
+    AND decode of both filter pipelines."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "payload": [], "width": [], "height": []}
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                w, h, rows, _raw = _png_parse(bytes(payload or b""))
+                px = rows.reshape(h, w, 3)[::factor, ::factor]
+                out["media_id"].append(media_id)
+                out["payload"].append(_png_encode(px))
+                out["width"].append(px.shape[1])
+                out["height"].append(px.shape[0])
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, schema=RESIZED_SCHEMA)

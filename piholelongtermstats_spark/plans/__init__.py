@@ -84,6 +84,7 @@ from piholelongtermstats_spark.plans import registry_m61  # noqa: F401  (registe
 from piholelongtermstats_spark.plans import registry_m62  # noqa: F401  (registers M62 queries)
 from piholelongtermstats_spark.plans import registry_m63  # noqa: F401  (registers M63 queries)
 from piholelongtermstats_spark.plans import registry_m64  # noqa: F401  (registers M64 queries)
+from piholelongtermstats_spark.plans import registry_m65  # noqa: F401  (registers M65 queries)
 from piholelongtermstats_spark.plans import registry_panels  # noqa: F401  (fused panels)
 from piholelongtermstats_spark.plans.registry import ORACLE, QUERIES  # noqa: F401
 
