@@ -69,3 +69,40 @@ def test_fd_registry_shape(spark):
     rows = out.collect()
     assert [r.rank for r in rows] == [1, 2, 3, 4, 5]
     assert all(rows[i].sigma >= rows[i + 1].sigma for i in range(len(rows) - 1))
+
+
+def test_fd_spectrum_audit_verdicts_and_tie_in(spark):
+    """All verdicts hold on a well-behaved matrix, and the quantized
+    Frobenius tie-in matches a pure-Python recompute."""
+    x = _rng_matrix(300, 16)
+    out = fd.fd_spectrum_audit(_emb_df(spark, x), ell=8, dim=16, top=5).collect()
+    assert [r.rank for r in out] == [1, 2, 3, 4, 5]
+    want_q = sum(int(np.floor(float(v) * 1000)) ** 2 for row in x for v in row)
+    for r in out:
+        assert r.n_rows == 300
+        assert r.fro2_q == want_q
+        assert r.not_over == 1
+        assert r.within_bound == 1
+        assert r.fro_contained == 1
+
+
+def test_fd_spectrum_audit_catches_inflated_sketch(spark, monkeypatch):
+    """Adversarial: an FD implementation that overestimates a singular
+    value must flip not_over to 0 (i.e. the driver hash would fail)."""
+    real = fd._merge_sketches
+
+    def inflated(ell, dim):
+        inner = real(ell, dim)
+
+        def merge(batches):
+            for pdf in inner(batches):
+                pdf = pdf.copy()
+                pdf["sigma"] = pdf["sigma"] * 10.0
+                yield pdf
+
+        return merge
+
+    monkeypatch.setattr(fd, "_merge_sketches", inflated)
+    x = _rng_matrix(300, 16)
+    out = fd.fd_spectrum_audit(_emb_df(spark, x), ell=8, dim=16, top=5).collect()
+    assert any(r.not_over == 0 for r in out)
