@@ -28,6 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from piholelongtermstats_spark.operators.ranks import dense_order_index
 from piholelongtermstats_spark.operators.text import STOPWORDS, md5_hash60, tokens
 
 
@@ -733,8 +734,9 @@ def contrastive_negatives(
     full corpus (a corpus-wide uniform draw would need a dense-id
     spine — a global window). The pool is a deterministic hash sample
     (md5(doc_id) % pool_mod == 0 — the hash_sample convention), its
-    dense index comes from a row_number over pool-sized input (the
-    documented tiny-window exemption), and each anchor picks its j-th
+    dense index comes from the range-partitioned distributed form
+    (ranks.dense_order_index — no unpartitioned window even though the
+    pool is 1/pool_mod of the corpus), and each anchor picks its j-th
     negative as md5(doc_id:j) % pool_size — a broadcast join, zero
     corpus shuffle. Self-pairs are dropped (an anchor that hash-lands
     on itself yields k-1 negatives — deterministic, documented).
@@ -747,14 +749,15 @@ def contrastive_negatives(
     pool = docs.filter(
         md5_hash60(F.col("doc_id").cast("string")) % pool_mod == 0
     ).select(F.col("doc_id").alias("neg_doc_id"))
-    # pool is ~|docs|/pool_mod rows; the dense index is a window over
-    # that tiny relation only (never the corpus).
-    pool_idx = pool.select(
-        "neg_doc_id",
-        (
-            F.row_number().over(Window.orderBy("neg_doc_id")) - 1
-        ).alias("_idx"),
-    )
+    # pool is ~|docs|/pool_mod rows — smaller than the corpus but still
+    # corpus-PROPORTIONAL at fixed pool_mod, so the dense index uses
+    # the distributed range-partitioned form (ranks.dense_order_index),
+    # never an unpartitioned window: same sort-order semantics (the
+    # oracle's ROW_NUMBER OVER (ORDER BY neg_doc_id) replays it), no
+    # single-partition funnel at any pool size.
+    pool_idx = dense_order_index(
+        pool, [F.col("neg_doc_id").asc()], out="_r"
+    ).select("neg_doc_id", (F.col("_r") - 1).alias("_idx"))
     pool_n = pool_idx.agg(F.count(F.lit(1)).alias("_pn"))
 
     picks = (

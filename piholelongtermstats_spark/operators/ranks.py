@@ -55,6 +55,68 @@ def client_rank_metrics(
     )
 
 
+def dense_order_index(
+    df: DataFrame,
+    order_cols: list,
+    n_parts: int = 32,
+    out: str = "_rank",
+    total: "str | None" = None,
+) -> DataFrame:
+    """Append a global 1-based dense index in ``order_cols`` order
+    WITHOUT an unpartitioned window over ``df`` itself — the
+    distributed total-order idiom shared by the rank panel and the
+    contrastive-negative pool index (operators/corpus.py):
+
+      1. ``repartitionByRange`` on the order key — the sampled
+         RangePartitioner guarantees partition i sorts wholly before
+         partition i+1, so local order + offsets = global order
+         regardless of where the sampled boundaries land;
+      2. row_number PARTITIONED by the physical range partition
+         (parallel; each task sorts only its slice);
+      3. prefix-sum offsets over the n_parts-row size relation — the
+         only ordered window, n_parts rows at ANY input cardinality —
+         broadcast back; index = offset + local row_number.
+
+    ``order_cols`` must be a total order (unique key) for the index to
+    be deterministic. ``total``: optionally also attach the overall
+    row count under this name (used by the rank panel's closed-form
+    ntile/percent_rank). Result keeps all input columns plus ``out``
+    (+ ``total``); row order is unspecified.
+    """
+    parts = df.repartitionByRange(n_parts, *order_cols).withColumn(
+        "_dpid", F.spark_partition_id()
+    )
+    w_local = Window.partitionBy("_dpid").orderBy(*order_cols)
+    local = parts.withColumn("_dlr", F.row_number().over(w_local).cast("long"))
+    sizes = local.groupBy("_dpid").agg(
+        F.count(F.lit(1)).cast("long").alias("_dsz")
+    )
+    w_off = Window.orderBy("_dpid").rowsBetween(Window.unboundedPreceding, -1)
+    off_cols = [
+        F.col("_dpid"),
+        F.coalesce(F.sum("_dsz").over(w_off), F.lit(0))
+        .cast("long")
+        .alias("_doff"),
+    ]
+    if total is not None:
+        off_cols.append(
+            F.sum("_dsz")
+            .over(
+                Window.orderBy("_dpid").rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            )
+            .cast("long")
+            .alias(total)
+        )
+    offs = sizes.select(*off_cols)
+    return (
+        local.join(F.broadcast(offs), "_dpid")
+        .withColumn(out, (F.col("_doff") + F.col("_dlr")).cast("long"))
+        .drop("_dpid", "_dlr", "_doff")
+    )
+
+
 def client_rank_metrics_ranged(
     fact: DataFrame, buckets: int = 4, n_parts: int = 32
 ) -> DataFrame:
@@ -90,28 +152,12 @@ def _ranked_panel(per: DataFrame, buckets: int, n_parts: int) -> DataFrame:
          group of one). Equality with the window variant is pinned in
          tests/test_ranks_scale.py.
     """
-    parts = per.repartitionByRange(
-        n_parts, F.col("cnt").desc(), F.col("client").asc()
-    ).withColumn("_pid", F.spark_partition_id())
-    w_local = Window.partitionBy("_pid").orderBy(
-        F.col("cnt").desc(), F.col("client").asc()
-    )
-    local = parts.withColumn("_lr", F.row_number().over(w_local).cast("long"))
-    sizes = local.groupBy("_pid").agg(F.count(F.lit(1)).cast("long").alias("_sz"))
-    w_off = Window.orderBy("_pid").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    offs = sizes.select(
-        "_pid",
-        F.coalesce(F.sum("_sz").over(w_off), F.lit(0)).cast("long").alias("_off"),
-        F.sum("_sz").over(
-            Window.orderBy("_pid").rowsBetween(
-                Window.unboundedPreceding, Window.unboundedFollowing
-            )
-        ).cast("long").alias("_n"),
-    )
-    ranked = local.join(F.broadcast(offs), "_pid").withColumn(
-        "_rank", (F.col("_off") + F.col("_lr")).cast("long")
+    ranked = dense_order_index(
+        per,
+        [F.col("cnt").desc(), F.col("client").asc()],
+        n_parts=n_parts,
+        out="_rank",
+        total="_n",
     )
     n, rk = F.col("_n"), F.col("_rank")
     k = int(buckets)

@@ -103,16 +103,31 @@ TOP_50 = [
     "session_summary",
     "client_running_zscore",
     # --- beyond-reference scale operators ---
-    "salted_top_domains",
+    # r12 rotation (r11 VERDICT #4 — oldest-never-hashed first; only
+    # 115 of 304 registry queries had ever carried a driver hash):
+    # binary_quant_ann takes salted_top_domains' slot (top-K keeps
+    # top_domain_top_client + top_clients_stacked driver rows, and
+    # salted shares top_domains' byte-identical oracle in parity);
+    # gaps_scale_2x takes pii_scrub_panel's (the W2 consecutive-gap
+    # doubling proof gets its first driver hash, as streaks_scale_2x
+    # did in r6; the text family keeps text_panel's driver row);
+    # span_dedup takes winnowing_fingerprints' (same fingerprint
+    # family, winnowing driver-green r7-r11, span never hashed);
+    # stratified_sample takes incremental_dedup_ingest's (driver-green
+    # r7-r11; dedup keeps dedup_scale_2x + ngram_jaccard_capped +
+    # semantic_dedup_trained rows — and the stratified leg of
+    # sampling_panel gets its own first-class hash).
+    "binary_quant_ann",
     "asof_rollup_enrich",
     "range_join_blocked_windows",
+    "gaps_scale_2x",
     "range_scan_pruned",
     # --- TPC-H-shaped join suite ---
     "pricing_summary",
     "waiting_suppliers",
     "region_nation_revenue",
     # --- LLM-training-data pipeline tier ---
-    "pii_scrub_panel",
+    "span_dedup",
     "ngram_jaccard_capped",
     "funnel_conversion",
     "text_panel",
@@ -122,15 +137,24 @@ TOP_50 = [
     # graph family keeps pagerank_top's driver row; triangles stay
     # parity-green below).
     "avi_decode_panel",
-    "heavy_hitters_exact",
-    "incremental_dedup_ingest",
+    # r12 same-round rotation of this round's own graduations (the
+    # r11 protocol — new hash-green entries get their driver row the
+    # round they land): fd_spectrum_audit takes heavy_hitters_exact's
+    # slot (driver-green r7-r11; the exact/sketch audit family keeps
+    # hll_distinct_audit + quantile_sketch_eval driver rows), and
+    # png_decode_panel takes wav_decode_panel's (media keeps the BMP
+    # and AVI decode driver rows; the PNG row is strictly stronger —
+    # deflate + five scanline filters vs the WAV container walk; WAV
+    # stays parity-green below the line).
+    "fd_spectrum_audit",
+    "stratified_sample",
     # r11 (M63): the REAL image decode panel takes the generic stub
     # check's slot — a stronger row (byte-level BMP parse + integer
     # features, synthesis-replay oracle, the wav_decode_panel twin);
     # media_pipeline_check stays parity-green below.
     "bmp_decode_panel",
     "corpus_build",
-    "winnowing_fingerprints",
+    "png_decode_panel",
     "bootstrap_daily_mean_ci",
     "bloom_contamination",
     "dedup_scale_2x",
@@ -138,7 +162,6 @@ TOP_50 = [
     "hll_distinct_audit",
     "scd2_pit_enrich",
     "dp_noised_daily_counts",
-    "wav_decode_panel",
     "quality_lift_table",
     # --- r11 rotation (r10 VERDICT #1): the eight oracle-green
     # entries that had never been driver-hashed — M59–M62
@@ -361,6 +384,14 @@ TOP_50 = [
 # per-key avg with pinned NULL ordering stays through reply_time_stats
 # and the topk family). All five stay parity-green below the line.
 _OVERFLOW = [
+    # r12 rotation retirees (rationales at the TOP_50 comments; all
+    # stay parity-green here, every family keeps a driver row):
+    "salted_top_domains",
+    "pii_scrub_panel",
+    "winnowing_fingerprints",
+    "incremental_dedup_ingest",
+    "heavy_hitters_exact",
+    "wav_decode_panel",
     # r11 same-round-rotation retirees (all green since their landing
     # round; each family keeps a driver row — rationale at the TOP_50
     # rotation comment): semantic_dedup, ann_scale_2x,
@@ -410,7 +441,6 @@ _OVERFLOW = [
     "client_domain_scatter",
     "filtered_timeseries_client",
     "avg_gap_per_status",
-    "binary_quant_ann",
     "sampling_panel",
     "ivfpq_ann_topk",
     "ivf_ann_topk",
@@ -444,15 +474,12 @@ _OVERFLOW = [
     "media_byte_stats",
     "media_resize_check",
     "media_frames_check",
-    "stratified_sample",
     "hash_sample",
     "mix_sample",
     "corpus_delta",
     "doc_repetition",
-    "gaps_scale_2x",
     "sessions_scale_2x",
     "pricing_scale_2x",
-    "span_dedup",
     "scd2_history_n",
     "dsir_bucket_counts",
     "jsonl_ingest_check",

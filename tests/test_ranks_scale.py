@@ -65,9 +65,9 @@ def test_ranged_equals_window_variant_2x(spark):
 def test_threshold_routes_to_ranged_plan(spark):
     """Crossing two_level_threshold must produce a plan with NO
     unpartitioned window over the client relation: every
-    windowspecdefinition ordering cnt carries the _pid partition
-    column, and the only ordered-unpartitioned window runs over the
-    n_parts-row size relation."""
+    windowspecdefinition ordering cnt carries the _dpid partition
+    column (ranks.dense_order_index), and the only ordered-
+    unpartitioned window runs over the n_parts-row size relation."""
     import re
 
     fact = make_fact(spark, _many_client_rows(60))
@@ -75,7 +75,7 @@ def test_threshold_routes_to_ranged_plan(spark):
     plan = df._jdf.queryExecution().optimizedPlan().toString()
     bad = re.findall(r"windowspecdefinition\(cnt#", plan)
     assert not bad, f"unpartitioned client-relation window: {bad}"
-    assert "_pid" in plan  # the two-level path was actually taken
+    assert "_dpid" in plan  # the two-level path was actually taken
     # equality with the window panel still holds after routing
     base = _panel_key(client_rank_metrics(fact).collect())
     assert _panel_key(df.collect()) == base
@@ -85,7 +85,7 @@ def test_threshold_not_crossed_keeps_window_plan(spark):
     fact = make_fact(spark, _many_client_rows(20))
     df = client_rank_metrics(fact, two_level_threshold=1000)
     plan = df._jdf.queryExecution().optimizedPlan().toString()
-    assert "_pid" not in plan
+    assert "_dpid" not in plan
 
 
 def test_ntile_small_n_edge(spark):
