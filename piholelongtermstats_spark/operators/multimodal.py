@@ -61,6 +61,33 @@ def docs_as_media(docs: DataFrame) -> DataFrame:
     )
 
 
+def _spread(ids: DataFrame) -> DataFrame:
+    """Hash-repartition the (tiny) doc_id relation before a CPU-bound
+    synth→resize→decode mapInPandas chain. The synthetic corpora
+    inherit the input's FILE partitioning — one small parquet file =
+    one partition — which serializes the whole Python codec chain no
+    matter how many cores exist. Spreading the 8-byte ids across
+    ``spark.sql.shuffle.partitions`` (the cluster-tuned knob, not a
+    literal) costs one counts-sized shuffle and lets every downstream
+    narrow stage run at full parallelism; real media payloads arrive
+    already spread across many files, so this just mirrors the
+    production layout for the synth path.
+
+    The partition count is EXPLICIT (AQE coalesces an unnumbered
+    repartition of a 40 KB id relation straight back to one partition
+    — it sizes shuffles by bytes, which is exactly wrong for a
+    downstream CPU-bound Python codec stage), and the shuffle is
+    SKIPPED when the input already carries >= defaultParallelism
+    partitions — at 100 TB the id relation arrives in thousands of
+    file splits and re-hashing billions of ids would be pure waste;
+    the spread only pays for itself when the scan under-parallelizes
+    the codec stage."""
+    sc = ids.sparkSession.sparkContext
+    if ids.rdd.getNumPartitions() >= sc.defaultParallelism:
+        return ids
+    return ids.repartition(sc.defaultParallelism, F.col("doc_id"))
+
+
 def _fake_feature(payload: bytes, dim: int = 8) -> list[float]:
     """Deterministic stand-in for a real decoder: bucket byte sums.
 
@@ -258,7 +285,9 @@ def synth_wav_corpus(docs: DataFrame) -> DataFrame:
                 }
             )
 
-    return docs.select("doc_id").mapInPandas(run, schema=MEDIA_SCHEMA)
+    return _spread(docs.select("doc_id")).mapInPandas(
+        run, schema=MEDIA_SCHEMA
+    )
 
 
 def decode_wav_features(media: DataFrame) -> DataFrame:
@@ -414,7 +443,9 @@ def synth_bmp_corpus(docs: DataFrame) -> DataFrame:
                 }
             )
 
-    return docs.select("doc_id").mapInPandas(run, schema=MEDIA_SCHEMA)
+    return _spread(docs.select("doc_id")).mapInPandas(
+        run, schema=MEDIA_SCHEMA
+    )
 
 
 def _bmp_parse(payload: bytes) -> "tuple[int, int, object]":
@@ -632,7 +663,9 @@ def synth_avi_corpus(docs: DataFrame) -> DataFrame:
                 }
             )
 
-    return docs.select("doc_id").mapInPandas(run, schema=MEDIA_SCHEMA)
+    return _spread(docs.select("doc_id")).mapInPandas(
+        run, schema=MEDIA_SCHEMA
+    )
 
 
 def _avi_parse(payload: bytes) -> "tuple[int, int, int, list]":
@@ -803,7 +836,10 @@ def _png_chunk(typ: bytes, body: bytes) -> bytes:
 
 
 def _paeth(a: int, b: int, c: int) -> int:
-    """Paeth predictor (RFC 2083 §6.6): nearest of left/up/up-left."""
+    """Paeth predictor (RFC 2083 §6.6): nearest of left/up/up-left.
+    Reference form, pinned exhaustively by tests/test_m65.py; the
+    decode hot loop in _png_parse inlines the same arithmetic (a
+    per-pixel function call there was the profile's top cost)."""
     p = a + b - c
     pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
     if pa <= pb and pa <= pc:
@@ -919,7 +955,9 @@ def synth_png_corpus(docs: DataFrame) -> DataFrame:
                 }
             )
 
-    return docs.select("doc_id").mapInPandas(run, schema=MEDIA_SCHEMA)
+    return _spread(docs.select("doc_id")).mapInPandas(
+        run, schema=MEDIA_SCHEMA
+    )
 
 
 def _png_parse(payload: bytes) -> "tuple[int, int, object, int]":
@@ -970,37 +1008,54 @@ def _png_parse(payload: bytes) -> "tuple[int, int, object, int]":
     rb = 3 * w
     if len(raw) != h * (1 + rb):
         raise ValueError("wrong scanline stream length")
-    out = np.zeros((h, rb), dtype=np.uint8)
+    # Un-filtering is inherently row-sequential (filters 2-4 read the
+    # just-RECONSTRUCTED prior row) and, for Sub/Average/Paeth, left-
+    # sequential within the row — so it runs as plain-Python byte
+    # loops on `bytes`/lists (int indexing, no numpy scalar boxing:
+    # ~5x faster than per-pixel ndarray access at these row widths,
+    # measured in the bench budget gate). The feature math downstream
+    # stays vectorized on the assembled (h, 3w) array.
+    rows = []
+    prev = [0] * rb
     for r in range(h):
-        ftype = raw[r * (1 + rb)]
-        line = np.frombuffer(
-            raw, dtype=np.uint8, count=rb, offset=r * (1 + rb) + 1
-        ).astype(np.int64)
-        prev = out[r - 1].astype(np.int64) if r else np.zeros(rb, np.int64)
+        base = r * (1 + rb)
+        ftype = raw[base]
+        line = raw[base + 1 : base + 1 + rb]
         if ftype == 0:
-            cur = line
+            cur = list(line)
         elif ftype == 2:
-            cur = (line + prev) % 256
-        else:
-            # Sub/Average/Paeth depend on the just-reconstructed left
-            # pixel — sequential in c, vectorized across channels.
-            # Rows are <= 60 bytes here; real deployments would keep
-            # this loop in numpy-per-row exactly the same way.
-            cur = np.zeros(rb, dtype=np.int64)
+            cur = [(line[i] + prev[i]) & 255 for i in range(rb)]
+        elif ftype == 1:
+            cur = [0] * rb
             for i in range(rb):
-                a = int(cur[i - 3]) if i >= 3 else 0
-                b = int(prev[i])
-                cc = int(prev[i - 3]) if i >= 3 else 0
-                if ftype == 1:
-                    pred = a
-                elif ftype == 3:
-                    pred = (a + b) // 2
-                elif ftype == 4:
-                    pred = _paeth(a, b, cc)
-                else:
-                    raise ValueError("bad filter type")
-                cur[i] = (int(line[i]) + pred) % 256
-        out[r] = cur.astype(np.uint8)
+                a = cur[i - 3] if i >= 3 else 0
+                cur[i] = (line[i] + a) & 255
+        elif ftype == 3:
+            cur = [0] * rb
+            for i in range(rb):
+                a = cur[i - 3] if i >= 3 else 0
+                cur[i] = (line[i] + ((a + prev[i]) >> 1)) & 255
+        elif ftype == 4:
+            cur = [0] * rb
+            for i in range(rb):
+                a = cur[i - 3] if i >= 3 else 0
+                b = prev[i]
+                cc = prev[i - 3] if i >= 3 else 0
+                p = a + b - cc
+                pa = p - a if p >= a else a - p
+                pb = p - b if p >= b else b - p
+                pc = p - cc if p >= cc else cc - p
+                pred = (
+                    a
+                    if pa <= pb and pa <= pc
+                    else (b if pb <= pc else cc)
+                )
+                cur[i] = (line[i] + pred) & 255
+        else:
+            raise ValueError("bad filter type")
+        rows.append(cur)
+        prev = cur
+    out = np.array(rows, dtype=np.uint8).reshape(h, rb)
     return w, h, out, len(raw)
 
 
