@@ -9,6 +9,7 @@ scale — the canonical Spark shape for whole-table scalar stats.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -349,19 +350,22 @@ def dp_noised_daily_counts(
     needs an ε budget ledger across repeated queries — composition is
     out of scope here.
 
-    **real_noise leakage caveat (r10 ADVICE):** the secret uniforms
-    are embedded as literal rows of a driver-built broadcast frame,
-    so they are recoverable from plan dumps, ``explain`` output, and
-    Spark event logs — anyone with log/UI access can subtract the
-    noise and recover true_cnt. The draw is deliberately NOT moved
-    executor-side: an executor draw re-executes on task retry and on
-    every action, so one logical release could emit different noise
-    per evaluation (silently spending ε per action — worse than the
-    leak). A production deployment must treat plan/event logs as part
-    of the trust boundary: disable event logging for the release job
-    (``spark.eventLog.enabled=false``), restrict UI/history-server
-    access, or pre-materialize the noised release through an
-    access-controlled table and grant consumers only the table.
+    **real_noise secrecy design (r11 VERDICT #6):** the secret is a
+    single 32-byte key drawn once per call from OS entropy
+    (``os.urandom``) and shipped ONLY inside the pandas_udf closure —
+    it never appears as a plan literal, so ``explain(extended)``,
+    event logs, and the history server show ``pythonUDF0(...)`` and
+    nothing recoverable (pinned by test_m54). Each day's uniform is
+    the keyed PRF ``sha256(key || date)`` — deterministic per (key,
+    date), so task retries and repeated actions on the SAME returned
+    frame emit IDENTICAL noise (no silent ε re-spend per evaluation,
+    the failure mode that ruled out a naive executor-side
+    SystemRandom draw), while two CALLS draw fresh keys and remain
+    mutually non-replayable. Residual channels a production
+    deployment must still own: the pickled closure travels in the
+    task binary (executor compromise reveals the key — same trust
+    boundary as the data itself), and repeated releases need an ε
+    composition ledger.
 
     Determinism of the audit path (the Poisson-bootstrap convention):
     the per-day uniform comes from the engine-wide 60-bit md5
@@ -377,10 +381,11 @@ def dp_noised_daily_counts(
     IDENTICAL expression tree over the secret uniforms.
 
     Scale: one map-side-combined groupBy(date) plus a row-local
-    projection. Nothing else. The real-noise path joins a broadcast
-    one-uniform-per-date literal frame (|dates| rows, driver-built —
-    fine at any fact volume; at 10⁵+ distinct dates switch the
-    entropy source to a per-executor seeded-then-discarded generator).
+    projection. Nothing else. The real-noise path adds one Arrow
+    stage over the ALREADY-AGGREGATED |dates|-row relation (the keyed
+    PRF — a deliberate vectorized-UDF exception, it exists precisely
+    because the secret must stay out of the JVM expression tree);
+    no extra shuffle, no driver round-trip, any number of dates.
     """
     from piholelongtermstats_spark.operators.resample import _md5_60bit
 
@@ -388,17 +393,34 @@ def dp_noised_daily_counts(
         F.count(F.lit(1)).cast("long").alias("true_cnt")
     )
     if real_noise:
-        import random
+        import hashlib
+        import os
 
-        sysrand = random.SystemRandom()
-        dates = [r[0] for r in daily.select("date").distinct().collect()]
-        spark = fact.sparkSession
-        udf = spark.createDataFrame(
-            [(d, sysrand.randrange(1_000_000_000)) for d in dates],
-            "date date, ppb_secret long",
+        from pyspark.sql.functions import pandas_udf
+
+        secret_key = os.urandom(32)
+
+        @pandas_udf("long")
+        def _secret_ppb(date_s: pd.Series) -> pd.Series:
+            return pd.Series(
+                [
+                    int.from_bytes(
+                        hashlib.sha256(
+                            secret_key + str(d).encode()
+                        ).digest()[:8],
+                        "big",
+                    )
+                    % 1_000_000_000
+                    for d in date_s
+                ],
+                dtype="int64",
+            )
+
+        daily = daily.withColumn(
+            "_ppb_secret",
+            _secret_ppb(F.date_format("date", "yyyy-MM-dd")),
         )
-        daily = daily.join(F.broadcast(udf), "date")
-        return _laplace_release(daily, F.col("ppb_secret"), epsilon_x1000)
+        return _laplace_release(daily, F.col("_ppb_secret"), epsilon_x1000)
     ppb = (
         _md5_60bit(
             F.concat_ws(
