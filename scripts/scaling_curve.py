@@ -227,14 +227,67 @@ def main() -> int:
         results[("setsim_bld", k)] = (n, dt)
         sh.unpersist()
 
+    # ×16 certification legs (r11 VERDICT #7): the three heaviest
+    # families extended past the ×8 grid, so a slope inflection that
+    # only appears once fixed overhead is fully amortized would show.
+    # Each leg is the COLD end-to-end pipeline from the persisted
+    # scaled input: ngram16 = shingle build + df_cap candidate join +
+    # exact re-score; dedup16 = shingles → MinHash/LSH banding →
+    # star-contraction components → survivors; basket16 = the pair
+    # self-join with relative support (min_support scales with k).
+    KS16 = (1, 2, 4, 8, 16)
+    from piholelongtermstats_spark.operators import corpus as _corpus
+    from piholelongtermstats_spark.operators.dedup import (
+        duplicate_clusters_star,
+        ngram_jaccard_pairs,
+    )
+
+    for k in KS16:
+        docs = salted_docs(k).persist()
+        n = docs.count()
+
+        def run_ngram(d=docs):
+            return ngram_jaccard_pairs(d, 0.8, df_cap=100).count()
+
+        def run_e2e(d=docs):
+            clusters = duplicate_clusters_star(lsh_candidate_pairs(d))
+            return (
+                _corpus.dedup_survivors(d, clusters)
+                .filter(F.col("kept") == 1)
+                .count()
+            )
+
+        for nm, leg in (("ngram16", run_ngram), ("dedup16", run_e2e)):
+            leg()  # warm
+            t0 = time.perf_counter()
+            leg()
+            results[(nm, k)] = (n, round(time.perf_counter() - t0, 3))
+        docs.unpersist()
+
+    for k in KS16:
+        fact = shifted(k).persist()
+        n = fact.count()
+
+        def run_basket(f=fact, _k=k):
+            return domain_association_rules(
+                f, min_support=3 * _k, top_k=25, basket_cap=64
+            ).collect()
+
+        run_basket()  # warm
+        t0 = time.perf_counter()
+        run_basket()
+        results[("basket16", k)] = (n, round(time.perf_counter() - t0, 3))
+        fact.unpersist()
+
     print(f"{'op':10s} {'k':>2s} {'rows':>9s} {'sec':>7s} {'vs 1x':>6s}")
     for name in (
         "streaks", "rollup", "heavy_hit", "mad_robust", "basket",
         "behavior", "bootstrap", "survival", "running_z", "holt_w",
         "lsh_dedup", "setsim", "setsim_bld",
+        "ngram16", "dedup16", "basket16",
     ):
         base_t = results[(name, 1)][1]
-        for k in KS:
+        for k in KS16 if name.endswith("16") else KS:
             n, dt = results[(name, k)]
             print(f"{name:10s} {k:2d} {n:9d} {dt:7.3f} {dt / base_t:6.2f}")
     return 0
