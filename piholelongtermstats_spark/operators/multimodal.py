@@ -8,8 +8,10 @@ modalities (audio: WAV via stdlib ``wave``, M53; image: 24-bit BMP via
 stdlib struct + numpy un-padding, M63, and 8-bit RGB PNG via stdlib
 ``zlib`` inflate + scanline un-filtering, M65; video: uncompressed
 RIFF/AVI with DIB frames, M64 — each oracle-checked through
-synthesis-replay), while codec-DEPENDENT formats (jpeg/h264…) stay
-STUBBED:
+synthesis-replay; baseline JPEG — DCT + canonical Huffman, the lossy
+tier — lives in operators/jpegc.py with an error-bound contract
+audit, M66), while the remaining codec-DEPENDENT formats (h264,
+vorbis…) stay STUBBED:
 extract_features raises NotImplementedError unless ``fake=True``,
 which substitutes a deterministic fake feature vector so the pipeline
 shape is testable end-to-end in a container without media libraries.

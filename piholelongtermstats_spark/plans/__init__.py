@@ -85,6 +85,7 @@ from piholelongtermstats_spark.plans import registry_m62  # noqa: F401  (registe
 from piholelongtermstats_spark.plans import registry_m63  # noqa: F401  (registers M63 queries)
 from piholelongtermstats_spark.plans import registry_m64  # noqa: F401  (registers M64 queries)
 from piholelongtermstats_spark.plans import registry_m65  # noqa: F401  (registers M65 queries)
+from piholelongtermstats_spark.plans import registry_m66  # noqa: F401  (registers M66 queries)
 from piholelongtermstats_spark.plans import registry_panels  # noqa: F401  (fused panels)
 from piholelongtermstats_spark.plans.registry import ORACLE, QUERIES  # noqa: F401
 
@@ -148,11 +149,14 @@ TOP_50 = [
     # stays parity-green below the line).
     "fd_spectrum_audit",
     "stratified_sample",
-    # r11 (M63): the REAL image decode panel takes the generic stub
-    # check's slot — a stronger row (byte-level BMP parse + integer
-    # features, synthesis-replay oracle, the wav_decode_panel twin);
-    # media_pipeline_check stays parity-green below.
-    "bmp_decode_panel",
+    # r12 (M66) same-round graduation: the REAL baseline JPEG codec's
+    # contract audit takes bmp_decode_panel's slot — the strongest
+    # media row yet (canonical Huffman + DCT + EXTEND entropy decode
+    # vs BMP's header walk; a codec bug breaks the hashed promise
+    # bits). Media keeps png_decode_panel + avi_decode_panel driver
+    # rows; BMP stays parity-green below (its byte-level parse is a
+    # strict subset of what PNG+JPEG exercise).
+    "jpeg_decode_audit",
     "corpus_build",
     "png_decode_panel",
     "bootstrap_daily_mean_ci",
@@ -392,6 +396,7 @@ _OVERFLOW = [
     "incremental_dedup_ingest",
     "heavy_hitters_exact",
     "wav_decode_panel",
+    "bmp_decode_panel",
     # r11 same-round-rotation retirees (all green since their landing
     # round; each family keeps a driver row — rationale at the TOP_50
     # rotation comment): semantic_dedup, ann_scale_2x,

@@ -18,8 +18,10 @@ applied to the deflate-compressed image tier):
   breaks the hash.
 
 PNG graduates from the codec-DEPENDENT stub tier: with WAV (M53),
-BMP (M63) and AVI (M64) this is the fourth REAL decode. jpeg/h264
-stay behind the documented stubs (genuine codec math, no libs here).
+BMP (M63) and AVI (M64) this is the fourth REAL decode; baseline
+JPEG followed as the fifth (M66, operators/jpegc.py — lossy, so a
+bound-contract audit instead of a pixel-exact oracle). h264 stays
+behind the documented stub.
 
 Scale: mapInPandas streams Arrow batches, per-row-bounded CPU,
 payloads ≤ ~1 KB; the module-head partition-sizing rule is the only
