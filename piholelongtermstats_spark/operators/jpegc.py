@@ -431,6 +431,36 @@ def synth_jpeg_corpus(docs: DataFrame) -> DataFrame:
     )
 
 
+def resize_jpeg_nearest(media: DataFrame, factor: int = 2) -> DataFrame:
+    """Decode → nearest-neighbor ×factor downsample (strided pick) →
+    RE-ENCODE as baseline JPEG. Exercises the encoder on arbitrary
+    decoded content (not just the synth grid) distributedly; the
+    roundtrip audit then bounds the COMPOUNDED error (one decode ≤
+    ERR_BOUND, plus the second encode/decode trip ≤ ERR_BOUND again —
+    the strided pick itself adds nothing)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, ws, hs = [], [], []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                w, h, px = decode_jpeg_gray(bytes(payload))
+                small = px[::factor, ::factor]
+                payloads.append(encode_jpeg_gray(small))
+                hs.append(small.shape[0])
+                ws.append(small.shape[1])
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": payloads,
+                    "mime": "image/jpeg",
+                    "width": pd.array(ws, dtype="Int32"),
+                    "height": pd.array(hs, dtype="Int32"),
+                }
+            )
+
+    return media.mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
 JPEG_AUDIT_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType()),
@@ -444,7 +474,7 @@ JPEG_AUDIT_SCHEMA = T.StructType(
 )
 
 
-def jpeg_roundtrip_audit(media: DataFrame) -> DataFrame:
+def jpeg_roundtrip_audit(media: DataFrame, scale: int = 1) -> DataFrame:
     """Hash-checkable audit of the JPEG accuracy CONTRACT: decode the
     payload with the real decoder, recompute the closed-form source
     grid, and emit (media_id, width, height, src_sum, err_bound,
@@ -455,7 +485,14 @@ def jpeg_roundtrip_audit(media: DataFrame) -> DataFrame:
     Huffman, zigzag, DCT, or EXTEND bug breaks the promise (or the
     parse) and fails the driver hash gate. Decoded pixel sums are
     deliberately NOT hashed: they depend on float DCT rounding, which
-    is exactly what the bound abstracts over."""
+    is exactly what the bound abstracts over.
+
+    ``scale`` > 1 audits a resize_jpeg_nearest output: the reference
+    grid is the ×scale-strided ORIGINAL closed form, and the bound
+    doubles — the resized payload is two lossy trips from the source
+    (decode ≤ ERR_BOUND, strided pick exact, re-encode/decode ≤
+    ERR_BOUND again)."""
+    bound = ERR_BOUND * (2 if scale > 1 else 1)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -464,7 +501,8 @@ def jpeg_roundtrip_audit(media: DataFrame) -> DataFrame:
                 mid = int(media_id)
                 try:
                     w, h, px = decode_jpeg_gray(bytes(payload))
-                    src = _luma(mid, h, w)
+                    w0, h0 = _bmp_dims(mid)
+                    src = _luma(mid, h0, w0)[::scale, ::scale]
                     ok = int(
                         px.shape == src.shape
                         and int(
@@ -472,13 +510,13 @@ def jpeg_roundtrip_audit(media: DataFrame) -> DataFrame:
                                 px.astype(np.int64) - src.astype(np.int64)
                             ).max()
                         )
-                        <= ERR_BOUND
+                        <= bound
                     )
                     rows["media_id"].append(mid)
                     rows["width"].append(w)
                     rows["height"].append(h)
                     rows["src_sum"].append(int(src.astype(np.int64).sum()))
-                    rows["err_bound"].append(ERR_BOUND)
+                    rows["err_bound"].append(bound)
                     rows["within_bound"].append(ok)
                     rows["is_valid"].append(1)
                 except (ValueError, struct.error):
@@ -486,7 +524,7 @@ def jpeg_roundtrip_audit(media: DataFrame) -> DataFrame:
                     rows["width"].append(0)
                     rows["height"].append(0)
                     rows["src_sum"].append(0)
-                    rows["err_bound"].append(ERR_BOUND)
+                    rows["err_bound"].append(bound)
                     rows["within_bound"].append(0)
                     rows["is_valid"].append(0)
             yield pd.DataFrame(rows)

@@ -53,3 +53,38 @@ def q_jpeg_decode_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the pinned |err| ≤ 8 contract with exact source tie-ins."""
     media = jpegc.synth_jpeg_corpus(_docs(spark, sf_dir))
     return jpegc.jpeg_roundtrip_audit(media)
+
+
+# Resize roundtrip: the reference grid is the ×2-strided ORIGINAL
+# closed form; the payload is TWO lossy trips from it (decode ≤ 8,
+# strided pick exact, re-encode/decode ≤ 8) → bound 16, pinned.
+_JPEG_RESIZE_SQL = """
+WITH px AS (
+  SELECT d.doc_id,
+    CAST(sum((d.doc_id * 31 + rr.range * 2 * 13 + cc.range * 2 * 17)
+             % 256) AS BIGINT) AS s
+  FROM documents d
+  JOIN range(13) rr ON rr.range < ((9 + d.doc_id % 5) + 1) // 2
+  JOIN range(20) cc ON cc.range < ((13 + d.doc_id % 8) + 1) // 2
+  GROUP BY d.doc_id)
+SELECT d.doc_id AS media_id,
+  CAST(((13 + d.doc_id % 8) + 1) // 2 AS BIGINT) AS width,
+  CAST(((9 + d.doc_id % 5) + 1) // 2 AS BIGINT) AS height,
+  px.s AS src_sum,
+  CAST(16 AS BIGINT) AS err_bound,
+  CAST(1 AS INT) AS within_bound,
+  CAST(1 AS INT) AS is_valid
+FROM documents d JOIN px ON px.doc_id = d.doc_id
+"""
+
+
+@register("jpeg_resize_roundtrip", _JPEG_RESIZE_SQL)
+def q_jpeg_resize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode → nearest-neighbor ×2 downsample → RE-ENCODE as baseline
+    JPEG → decode again, audited against the strided closed form under
+    the compounded (2×) error bound — certifies the encoder on
+    arbitrary decoded content, not just the synth grid."""
+    media = jpegc.synth_jpeg_corpus(_docs(spark, sf_dir))
+    return jpegc.jpeg_roundtrip_audit(
+        jpegc.resize_jpeg_nearest(media, factor=2), scale=2
+    )

@@ -194,6 +194,22 @@ def test_jpeg_decode_audit_query(spark):
         assert r.src_sum == int(J._luma(r.media_id, h, w).astype(int).sum())
 
 
+def test_jpeg_resize_roundtrip_query(spark):
+    import __spark_entry__ as se
+
+    rows = se.queries()["jpeg_resize_roundtrip"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r.is_valid == 1 and r.within_bound == 1
+        assert r.err_bound == 2 * J.ERR_BOUND
+        w, h = J._bmp_dims(r.media_id)
+        assert (r.width, r.height) == ((w + 1) // 2, (h + 1) // 2)
+        src = J._luma(r.media_id, h, w)[::2, ::2]
+        assert r.src_sum == int(src.astype(int).sum())
+
+
 def test_audit_quarantines_corrupt_payload(spark):
     from piholelongtermstats_spark.operators import jpegc
 
