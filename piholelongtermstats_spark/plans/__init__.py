@@ -133,12 +133,14 @@ TOP_50 = [
     "ngram_jaccard_capped",
     "funnel_conversion",
     "text_panel",
-    # r11 (M64): the REAL video decode panel — with wav_decode_panel
-    # and bmp_decode_panel this puts all three real-decode modalities
-    # in the driver window; domain_cograph_triangles retires (the
-    # graph family keeps pagerank_top's driver row; triangles stay
-    # parity-green below).
-    "avi_decode_panel",
+    # r12 (M67) same-round graduation: the COMPRESSED video tier
+    # takes the uncompressed AVI panel's slot — mjpeg_frames_audit
+    # runs the same RIFF container walk PLUS a full baseline-JPEG
+    # entropy/DCT decode per frame with per-frame hashed promises,
+    # strictly more surface than the '00db' DIB path; avi_decode_panel
+    # stays parity-green below (r11 note for its own landing kept in
+    # git history).
+    "mjpeg_frames_audit",
     # r12 same-round rotation of this round's own graduations (the
     # r11 protocol — new hash-green entries get their driver row the
     # round they land): fd_spectrum_audit takes heavy_hitters_exact's
@@ -398,6 +400,7 @@ _OVERFLOW = [
     "heavy_hitters_exact",
     "wav_decode_panel",
     "bmp_decode_panel",
+    "avi_decode_panel",
     # r11 same-round-rotation retirees (all green since their landing
     # round; each family keeps a driver row — rationale at the TOP_50
     # rotation comment): semantic_dedup, ann_scale_2x,
