@@ -87,6 +87,7 @@ from piholelongtermstats_spark.plans import registry_m64  # noqa: F401  (registe
 from piholelongtermstats_spark.plans import registry_m65  # noqa: F401  (registers M65 queries)
 from piholelongtermstats_spark.plans import registry_m66  # noqa: F401  (registers M66 queries)
 from piholelongtermstats_spark.plans import registry_m67  # noqa: F401  (registers M67 queries)
+from piholelongtermstats_spark.plans import registry_m68  # noqa: F401  (registers M68 queries)
 from piholelongtermstats_spark.plans import registry_panels  # noqa: F401  (fused panels)
 from piholelongtermstats_spark.plans.registry import ORACLE, QUERIES  # noqa: F401
 
