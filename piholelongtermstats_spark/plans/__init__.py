@@ -162,7 +162,15 @@ TOP_50 = [
     # strict subset of what PNG+JPEG exercise).
     "jpeg_decode_audit",
     "corpus_build",
-    "png_decode_panel",
+    # r12 (M68) same-round graduation: FLAC takes png_decode_panel's
+    # slot so the three media driver rows carry the strongest codec
+    # per MODALITY — audio (FLAC: rice + fixed-LPC + CRC-8/16/MD5),
+    # image (JPEG: DCT + canonical Huffman), video (MJPEG: container
+    # + per-frame codec). PNG stays parity-green below — its inflate/
+    # un-filter surface overlaps what JPEG+FLAC exercise (entropy
+    # decode, per-row reconstruction) while FLAC's does not overlap
+    # anything else in the window.
+    "flac_decode_panel",
     "bootstrap_daily_mean_ci",
     "bloom_contamination",
     "dedup_scale_2x",
@@ -402,6 +410,7 @@ _OVERFLOW = [
     "wav_decode_panel",
     "bmp_decode_panel",
     "avi_decode_panel",
+    "png_decode_panel",
     # r11 same-round-rotation retirees (all green since their landing
     # round; each family keeps a driver row — rationale at the TOP_50
     # rotation comment): semantic_dedup, ann_scale_2x,
