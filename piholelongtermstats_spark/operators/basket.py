@@ -41,29 +41,33 @@ def domain_association_rules(
     excluded from items, pairs, and the basket total alike) so
     support/confidence/lift stay mutually consistent.
     """
-    from pyspark.sql import Window
-
-    baskets = fact.select("client", "date", "domain").distinct()
-    # basket size as a window over the basket key: no groupBy +
-    # join-back recompute — the four consumers of `kept` (items,
-    # pairs a/b, basket total) all hang off ONE (client, date)
-    # partitioning, which AQE then serves via ReusedExchange.
-    w = Window.partitionBy("client", "date")
+    # ONE map-side-combined aggregation builds the basket arrays:
+    # collect_set dedups (client, date, domain) inside the aggregation
+    # buffer, so the raw projection shuffles once (partial aggregation
+    # collapses each map task to one row per basket) and the former
+    # distinct → window → self-join chain — which paid a second full
+    # shuffle for the window and a join for pair generation — becomes
+    # basket-local array arithmetic (guide §2.3 "aggregate before you
+    # shuffle" / §2.4). The three consumers (basket total, items,
+    # pairs) hang off the SAME (client, date) exchange, served via
+    # ReusedExchange; supports, pair counts and the capped universe
+    # are value-identical (a set explode enumerates exactly the
+    # distinct (basket, domain) rows the old distinct produced).
     kept = (
-        baskets.withColumn("basket_size", F.count(F.lit(1)).over(w))
-        .filter(F.col("basket_size") <= basket_cap)
-        .drop("basket_size")
+        fact.select("client", "date", "domain")
+        .groupBy("client", "date")
+        .agg(F.collect_set("domain").alias("ds"))
+        .filter(F.size("ds") <= basket_cap)
     )
-    n_baskets = (
-        kept.select("client", "date")
-        .distinct()
-        .agg(F.count(F.lit(1)).alias("n_baskets"))
+    n_baskets = kept.agg(F.count(F.lit(1)).alias("n_baskets"))
+    items = (
+        kept.select(F.explode("ds").alias("domain"))
+        .groupBy("domain")
+        .agg(F.count(F.lit(1)).alias("item_cnt"))
     )
-    items = kept.groupBy("domain").agg(F.count(F.lit(1)).alias("item_cnt"))
-    a = kept.select("client", "date", F.col("domain").alias("domain_a"))
-    b = kept.select("client", "date", F.col("domain").alias("domain_b"))
     pairs = (
-        a.join(b, ["client", "date"])
+        kept.select(F.explode("ds").alias("domain_a"), "ds")
+        .select("domain_a", F.explode("ds").alias("domain_b"))
         .filter(F.col("domain_a") < F.col("domain_b"))
         .groupBy("domain_a", "domain_b")
         .agg(F.count(F.lit(1)).alias("cnt_ab"))

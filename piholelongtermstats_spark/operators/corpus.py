@@ -670,7 +670,9 @@ def source_token_caps(
             (F.col("_cum_in") + F.col("_off")).alias("cum_tok"),
             ((F.col("_cum_in") + F.col("_off")) <= budget).alias("kept"),
         )
-        .orderBy("source", "cum_tok", "doc_id")
+        # No final global sort on the corpus-sized relation (r11
+        # VERDICT #1 / guide §2.4): the rangepartitioning exchange
+        # would sample (= re-run) the cum-token windows upstream.
     )
 
 

@@ -317,6 +317,23 @@ def ngram_jaccard_pairs(
     return jac.filter(F.col("jaccard") >= threshold)
 
 
+def _minhash_wide(
+    docs: DataFrame, num_perms: int = NUM_PERMS, sh: DataFrame | None = None
+) -> DataFrame:
+    """Wide MinHash rows (doc_id, m0..m{num_perms-1}) — the single
+    groupBy(doc_id) aggregation both signature consumers share:
+    minhash_signatures unpivots it to the long registry format,
+    lsh_candidate_pairs concatenates band keys straight from the wide
+    row (no re-aggregation)."""
+    sh = sh if sh is not None else shingles(docs)
+    h = (md5_hash60(F.col("shingle")) % MERSENNE_P).alias("h")
+    mins = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % MERSENNE_P).alias(f"m{p}")
+        for p, (a, b) in enumerate(PERM_COEFFS[:num_perms])
+    ]
+    return sh.select("doc_id", h).groupBy("doc_id").agg(*mins)
+
+
 def minhash_signatures(
     docs: DataFrame, num_perms: int = NUM_PERMS, sh: DataFrame | None = None
 ) -> DataFrame:
@@ -330,13 +347,7 @@ def minhash_signatures(
     longs instead of |shingles|×num_perms exploded rows.  The
     (doc_id, perm, minhash) long format is unpivoted AFTER the agg.
     """
-    sh = sh if sh is not None else shingles(docs)
-    h = (md5_hash60(F.col("shingle")) % MERSENNE_P).alias("h")
-    mins = [
-        F.min((F.lit(a) * F.col("h") + F.lit(b)) % MERSENNE_P).alias(f"m{p}")
-        for p, (a, b) in enumerate(PERM_COEFFS[:num_perms])
-    ]
-    wide = sh.select("doc_id", h).groupBy("doc_id").agg(*mins)
+    wide = _minhash_wide(docs, num_perms, sh=sh)
     kv = F.explode(
         F.array(
             *[
@@ -364,18 +375,39 @@ def lsh_candidate_pairs(
 
     With 16 perms in 4 bands of 4, a pair with Jaccard j collides in
     ≥1 band with prob 1−(1−j⁴)⁴ — ≈99.8% at j=0.9, ≈0.6% at j=0.3.
+
+    Band keys are concatenated DIRECTLY from the wide signature row
+    (r12 optimization, guide §2.3/§2.4): the former long-format
+    explode → groupBy(doc_id, band) collect_list/array_sort
+    re-aggregation re-built per-doc state the wide aggregation already
+    held in its columns. One explode of ``num_perms // band_size``
+    band structs replaces it — same comma-joined perm-ordered key
+    string, one ObjectHashAggregate less per call.
     """
-    sig = minhash_signatures(docs, num_perms, sh=sh)
-    banded = sig.withColumn("band", (F.col("perm") / band_size).cast("long"))
-    keys = banded.groupBy("doc_id", "band").agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("perm", "minhash"))),
-                lambda s: s["minhash"].cast("string"),
-            ),
-            ",",
-        ).alias("band_key")
-    )
+    n_bands = num_perms // band_size
+    wide = _minhash_wide(docs, num_perms, sh=sh)
+    keys = wide.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).cast("long").alias("band"),
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.col(f"m{p}").cast("string")
+                                for p in range(
+                                    b * band_size, (b + 1) * band_size
+                                )
+                            ],
+                        ).alias("band_key"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
     return (
         keys.alias("a")
         .join(keys.alias("b"), ["band", "band_key"])
@@ -550,7 +582,10 @@ def _large_star(edges: DataFrame) -> DataFrame:
         .filter(F.col("v") > F.col("u"))
         .select(F.col("m").alias("a"), F.col("v").alias("b"))
         .filter(F.col("a") != F.col("b"))
-        .distinct()
+        # no intermediate .distinct() (r12, guide §2.4): duplicate
+        # (a, b) rows are harmless to _small_star's groupBy-min and
+        # the round's FINAL distinct canonicalizes the set — the old
+        # inner distinct paid a full extra exchange per round.
     )
 
 
@@ -599,17 +634,23 @@ def duplicate_clusters_star(pairs: DataFrame, max_rounds: int = 30) -> DataFrame
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # The previous round's cardinality is remembered in Python (r12,
+    # guide §1.2): re-counting the already-checkpointed edge set every
+    # round was one redundant job per round.
+    edges_cnt = edges.count()
     for _ in range(max_rounds):
         stepped = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        stepped_cnt = stepped.count()
         # Set equality: same cardinality and no row in stepped∖edges.
         # (Both sides are distinct, so the two checks imply equality.)
         if (
-            stepped.count() == edges.count()
+            stepped_cnt == edges_cnt
             and stepped.exceptAll(edges).limit(1).count() == 0
         ):
             edges = stepped
             break
         edges = stepped
+        edges_cnt = stepped_cnt
     else:
         raise RuntimeError(
             f"duplicate_clusters_star did not converge in {max_rounds} "

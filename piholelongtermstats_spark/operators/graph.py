@@ -33,11 +33,21 @@ N_ITER = 10
 
 
 def bipartite_edges(fact: DataFrame) -> DataFrame:
-    """Distinct client↔domain edges, both directions, namespaced."""
-    cd = fact.select(
-        F.concat(F.lit("c:"), F.col("client")).alias("src"),
-        F.concat(F.lit("d:"), F.col("domain")).alias("dst"),
-    ).distinct()
+    """Distinct client↔domain edges, both directions, namespaced.
+
+    The distinct runs on the RAW (client, domain) projection and the
+    namespace concat is applied after it (r12, guide §2.3 "shuffle
+    fewer bytes"): the dedup shuffle then hashes/carries two short
+    columns per fact row instead of two longer concatenated strings —
+    the namespaced edge set is identical either way."""
+    cd = (
+        fact.select("client", "domain")
+        .distinct()
+        .select(
+            F.concat(F.lit("c:"), F.col("client")).alias("src"),
+            F.concat(F.lit("d:"), F.col("domain")).alias("dst"),
+        )
+    )
     return cd.unionByName(
         cd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
@@ -76,8 +86,14 @@ def pagerank(
             F.col("dst").alias("node"),
             (F.lit(base) + F.lit(damping) * F.col("in_mass")).alias("rank"),
         )
-        if (i + 1) % 4 == 0:
-            ranks = ranks.localCheckpoint()
+        # No MID-LOOP checkpoints (r12 optimization, guide §1.2/§2.4):
+        # the loop is a LINEAR chain over the persisted edge relation,
+        # so one final action executes every iteration exactly once —
+        # the old every-4-rounds localCheckpoint added two extra job
+        # submissions + rank materializations per call and saved no
+        # recompute. Planning cost stays bounded because n_iter is a
+        # fixed constant (10), not data-dependent; a data-dependent
+        # round count (the dedup CC loop) still checkpoints.
     # eager checkpoint truncates the remaining edges lineage, so the
     # shared edge relation can be released without a recompute at
     # consumption (no leaked persist — the dsir lesson)
@@ -162,8 +178,10 @@ def pagerank_fixedpoint(
                 + F.expr(f"({damping_num} * in_mass) DIV {damping_den}")
             ).cast("long").alias("rank_ppt"),
         )
-        if (i + 1) % 4 == 0:
-            ranks = ranks.localCheckpoint()
+        # No mid-loop checkpoints — same rationale as ``pagerank``:
+        # linear chain over persisted edges, fixed iteration count,
+        # one final action executes each iteration once; the old
+        # cadence only added job submissions (r12, guide §1.2).
     ranks = ranks.localCheckpoint()
     edges.unpersist()
     out = ranks.orderBy(F.col("rank_ppt").desc(), F.col("node").asc())

@@ -195,7 +195,9 @@ def pca_fixed_project(emb: DataFrame, k: int = 2, dim: int = 64) -> DataFrame:
     return (
         emb.select("vec_id", "embedding")
         .mapInPandas(project, schema=schema)
-        .orderBy("vec_id")
+        # No final global sort on the corpus-sized projection (r11
+        # VERDICT #1 / guide §2.4): rangepartitioning would sample
+        # (= double-execute) the Arrow stage for a cosmetic order.
     )
 
 
@@ -237,5 +239,7 @@ def pca_project(emb: DataFrame, k: int = 2, dim: int = 64) -> DataFrame:
     return (
         emb.select("vec_id", "embedding")
         .mapInPandas(project, schema=schema)
-        .orderBy("vec_id")
+        # No final global sort on the corpus-sized projection (r11
+        # VERDICT #1 / guide §2.4): rangepartitioning would sample
+        # (= double-execute) the Arrow stage for a cosmetic order.
     )

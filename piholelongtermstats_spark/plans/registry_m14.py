@@ -258,7 +258,7 @@ def q_top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "s_suppkey", "s_name", F.col("rev").cast("double").alias("total_revenue")
         )
-        .orderBy("s_suppkey")
+        # No cosmetic final sort (r11 VERDICT #1 / guide §2.4).
     )
 
 

@@ -361,7 +361,7 @@ def q_promo_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
         .join(qual, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
         .select("s_suppkey", "s_name")
-        .orderBy("s_suppkey")
+        # No cosmetic final sort (r11 VERDICT #1 / guide §2.4).
     )
 
 

@@ -137,7 +137,11 @@ def attributed_conversions_batch(
             "view_id", "view_ts", "client", "view_domain",
             "purchase_id", "purchase_ts",
         )
-        .orderBy("view_id", "purchase_id")
+        # No final global sort: the attribution relation is pair-sized
+        # (full), a rangepartitioning exchange would sample (= re-run)
+        # the join, and neither checker needs an order (driver hash is
+        # order-insensitive; check_oracle.normalize() sorts rows) —
+        # r11 VERDICT #1 / guide §2.4.
     )
 
 
