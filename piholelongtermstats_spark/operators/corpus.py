@@ -607,8 +607,7 @@ def source_data_card(docs: DataFrame) -> DataFrame:
             (F.col("total_chars").cast("double") / F.col("n_docs")).alias("avg_chars"),
             "median_chars",
         )
-        .orderBy("source")
-    )
+    )  # (terminal cosmetic sort dropped, r12 guide §2.4 — checkers are order-insensitive)
 
 
 def source_token_caps(
@@ -720,8 +719,7 @@ def leakage_safe_split(
             F.countDistinct("cluster_id").alias("n_clusters"),
         )
         .crossJoin(F.broadcast(leaks))
-        .orderBy("split")
-    )
+    )  # (terminal cosmetic sort dropped, r12 guide §2.4 — checkers are order-insensitive)
 
 
 def contrastive_negatives(

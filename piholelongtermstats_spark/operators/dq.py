@@ -62,7 +62,7 @@ def dq_expectations_panel(raw: DataFrame) -> DataFrame:
         F.col("n_total").alias("n_checked"),
         F.col("n_violations").cast("long").alias("n_violations"),
         (F.col("n_violations") == 0).cast("int").alias("pass_flag"),
-    ).orderBy("check_name")
+    )  # (terminal cosmetic sort dropped, r12 guide §2.4 — checkers are order-insensitive)
 
 
 def join_cardinality_audit(fact: DataFrame, n_probe: int = 20) -> DataFrame:

