@@ -223,7 +223,15 @@ def longest_streaks_stitched(fact: DataFrame) -> DataFrame:
          top-1 per status, tie-break pinned (len DESC, start_ts ASC)
          like the reference oracle.
     """
-    runs = _runs_per_date(fact)
+    # Materialize the run relation ONCE (r12, guide §2.4/§5 — the
+    # quality_lift_table localCheckpoint idiom): `runs` feeds both the
+    # interior cut and the boundary-edge chain path, and without a
+    # materialization each consumer re-executes the fact-wide
+    # date-partitioned window + aggregation (PLAN_AUDIT showed 20
+    # WindowExec instances for this query from the fan-out). The run
+    # relation is run-count-sized (maximal streaks per date — far
+    # below the event count), so the checkpoint is cheap at any scale.
+    runs = _runs_per_date(fact).localCheckpoint(eager=True)
     interior = runs.filter(
         (F.col("run_idx") > 1) & (F.col("run_idx") < F.col("n_runs"))
     ).select("status_type", "streak_len", "start_ts")
@@ -247,6 +255,9 @@ def longest_streaks_stitched(fact: DataFrame) -> DataFrame:
         .groupBy("_m", "chain_idx", "status_type")
         .agg(F.sum("streak_len").alias("streak_len"), F.min("start_ts").alias("start_ts"))
         .withColumn("n_chains", F.max("chain_idx").over(Window.partitionBy("_m")))
+        # same fan-out (interior_chains + medge); ≤2 rows/date input,
+        # month-chain-sized output — materialize once (r12)
+        .localCheckpoint(eager=True)
     )
     interior_chains = chains.filter(
         (F.col("chain_idx") > 1) & (F.col("chain_idx") < F.col("n_chains"))

@@ -54,6 +54,14 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # PySpark 4's per-API-call site capture (error-message
+        # enrichment) walks the Python stack and makes an extra JVM
+        # round trip on EVERY DataFrame/Column call — measured ~30% of
+        # plan-construction time on expression-heavy queries (r12,
+        # guide §1.2 "per-task work" applied to the driver). Pure
+        # driver-side ergonomics, no effect on execution plans or
+        # results, at any scale.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
@@ -81,6 +89,10 @@ def ensure_session_defaults(spark: SparkSession) -> SparkSession:
         return spark
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
+    # NB: spark.python.sql.dataFrameDebugging.enabled (see get_spark)
+    # is a STATIC conf — it cannot be applied to an externally
+    # provided session here; only sessions built by get_spark (bench,
+    # tests, scripts) get the cheap plan-construction path.
     # The driver's events.parquet stores TIMESTAMP(NANOS), which Spark
     # rejects by default; read as nanos-long and convert explicitly
     # (sources/events.py) with µs truncation matching DuckDB.
