@@ -80,6 +80,10 @@ def asof_join(
     # Right-side (key, ts) pairs are assumed unique (as-of with
     # duplicate right timestamps is ambiguous in any engine).
     dates = u.select("_k", "_d").distinct()
+    # NB (r12): deriving right_last from the small right side alone
+    # was measured SLOWER than this shape — filtering the union lets
+    # AQE reuse the window's (_k, _d) exchange for this groupBy, so
+    # the "extra" scan is a reused shuffle read, not a recompute.
     right_last = (
         u.filter(F.col("_side") == 0)
         .groupBy("_k", "_d")

@@ -334,6 +334,11 @@ def status_transitions(fact: DataFrame) -> DataFrame:
         within.unionByName(cross)
         .groupBy("prev_status", F.col("status_type").alias("status"))
         .agg(F.count(F.lit(1)).alias("cnt"))
+        # ≤ |status|² rows consumed by BOTH the row-total aggregate and
+        # the final join — materialize once so the two consumers don't
+        # each re-run the fact-wide window + boundary stitch (r12,
+        # guide §2.4 — the streak-kernel fix).
+        .localCheckpoint(eager=True)
     )
     tot = mat.groupBy("prev_status").agg(F.sum("cnt").alias("total"))
     return (

@@ -278,7 +278,11 @@ def acf_daily_counts(fact: DataFrame, max_lag: int = 7) -> DataFrame:
         F.datediff("date", "d0").cast("long").alias("idx"),
         (F.col("n") * F.col("x") - F.col("s")).alias("c"),
         "n",
-    )
+    ).localCheckpoint(eager=True)
+        # Materialized ONCE (r12, guide §2.4 — the streak-kernel fix):
+        # this dates-sized relation fans out to the lag-pair legs and
+        # the denominator, each of which would otherwise re-run the
+        # fact-wide daily aggregation upstream.
     lags = d.sparkSession.range(1, max_lag + 1).select(
         F.col("id").cast("int").alias("lag")
     )
@@ -554,7 +558,12 @@ def ccf_status_daily(fact: DataFrame, max_lag: int = 7) -> DataFrame:
         F.datediff("date", "d0").cast("long").alias("idx"),
         (F.col("n") * F.col("b") - F.col("sb")).alias("cb"),
         (F.col("n") * F.col("a") - F.col("sa")).alias("ca"),
-    )
+    ).localCheckpoint(eager=True)
+        # Materialized ONCE (r12, guide §2.4 — the streak-kernel fix):
+        # this dates-sized relation fans out to the lag-pair legs and
+        # the denominator, each of which would otherwise re-run the
+        # fact-wide daily aggregation upstream.
+
     den = d.agg(
         F.sum(F.col("cb") * F.col("cb")).alias("db"),
         F.sum(F.col("ca") * F.col("ca")).alias("da"),
@@ -1018,7 +1027,11 @@ def ljung_box_daily(fact: DataFrame, max_lag: int = 7) -> DataFrame:
         F.datediff("date", "d0").cast("long").alias("idx"),
         (F.col("n") * F.col("x") - F.col("s")).alias("c"),
         "n",
-    )
+    ).localCheckpoint(eager=True)
+        # Materialized ONCE (r12, guide §2.4 — the streak-kernel fix):
+        # this dates-sized relation fans out to the lag-pair legs and
+        # the denominator, each of which would otherwise re-run the
+        # fact-wide daily aggregation upstream.
     lags = d.sparkSession.range(1, max_lag + 1).select(
         F.col("id").cast("int").alias("lag")
     )
@@ -1647,7 +1660,11 @@ def weekly_periodogram(fact: DataFrame, harmonics: int = 3) -> DataFrame:
                 F.lit(0).cast(dec),
             ).alias(f"g{m}")
         )
-    g = d.agg(*aggs).join(F.broadcast(tot.select("n")))
+    # one-row relation consumed by every harmonic leg — materialize
+    # once so the legs don't each re-run the daily aggregation (r12)
+    g = d.agg(*aggs).join(F.broadcast(tot.select("n"))).localCheckpoint(
+        eager=True
+    )
     outs = []
     for k in range(1, harmonics + 1):
         cos_chain = F.lit(0.0)
