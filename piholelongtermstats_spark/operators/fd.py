@@ -186,7 +186,8 @@ def fd_spectrum_audit(
             (
                 i,
                 int(tie["n_rows"]),
-                int(tie["fro2_q"]),
+                # SUM over zero rows (or all-NULL embeddings) is NULL
+                int(tie["fro2_q"] or 0),
                 int(sb2 <= ea2 + tol),
                 int(ea2 - sb2 <= bound + tol),
                 fro_contained,

@@ -1660,12 +1660,13 @@ def weekly_periodogram(fact: DataFrame, harmonics: int = 3) -> DataFrame:
                 F.lit(0).cast(dec),
             ).alias(f"g{m}")
         )
-    # one-row relation consumed by every harmonic leg — materialize
-    # once so the legs don't each re-run the daily aggregation (r12)
-    g = d.agg(*aggs).join(F.broadcast(tot.select("n"))).localCheckpoint(
-        eager=True
-    )
-    outs = []
+    g = d.agg(*aggs).join(F.broadcast(tot.select("n")))
+    # The 1-row aggregate fans out to every harmonic leg: instead of a
+    # union of per-harmonic selects (each re-running the daily
+    # aggregation) build ALL harmonics as one array-of-structs
+    # projection and explode — single scan, no materialization needed
+    # (r12, guide §2.4).
+    legs = []
     for k in range(1, harmonics + 1):
         cos_chain = F.lit(0.0)
         sin_chain = F.lit(0.0)
@@ -1678,8 +1679,8 @@ def weekly_periodogram(fact: DataFrame, harmonics: int = 3) -> DataFrame:
             )
         power = cos_chain * cos_chain + sin_chain * sin_chain
         ok = (F.col("n") > 1) & (F.col("den") > 0)
-        outs.append(
-            g.select(
+        legs.append(
+            F.struct(
                 F.lit(k).cast("long").alias("harmonic"),
                 F.col("n").alias("n_days"),
                 F.col("den").cast("double").alias("den"),
@@ -1695,7 +1696,6 @@ def weekly_periodogram(fact: DataFrame, harmonics: int = 3) -> DataFrame:
                 ).alias("power_share"),
             )
         )
-    out = outs[0]
-    for o in outs[1:]:
-        out = out.unionByName(o)
-    return out  # (terminal cosmetic sort dropped, r12 guide §2.4 — checkers are order-insensitive)
+    return g.select(
+        F.explode(F.array(*legs)).alias("h")
+    ).select("h.*")  # (terminal cosmetic sort dropped, r12 guide §2.4 — checkers are order-insensitive)
