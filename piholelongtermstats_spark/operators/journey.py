@@ -96,6 +96,9 @@ def cohort_retention(fact: DataFrame, max_offset: int = 13) -> DataFrame:
     (client, date); the rollup keys on (cohort, offset) — day²-sized
     output at any event volume.
     """
+    # Fan-out left to AQE exchange reuse (r12): an eager checkpoint of
+    # activity was measured slower here — both consumers hash on the
+    # same distinct exchange, which AQE already reuses.
     activity = fact.select("client", "date").distinct()
     cohorts = activity.groupBy("client").agg(F.min("date").alias("cohort_date"))
     sizes = cohorts.groupBy("cohort_date").agg(
@@ -147,6 +150,9 @@ def growth_accounting_daily(fact: DataFrame) -> DataFrame:
     Identity tests pin: dau = new + retained + resurrected, and
     Σnew = distinct clients (every client is new exactly once).
     """
+    # Fan-out left to AQE exchange reuse (r12): an eager checkpoint of
+    # activity was measured slower here despite five consumers — they
+    # all reuse the distinct's exchange.
     activity = fact.select("client", "date").distinct()
     first = activity.groupBy("client").agg(F.min("date").alias("first_date"))
     a = activity.join(first, "client")

@@ -71,13 +71,16 @@ def mad_outlier_days(
     Scale: two day-relation order statistics (row_number over days)
     + two broadcast joins of one-row frames; the fact is touched once.
     """
-    daily = _daily(fact)
+    # dates-sized fan-out inputs materialized once (r12, guide §2.4):
+    # daily feeds the median legs + dev, dev feeds the MAD legs + out —
+    # each leg would otherwise re-run the fact-wide daily aggregation.
+    daily = _daily(fact).localCheckpoint(eager=True)
     m = _med2(daily, "y").select(
         F.col("n").alias("n_days"), F.col("med2")
     )
     dev = daily.join(F.broadcast(m)).withColumn(
         "u", F.abs(2 * F.col("y") - F.col("med2"))
-    )
+    ).localCheckpoint(eager=True)
     mm = _med2(dev.select("u"), "u").select(F.col("med2").alias("mad4"))
     out = dev.join(F.broadcast(mm))
     dev2 = 2 * F.col("y") - F.col("med2")
@@ -112,7 +115,12 @@ def theil_sen_daily_trend(fact: DataFrame) -> DataFrame:
     mann_kendall convention — ~5·10⁵ pairs for a 3-year series);
     one row_number window over it selects both order statistics.
     """
-    daily = _daily(fact)
+    # dates-sized fan-out input materialized once (r12, guide §2.4):
+    # daily feeds first/idx (twice, via both pair sides), the
+    # day-count leg, and the pair count; pairs (days², calendar²-
+    # bounded at any fact volume) feeds both its count and the
+    # ranked window — materialized so the self-join runs once.
+    daily = _daily(fact).localCheckpoint(eager=True)
     first = daily.agg(F.min("date").alias("d0"))
     idx = daily.join(F.broadcast(first)).select(
         F.datediff(F.col("date"), F.col("d0")).cast("long").alias("i"),
@@ -123,7 +131,7 @@ def theil_sen_daily_trend(fact: DataFrame) -> DataFrame:
     pairs = a.join(b, F.col("i1") < F.col("i2")).select(
         (F.col("y2") - F.col("y1")).alias("num"),
         (F.col("i2") - F.col("i1")).alias("den"),
-    )
+    ).localCheckpoint(eager=True)
     slope = F.col("num").cast("double") / F.col("den").cast("double")
     w = Window.orderBy(slope, "num", "den")
     ranked = pairs.select(
@@ -270,6 +278,10 @@ def client_mad_outliers(
     day-count (≤ #days rows per partition — bounded by calendar time,
     not volume).
     """
+    # Fan-out left to AQE exchange reuse (r12): eager checkpoints of
+    # daily/dev were measured slower here — the client×date relation
+    # is the largest in this family and the checkpoint write cost
+    # exceeds the reuse win that AQE already provides.
     daily = fact.groupBy("client", "date").agg(
         F.count(F.lit(1)).cast("long").alias("y")
     )
@@ -443,7 +455,9 @@ def tukey_fence_days(fact: DataFrame) -> DataFrame:
         y > Q3 + 1.5·IQR  ⟺  2y > 5·Q3 − 3·Q1.
     Same two-order-statistic day-relation plan as mad_outlier_days.
     """
-    daily = _daily(fact)
+    # dates-sized fan-out input materialized once (r12, guide §2.4):
+    # consumed by ranked, the count, and the fence join.
+    daily = _daily(fact).localCheckpoint(eager=True)
     w = Window.orderBy("y", "date")
     ranked = daily.select("y", F.row_number().over(w).alias("_r"))
     n = daily.count()
@@ -659,6 +673,9 @@ def stl_lite_daily(fact: DataFrame) -> DataFrame:
         F.sum("y").over(w).cast("long").alias("win_sum"),
     )
     det7 = (F.col("win_n") * F.col("y") - F.col("win_sum")).cast("long")
+    # Fan-out left to AQE exchange reuse (r12): an eager checkpoint of
+    # d was measured slower standalone — both consumers sit over the
+    # same window exchange.
     d = base.withColumn("det7", det7)
     season = d.groupBy("wd").agg(
         F.sum("det7").cast("long").alias("s_sum"),
@@ -708,13 +725,19 @@ def seasonal_adjusted_outliers(
     Scale: the daily relation drives everything; medians are
     row_number order statistics over days.
     """
-    stl = stl_lite_daily(fact).select("date", "y", "remain7_scaled")
+    # stl_lite_daily's output is already checkpoint-backed (its d is
+    # materialized), but the final join/select above it would still
+    # re-run per consumer — materialize the projection once, and dev
+    # once for the MAD legs + out (r12, guide §2.4).
+    stl = stl_lite_daily(fact).select(
+        "date", "y", "remain7_scaled"
+    ).localCheckpoint(eager=True)
     m = _med2(stl.select("remain7_scaled"), "remain7_scaled").select(
         F.col("n").alias("n_days"), F.col("med2")
     )
     dev = stl.join(F.broadcast(m)).withColumn(
         "u", F.abs(2 * F.col("remain7_scaled") - F.col("med2"))
-    )
+    ).localCheckpoint(eager=True)
     mm = _med2(dev.select("u"), "u").select(F.col("med2").alias("mad4"))
     out = dev.join(F.broadcast(mm))
     dev2 = 2 * F.col("remain7_scaled") - F.col("med2")

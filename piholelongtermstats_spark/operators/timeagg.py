@@ -495,7 +495,12 @@ def broken_trend_fit(fact: DataFrame) -> DataFrame:
     Scale: the daily relation drives everything; the CUSUM window
     and the two segment aggregates all run on day-cardinality rows.
     """
-    daily = fact.groupBy("date").agg(F.count(F.lit(1)).cast("long").alias("y"))
+    # dates-sized fan-out input materialized once (r12, guide §2.4):
+    # daily feeds tot, the CUSUM scan, and the segment relation —
+    # each would otherwise re-run the fact-wide daily aggregation.
+    daily = fact.groupBy("date").agg(
+        F.count(F.lit(1)).cast("long").alias("y")
+    ).localCheckpoint(eager=True)
     tot = daily.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("y").cast("long").alias("sy"),
@@ -531,7 +536,10 @@ def broken_trend_fit(fact: DataFrame) -> DataFrame:
         F.sum(F.col("x") * F.col("y")).alias("sxy"),
         F.sum(F.col("x") * F.col("x")).alias("sxx"),
         F.sum(F.col("y") * F.col("y")).alias("syy"),
-    )
+        # ≤2 rows consumed by BOTH segment filters below — materialize
+        # once so each doesn't re-run the CUSUM + segment aggregation
+        # (r12, guide §2.4).
+    ).localCheckpoint(eager=True)
     num = F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy")
     dx = F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx")
     dy = F.col("m") * F.col("syy") - F.col("sy") * F.col("sy")
