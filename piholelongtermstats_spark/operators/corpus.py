@@ -448,7 +448,11 @@ def span_dedup(
     """
     toks = F.split(F.trim(F.col("text")), r"\s+")
     n_chunks = F.ceil(F.size(toks) / F.lit(float(span))).cast("int")
-    chunked = docs.select(
+    # Fan the single-file corpus out BEFORE the explode (the
+    # bigram_stream convention): unfanned, the whole chunk blow-up
+    # ran on one task (r12; stage trace showed (0 + 1) / 1).
+    fan = docs.sparkSession.sparkContext.defaultParallelism
+    chunked = docs.repartition(fan, "doc_id").select(
         "doc_id",
         F.posexplode(
             F.transform(
@@ -457,13 +461,30 @@ def span_dedup(
             )
         ).alias("pos", "chunk"),
     )
-    bad = (
+    # The chunk relation used to feed BOTH the chunk-df aggregation
+    # and a left_anti join against the bad set; built lazily twice,
+    # the corpus-sized explode (slice + array_join string building)
+    # ran twice — two Generate subtrees, no exchange reuse (the anti
+    # side broadcast, so no common shuffle). The occurrence list now
+    # rides the SAME aggregation: collect_list of (doc_id, pos) per
+    # chunk alongside df, keep df <= max_df, explode back (r12, guide
+    # §2.3/§2.4 — the exact_substring_dedup fold). Byte-identical
+    # semantics (the exploded pairs of a kept chunk are exactly the
+    # anti-join's survivors); the df aggregation already shuffled
+    # every chunk's text, so the fold adds only the pos ints to the
+    # same exchange while deleting one full explode and the join.
+    # Per-key list size = that chunk's df — df > max_df lists are
+    # dropped, and a skewed hot chunk was the join's blow-up too.
+    kept = (
         chunked.groupBy("chunk")
-        .agg(F.countDistinct("doc_id").alias("df"))
-        .filter(F.col("df") > max_df)
-        .select("chunk")
+        .agg(
+            F.countDistinct("doc_id").alias("df"),
+            F.collect_list(F.struct("doc_id", "pos")).alias("locs"),
+        )
+        .filter(F.col("df") <= max_df)
+        .select("chunk", F.explode("locs").alias("l"))
+        .select(F.col("l.doc_id").alias("doc_id"), F.col("l.pos").alias("pos"), "chunk")
     )
-    kept = chunked.join(bad, "chunk", "left_anti")
     # array_sort on struct(pos, chunk): pos is unique per doc, so the
     # reassembly order is the original chunk order, deterministically.
     reassembled = kept.groupBy("doc_id").agg(
@@ -845,16 +866,33 @@ def exact_substring_dedup(
 
     if policy not in ("remove_all", "keep_first"):
         raise ValueError(f"unknown policy: {policy!r}")
-    dup = (
+    # The window relation used to feed BOTH a window-df aggregation
+    # and a wins⋈dup hit join; built lazily twice, the corpus-token-
+    # sized explode (slice + array_join string building per
+    # position) ran twice — the plan showed two Generate subtrees
+    # and no exchange reuse (the df side aggregated, the hit side
+    # broadcast-joined, so no common shuffle existed; an explicit
+    # shared repartition was measured SLOWER — shuffling the window
+    # strings costs more than the explode). Instead the hit
+    # locations ride the SAME aggregation: collect_list of
+    # (doc_id, p) per window alongside df/owner, then explode the
+    # kept lists — one explode, one shuffle, no join (r12, guide
+    # §2.3/§2.4). Byte-identical semantics: the exploded (doc_id, p)
+    # pairs of a duplicated window are exactly the rows the old join
+    # matched; the per-key list is bounded by that window's df — the
+    # same rows the join produced (an all-identical-docs corpus blows
+    # up either shape equally).
+    hits = (
         wins.groupBy("win")
         .agg(
             F.countDistinct("doc_id").alias("df"),
             F.min("doc_id").alias("owner"),
+            F.collect_list(F.struct("doc_id", "p")).alias("locs"),
         )
         .filter(F.col("df") >= int(min_df))
-        .select("win", "owner")
+        .select("owner", F.explode("locs").alias("l"))
+        .select("owner", F.col("l.doc_id").alias("doc_id"), F.col("l.p").alias("p"))
     )
-    hits = wins.join(dup, "win")
     if policy == "keep_first":
         hits = hits.filter(F.col("doc_id") != F.col("owner"))
     covered = hits.select(

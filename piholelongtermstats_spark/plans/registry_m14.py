@@ -461,7 +461,7 @@ def q_inactive_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 from piholelongtermstats_spark.operators import binquant  # noqa: E402
-from piholelongtermstats_spark.plans.cache import shared_input  # noqa: E402
+from piholelongtermstats_spark.plans.cache import shared_emb, shared_input  # noqa: E402
 
 _BQ_Q = binquant.N_QUERIES
 _BQ_K = binquant.K
@@ -505,9 +505,7 @@ ORDER BY query_id, rank
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_session_defaults(spark)
-    return shared_input(
-        spark, "embeddings", sf_dir, lambda: load_table(spark, sf_dir, "embeddings")
-    )
+    return shared_emb(spark, sf_dir)
 
 
 @register("binary_quant_ann", _BINQUANT_SQL)

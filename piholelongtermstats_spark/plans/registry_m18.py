@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 
 from piholelongtermstats_spark.operators import sequential, text
 from piholelongtermstats_spark.plans.registry import _fact, register
-from piholelongtermstats_spark.plans.cache import shared_input
+from piholelongtermstats_spark.plans.cache import shared_docs, shared_input
 from piholelongtermstats_spark.session import ensure_session_defaults
 from piholelongtermstats_spark.sources.events import FACT_CTE
 from piholelongtermstats_spark.sources.parquet import load_table
@@ -33,9 +33,7 @@ from piholelongtermstats_spark.sources.parquet import load_table
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_session_defaults(spark)
-    return shared_input(
-        spark, "documents", sf_dir, lambda: load_table(spark, sf_dir, "documents")
-    )
+    return shared_docs(spark, sf_dir)
 
 
 # ---------------------------------------------------------------------------

@@ -194,10 +194,14 @@ def test_tfidf_doc_count_is_broadcast(spark):
 
 def test_map_side_corpus_ops_have_no_exchange(spark):
     """mix_sample is a pure projection/filter — its plan must contain
-    NO shuffle at all (the InMemoryTableScan of the shared documents
-    cache is its only input)."""
+    NO shuffle of its own (the InMemoryTableScan of the shared
+    documents cache is its only input). The cache's BUILD plan —
+    everything under InMemoryRelation, materialized once per session,
+    and since r12 containing the one-time doc_id fan repartition —
+    is not this query's work; assert on the plan ABOVE it."""
     plan = _plan(spark, "mix_sample")
-    assert "Exchange" not in plan, plan
+    own = plan.split("InMemoryRelation")[0]
+    assert "Exchange" not in own, plan
     assert "Join" not in plan, plan
 
 
@@ -212,9 +216,12 @@ def test_doc_repetition_aggregates_cached_shingles(spark):
 
 
 def test_hash_sample_is_pure_filter(spark):
+    # the cache-build subtree under InMemoryRelation (one-time doc_id
+    # fan) is not this query's work — assert on the plan above it
     plan = _plan(spark, "hash_sample")
-    assert "Exchange" not in plan, plan
-    assert "Aggregate" not in plan, plan
+    own = plan.split("InMemoryRelation")[0]
+    assert "Exchange" not in own, plan
+    assert "Aggregate" not in own, plan
 
 
 def test_r7_panels_plan_shapes(spark):
