@@ -779,7 +779,10 @@ def contrastive_negatives(
     pool_idx = dense_order_index(
         pool, [F.col("neg_doc_id").asc()], out="_r"
     ).select("neg_doc_id", (F.col("_r") - 1).alias("_idx"))
-    pool_n = pool_idx.agg(F.count(F.lit(1)).alias("_pn"))
+    # counted off the un-indexed pool (r12, guide §2.4): the index
+    # adds nothing to the count, and counting pool_idx re-ran the
+    # whole range-partitioned rank a second time.
+    pool_n = pool.agg(F.count(F.lit(1)).alias("_pn"))
 
     picks = (
         docs.select("doc_id")

@@ -139,8 +139,17 @@ def doc_logprob(docs: DataFrame, bg: DataFrame | None = None) -> DataFrame:
     doc-id spine left join restores pairless documents."""
     spine = docs.select("doc_id")
     bg = bg if bg is not None else bigram_stream(docs)
+    # Explicit broadcast of the model (r12, guide §3.1): the model is
+    # the counts-sized side by design (bigram TYPES, ≪ corpus), but
+    # the planner only has accurate size stats for the CACHED bigram
+    # stream and was broadcasting THAT side (BuildLeft on the
+    # corpus-sized relation — wrong at any scale). Pin the side the
+    # operator's own size contract declares small.
     scored = (
-        bg.join(lm_model(docs, bg=bg).select("w1", "w2", "logp"), ["w1", "w2"])
+        bg.join(
+            F.broadcast(lm_model(docs, bg=bg).select("w1", "w2", "logp")),
+            ["w1", "w2"],
+        )
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),
@@ -204,7 +213,10 @@ def kneser_ney_continuations(
     no driver loop. Top-k by (cont_left desc, w asc) pins the order.
     """
     bg = bg if bg is not None else bigram_stream(docs)
-    pairs = bg.select("w1", "w2").distinct()
+    # counts-sized fan-out input materialized once (r12, guide §2.4):
+    # pairs feeds the left-context, right-context and total legs —
+    # each would otherwise re-run the corpus-wide distinct.
+    pairs = bg.select("w1", "w2").distinct().localCheckpoint(eager=True)
 
     left = pairs.groupBy(F.col("w2").alias("w")).agg(
         F.count(F.lit(1)).cast("long").alias("cont_left")
@@ -322,7 +334,10 @@ def pmi_top_bigrams(
     for N, and TakeOrderedAndProject for the top-k. The corpus is
     touched only by the two counting passes.
     """
-    uni = unigram_counts(docs)
+    # vocab-sized fan-out input materialized once (r12, guide §2.4):
+    # uni feeds n_total and both word-side relations — each would
+    # otherwise re-run the corpus-wide unigram counting pass.
+    uni = unigram_counts(docs).localCheckpoint(eager=True)
     n_tok = uni.agg(F.sum("cnt").cast("long").alias("n_total"))
     c1 = uni.select(F.col("w").alias("w1"), F.col("cnt").cast("long").alias("c1"))
     c2 = uni.select(F.col("w").alias("w2"), F.col("cnt").cast("long").alias("c2"))

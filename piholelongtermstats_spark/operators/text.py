@@ -465,17 +465,28 @@ def gopher_repetition(docs: DataFrame, text_col: str = "text") -> DataFrame:
         )
     )
 
+    # r12 (guide §2.4): grams come straight off the token ARRAY
+    # (slice + array_join per position, the _bigram_structs /
+    # exact_substring_dedup idiom) instead of a lead()-window over
+    # the posexploded token stream — the window cost a full doc_id
+    # exchange + a (doc_id, pos) sort of every corpus token, per n.
+    # Same grams, same counts: position i yields tokens i..i+n−1
+    # joined by one space, docs with fewer than n tokens yield none.
+    # Tokenization sits in its OWN projection so the explode
+    # generator consumes an attribute — inlining `tokens(text)` into
+    # the generator re-evaluates the tokenizer per reference.
+    tok_d = d.select("doc_id", tokens(F.col("text")).alias("toks"))
+
     def gram_counts(n: int) -> DataFrame:
-        tok = d.select(
-            "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "tok")
-        )
-        w = Window.partitionBy("doc_id").orderBy("pos")
-        parts = [F.lead("tok", i).over(w) for i in range(n)]
-        g = tok.select(
-            "doc_id",
-            F.concat_ws(" ", *parts).alias("gram"),
-            parts[-1].alias("_last"),
-        ).filter(F.col("_last").isNotNull())
+        toks = F.col("toks")
+        grams = F.when(
+            F.size(toks) >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - n),
+                lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        g = tok_d.select("doc_id", F.explode(grams).alias("gram"))
         return (
             g.groupBy("doc_id", "gram")
             .agg(F.count("*").alias("cnt"))

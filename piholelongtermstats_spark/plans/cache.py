@@ -54,6 +54,19 @@ import os as _os
 _DOC_FAN = int(_os.environ.get("SPARK_GRAFT_DOC_FAN", "8"))
 
 
+def fan_degenerate(
+    spark: SparkSession, df: DataFrame, *keys: str
+) -> DataFrame:
+    """Fan a degenerately-partitioned relation (fewer source splits
+    than the fan target — the single-parquet-file test layout) before
+    persisting it; a well-partitioned production table passes through
+    untouched. See shared_docs for the measured rationale."""
+    fan = min(spark.sparkContext.defaultParallelism, _DOC_FAN)
+    if df.rdd.getNumPartitions() < fan:
+        df = df.repartition(fan, *keys)
+    return df
+
+
 def shared_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The shared documents corpus, fanned across the cluster.
 

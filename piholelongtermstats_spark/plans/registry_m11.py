@@ -11,7 +11,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from piholelongtermstats_spark.operators import cohort
-from piholelongtermstats_spark.plans.cache import shared_input
+from piholelongtermstats_spark.plans.cache import fan_degenerate, shared_input
 from piholelongtermstats_spark.plans.registry import _fact, register
 from piholelongtermstats_spark.session import ensure_session_defaults
 from piholelongtermstats_spark.sources.events import FACT_CTE
@@ -23,7 +23,14 @@ def _events_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     enriched fact's status buckets merge away)."""
     ensure_session_defaults(spark)
     return shared_input(
-        spark, "events_raw", sf_dir, lambda: load_table(spark, sf_dir, "events")
+        spark,
+        "events_raw",
+        sf_dir,
+        # fanned at cache build (r12): the single-file test layout
+        # otherwise persists as ONE partition (see cache.shared_docs)
+        lambda: fan_degenerate(
+            spark, load_table(spark, sf_dir, "events"), "user_id"
+        ),
     )
 
 

@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from piholelongtermstats_spark.operators import dq, resample, timeagg
 from piholelongtermstats_spark.operators.resample import POISSON1_CUM_PPB
-from piholelongtermstats_spark.plans.cache import shared_input
+from piholelongtermstats_spark.plans.cache import fan_degenerate, shared_input
 from piholelongtermstats_spark.plans.registry import _fact, register
 from piholelongtermstats_spark.session import ensure_session_defaults
 from piholelongtermstats_spark.sources.events import FACT_CTE
@@ -70,7 +70,13 @@ def q_dq_expectations_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/dq.py)."""
     ensure_session_defaults(spark)
     ev = shared_input(
-        spark, "events_rawcols", sf_dir, lambda: _raw_with_ts(spark, sf_dir)
+        spark,
+        "events_rawcols",
+        sf_dir,
+        # fanned at cache build (r12, see cache.shared_docs)
+        lambda: fan_degenerate(
+            spark, _raw_with_ts(spark, sf_dir), "user_id"
+        ),
     )
     return dq.dq_expectations_panel(ev)
 

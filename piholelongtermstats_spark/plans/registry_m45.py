@@ -185,13 +185,19 @@ def q_journey_scale_2x(spark: SparkSession, sf_dir: str) -> DataFrame:
     double, conversion ppms invariant (operators/journey.py)."""
     from pyspark.sql import functions as F
 
-    from piholelongtermstats_spark.plans.cache import shared_input
+    from piholelongtermstats_spark.plans.cache import fan_degenerate, shared_input
     from piholelongtermstats_spark.session import ensure_session_defaults
     from piholelongtermstats_spark.sources.events import raw_event_stream
 
     ensure_session_defaults(spark)
     raw = shared_input(
-        spark, "raw_events", sf_dir, lambda: raw_event_stream(spark, sf_dir)
+        spark,
+        "raw_events",
+        sf_dir,
+        # fanned at cache build (r12, see cache.shared_docs)
+        lambda: fan_degenerate(
+            spark, raw_event_stream(spark, sf_dir), "user_id"
+        ),
     ).select("user_id", "event_type", "ts")
     shifted = raw.select(
         (F.col("user_id") + F.lit(_J2X_SHIFT)).alias("user_id"),

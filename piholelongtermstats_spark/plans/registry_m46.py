@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from piholelongtermstats_spark.operators import behavior, journey, robust, stattests
-from piholelongtermstats_spark.plans.cache import shared_input
+from piholelongtermstats_spark.plans.cache import fan_degenerate, shared_input
 from piholelongtermstats_spark.plans.registry import _fact, register
 from piholelongtermstats_spark.session import ensure_session_defaults
 from piholelongtermstats_spark.sources.events import FACT_CTE, raw_event_stream
@@ -129,7 +129,13 @@ def q_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/journey.py)."""
     ensure_session_defaults(spark)
     raw = shared_input(
-        spark, "raw_events", sf_dir, lambda: raw_event_stream(spark, sf_dir)
+        spark,
+        "raw_events",
+        sf_dir,
+        # fanned at cache build (r12, see cache.shared_docs)
+        lambda: fan_degenerate(
+            spark, raw_event_stream(spark, sf_dir), "user_id"
+        ),
     )
     return journey.funnel_windowed(raw, within_minutes=_FW_MIN)
 
