@@ -334,25 +334,22 @@ def status_transitions(fact: DataFrame) -> DataFrame:
         within.unionByName(cross)
         .groupBy("prev_status", F.col("status_type").alias("status"))
         .agg(F.count(F.lit(1)).alias("cnt"))
-        # ≤ |status|² rows consumed by BOTH the row-total aggregate and
-        # the final join — materialize once so the two consumers don't
-        # each re-run the fact-wide window + boundary stitch (r12,
-        # guide §2.4 — the streak-kernel fix).
-        .localCheckpoint(eager=True)
     )
-    tot = mat.groupBy("prev_status").agg(F.sum("cnt").alias("total"))
-    return (
-        mat.join(F.broadcast(tot), "prev_status")
-        .select(
-            "prev_status",
-            "status",
-            "cnt",
-            F.round(
-                F.col("cnt").cast("double") * 100.0
-                / F.col("total").cast("double"),
-                6,
-            ).alias("pct"),
-        )
+    # Row total as a window sum over the ≤ |status|² matrix: ONE
+    # consumer of the fact-wide work, so no materialization and no
+    # join — the prev_status partition frame sums the same exact
+    # integers the old groupBy+broadcast-join total did (r12, guide
+    # §2.4: the total is derived data, not a second aggregation).
+    w_tot = Window.partitionBy("prev_status")
+    return mat.select(
+        "prev_status",
+        "status",
+        "cnt",
+        F.round(
+            F.col("cnt").cast("double") * 100.0
+            / F.sum("cnt").over(w_tot).cast("double"),
+            6,
+        ).alias("pct"),
     )  # (terminal cosmetic sort dropped, r12 guide §2.4 — checkers are order-insensitive)
 
 
