@@ -274,42 +274,46 @@ def ppl_buckets(docs: DataFrame, bg: DataFrame | None = None) -> DataFrame:
     scored = lp.select(
         "doc_id",
         "lang",
-        "n_bigrams",
         F.when(
             F.col("n_bigrams") > 0,
             F.round(-F.col("avg_logprob") * 1_000_000, 0).cast("long"),
         ).alias("ppl_q"),
-    # the scored relation (one row per document) feeds BOTH the
-    # cut-point histogram and the final bucket join — materialize it
-    # once (eager localCheckpoint, the cograph convention) so the
-    # bigram-explode + model join doesn't execute twice (r10: this
-    # was the one bench budget-gate violation, 2.56 s)
-    ).localCheckpoint(eager=True)
-
-    hist = (
-        scored.filter(F.col("ppl_q").isNotNull())
-        .groupBy("lang", "ppl_q")
-        .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    ws = Window.partitionBy("lang")
-    wc = ws.orderBy("ppl_q").rowsBetween(Window.unboundedPreceding, 0)
-    h = hist.withColumn("cum", F.sum("cnt").over(wc)).withColumn(
-        "n", F.sum("cnt").over(ws)
+    # r12 (guide §2.4): the cut points are WINDOW aggregates of the
+    # doc-level relation itself — no histogram groupBy, no broadcast
+    # join-back, and therefore only ONE consumer of the expensive
+    # bigram-explode + model-join pass (the r10 budget-gate fix used
+    # an eager localCheckpoint for the two-consumer shape; this
+    # removes the second consumer instead). Equivalence: cum under a
+    # RANGE frame counts every row with ppl_q <= the current VALUE —
+    # identical to the old distinct-value histogram ECDF (ties share
+    # one cum) — and n / t1 / t2 are full-partition aggregates of the
+    # same integers. Docs with no bigrams partition separately on the
+    # has-score flag (they were filtered out of the histogram before),
+    # so they never perturb cum/n; their t1/t2 are unused — the
+    # bucket expression labels them 'empty' first.
+    has = F.col("ppl_q").isNotNull()
+    wp = Window.partitionBy("lang", has)
+    cum = F.count(F.lit(1)).over(
+        wp.orderBy("ppl_q").rangeBetween(Window.unboundedPreceding, 0)
     )
-    cuts = h.groupBy("lang").agg(
-        F.min(F.when(F.col("cum") * 3 >= F.col("n"), F.col("ppl_q"))).alias("t1"),
-        F.min(F.when(F.col("cum") * 3 >= 2 * F.col("n"), F.col("ppl_q"))).alias(
-            "t2"
-        ),
+    n = F.count(F.lit(1)).over(wp)
+    ranked = scored.select(
+        "doc_id", "lang", "ppl_q", cum.alias("_cum"), n.alias("_n")
     )
-
-    return scored.join(F.broadcast(cuts), "lang", "left").select(
+    t1 = F.min(
+        F.when(F.col("_cum") * 3 >= F.col("_n"), F.col("ppl_q"))
+    ).over(wp)
+    t2 = F.min(
+        F.when(F.col("_cum") * 3 >= 2 * F.col("_n"), F.col("ppl_q"))
+    ).over(wp)
+    return ranked.select(
         "doc_id",
         "lang",
         "ppl_q",
         F.when(F.col("ppl_q").isNull(), F.lit("empty"))
-        .when(F.col("ppl_q") <= F.col("t1"), F.lit("head"))
-        .when(F.col("ppl_q") <= F.col("t2"), F.lit("middle"))
+        .when(F.col("ppl_q") <= t1, F.lit("head"))
+        .when(F.col("ppl_q") <= t2, F.lit("middle"))
         .otherwise(F.lit("tail"))
         .alias("bucket"),
     )
