@@ -1002,16 +1002,23 @@ def quality_lift_table(docs: DataFrame, n_buckets: int = 10) -> DataFrame:
     assigned = scored.join(F.broadcast(cuts)).select(
         "doc_id", "label", decile.alias("decile")
     )
-    tot = assigned.agg(
-        F.count(F.lit(1)).cast("long").alias("n_total"),
-        F.sum("label").cast("long").alias("k_total"),
-    )
     per = assigned.groupBy("decile").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("label").cast("long").alias("n_keep"),
     )
+    # Grand totals are window sums over the ≤ n_buckets-row decile
+    # relation (r12, guide §2.4): Σ n_docs / Σ n_keep over per ARE
+    # n_total / k_total exactly, so the separate tot aggregate over
+    # `assigned` (a second consumer of the decile join) and its
+    # broadcast join-back disappear. A single-partition window over
+    # ≤ 10 rows is the engine's accepted tiny-frame pattern (the
+    # histogram `h` above does the same).
+    w_all = Window.partitionBy()
     return (
-        per.join(F.broadcast(tot))
+        per.withColumn(
+            "n_total", F.sum("n_docs").over(w_all).cast("long")
+        )
+        .withColumn("k_total", F.sum("n_keep").over(w_all).cast("long"))
         .select(
             "decile",
             "n_docs",
