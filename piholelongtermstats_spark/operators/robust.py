@@ -34,24 +34,6 @@ def _daily(fact: DataFrame) -> DataFrame:
     return fact.groupBy("date").agg(F.count(F.lit(1)).cast("long").alias("y"))
 
 
-def _med2(df: DataFrame, col: str) -> DataFrame:
-    """One-row frame (n, med2) with med2 = doubled exact median of
-    ``df[col]`` (BIGINT). row_number orders the DAYS relation —
-    thousands of rows at any fact volume."""
-    w = Window.orderBy(F.col(col), *[c for c in df.columns if c != col])
-    ranked = df.select(
-        F.col(col).alias("_v"), F.row_number().over(w).alias("_r")
-    )
-    n = df.count()  # tiny relation; the count is its own partial agg
-    r1, r2 = (n + 1) // 2, n // 2 + 1
-    return ranked.filter(F.col("_r").isin(r1, r2)).agg(
-        F.lit(n).cast("long").alias("n"),
-        F.when(F.lit(r1) == F.lit(r2), F.sum("_v") * 2)
-        .otherwise(F.sum("_v"))
-        .cast("long")
-        .alias("med2"),
-    )
-
 
 def mad_outlier_days(
     fact: DataFrame, k_num: int = 7, k_den: int = 2
@@ -69,20 +51,60 @@ def mad_outlier_days(
     identical) flags any deviating day and NULLs the z-score.
 
     Scale: two day-relation order statistics (row_number over days)
-    + two broadcast joins of one-row frames; the fact is touched once.
+    + two window passes over the tiny dates-sized frame; the fact is
+    touched once.
     """
-    # dates-sized fan-out inputs materialized once (r12, guide §2.4):
-    # daily feeds the median legs + dev, dev feeds the MAD legs + out —
-    # each leg would otherwise re-run the fact-wide daily aggregation.
-    daily = _daily(fact).localCheckpoint(eager=True)
-    m = _med2(daily, "y").select(
-        F.col("n").alias("n_days"), F.col("med2")
+    # r12 (guide §2.4, the client_mad_outliers fold applied to the
+    # GLOBAL variant): both doubled medians are window sums over the
+    # dates-sized daily relation — rank the rows, zero the non-middle
+    # ones, sum over the (tiny, unpartitioned — the accepted
+    # dates-frame pattern) full frame. This removes both eager
+    # localCheckpoints, both driver-side _med2 count() actions at
+    # plan-construction time, and both broadcast join-backs, leaving
+    # ONE lineage that touches the fact once. Identical arithmetic:
+    # the same two order statistics under the same orderings ((y,
+    # date) for the median; (u) for the MAD — ties in u carry equal
+    # values, so the summed middles are tie-order-free).
+    daily = _daily(fact)
+    wall = Window.partitionBy()
+
+    def _mid(r: F.Column, n: F.Column) -> F.Column:
+        return (r == F.floor((n + 1) / 2)) | (r == F.floor(n / 2) + 1)
+
+    n1 = F.count(F.lit(1)).over(wall)
+    r1 = F.row_number().over(Window.orderBy("y", "date"))
+    ranked = daily.select(
+        "date",
+        "y",
+        n1.alias("_n"),
+        F.when(_mid(r1, n1), F.col("y")).otherwise(F.lit(0)).alias("_mc"),
     )
-    dev = daily.join(F.broadcast(m)).withColumn(
-        "u", F.abs(2 * F.col("y") - F.col("med2"))
-    ).localCheckpoint(eager=True)
-    mm = _med2(dev.select("u"), "u").select(F.col("med2").alias("mad4"))
-    out = dev.join(F.broadcast(mm))
+    odd = F.col("_n") % 2 == 1
+    med2c = (
+        F.when(odd, 2 * F.sum("_mc").over(wall))
+        .otherwise(F.sum("_mc").over(wall))
+        .cast("long")
+    )
+    dev = ranked.select(
+        "date", "y", "_n", med2c.alias("med2")
+    ).withColumn("u", F.abs(2 * F.col("y") - F.col("med2")))
+    r2 = F.row_number().over(Window.orderBy("u"))
+    dev2r = dev.select(
+        "date",
+        "y",
+        "med2",
+        "u",
+        "_n",
+        F.when(_mid(r2, F.col("_n")), F.col("u"))
+        .otherwise(F.lit(0))
+        .alias("_uc"),
+    )
+    mad4c = (
+        F.when(odd, 2 * F.sum("_uc").over(wall))
+        .otherwise(F.sum("_uc").over(wall))
+        .cast("long")
+    )
+    out = dev2r.select("date", "y", "med2", "u", mad4c.alias("mad4"))
     dev2 = 2 * F.col("y") - F.col("med2")
     z = (2.0 * dev2.cast("double")) / (1.4826 * F.col("mad4").cast("double"))
     return out.select(
@@ -747,21 +769,59 @@ def seasonal_adjusted_outliers(
     Scale: the daily relation drives everything; medians are
     row_number order statistics over days.
     """
-    # stl_lite_daily's output is already checkpoint-backed (its d is
-    # materialized), but the final join/select above it would still
-    # re-run per consumer — materialize the projection once, and dev
-    # once for the MAD legs + out (r12, guide §2.4).
-    stl = stl_lite_daily(fact).select(
-        "date", "y", "remain7_scaled"
-    ).localCheckpoint(eager=True)
-    m = _med2(stl.select("remain7_scaled"), "remain7_scaled").select(
-        F.col("n").alias("n_days"), F.col("med2")
+    # r12 (guide §2.4, the mad_outlier_days window fold): both doubled
+    # medians are window sums over the dates-sized adjusted relation —
+    # ONE consumer of stl_lite_daily, so the outer projection
+    # checkpoint, both _med2 driver-side count() actions and both
+    # broadcast join-backs disappear. Identical arithmetic: the same
+    # order statistics under orderBy(remain7_scaled) / orderBy(u)
+    # (ties carry equal values — tie-order-free sums).
+    stl = stl_lite_daily(fact).select("date", "y", "remain7_scaled")
+    wall = Window.partitionBy()
+
+    def _mid(r: F.Column, n: F.Column) -> F.Column:
+        return (r == F.floor((n + 1) / 2)) | (r == F.floor(n / 2) + 1)
+
+    n1 = F.count(F.lit(1)).over(wall)
+    r1 = F.row_number().over(Window.orderBy("remain7_scaled"))
+    ranked = stl.select(
+        "date",
+        "y",
+        "remain7_scaled",
+        n1.alias("_n"),
+        F.when(_mid(r1, n1), F.col("remain7_scaled"))
+        .otherwise(F.lit(0))
+        .alias("_mc"),
     )
-    dev = stl.join(F.broadcast(m)).withColumn(
-        "u", F.abs(2 * F.col("remain7_scaled") - F.col("med2"))
-    ).localCheckpoint(eager=True)
-    mm = _med2(dev.select("u"), "u").select(F.col("med2").alias("mad4"))
-    out = dev.join(F.broadcast(mm))
+    odd = F.col("_n") % 2 == 1
+    med2c = (
+        F.when(odd, 2 * F.sum("_mc").over(wall))
+        .otherwise(F.sum("_mc").over(wall))
+        .cast("long")
+    )
+    dev = ranked.select(
+        "date", "y", "remain7_scaled", "_n", med2c.alias("med2")
+    ).withColumn("u", F.abs(2 * F.col("remain7_scaled") - F.col("med2")))
+    r2 = F.row_number().over(Window.orderBy("u"))
+    dev2r = dev.select(
+        "date",
+        "y",
+        "remain7_scaled",
+        "med2",
+        "u",
+        "_n",
+        F.when(_mid(r2, F.col("_n")), F.col("u"))
+        .otherwise(F.lit(0))
+        .alias("_uc"),
+    )
+    mad4c = (
+        F.when(odd, 2 * F.sum("_uc").over(wall))
+        .otherwise(F.sum("_uc").over(wall))
+        .cast("long")
+    )
+    out = dev2r.select(
+        "date", "y", "remain7_scaled", "med2", "u", mad4c.alias("mad4")
+    )
     dev2 = 2 * F.col("remain7_scaled") - F.col("med2")
     z = (2.0 * dev2.cast("double")) / (1.4826 * F.col("mad4").cast("double"))
     return out.select(
