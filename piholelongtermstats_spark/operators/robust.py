@@ -138,14 +138,22 @@ def theil_sen_daily_trend(fact: DataFrame) -> DataFrame:
     one row_number window over it selects both order statistics.
     """
     # dates-sized fan-out input materialized once (r12, guide §2.4):
-    # daily feeds first/idx (twice, via both pair sides), the
-    # day-count leg, and the pair count; pairs (days², calendar²-
-    # bounded at any fact volume) feeds both its count and the
-    # ranked window — materialized so the self-join runs once.
+    # daily still feeds idx (twice, via both pair sides) and the
+    # day-count leg. The PAIR side is now single-consumer (r12 window
+    # fold): the median ranks come from a count-over-window instead
+    # of a driver-side pairs.count() action, so the pairs checkpoint
+    # and the build-time count job disappear and the self-join runs
+    # once inside one lineage. The day-origin join is folded the same
+    # way (min(date) as a window over the checkpointed daily). Median
+    # arithmetic unchanged: the same one/two order statistics under
+    # the same (slope, num, den) ordering; the even-n case sums the
+    # same two doubles before the single /2.0.
     daily = _daily(fact).localCheckpoint(eager=True)
-    first = daily.agg(F.min("date").alias("d0"))
-    idx = daily.join(F.broadcast(first)).select(
-        F.datediff(F.col("date"), F.col("d0")).cast("long").alias("i"),
+    wall_d = Window.partitionBy()
+    idx = daily.select(
+        F.datediff(F.col("date"), F.min("date").over(wall_d))
+        .cast("long")
+        .alias("i"),
         "y",
     )
     a = idx.select(F.col("i").alias("i1"), F.col("y").alias("y1"))
@@ -153,26 +161,32 @@ def theil_sen_daily_trend(fact: DataFrame) -> DataFrame:
     pairs = a.join(b, F.col("i1") < F.col("i2")).select(
         (F.col("y2") - F.col("y1")).alias("num"),
         (F.col("i2") - F.col("i1")).alias("den"),
-    ).localCheckpoint(eager=True)
-    slope = F.col("num").cast("double") / F.col("den").cast("double")
-    w = Window.orderBy(slope, "num", "den")
-    ranked = pairs.select(
-        slope.alias("v"), F.row_number().over(w).alias("_r")
     )
-    n_pairs = pairs.count()
-    r1, r2 = (n_pairs + 1) // 2, n_pairs // 2 + 1
-    med = ranked.filter(F.col("_r").isin(r1, r2)).agg(
-        F.when(F.lit(r1) == F.lit(r2), F.sum("v"))
-        .otherwise(F.sum("v") / 2.0)
-        .alias("slope")
+    slope = F.col("num").cast("double") / F.col("den").cast("double")
+    wall_p = Window.partitionBy()
+    w = Window.orderBy(slope, "num", "den")
+    r = F.row_number().over(w)
+    n = F.count(F.lit(1)).over(wall_p)
+    mid = (r == F.floor((n + 1) / 2)) | (r == F.floor(n / 2) + 1)
+    ranked = pairs.select(
+        F.when(mid, slope).alias("_mc"), n.alias("_n")
+    )
+    med = ranked.agg(
+        F.coalesce(F.max("_n"), F.lit(0)).cast("long").alias("n_pairs"),
+        F.sum("_mc").alias("_s"),
     )
     n_days = daily.agg(F.count(F.lit(1)).cast("long").alias("n_days"))
     return (
         med.join(F.broadcast(n_days))
         .select(
             "n_days",
-            F.lit(n_pairs).cast("long").alias("n_pairs"),
-            F.round("slope", 6).alias("slope_per_day"),
+            "n_pairs",
+            F.round(
+                F.when(F.col("n_pairs") % 2 == 1, F.col("_s")).otherwise(
+                    F.col("_s") / 2.0
+                ),
+                6,
+            ).alias("slope_per_day"),
         )
     )
 
@@ -499,18 +513,29 @@ def tukey_fence_days(fact: DataFrame) -> DataFrame:
         y > Q3 + 1.5·IQR  ⟺  2y > 5·Q3 − 3·Q1.
     Same two-order-statistic day-relation plan as mad_outlier_days.
     """
-    # dates-sized fan-out input materialized once (r12, guide §2.4):
-    # consumed by ranked, the count, and the fence join.
-    daily = _daily(fact).localCheckpoint(eager=True)
-    w = Window.orderBy("y", "date")
-    ranked = daily.select("y", F.row_number().over(w).alias("_r"))
-    n = daily.count()
-    r1, r3 = (n + 3) // 4, (3 * n + 3) // 4  # ceil(n/4), ceil(3n/4)
-    qs = ranked.filter(F.col("_r").isin(r1, r3)).agg(
-        F.min(F.when(F.col("_r") == r1, F.col("y"))).alias("q1"),
-        F.min(F.when(F.col("_r") == r3, F.col("y"))).alias("q3"),
+    # r12 (guide §2.4, the mad_outlier_days window fold): both
+    # quartiles are window aggregates of the dates-sized daily
+    # relation — rank the rows, pick the ceil(n/4)/ceil(3n/4) values,
+    # spread them with full-frame mins. One lineage: no eager
+    # checkpoint, no driver-side count() at plan-construction time,
+    # no keyless broadcast join. Identical integers (same nearest-rank
+    # order statistics under the same (y, date) ordering).
+    daily = _daily(fact)
+    wall = Window.partitionBy()
+    n = F.count(F.lit(1)).over(wall)
+    r = F.row_number().over(Window.orderBy("y", "date"))
+    ranked = daily.select(
+        "date",
+        "y",
+        F.when(r == F.floor((n + 3) / 4), F.col("y")).alias("_q1c"),
+        F.when(r == F.floor((3 * n + 3) / 4), F.col("y")).alias("_q3c"),
     )
-    out = daily.join(F.broadcast(qs))
+    out = ranked.select(
+        "date",
+        "y",
+        F.min("_q1c").over(wall).alias("q1"),
+        F.min("_q3c").over(wall).alias("q3"),
+    )
     lo = (2 * F.col("y") < 5 * F.col("q1") - 3 * F.col("q3")).cast("int")
     hi = (2 * F.col("y") > 5 * F.col("q3") - 3 * F.col("q1")).cast("int")
     return out.select(
