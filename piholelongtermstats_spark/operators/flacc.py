@@ -40,6 +40,7 @@ import hashlib
 import struct
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
@@ -55,25 +56,44 @@ from piholelongtermstats_spark.operators.multimodal import (
 # both MSB-first, init 0 — RFC 9639 §9.2/§9.3)
 
 
+def _build_crc_tables() -> "tuple[list, list]":
+    """256-entry lookup tables generated FROM the bit-by-bit spec
+    recurrences (so the table form is correct by construction). The
+    per-byte loops below fold 8 spec steps into one table lookup —
+    the decode profile's top cost was the bitwise _crc16 over every
+    frame byte (r12 guide §1.2 per-task work)."""
+    t8, t16 = [], []
+    for b in range(256):
+        c8 = b
+        c16 = b << 8
+        for _ in range(8):
+            c8 = ((c8 << 1) ^ 0x07) & 0xFF if c8 & 0x80 else (c8 << 1) & 0xFF
+            c16 = (
+                ((c16 << 1) ^ 0x8005) & 0xFFFF
+                if c16 & 0x8000
+                else (c16 << 1) & 0xFFFF
+            )
+        t8.append(c8)
+        t16.append(c16)
+    return t8, t16
+
+
+_CRC8_T, _CRC16_T = _build_crc_tables()
+
+
 def _crc8(data: bytes) -> int:
     crc = 0
+    t = _CRC8_T
     for b in data:
-        crc ^= b
-        for _ in range(8):
-            crc = ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80 else (crc << 1) & 0xFF
+        crc = t[crc ^ b]
     return crc
 
 
 def _crc16(data: bytes) -> int:
     crc = 0
+    t = _CRC16_T
     for b in data:
-        crc ^= b << 8
-        for _ in range(8):
-            crc = (
-                ((crc << 1) ^ 0x8005) & 0xFFFF
-                if crc & 0x8000
-                else (crc << 1) & 0xFFFF
-            )
+        crc = t[(crc >> 8) ^ b] ^ ((crc & 0xFF) << 8)
     return crc
 
 
@@ -131,13 +151,25 @@ class _BitsIn:
         return v
 
     def get_unary(self) -> int:
-        q = 0
-        while True:
-            if self.get(1):
-                return q
-            q += 1
-            if q > 1 << 20:
-                raise ValueError("runaway unary code")
+        # Byte-scan for the terminating 1 bit instead of get(1) per
+        # zero bit (the rice-decode profile cost): mask off the
+        # already-consumed high bits of the current byte, then walk
+        # whole bytes; bit_length() locates the first set bit. Same
+        # exhaustion error as get() on overrun.
+        data = self.data
+        bp = self.bitpos
+        i = bp >> 3
+        if i >= len(data):
+            raise ValueError("FLAC bitstream exhausted")
+        byte = data[i] & (0xFF >> (bp & 7))
+        while byte == 0:
+            i += 1
+            if i >= len(data):
+                raise ValueError("FLAC bitstream exhausted")
+            byte = data[i]
+        bitidx = i * 8 + (8 - byte.bit_length())
+        self.bitpos = bitidx + 1
+        return bitidx - bp
 
     def align(self) -> None:
         self.bitpos = (self.bitpos + 7) & ~7
@@ -213,9 +245,14 @@ def encode_flac(samples: list, rate: int) -> bytes:
         for i in range(_ORDER, n)
     ]
     folded = [_zigzag_fold(r) for r in resid]
+    # cost(k) = Σ(u >> k) + n·(1+k); the shifted sums for all 15 k
+    # come from one numpy array instead of 15 generator passes (same
+    # integer arithmetic, same first-minimum tie-break)
+    uarr = np.asarray(folded, dtype=np.int64)
+    nfold = len(folded)
     best_k, best_cost = 0, None
     for k in range(15):
-        cost = sum((u >> k) + 1 + k for u in folded)
+        cost = int((uarr >> k).sum()) + nfold * (1 + k)
         if best_cost is None or cost < best_cost:
             best_k, best_cost = k, cost
     bits.put(0b00, 2)  # rice method, 4-bit params
@@ -360,12 +397,23 @@ def decode_flac(payload: bytes) -> "tuple[int, list]":
             3: [3, -3, 1],
             4: [4, -6, 4, -1],
         }[order]
-        for r in resid:
-            pred = sum(
-                c * samples[len(samples) - i - 1]
-                for i, c in enumerate(coefs)
-            )
-            samples.append(r + pred)
+        if order == 2:
+            # local-variable form of the same 2·s₁ − s₂ cascade (what
+            # our encoder emits); the generic genexpr below stays as
+            # the spec-complete path for orders 0/1/3/4
+            s1, s2 = samples[-1], samples[-2]
+            append = samples.append
+            for r in resid:
+                v = r + 2 * s1 - s2
+                append(v)
+                s2, s1 = s1, v
+        else:
+            for r in resid:
+                pred = sum(
+                    c * samples[len(samples) - i - 1]
+                    for i, c in enumerate(coefs)
+                )
+                samples.append(r + pred)
     else:
         raise ValueError("unsupported subframe type")
     bits.align()

@@ -305,7 +305,9 @@ def encode_jpeg_gray(px: "np.ndarray") -> bytes:
     for zz in zzs.tolist():
         diff = zz[0] - prev_dc
         prev_dc = zz[0]
-        s = _category(diff)
+        # _category inlined (|v|.bit_length()): the function call per
+        # coefficient was ~18% of the encode profile (r12 guide §1.2)
+        s = (diff if diff >= 0 else -diff).bit_length()
         code, ln = _DC_ENC[s]
         if s:
             acc = (acc << ln) | code
@@ -332,7 +334,7 @@ def encode_jpeg_gray(px: "np.ndarray") -> bytes:
                 acc = (acc << zrl[1]) | zrl[0]
                 nb += zrl[1]
                 run -= 16
-            s = _category(v)
+            s = (v if v >= 0 else -v).bit_length()
             code, ln = _AC_ENC[(run << 4) | s]
             acc = (acc << ln) | code
             nb += ln
@@ -438,7 +440,6 @@ def decode_jpeg_gray(payload: bytes) -> "tuple[int, int, np.ndarray]":
         raise ValueError("missing EOI")
     reader = _BitReader(payload[scan_start:end])
     bh, bwid = (h + 7) // 8, (w + 7) // 8
-    out = np.zeros((bh * 8, bwid * 8), dtype=np.float64)
     prev_dc = 0
     qgrid = np.zeros((8, 8), dtype=np.int64)
     for i, (r, c) in enumerate(_ZIGZAG):
@@ -446,78 +447,92 @@ def decode_jpeg_gray(payload: bytes) -> "tuple[int, int, np.ndarray]":
     # Hot entropy loop with LOCAL-variable bit ops (the method-call
     # version — peek/consume/_need per symbol — was 3× slower; the
     # _BitReader class remains the general/tested reader, this loop
-    # is its inlined form over the same unstuffed buffer). The buffer
-    # is zero-padded so the final symbol can be PEEKED past the real
-    # bits; consuming past them still raises (checked at the end).
-    data = reader.data + b"\x00" * 8
+    # is its inlined form over the same unstuffed buffer). Refills
+    # pull FOUR bytes at a time (one int.from_bytes vs up to two
+    # shift/or pairs; max deficit is 16 bits so a single 32-bit refill
+    # always suffices). The buffer is zero-padded so the final symbol
+    # can be PEEKED past the real bits; consuming past them still
+    # raises (checked at the end).
+    data = reader.data + b"\x00" * 16
     realbits = reader._realbits
     dc_lut, dc_max = dc_dec
     ac_lut, ac_max = ac_dec
+    from_bytes = int.from_bytes
     acc = nb = bpos = consumed = 0
-    for by in range(bh):
-        for bx in range(bwid):
-            zz = [0] * 64
-            while nb < dc_max:
-                acc = (acc << 8) | data[bpos]
-                bpos += 1
-                nb += 8
-            ent = dc_lut[(acc >> (nb - dc_max)) & ((1 << dc_max) - 1)]
+    zz_rows = []
+    for _ in range(bh * bwid):
+        zz = [0] * 64
+        if nb < dc_max:
+            acc = (acc << 32) | from_bytes(data[bpos : bpos + 4], "big")
+            bpos += 4
+            nb += 32
+        ent = dc_lut[(acc >> (nb - dc_max)) & ((1 << dc_max) - 1)]
+        if ent is None:
+            raise ValueError("invalid Huffman code")
+        s, ln = ent
+        nb -= ln
+        acc &= (1 << nb) - 1
+        consumed += ln
+        if s:
+            if nb < s:
+                acc = (acc << 32) | from_bytes(data[bpos : bpos + 4], "big")
+                bpos += 4
+                nb += 32
+            v = acc >> (nb - s)
+            nb -= s
+            acc &= (1 << nb) - 1
+            consumed += s
+            prev_dc += v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+        zz[0] = prev_dc
+        i = 1
+        while i < 64:
+            if nb < ac_max:
+                acc = (acc << 32) | from_bytes(data[bpos : bpos + 4], "big")
+                bpos += 4
+                nb += 32
+            ent = ac_lut[(acc >> (nb - ac_max)) & ((1 << ac_max) - 1)]
             if ent is None:
                 raise ValueError("invalid Huffman code")
-            s, ln = ent
+            sym, ln = ent
             nb -= ln
             acc &= (1 << nb) - 1
             consumed += ln
-            if s:
-                while nb < s:
-                    acc = (acc << 8) | data[bpos]
-                    bpos += 1
-                    nb += 8
-                v = acc >> (nb - s)
-                nb -= s
-                acc &= (1 << nb) - 1
-                consumed += s
-                prev_dc += v if v >= (1 << (s - 1)) else v - (1 << s) + 1
-            zz[0] = prev_dc
-            i = 1
-            while i < 64:
-                while nb < ac_max:
-                    acc = (acc << 8) | data[bpos]
-                    bpos += 1
-                    nb += 8
-                ent = ac_lut[(acc >> (nb - ac_max)) & ((1 << ac_max) - 1)]
-                if ent is None:
-                    raise ValueError("invalid Huffman code")
-                sym, ln = ent
-                nb -= ln
-                acc &= (1 << nb) - 1
-                consumed += ln
-                if sym == 0x00:  # EOB
-                    break
-                if sym == 0xF0:  # ZRL
-                    i += 16
-                    continue
-                i += sym >> 4
-                size = sym & 0x0F
-                if i >= 64:
-                    raise ValueError("AC run past block end")
-                while nb < size:
-                    acc = (acc << 8) | data[bpos]
-                    bpos += 1
-                    nb += 8
-                v = acc >> (nb - size)
-                nb -= size
-                acc &= (1 << nb) - 1
-                consumed += size
-                zz[i] = v if v >= (1 << (size - 1)) else v - (1 << size) + 1
-                i += 1
-            flat = np.zeros(64, dtype=np.float64)
-            flat[_ZZ_FLAT] = zz
-            coef = flat.reshape(8, 8) * qgrid
-            block = _C.T @ coef @ _C + 128.0
-            out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block
+            if sym == 0x00:  # EOB
+                break
+            if sym == 0xF0:  # ZRL
+                i += 16
+                continue
+            i += sym >> 4
+            size = sym & 0x0F
+            if i >= 64:
+                raise ValueError("AC run past block end")
+            if nb < size:
+                acc = (acc << 32) | from_bytes(data[bpos : bpos + 4], "big")
+                bpos += 4
+                nb += 32
+            v = acc >> (nb - size)
+            nb -= size
+            acc &= (1 << nb) - 1
+            consumed += size
+            zz[i] = v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+            i += 1
+        zz_rows.append(zz)
     if consumed > realbits:
         raise ValueError("entropy stream exhausted")
+    # All blocks dequantized + IDCT'd in ONE batched set of array ops
+    # (the per-block zeros/fancy-index/reshape/matmul-pair was ~20% of
+    # the decode profile); the stacked matmul runs the identical
+    # per-slice float64 kernel, raster order preserved by the
+    # reshape/transpose — the exact inverse of the encoder's split.
+    flat = np.zeros((bh * bwid, 64), dtype=np.float64)
+    flat[:, _ZZ_FLAT] = zz_rows
+    coef = flat.reshape(-1, 8, 8) * qgrid
+    blocks = _C.T @ coef @ _C + 128.0
+    out = (
+        blocks.reshape(bh, bwid, 8, 8)
+        .transpose(0, 2, 1, 3)
+        .reshape(bh * 8, bwid * 8)
+    )
     px = np.clip(np.rint(out), 0, 255).astype(np.uint8)
     return w, h, px[:h, :w]
 

@@ -228,3 +228,42 @@ def test_audit_quarantines_corrupt_payload(spark):
     }
     assert got[2] == (0, 0)
     assert got[1] == (1, 1) and got[3] == (1, 1)
+
+
+def test_batched_idct_matches_per_block_reference():
+    # r12: decode batches every block's dequant+IDCT into one stacked
+    # matmul; this differential pins it to the original per-block form
+    # (np.zeros/fancy-index/reshape/matmul pair) bit-for-bit.
+    for mid in (0, 7, 13, 39, 254, 255, 256, 1279):
+        w0, h0 = J._bmp_dims(mid)
+        px = J._luma(mid, h0, w0)
+        payload = J.encode_jpeg_gray(px)
+        w, h, got = J.decode_jpeg_gray(payload)
+
+        # reference decode: reuse the real parse up to the entropy
+        # coefficients by re-deriving blocks from the decoded output
+        # is circular — instead rebuild the expected pixels from the
+        # SAME coefficient math the encoder used, per block.
+        bh, bwid = (h + 7) // 8, (w + 7) // 8
+        padded = np.pad(
+            px.astype(np.float64) - 128.0,
+            ((0, bh * 8 - h), (0, bwid * 8 - w)),
+            mode="edge",
+        )
+        blocks = (
+            padded.reshape(bh, 8, bwid, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(-1, 8, 8)
+        )
+        coefs = np.einsum("ij,bjk,lk->bil", J._C, blocks, J._C)
+        zz = np.rint(coefs).astype(np.int64)  # quantized (Q=1)
+        out = np.zeros((bh * 8, bwid * 8), dtype=np.float64)
+        bi = 0
+        for by in range(bh):
+            for bx in range(bwid):
+                block = J._C.T @ zz[bi].astype(np.float64) @ J._C + 128.0
+                out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block
+                bi += 1
+        want = np.clip(np.rint(out), 0, 255).astype(np.uint8)[:h, :w]
+        assert got.shape == want.shape
+        assert np.array_equal(got, want), f"mid={mid}"

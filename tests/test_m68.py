@@ -214,3 +214,79 @@ def test_flac_panel_quarantines_corrupt_payload(spark):
         for r in FL.decode_flac_features(broken).collect()
     }
     assert got == {1: 1, 2: 0, 3: 1}
+
+
+# ---------------------------------------------------------------------------
+# r12 optimization internals: the table-driven CRCs and the byte-scan
+# unary reader must match the bit-by-bit spec recurrences they replaced
+
+
+def test_crc_tables_match_spec_recurrence():
+    import random
+
+    def crc8_spec(data: bytes) -> int:
+        crc = 0
+        for b in data:
+            crc ^= b
+            for _ in range(8):
+                crc = (
+                    ((crc << 1) ^ 0x07) & 0xFF
+                    if crc & 0x80
+                    else (crc << 1) & 0xFF
+                )
+        return crc
+
+    def crc16_spec(data: bytes) -> int:
+        crc = 0
+        for b in data:
+            crc ^= b << 8
+            for _ in range(8):
+                crc = (
+                    ((crc << 1) ^ 0x8005) & 0xFFFF
+                    if crc & 0x8000
+                    else (crc << 1) & 0xFFFF
+                )
+        return crc
+
+    rng = random.Random(0x8005)
+    cases = [b"", b"\x00", b"\xff" * 7, bytes(range(256))] + [
+        bytes(rng.randrange(256) for _ in range(rng.randrange(1, 64)))
+        for _ in range(50)
+    ]
+    for data in cases:
+        assert FL._crc8(data) == crc8_spec(data)
+        assert FL._crc16(data) == crc16_spec(data)
+
+
+def test_get_unary_matches_bitwise_reference():
+    # streams with long zero runs crossing byte boundaries, at every
+    # starting bit offset; reference = the old get(1)-per-bit loop
+    def unary_ref(r: "FL._BitsIn") -> int:
+        q = 0
+        while True:
+            if r.get(1):
+                return q
+            q += 1
+
+    w = FL._Bits()
+    qs = [0, 1, 7, 8, 9, 31, 32, 33, 63, 2, 0, 15]
+    for off in range(8):
+        w2 = FL._Bits()
+        if off:
+            w2.put(0, off)  # consumed prefix
+        for q in qs:
+            w2.put_unary(q)
+        w2.put(1, 1)  # trailing guard bit
+        w2.align()
+        data = bytes(w2.out)
+        ra = FL._BitsIn(data, off)
+        rb = FL._BitsIn(data, off)
+        for q in qs:
+            assert ra.get_unary() == unary_ref(rb) == q
+            assert ra.bitpos == rb.bitpos
+    # exhaustion: an all-zero tail must raise, as get(1) would
+    import pytest as _pytest
+
+    r = FL._BitsIn(b"\x00\x00", 3)
+    with _pytest.raises(ValueError):
+        r.get_unary()
