@@ -43,7 +43,11 @@ from piholelongtermstats_spark.sources.events import (
     _epoch_us,
     filter_raw_ts,
 )
-from piholelongtermstats_spark.sources.parquet import load_table
+from piholelongtermstats_spark.sources.parquet import (
+    invalidate_read_memo,
+    load_table,
+    read_parquet_memo,
+)
 
 PARTITION_COL = "p_date"
 
@@ -171,6 +175,7 @@ def ensure_layout(spark: SparkSession, sf_dir: str) -> str:
         else:
             shutil.rmtree(path, ignore_errors=True)
             os.rename(staging, path)
+        invalidate_read_memo(spark, path)
     _LAYOUT_READY.add(key)
     return path
 
@@ -227,7 +232,7 @@ def scan_events_date_partitioned(
             _epoch_us(t) / 1e6, tz=dt.timezone.utc
         ).date()
 
-    ev = spark.read.parquet(path)
+    ev = read_parquet_memo(spark, path)
     if lo is not None:
         ev = ev.filter(
             F.col(PARTITION_COL) >= F.lit(_utc_date(lo).isoformat()).cast("date")
@@ -301,6 +306,7 @@ def compact_partition_files(
         os.rename(pdir, old)
         os.rename(staging, pdir)
         shutil.rmtree(old, ignore_errors=True)
+        invalidate_read_memo(spark, root)
         n_after = len(
             [f for f in _glob.glob(os.path.join(pdir, "*.parquet"))]
         )

@@ -31,9 +31,48 @@ TABLES = (
 )
 
 
+def read_parquet_memo(spark: SparkSession, path: str) -> DataFrame:
+    """Session-scoped memo of the ANALYZED reader frame for a static
+    parquet path.
+
+    ``spark.read.parquet`` pays DataSource resolution — file listing
+    plus footer/schema read — in the JVM on EVERY call (~60-90 ms per
+    table here); a steady-state construction pass over the registry
+    made 86 such calls (7.6 s) for the same handful of immutable
+    paths (r12, guide §1.2 applied to the driver). The memo returns
+    the same immutable DataFrame (logical plan) object instead; the
+    SCAN still executes per action — this is plan-construction reuse,
+    not data caching, and holds at any scale (a production driver
+    resolving a 10⁵-file table per query would pay far more).
+
+    Keyed per SESSION OBJECT (the memo dies with the session) and per
+    absolute path. Only for paths that are immutable once written —
+    driver testdata tables, committed snapshot ``v=N`` dirs, and the
+    staged-rename layout/zorder dirs, whose writers call
+    ``invalidate_read_memo`` after every rewrite."""
+    memo = spark.__dict__.setdefault("_phlts_read_memo", {})
+    key = os.path.abspath(path)
+    df = memo.get(key)
+    if df is None:
+        df = spark.read.parquet(path)
+        memo[key] = df
+    return df
+
+
+def invalidate_read_memo(spark: SparkSession, root: str) -> None:
+    """Drop memoized reader frames at/under ``root`` (writers call
+    this after a staged rename so no consumer can see a stale file
+    listing)."""
+    memo = getattr(spark, "_phlts_read_memo", None)
+    if memo:
+        r = os.path.abspath(root)
+        for k in [k for k in memo if k == r or k.startswith(r + os.sep)]:
+            del memo[k]
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one synthetic table from ``sf_dir``."""
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    return read_parquet_memo(spark, os.path.join(sf_dir, f"{name}.parquet"))
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

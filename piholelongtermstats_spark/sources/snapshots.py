@@ -35,6 +35,11 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from piholelongtermstats_spark.sources.parquet import (
+    invalidate_read_memo,
+    read_parquet_memo,
+)
+
 
 def _manifest_path(root: str, version: int) -> str:
     return os.path.join(root, f"v={version}", "_MANIFEST.json")
@@ -114,6 +119,7 @@ def write_snapshot(df: DataFrame, root: str) -> int:
         path = os.path.join(root, f"v={version}")
         try:
             os.rename(staging, path)
+            invalidate_read_memo(df.sparkSession, path)
             break
         except OSError:
             continue  # another writer claimed this N — retry at N+1
@@ -145,7 +151,7 @@ def read_snapshot(
     v = vs[-1] if version is None else version
     if v not in vs:
         raise FileNotFoundError(f"version {v} not committed under {root}")
-    return spark.read.parquet(os.path.join(root, f"v={v}"))
+    return read_parquet_memo(spark, os.path.join(root, f"v={v}"))
 
 
 def content_hash(df: DataFrame, key: str, content_cols: tuple) -> DataFrame:
@@ -208,6 +214,7 @@ def commit_version(df: DataFrame, root: str, version: int) -> bool:
     path = os.path.join(root, f"v={version}")
     shutil.rmtree(path, ignore_errors=True)
     df.write.mode("errorifexists").parquet(path)
+    invalidate_read_memo(df.sparkSession, path)
     n = df.sparkSession.read.parquet(path).count()
     _write_manifest(
         root,

@@ -55,7 +55,11 @@ from piholelongtermstats_spark.sources.layout import (
     canonical_ts,
     micros_write,
 )
-from piholelongtermstats_spark.sources.parquet import load_table
+from piholelongtermstats_spark.sources.parquet import (
+    invalidate_read_memo,
+    load_table,
+    read_parquet_memo,
+)
 
 BITS = 8  # per-dimension resolution: 2^8 = 256 cells/dim
 N_FILES = 16
@@ -122,6 +126,7 @@ def write_events_zordered(
     ev, hour = _raw_with_hour(ev)
     if ev.isEmpty():
         canonical_ts(ev).write.mode("overwrite").parquet(path)
+        invalidate_read_memo(spark, path)
         return
     r = ev.select(
         F.min(F.col("user_id")).alias("u0"),
@@ -150,6 +155,7 @@ def write_events_zordered(
             .write.mode("overwrite")
             .parquet(path)
         )
+    invalidate_read_memo(spark, path)
 
 
 def write_events_zordered_by_date(
@@ -180,6 +186,7 @@ def write_events_zordered_by_date(
         canonical_ts(ev).withColumn(
             PARTITION_COL, F.to_date(F.col("ts"))
         ).write.mode("overwrite").parquet(path)
+        invalidate_read_memo(spark, path)
         return
     r = ev.select(
         F.min(F.col("user_id")).alias("u0"),
@@ -211,6 +218,7 @@ def write_events_zordered_by_date(
             .partitionBy(PARTITION_COL)
             .parquet(path)
         )
+    invalidate_read_memo(spark, path)
 
 
 def scan_events_zdate(
@@ -231,7 +239,7 @@ def scan_events_zdate(
             _epoch_us(t) / 1e6, tz=dt.timezone.utc
         ).date()
 
-    ev = spark.read.parquet(path)
+    ev = read_parquet_memo(spark, path)
     if lo is not None:
         ev = ev.filter(
             F.col(PARTITION_COL)
@@ -275,6 +283,7 @@ def write_events_time_sorted(
             .write.mode("overwrite")
             .parquet(path)
         )
+    invalidate_read_memo(spark, path)
 
 
 def zorder_path(sf_dir: str) -> str:
@@ -322,6 +331,7 @@ def ensure_zorder_layout(spark: SparkSession, sf_dir: str) -> str:
         else:
             shutil.rmtree(path, ignore_errors=True)
             os.rename(staging, path)
+        invalidate_read_memo(spark, path)
     _ZLAYOUT_READY.add(key)
     return path
 
@@ -337,7 +347,7 @@ def scan_events_zordered(
     predicates (user_id equality, [lo, hi) raw-ts range — both reach
     the parquet reader as PushedFilters and prune via the tight
     per-file min/max the z-sort created)."""
-    ev = spark.read.parquet(path)
+    ev = read_parquet_memo(spark, path)
     if client_id is not None:
         ev = ev.filter(F.col("user_id") == client_id)
     ev, ts = filter_raw_ts(ev, lo, hi)
