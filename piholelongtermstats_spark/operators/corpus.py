@@ -446,20 +446,27 @@ def span_dedup(
          document's own chunks — bounded by max document length, the
          same bound every per-doc operator already assumes.
     """
-    toks = F.split(F.trim(F.col("text")), r"\s+")
-    n_chunks = F.ceil(F.size(toks) / F.lit(float(span))).cast("int")
     # Fan the single-file corpus out BEFORE the explode (the
     # bigram_stream convention): unfanned, the whole chunk blow-up
-    # ran on one task (r12; stage trace showed (0 + 1) / 1).
+    # ran on one task (r12; stage trace showed (0 + 1) / 1). The
+    # split is projected to an ATTRIBUTE before the transform lambda
+    # references it (the winnowing lesson, r12 session 5): an inlined
+    # split expression re-evaluates once per chunk element.
     fan = docs.sparkSession.sparkContext.defaultParallelism
-    chunked = docs.repartition(fan, "doc_id").select(
-        "doc_id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), n_chunks - 1),
-                lambda i: F.array_join(F.slice(toks, i * span + 1, span), " "),
-            )
-        ).alias("pos", "chunk"),
+    toks = F.col("toks")
+    n_chunks = F.ceil(F.size(toks) / F.lit(float(span))).cast("int")
+    chunked = (
+        docs.repartition(fan, "doc_id")
+        .select("doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("toks"))
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), n_chunks - 1),
+                    lambda i: F.array_join(F.slice(toks, i * span + 1, span), " "),
+                )
+            ).alias("pos", "chunk"),
+        )
     )
     # The chunk relation used to feed BOTH the chunk-df aggregation
     # and a left_anti join against the bad set; built lazily twice,
@@ -847,11 +854,17 @@ def exact_substring_dedup(
     """
     if k < 2:
         raise ValueError("k must be >= 2")
-    toks = tokens(F.col("text"))
     fan = docs.sparkSession.sparkContext.defaultParallelism
     fanned = docs.repartition(fan, "doc_id")
 
+    # tokens() projected to an ATTRIBUTE before the window transform
+    # (the winnowing lesson, r12 session 5): inlined, the
+    # split+filter re-evaluated once per WINDOW element — i.e. the
+    # document re-tokenized ~n_tokens times.
+    toks = F.col("toks")
     wins = fanned.select(
+        "doc_id", tokens(F.col("text")).alias("toks")
+    ).select(
         "doc_id",
         F.explode(
             F.when(
@@ -902,7 +915,9 @@ def exact_substring_dedup(
         "doc_id", F.explode(F.sequence(F.col("p"), F.col("p") + k - 1)).alias("pos")
     ).distinct()
 
-    toku = fanned.select("doc_id", F.posexplode(toks).alias("pos", "w"))
+    toku = fanned.select(
+        "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "w")
+    )
     kept = toku.join(covered, ["doc_id", "pos"], "left_anti")
     reassembled = kept.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("kept_tokens"),

@@ -64,11 +64,14 @@ def bigram_stream(docs: DataFrame) -> DataFrame:
     to one partition; the shuffle moves doc-sized rows, never the
     exploded stream."""
     fan = docs.sparkSession.sparkContext.defaultParallelism
+    # tokens() projected to an ATTRIBUTE before _bigram_structs'
+    # transform lambda references it (the winnowing lesson, r12
+    # session 5): inlined, the split+filter re-evaluated twice per
+    # pair element — the document re-tokenized ~2·n_tokens times.
     return (
         docs.repartition(fan, "doc_id")
-        .select(
-            "doc_id", F.explode(_bigram_structs(tokens(F.col("text")))).alias("b")
-        )
+        .select("doc_id", tokens(F.col("text")).alias("toks"))
+        .select("doc_id", F.explode(_bigram_structs(F.col("toks"))).alias("b"))
         .select("doc_id", "b.w1", "b.w2")
     )
 

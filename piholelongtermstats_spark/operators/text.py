@@ -814,14 +814,6 @@ def winnowing_fingerprints(
     doc's own grams — embarrassingly parallel across docs, no global
     window, no shuffle beyond the doc repartition.
     """
-    toks = tokens(F.col("text"))
-    n_grams = F.greatest(F.size(toks) - (k - 1), F.lit(0))
-    gram = lambda i: F.concat_ws(  # noqa: E731
-        " ", *[F.element_at(toks, i + j + 1) for j in range(k)]
-    )
-    idx = F.when(
-        F.size(toks) >= k, F.sequence(F.lit(0), F.size(toks) - k)
-    ).otherwise(F.array().cast("array<int>"))
     # Fan out by doc_id BEFORE the gram explode + per-gram md5: a
     # single-file documents table scans as one partition, and the
     # hash work would otherwise run on one task (measured 14 s → ~1 s
@@ -830,11 +822,31 @@ def winnowing_fingerprints(
     # shuffle.
     fan = docs.sparkSession.sparkContext.defaultParallelism
     docs = docs.repartition(fan, "doc_id")
-    grams = docs.select(
+    # Tokenize in its OWN projection so the generator consumes an
+    # ATTRIBUTE (r12, the gopher_repetition_panel lesson): referencing
+    # tokens(text) inside the transform lambda re-evaluates the
+    # split+filter per element reference — k element_at calls per
+    # gram re-tokenized the document k·n_grams times. The gram string
+    # itself is slice+array_join off the token array (identical
+    # bytes: tokens are non-null non-empty, so array_join ≡
+    # concat_ws over the same k elements).
+    tk = docs.select("doc_id", tokens(F.col("text")).alias("toks"))
+    toks = F.col("toks")
+    n_grams = F.greatest(F.size(toks) - (k - 1), F.lit(0))
+    idx = F.when(
+        F.size(toks) >= k, F.sequence(F.lit(0), F.size(toks) - k)
+    ).otherwise(F.array().cast("array<int>"))
+    grams = tk.select(
         "doc_id",
         n_grams.alias("n_grams"),
         F.explode(
-            F.transform(idx, lambda i: F.struct(i.alias("pos"), gram(i).alias("g")))
+            F.transform(
+                idx,
+                lambda i: F.struct(
+                    i.alias("pos"),
+                    F.array_join(F.slice(toks, i + 1, F.lit(k)), " ").alias("g"),
+                ),
+            )
         ).alias("pg"),
     ).select("doc_id", "n_grams", F.col("pg.pos").alias("pos"), F.col("pg.g").alias("g"))
     h40 = F.conv(F.substring(F.md5(F.col("g")), 1, 10), 16, 10).cast("long")
