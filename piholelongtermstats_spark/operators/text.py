@@ -62,7 +62,17 @@ def text_stats(docs: DataFrame) -> DataFrame:
     each double is produced by a single division, so the rounded output
     is engine-independent.
     """
-    toks = tokens(F.col("text"))
+    # Tokenize in a projection of its own: the stats below reference
+    # the token array in several higher-order functions, and a Project
+    # containing HOFs runs INTERPRETED (no whole-stage codegen, no
+    # subexpression elimination) — inlined, the split+trim+filter
+    # executed once per reference per row (r12 session 5 plan scan).
+    base = docs.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars"),
+        tokens(F.col("text")).alias("toks"),
+    )
+    toks = F.col("toks")
     n_tokens = F.size(toks).cast("long")
     sw = F.size(
         F.filter(toks, lambda t: t.isin(*STOPWORDS))
@@ -88,10 +98,10 @@ def text_stats(docs: DataFrame) -> DataFrame:
     # itself disagrees between engines when the true rational sits
     # exactly on a decimal boundary (HALF_UP on exact expansion vs
     # scaled-double rounding).
-    return docs.select(
+    return base.select(
         "doc_id",
         n_tokens.alias("n_tokens"),
-        F.length("text").cast("long").alias("n_chars"),
+        "n_chars",
         avg_tok.alias("avg_token_len"),
         sw_ratio.alias("stopword_ratio"),
         quality.alias("quality_score"),
@@ -119,7 +129,15 @@ def lang_id(docs: DataFrame) -> DataFrame:
     literals); a production version would swap in char-n-gram profiles
     — same plan shape.
     """
-    toks = tokens(F.lower(F.col("text")))
+    # lowered tokens projected ONCE (r12 session 5: the per-language
+    # filter calls re-ran the split per reference in the interpreted
+    # HOF projection)
+    base = docs.select(
+        "doc_id",
+        F.col("lang").alias("actual_lang"),
+        tokens(F.lower(F.col("text"))).alias("ltoks"),
+    )
+    toks = F.col("ltoks")
 
     def _in_markers(markers: tuple[str, ...]):
         # NB: a plain lambda with a default arg would be inspected as a
@@ -130,7 +148,7 @@ def lang_id(docs: DataFrame) -> DataFrame:
         F.size(F.filter(toks, _in_markers(markers))).alias(f"score_{lang}")
         for lang, markers in sorted(LANG_MARKERS.items())
     ]
-    scored = docs.select("doc_id", F.col("lang").alias("actual_lang"), *scores)
+    scored = base.select("doc_id", "actual_lang", *scores)
     langs = sorted(LANG_MARKERS)
     best = F.greatest(*[F.col(f"score_{lang}") for lang in langs])
     pred = F.when(best == 0, F.lit("und"))
@@ -149,15 +167,31 @@ def text_panel(docs: DataFrame) -> DataFrame:
     language ID, rolling fingerprint — fused into ONE map-side
     projection (zero shuffle, one pass over `text`).
 
-    This is how a production pipeline actually runs them: Catalyst
-    collapses the shared `split(trim(text))` subtrees, so the fused
-    panel costs one tokenization, not four. Column semantics are
+    This is how a production pipeline actually runs them: the two
+    token arrays (raw and lowered) are materialized ONCE in their own
+    projection and every signal reads the attributes, so the fused
+    panel costs one tokenization, not one per reference. (The earlier
+    claim that Catalyst collapses the shared subtrees was wrong in
+    practice: a Project containing higher-order functions runs
+    interpreted — no whole-stage codegen, no subexpression
+    elimination — and the r12 plan scan counted 44 split(trim(text))
+    subtrees in the fused projection.) Column semantics are
     identical to text_stats / token_count_bpe / lang_id / fingerprint
     (each individually oracle-checked; the panel has its own fused
     oracle).
     """
-    toks = tokens(F.col("text"))
-    ltoks = tokens(F.lower(F.col("text")))
+    base = docs.select(
+        "doc_id",
+        "lang",
+        F.length("text").cast("long").alias("n_chars"),
+        F.size(F.regexp_extract_all(F.lower(F.col("text")), F.lit(BPE_PATTERN), 0))
+        .cast("long")
+        .alias("bpe_tokens"),
+        tokens(F.col("text")).alias("toks"),
+        tokens(F.lower(F.col("text"))).alias("ltoks"),
+    )
+    toks = F.col("toks")
+    ltoks = F.col("ltoks")
     n_tokens = F.size(toks).cast("long")
     sw = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))).cast("long")
     tok_chars = F.aggregate(
@@ -191,16 +225,14 @@ def text_panel(docs: DataFrame) -> DataFrame:
         F.lit(0).cast("long"),
         lambda acc, t: acc + (md5_hash60(t) % 2001 - 1000),
     )
-    return docs.select(
+    return base.select(
         "doc_id",
         n_tokens.alias("n_tokens"),
-        F.length("text").cast("long").alias("n_chars"),
+        "n_chars",
         (tok_chars.cast("double") / n_tokens).alias("avg_token_len"),
         (sw.cast("double") / n_tokens).alias("stopword_ratio"),
         (quality_num.cast("double") / (80000 * n_tokens)).alias("quality_score"),
-        F.size(F.regexp_extract_all(F.lower(F.col("text")), F.lit(BPE_PATTERN), 0))
-        .cast("long")
-        .alias("bpe_tokens"),
+        "bpe_tokens",
         F.col("lang").alias("actual_lang"),
         pred.alias("pred_lang"),
         best.cast("long").alias("best_score"),
@@ -251,14 +283,15 @@ def quality_classifier(docs: DataFrame) -> DataFrame:
     expressions inside whole-stage codegen; at 100 TB this is a pure
     scan-bound projection like the rest of the text tier.
     """
-    toks = tokens(F.col("text"))
+    base = docs.select("doc_id", tokens(F.col("text")).alias("toks"))
+    toks = F.col("toks")
     n_tokens = F.size(toks).cast("long")
     weight_sum = F.aggregate(
         toks,
         F.lit(0).cast("long"),
         lambda acc, t: acc + (md5_hash60(t) % 2001 - 1000),
     )
-    return docs.select(
+    return base.select(
         "doc_id",
         n_tokens.alias("n_tokens"),
         weight_sum.alias("weight_sum"),
@@ -353,8 +386,6 @@ def gopher_rules(docs: DataFrame, text_col: str = "text") -> DataFrame:
     pii_scrub/text_panel."""
     t = F.col(text_col)
     lt = F.lower(t)
-    toks = tokens(t)
-    wc = F.size(toks)
     word_chars = F.length(F.regexp_replace(t, r"\s+", ""))
     hash_cnt = F.length(t) - F.length(F.replace(t, F.lit("#")))
     # Both ellipsis forms count (r6 VERDICT #4): the ASCII three-dot
@@ -365,8 +396,27 @@ def gopher_rules(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.floor((F.length(t) - F.length(F.replace(t, F.lit("...")))) / 3)
         + (F.length(t) - F.length(F.replace(t, F.lit("…"))))
     ).cast("long")
-    symbol_cnt = (hash_cnt + ell_cnt).cast("long")
-    lines = F.split(t, "\n")
+    stop_hits_in = sum(
+        F.when(lt.rlike(rf"\b{w}\b"), 1).otherwise(0) for w in GOPHER_STOPS
+    ).cast("long")
+    # token/line arrays and the direct-text metrics materialize ONCE
+    # in their own projection (r12 session 5): the rule comparisons
+    # below reference wc ≈ 7 times, and in the interpreted
+    # HOF-containing projection every reference re-ran the tokenizer.
+    base = docs.select(
+        "doc_id",
+        tokens(t).alias("_toks"),
+        F.split(t, "\n").alias("_lines"),
+        word_chars.cast("long").alias("_word_chars"),
+        (hash_cnt + ell_cnt).cast("long").alias("_symbol_cnt"),
+        stop_hits_in.alias("_stop_hits"),
+    )
+    toks = F.col("_toks")
+    lines = F.col("_lines")
+    wc = F.size(toks)
+    word_chars = F.col("_word_chars")
+    symbol_cnt = F.col("_symbol_cnt")
+    stop_hits = F.col("_stop_hits")
     n_lines = F.size(lines)
     bullet_lines = F.size(
         F.filter(lines, lambda x: x.rlike(r"^\s*[-*•]"))
@@ -375,9 +425,6 @@ def gopher_rules(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.filter(lines, lambda x: x.rlike(r"(\.\.\.|…)\s*$"))
     )
     alpha_words = F.size(F.filter(toks, lambda w: w.rlike("[A-Za-z]")))
-    stop_hits = sum(
-        F.when(lt.rlike(rf"\b{w}\b"), 1).otherwise(0) for w in GOPHER_STOPS
-    ).cast("long")
     r_wordcount = (wc >= 50) & (wc <= 100_000)
     r_meanlen = (3 * wc <= word_chars) & (word_chars <= 10 * wc)
     r_symbol = symbol_cnt * 10 < wc
@@ -385,10 +432,10 @@ def gopher_rules(docs: DataFrame, text_col: str = "text") -> DataFrame:
     r_ellipsis = ellipsis_lines * 10 < 3 * n_lines
     r_alpha = alpha_words * 5 > 4 * wc
     r_stops = stop_hits >= 2
-    return docs.select(
+    return base.select(
         "doc_id",
         wc.cast("long").alias("word_count"),
-        word_chars.cast("long").alias("word_chars"),
+        word_chars.alias("word_chars"),
         symbol_cnt.alias("symbol_cnt"),
         n_lines.cast("long").alias("n_lines"),
         bullet_lines.cast("long").alias("bullet_lines"),
