@@ -41,12 +41,88 @@ def fd_violation_profile(
     count (rows that must be deleted for the FD to hold exactly:
     Σ_lhs [n_lhs − max_rhs n_(lhs,rhs)]), and the integer ppm rate.
 
-    Per candidate: groupBy(lhs, rhs) partial-agg → groupBy(lhs)
-    (sum, max) → one global sum. Both shuffles carry (lhs) or
-    (lhs, rhs) count rows — cardinality of the VALUE domain, not the
-    fact. The candidate list is a constant; the union is linear.
+    ONE fact scan for ALL candidates (r12, guide §2.4): the previous
+    shape unioned one groupBy chain per candidate, and Catalyst does
+    not share scans across union branches — len(cands) full fact
+    scans. Now a single GROUPING SETS aggregation computes every
+    candidate's (lhs, rhs) pair counts in one pass (Expand-planned:
+    each row feeds each candidate's map-side partial aggregate — the
+    same total hash-agg work as the union, but the fact is READ once).
+    grouping_id() tags each count row with its candidate (documented
+    bit order: first grouping column = MSB); the second level groups
+    by (gid, lhs value) and the final by gid — one lineage, no union.
+    Shuffles still carry only value-domain count rows.
+
+    Falls back to the per-candidate union when candidate column SETS
+    collide (duplicate grouping sets would merge and double-count) —
+    impossible for FD_CANDIDATES, possible for a caller's list.
     """
     cands = FD_CANDIDATES if candidates is None else candidates
+    col_sets = [frozenset(p) for p in cands]
+    if len(set(col_sets)) < len(col_sets) or any(l == r for l, r in cands):
+        return _fd_violation_union(fact, cands)
+    cols: list[str] = []
+    for l, r in cands:
+        for c in (l, r):
+            if c not in cols:
+                cols.append(c)
+    n = len(cols)
+    # grouping_id() = Σ grouping(col_i) << (n-1-i): bit i is 1 when
+    # col_i is AGGREGATED (not a member of the row's grouping set).
+    gid_of = {
+        frozenset(p): sum(
+            1 << (n - 1 - i) for i, c in enumerate(cols) if c not in p
+        )
+        for p in cands
+    }
+    pair_counts = (
+        fact.groupingSets(
+            [[F.col(l), F.col(r)] for l, r in cands], *[F.col(c) for c in cols]
+        )
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).cast("long").alias("cnt"),
+        )
+    )
+    lv = F.when(
+        F.col("gid") == gid_of[col_sets[0]], F.col(cands[0][0])
+    )
+    lhs_name = F.when(F.col("gid") == gid_of[col_sets[0]], F.lit(cands[0][0]))
+    rhs_name = F.when(F.col("gid") == gid_of[col_sets[0]], F.lit(cands[0][1]))
+    for i, (l, r) in enumerate(cands[1:], 1):
+        g = gid_of[col_sets[i]]
+        lv = lv.when(F.col("gid") == g, F.col(l))
+        lhs_name = lhs_name.when(F.col("gid") == g, F.lit(l))
+        rhs_name = rhs_name.when(F.col("gid") == g, F.lit(r))
+    per_lhs = pair_counts.select(
+        "gid", lv.alias("lv"), "cnt"
+    ).groupBy("gid", "lv").agg(
+        F.sum("cnt").alias("tot"), F.max("cnt").alias("mx")
+    )
+    leg = per_lhs.groupBy("gid").agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum("tot").cast("long").alias("n_rows"),
+        F.sum(F.col("tot") - F.col("mx")).cast("long").alias("violations"),
+    )
+    return leg.select(
+        lhs_name.alias("lhs"),
+        rhs_name.alias("rhs"),
+        "n_groups",
+        "n_rows",
+        "violations",
+        # integer floor-division — a double quotient loses exactness
+        # once violations·10⁶ passes 2⁵³ (trillions of rows)
+        F.expr("violations * 1000000 DIV n_rows").alias("violation_ppm"),
+        (F.col("violations") == 0).cast("int").alias("holds"),
+    )
+
+
+def _fd_violation_union(
+    fact: DataFrame, cands: "list[tuple[str, str]]"
+) -> DataFrame:
+    """Pre-r12 per-candidate union shape — kept ONLY as the fallback
+    for candidate lists whose column sets collide (duplicate grouping
+    sets merge, so the single-pass path would double-count)."""
     legs = []
     for lhs, rhs in cands:
         pair = fact.groupBy(lhs, rhs).agg(
@@ -73,8 +149,6 @@ def fd_violation_profile(
         "n_groups",
         "n_rows",
         "violations",
-        # integer floor-division — a double quotient loses exactness
-        # once violations·10⁶ passes 2⁵³ (trillions of rows)
         F.expr("violations * 1000000 DIV n_rows").alias("violation_ppm"),
         (F.col("violations") == 0).cast("int").alias("holds"),
     )

@@ -846,10 +846,20 @@ def reply_drift_chi2(fact: DataFrame, n_buckets: int = 10) -> DataFrame:
 
     Output: (n_first, n_second, n_buckets_used, chi2, dof).
 
-    Scale: one value histogram per half (same shuffle), boundary
-    selection over distinct values, a 10-row bucket relation.
+    Scale: one date-column-only bounds scan plus one value-histogram
+    pass, boundary selection over distinct values, a 10-row bucket
+    relation whose totals are window sums over itself.
     """
     m = fact.filter(F.col("reply_time").isNotNull())
+    # NB (r12, measured and kept two-pass): collapsing the fact to
+    # (date, r) counts first so the bounds and the histogram share one
+    # exchange was prototyped and REJECTED — column pruning rewrites
+    # the bounds leg's aggregate (no count buffer), the two exchange
+    # subtrees stop canonicalizing equal, AQE reuse does not fire
+    # (executed plan: ReusedExchange 0), and the "shared" pass runs
+    # the (date, r) aggregation twice. The bounds pass below reads the
+    # date column only (columnar scan ≪ the fact), which is cheaper
+    # than any non-reused second aggregation at every scale.
     bounds = m.agg(
         F.min("date").alias("d0"), F.max("date").alias("d1")
     ).select(
@@ -891,12 +901,23 @@ def reply_drift_chi2(fact: DataFrame, n_buckets: int = 10) -> DataFrame:
         F.sum("ca").cast("long").alias("oa"),
         F.sum("cb").cast("long").alias("ob"),
     )
-    tot = per.agg(
-        F.sum("oa").cast("long").alias("n_first"),
-        F.sum("ob").cast("long").alias("n_second"),
+    # NB (r12, guide §2.4): `per` feeds BOTH the grand totals and the
+    # per-bucket terms — a separate aggregate + broadcast join-back
+    # re-executed the whole upstream per consumer (4 fact scans, 2
+    # BroadcastNestedLoopJoins in the before-plan). The totals are
+    # window sums over the ≤ n_buckets-row relation itself (the
+    # accepted tiny-frame pattern): one lineage, half the scans.
+    w_tot = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
     )
     dec = "decimal(38,0)"
-    j = per.join(F.broadcast(tot))
+    j = per.select(
+        "b",
+        "oa",
+        "ob",
+        F.sum("oa").over(w_tot).cast("long").alias("n_first"),
+        F.sum("ob").over(w_tot).cast("long").alias("n_second"),
+    )
     num = (
         F.col("n_first").cast(dec) * F.col("ob")
         - F.col("n_second").cast(dec) * F.col("oa")

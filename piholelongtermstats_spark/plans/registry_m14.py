@@ -244,9 +244,17 @@ def q_top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
     )
+    # r12 (guide §2.4): rev feeds BOTH the scalar max and the argmax
+    # join-back, and exchange reuse cannot serve the pair — the join
+    # side's inferred isnotnull(l_suppkey) filter pushes into its scan,
+    # so the two lineitem subtrees stop canonicalizing equal and the
+    # filtered lineitem scan+aggregation executed TWICE. Materialize
+    # the supplier-sized revenue relation once (eager localCheckpoint,
+    # the r12 fan-out idiom); one lineitem pass at any volume.
     rev = (
         li.groupBy("l_suppkey")
         .agg(F.sum(_revenue()).alias("rev"))
+        .localCheckpoint(eager=True)
     )
     top = rev.agg(F.max("rev").alias("max_rev"))
     supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")

@@ -57,7 +57,13 @@ def q_scd2_pit_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     the range_join_blocked_windows discipline applied to dimension
     history."""
     root = _snapshot_root(spark, sf_dir)
-    hist = _snap.scd2_history(spark, root)
+    # r12 (guide §2.4): hist feeds BOTH the probe-key spine and the
+    # containment join — without materialization each consumer re-ran
+    # the whole SCD2 history build (both snapshot versions scanned
+    # twice, 4 executed scans). The history is dimension-sized
+    # (doc_id × validity runs) at any volume — eager localCheckpoint,
+    # the r12 fan-out idiom.
+    hist = _snap.scd2_history(spark, root).localCheckpoint(eager=True)
     keys = hist.select("doc_id").distinct()
     vers = spark.range(2).select(F.col("id").cast("long").alias("as_of_ver"))
     probes = keys.crossJoin(F.broadcast(vers)).alias("p")

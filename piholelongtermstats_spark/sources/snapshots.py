@@ -182,21 +182,33 @@ def snapshot_diff(
     new = read_snapshot(spark, root, v_new)
     if content_cols is None:
         content_cols = tuple(c for c in new.columns if c != key)
-    ho = content_hash(old, key, content_cols)
-    hn = content_hash(new, key, content_cols)
-    added = hn.join(ho, key, "left_anti").select(
-        F.lit("added").alias("change_type"), F.col(key)
+    # r12 (guide §2.4): ONE full-outer join classifies added/removed/
+    # changed in a single hash+scan of each version — the previous
+    # three-join union re-read and re-hashed each snapshot per leg (6
+    # executed scans for 2 versions; broadcast-side rebuilds are not
+    # absorbed by exchange reuse). Row-for-row identical: the three
+    # categories partition the outer-join key space exactly as the
+    # anti/anti/inner legs did (presence flags, not key nullability,
+    # decide the side so NULL keys classify as before).
+    ho = content_hash(old, key, content_cols).select(
+        F.col(key).alias("_ko"), F.col("_h").alias("_holdv"), F.lit(1).alias("_po")
     )
-    removed = ho.join(hn, key, "left_anti").select(
-        F.lit("removed").alias("change_type"), F.col(key)
+    hn = content_hash(new, key, content_cols).select(
+        F.col(key).alias("_kn"), F.col("_h").alias("_hnew"), F.lit(1).alias("_pn")
     )
-    changed = (
-        hn.alias("n")
-        .join(ho.alias("o"), key)
-        .filter(F.col("n._h") != F.col("o._h"))
-        .select(F.lit("changed").alias("change_type"), F.col(key))
+    j = hn.join(ho, F.col("_kn") == F.col("_ko"), "full_outer")
+    change_type = (
+        F.when(F.col("_po").isNull(), F.lit("added"))
+        .when(F.col("_pn").isNull(), F.lit("removed"))
+        .when(F.col("_hnew") != F.col("_holdv"), F.lit("changed"))
     )
-    return added.unionByName(removed).unionByName(changed)
+    return (
+        j.select(
+            change_type.alias("change_type"),
+            F.coalesce(F.col("_kn"), F.col("_ko")).alias(key),
+        )
+        .filter(F.col("change_type").isNotNull())
+    )
 
 
 def commit_version(df: DataFrame, root: str, version: int) -> bool:
