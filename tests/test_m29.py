@@ -41,6 +41,52 @@ def test_fd_violations_exact(spark):
     assert cp.violations == 0 and cp.holds == 1
 
 
+def test_fd_grouping_sets_path_matches_union_fallback(spark):
+    """The r12 single-scan GROUPING SETS path must produce the exact
+    rows of the per-candidate union it replaced — differential over a
+    custom candidate list exercising shared lhs AND rhs columns (the
+    gid bit-order mapping is what this pins: a wrong grouping_id()
+    formula would mislabel candidates, not just reorder them)."""
+    fact = _fact(spark)
+    cands = [
+        ("domain", "status_type"),
+        ("status_type", "domain"),  # same column SET reversed -> collides
+        ("client", "domain"),
+    ]
+    # colliding sets must take the union fallback and still be exact
+    got = {
+        (r.lhs, r.rhs): (r.n_groups, r.n_rows, r.violations, r.holds)
+        for r in profiling.fd_violation_profile(fact, cands).collect()
+    }
+    want = {
+        (r.lhs, r.rhs): (r.n_groups, r.n_rows, r.violations, r.holds)
+        for r in profiling._fd_violation_union(fact, cands).collect()
+    }
+    assert got == want and set(got) == set(map(tuple, cands))
+    # non-colliding list goes through grouping sets; same differential
+    cands2 = [("domain", "status_type"), ("client", "domain"),
+              ("status_type", "client")]
+    got2 = {
+        (r.lhs, r.rhs): (r.n_groups, r.n_rows, r.violations, r.holds)
+        for r in profiling.fd_violation_profile(fact, cands2).collect()
+    }
+    want2 = {
+        (r.lhs, r.rhs): (r.n_groups, r.n_rows, r.violations, r.holds)
+        for r in profiling._fd_violation_union(fact, cands2).collect()
+    }
+    assert got2 == want2 and len(got2) == 3
+
+
+def test_fd_grouping_sets_single_scan_plan(spark):
+    """The default-candidate plan must hold exactly ONE source leaf —
+    the optimization's contract (4 fact scans -> 1)."""
+    plan = profiling.fd_violation_profile(
+        _fact(spark)
+    )._jdf.queryExecution().sparkPlan().toString()
+    assert plan.count("Scan ExistingRDD") + plan.count("Scan parquet") == 1
+    assert "Expand" in plan  # the grouping-sets pass
+
+
 def test_column_profile_exact(spark):
     out = {
         r.column_name: r

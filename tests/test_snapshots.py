@@ -57,6 +57,22 @@ def test_diff_algebra(spark, tmp_path):
     assert diff == {("removed", 1), ("changed", 3), ("added", 4)}
 
 
+def test_diff_null_keys_classify_by_side(spark, tmp_path):
+    """NULL keys never equi-match, so a NULL-key row is 'removed' when
+    it lives in the old version and 'added' when in the new — pinned
+    because the r12 full-outer rewrite decides the side via presence
+    flags (key nullability alone would misclassify an old-side NULL
+    row as 'added')."""
+    root = str(tmp_path / "snaps_null")
+    snap.write_snapshot(_df(spark, [(1, "a"), (None, "ghost-old")]), root)
+    snap.write_snapshot(_df(spark, [(1, "a"), (None, "ghost-new")]), root)
+    diff = {
+        (r.change_type, r.doc_id)
+        for r in snap.snapshot_diff(spark, root, 0, 1).collect()
+    }
+    assert diff == {("removed", None), ("added", None)}
+
+
 def test_read_missing_version_raises(spark, tmp_path):
     root = str(tmp_path / "snaps4")
     with pytest.raises(FileNotFoundError):
