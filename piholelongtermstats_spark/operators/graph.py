@@ -375,15 +375,22 @@ def kcore_decomposition(
     Scale: each round is two keyed degree aggregations + two
     LEFT ANTI hash joins on the edge relation — no windows, no
     all-pairs; rounds ≤ O(peeling depth) (≤ longest chain of
-    dependent removals). Lineage is truncated with localCheckpoint
-    every 5 rounds (the components-loop convention); non-convergence
-    within ``max_rounds`` raises rather than returning a wrong core.
+    dependent removals). Each round's survivor relation is cached and
+    materialized by ONE count job whose value doubles as the
+    convergence probe: peeling only ever REMOVES edges, so
+    |edges'| == |edges| ⟺ edges' == edges ⟺ no node was dropped
+    (r13, guide §1.2/§5 — the old shape ran two uncached isEmpty
+    probes per round, each re-executing the whole un-checkpointed
+    peel lineage, and the edge relation appeared three times per
+    round's tree with no reuse guarantee). Non-convergence within
+    ``max_rounds`` raises rather than returning a wrong core.
 
     Registered rows-only: iterative fixpoints are not one SQL
     statement; correctness is pinned by the brute-force differential
     and the disjoint-doubling invariance test.
     """
-    edges = fact.select("client", "domain").distinct()
+    edges = fact.select("client", "domain").distinct().cache()
+    n_edges = edges.count()
     rounds = 0
     while True:
         if rounds >= max_rounds:
@@ -398,16 +405,26 @@ def kcore_decomposition(
         )
         bad_c = degc.filter(F.col("dc") < k).select("client")
         bad_d = degd.filter(F.col("dd") < k).select("domain")
-        # one cheap driver probe per round (the components-loop
-        # convention: convergence is a driver decision)
-        if bad_c.isEmpty() and bad_d.isEmpty():
-            break
-        edges = edges.join(bad_c, "client", "left_anti").join(
-            bad_d, "domain", "left_anti"
+        stepped = (
+            edges.join(bad_c, "client", "left_anti")
+            .join(bad_d, "domain", "left_anti")
+            .cache()
         )
+        n_stepped = stepped.count()
+        if n_stepped == n_edges:
+            # fixpoint: the attempted peel removed nothing (a dropped
+            # node always owns >= 1 edge, so "no edges removed" and
+            # "no nodes dropped" coincide). Pin the core with an eager
+            # checkpoint, then release every loop cache (no leaked
+            # persist — the dsir lesson).
+            core = stepped.localCheckpoint(eager=True)
+            stepped.unpersist()
+            edges.unpersist()
+            edges = core
+            break
+        edges.unpersist()
+        edges, n_edges = stepped, n_stepped
         rounds += 1
-        if rounds % 5 == 0:
-            edges = edges.localCheckpoint()
     summary = edges.agg(
         F.lit(int(k)).cast("long").alias("k"),
         F.lit(rounds).cast("long").alias("rounds"),

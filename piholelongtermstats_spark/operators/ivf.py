@@ -158,10 +158,13 @@ def ivf_ann_topk(
     nprobe: int = N_PROBE,
     centroids: list[list[float]] | None = None,
     sample_mod: int | None = None,
+    qv: list | None = None,
 ) -> DataFrame:
     """Approximate cosine top-K scanning only the nprobe nearest
     cells. Pass pre-trained `centroids` to skip index build (the
-    production path: train once, search many)."""
+    production path: train once, search many). ``qv`` short-circuits
+    the query-vector fetch when the caller already holds it (the
+    recall panel fetches it ONCE for all three single-query legs)."""
     if centroids is None:
         centroids = train_centroids(emb, n_cells, n_iters, sample_mod)
     if not centroids:
@@ -169,12 +172,23 @@ def ivf_ann_topk(
             [], "vec_id bigint, label int, cosine double"
         )
     assigned = assign_cells(emb, centroids)
-    qrow = assigned.filter(F.col("vec_id") == query_vec_id).select("v").first()
-    if qrow is None:  # query vector absent → no neighbors
-        return emb.sparkSession.createDataFrame(
-            [], "vec_id bigint, label int, cosine double"
+    if qv is None:
+        # Fetch the query vector from the RAW corpus, not from
+        # `assigned`: v is cast(embedding) either way, and probing
+        # through `assigned` executed the whole nearest-centroid
+        # Arrow stage just to read back one unmodified vector (r13,
+        # guide §1.2 — don't compute things you throw away).
+        v = F.col("embedding").cast("array<double>")
+        qrow = (
+            emb.filter(F.col("vec_id") == query_vec_id)
+            .select(v.alias("v"))
+            .first()
         )
-    qv = list(qrow["v"])
+        if qrow is None:  # query vector absent → no neighbors
+            return emb.sparkSession.createDataFrame(
+                [], "vec_id bigint, label int, cosine double"
+            )
+        qv = list(qrow["v"])
     # driver-side probe selection: distances of the (tiny) centroid
     # list to the query vector
     dists = sorted(

@@ -107,6 +107,7 @@ def ivfpq_ann_topk(
     rerank: int = 4,
     centroids: list[list[float]] | None = None,
     codebooks: list | None = None,
+    qv: "list | np.ndarray | None" = None,
 ) -> DataFrame:
     """ADC top-K over the probed cells with exact re-rank. Pass both
     pinned quantizers for the SQL-reproducible path; ``None`` trains
@@ -126,10 +127,16 @@ def ivfpq_ann_topk(
         return empty
 
     v = F.col("embedding").cast("array<double>")
-    qrow = emb.filter(F.col("vec_id") == query_vec_id).select(v.alias("v")).first()
-    if qrow is None:
-        return empty
-    qv = np.asarray(qrow["v"], dtype=np.float64)
+    if qv is None:
+        qrow = (
+            emb.filter(F.col("vec_id") == query_vec_id)
+            .select(v.alias("v"))
+            .first()
+        )
+        if qrow is None:
+            return empty
+        qv = qrow["v"]
+    qv = np.asarray(qv, dtype=np.float64)
     qnorm = float(np.sqrt((qv * qv).sum()))
 
     C = np.asarray(centroids, dtype=np.float64)

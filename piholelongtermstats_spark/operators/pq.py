@@ -187,6 +187,7 @@ def pq_ann_topk(
     codebooks: list | None = None,
     rerank: int = 4,
     sample_mod: int | None = None,
+    qv: "list | np.ndarray | None" = None,
 ) -> DataFrame:
     """ADC top-K with exact re-rank.
 
@@ -205,10 +206,16 @@ def pq_ann_topk(
     if not codebooks:
         return empty
     v = F.col("embedding").cast("array<double>")
-    qrow = emb.filter(F.col("vec_id") == query_vec_id).select(v.alias("v")).first()
-    if qrow is None:
-        return empty
-    qv = np.asarray(qrow["v"], dtype=np.float64)
+    if qv is None:
+        qrow = (
+            emb.filter(F.col("vec_id") == query_vec_id)
+            .select(v.alias("v"))
+            .first()
+        )
+        if qrow is None:
+            return empty
+        qv = qrow["v"]
+    qv = np.asarray(qv, dtype=np.float64)
     qnorm = float(np.sqrt((qv * qv).sum()))
     subdim = len(codebooks[0][0])
     luts = [

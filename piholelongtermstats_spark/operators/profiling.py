@@ -56,10 +56,22 @@ def fd_violation_profile(
     Falls back to the per-candidate union when candidate column SETS
     collide (duplicate grouping sets would merge and double-count) —
     impossible for FD_CANDIDATES, possible for a caller's list.
+
+    Empty-input contract (r12 ADVICE, pinned by
+    tests/test_fd_empty_contract.py): an EMPTY fact yields an EMPTY
+    result on BOTH paths — a groupBy over empty input has no groups,
+    so the single-pass shape cannot produce per-candidate rows, and
+    the union fallback filters its degenerate all-zero rows to match.
+    A candidate with lhs == rhs is rejected up front (the FD is
+    trivially satisfied and the fallback's self-grouping would throw
+    an opaque ambiguous-reference error instead).
     """
     cands = FD_CANDIDATES if candidates is None else candidates
+    bad = [(l, r) for l, r in cands if l == r]
+    if bad:
+        raise ValueError(f"degenerate FD candidate(s) lhs == rhs: {bad}")
     col_sets = [frozenset(p) for p in cands]
-    if len(set(col_sets)) < len(col_sets) or any(l == r for l, r in cands):
+    if len(set(col_sets)) < len(col_sets):
         return _fd_violation_union(fact, cands)
     cols: list[str] = []
     for l, r in cands:
@@ -122,7 +134,14 @@ def _fd_violation_union(
 ) -> DataFrame:
     """Pre-r12 per-candidate union shape — kept ONLY as the fallback
     for candidate lists whose column sets collide (duplicate grouping
-    sets merge, so the single-pass path would double-count)."""
+    sets merge, so the single-pass path would double-count).
+
+    The n_groups > 0 filter pins the empty-input contract to the
+    single-pass path's (r12 ADVICE): a global agg over an empty
+    per-lhs relation emits one all-zero row per candidate, which the
+    grouping-sets shape structurally cannot — drop them so both paths
+    return an empty frame on an empty fact. On any non-empty fact
+    every candidate has n_groups >= 1, so no real row is touched."""
     legs = []
     for lhs, rhs in cands:
         pair = fact.groupBy(lhs, rhs).agg(
@@ -142,7 +161,7 @@ def _fd_violation_union(
                 ),
             )
         )
-    out = reduce(DataFrame.unionAll, legs)
+    out = reduce(DataFrame.unionAll, legs).filter(F.col("n_groups") > 0)
     return out.select(
         "lhs",
         "rhs",

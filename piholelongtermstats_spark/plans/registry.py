@@ -961,8 +961,13 @@ def q_asof_rollup_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     rollup = timeagg.hourly_rollup(fact).groupBy("hour_bucket", "status_type").agg(
         F.sum("cnt").alias("cnt")
     )
+    # Project the left side to exactly what the final aggregation
+    # consumes (r13, guide §2.3 "project before the exchange"):
+    # event_id was carried through the operator's per-(key, date)
+    # window exchange inside the _row struct and then dropped by the
+    # groupBy — the enrichment result is identical without it.
     joined = asof.asof_join(
-        fact.select("event_id", "ts", "status_type"),
+        fact.select("ts", "status_type"),
         rollup,
         key="status_type",
         left_ts="ts",

@@ -147,13 +147,23 @@ def q_trained_ann_recall_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit(0).alias("query_id"), "vec_id")
         .localCheckpoint(eager=True)
     )
+    # One query-vector fetch for all three single-query legs: each leg
+    # builder used to run its own `emb.filter(vec_id==0).first()` probe
+    # — three identical driver jobs per panel build (r13, guide §1.2 /
+    # §5 "the driver should do almost no data work").
+    qrow = (
+        emb.filter(F.col("vec_id") == 0)
+        .select(F.col("embedding").cast("array<double>").alias("v"))
+        .first()
+    )
+    qv = list(qrow["v"]) if qrow is not None else None
     panels = []
     for family, qfn in (
         ("ivf_trained", q_ivf_ann_topk_trained),
         ("ivfpq_trained", q_ivfpq_ann_topk_trained),
         ("pq_trained", q_pq_ann_topk_trained),
     ):
-        approx = qfn(spark, sf_dir).select(
+        approx = qfn(spark, sf_dir, qv=qv).select(
             F.lit(0).alias("query_id"), "vec_id"
         )
         panels.append(_overlap(exact1, approx, family, 1, _K1))

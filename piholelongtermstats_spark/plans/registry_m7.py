@@ -615,20 +615,24 @@ _IVF_TR_SQL = (
 
 
 @register("ivf_ann_topk_trained", _IVF_TR_SQL)
-def q_ivf_ann_topk_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_ivf_ann_topk_trained(
+    spark: SparkSession, sf_dir: str, qv: list | None = None
+) -> DataFrame:
     """The production data-adaptive IVF path (16 cells trained on a
     1/4 subsample, 2 Lloyd iterations, probe 4), centroids cached per
     (session, corpus) — train once, search many. Oracle-checked since
     r11: the trainer replays as unrolled Lloyd CTEs (oracle_train.py),
     safe because centroids reach the output only through
-    margin-guarded integer decisions (tests/test_fp_determinism.py)."""
+    margin-guarded integer decisions (tests/test_fp_determinism.py).
+    ``qv`` passes a pre-fetched query vector through (the recall
+    panel fetches vec_id 0 once for all three single-query legs)."""
     emb = _emb(spark, sf_dir)
     key = (spark.sparkContext.applicationId, sf_dir, 16, 2, 4)
     cents = _ivf_mod._CENTROID_CACHE.get(key)
     if cents is None:
         cents = _ivf_mod.train_centroids(emb, n_iters=2, sample_mod=4)
         _ivf_mod._CENTROID_CACHE[key] = cents
-    return _ivf_mod.ivf_ann_topk(emb, 0, 10, centroids=cents)
+    return _ivf_mod.ivf_ann_topk(emb, 0, 10, centroids=cents, qv=qv)
 
 
 # Trained-path oracle: the per-subspace 2-iteration Lloyd loop on the
@@ -648,18 +652,21 @@ _PQ_TR_SQL = (
 
 
 @register("pq_ann_topk_trained", _PQ_TR_SQL)
-def q_pq_ann_topk_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_pq_ann_topk_trained(
+    spark: SparkSession, sf_dir: str, qv: list | None = None
+) -> DataFrame:
     """The production data-adaptive PQ path (codebooks trained with 2
     Lloyd iterations on a 1/2 subsample), cached like the IVF
     centroids. Oracle-checked since r11 via the per-subspace unrolled
-    Lloyd replay (oracle_train.py)."""
+    Lloyd replay (oracle_train.py). ``qv``: see
+    q_ivf_ann_topk_trained."""
     emb = _emb(spark, sf_dir)
     key = (spark.sparkContext.applicationId, sf_dir, 8, 16, 2)
     cbs = _pq_mod._CODEBOOK_CACHE.get(key)
     if cbs is None:
         cbs = _pq_mod.train_pq_codebooks(emb, n_iters=2, sample_mod=2)
         _pq_mod._CODEBOOK_CACHE[key] = cbs
-    return _pq_mod.pq_ann_topk(emb, 0, 10, codebooks=cbs)
+    return _pq_mod.pq_ann_topk(emb, 0, 10, codebooks=cbs, qv=qv)
 
 
 @register(

@@ -473,10 +473,13 @@ WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),"""
 
 
 @register("ivfpq_ann_topk_trained", _IVFPQ_TR_SQL)
-def q_ivfpq_ann_topk_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_ivfpq_ann_topk_trained(
+    spark: SparkSession, sf_dir: str, qv: list | None = None
+) -> DataFrame:
     """Production path: trained spherical coarse quantizer + trained
     PQ codebooks; recall/monotonicity pytest-covered. Oracle-checked
-    since r11 via the double unrolled Lloyd replay (oracle_train.py)."""
+    since r11 via the double unrolled Lloyd replay (oracle_train.py).
+    ``qv``: see q_ivf_ann_topk_trained (registry_m7)."""
     emb = _emb(spark, sf_dir)
     key = (spark.sparkContext.applicationId, "ivfpq", sf_dir)
     cached = ivf._CENTROID_CACHE.get(key)
@@ -488,7 +491,7 @@ def q_ivfpq_ann_topk_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         cached = (cents, cbs)
         ivf._CENTROID_CACHE[key] = cached
     return _ivfpq_mod.ivfpq_ann_topk(
-        emb, 0, 10, centroids=cached[0], codebooks=cached[1]
+        emb, 0, 10, centroids=cached[0], codebooks=cached[1], qv=qv
     )
 
 

@@ -44,10 +44,17 @@ def pq_paths(df) -> list:
         n = ch.size()
         if n == 0 and ("FileSourceScan" in name or "BatchScan" in name):
             s = node.toString()
-            m = re.search(r"Location: \S+ \[([^\]]*)\]", s) or re.search(
-                r"file:[^\s,\]]+", s
-            )
-            out.append(m.group(0)[:160] if m else s.splitlines()[0][:80])
+            # Key on the FULL parsed path list inside the Location
+            # brackets — truncating the identity string collided two
+            # DIFFERENT paths sharing a long prefix into one key, a
+            # false >=2 multiplicity (r12 ADVICE). Truncation is for
+            # display only (main() prints counts, not keys).
+            m = re.search(r"Location: \S+ \[([^\]]*)\]", s)
+            if m:
+                out.append(m.group(1))
+                return
+            m = re.search(r"file:[^\s,\]]+", s)
+            out.append(m.group(0) if m else s.splitlines()[0][:80])
         for i in range(n):
             walk(ch.apply(i))
 
